@@ -1,0 +1,93 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV staging reader/writer honoring the reference's stage contracts
+  * (SURVEY §1.1). The golden CSVs embed newlines inside quoted
+  * `content` cells (links_with_metadata.csv: 170 raw lines ≈ 63
+  * records), so `multiLine` + quote escaping are load-bearing.
+  */
+object Staging {
+
+  /** S2: CSV scan with header, multi-line quoted cells, `"`-escape —
+    * the options that make Spark agree with pandas' csv dialect on the
+    * reference's golden files. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+
+  /** S3: CSV sink (overwrite). `coalesce(1)` matches the reference's
+    * single-file contract (df.to_csv) — only for small exports; large
+    * tables should go to Parquet via GraphStore. */
+  def writeCsvSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S4: append-mode sink (failed URLs accumulated across runs,
+    * reference Edits.ipynb:512). */
+  def appendCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("header", "true").option("escape", "\"").csv(path)
+
+  /** P8: validity filter before graph load (reference
+    * Edits.ipynb:515,1212-1216): content is a non-trivial string and
+    * the row was actually classified. */
+  def validRows(df: DataFrame): DataFrame =
+    df.filter(
+      col("content").isNotNull &&
+      length(trim(col("content"))) >= 100 &&
+      lower(col("category")) =!= "uncategorized" &&
+      lower(col("keyword")) =!= "none")
+
+  /** F3: comma-string → array of ≤3 trimmed keywords (reference
+    * Edits.ipynb:1072,1240; main.py:76 slices `[:3]`). */
+  def keywordArray(keyword: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    slice(filter(transform(split(keyword, ","), k => trim(k)), k => k =!= ""), 1, 3)
+
+  /** F4: array → display string (reference `', '.join(keywords)`). */
+  def keywordString(keywords: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(keywords, ", ")
+
+  /** Metadata CSV (7 cols) → Link node DataFrame + edge DataFrames.
+    * The set-oriented rewrite of the reference's per-row MERGE load
+    * loop (S9, Edits.ipynb:1231-1277): distinct dimensions first, then
+    * edges derived by explode — one job each, no driver iteration. */
+  def stageMetadata(meta: DataFrame): StagedGraph = {
+    val links = meta
+      .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
+      .withColumn("keywords", keywordArray(col("keyword")))
+      .select(
+        col("url"),
+        coalesce(col("category"), lit("Uncategorized")).as("category"),
+        coalesce(col("title"), col("url")).as("title"),
+        col("keywords"),
+        coalesce(col("category_explanation"), lit("")).as("categoryExplanation"),
+        coalesce(col("keyword_explanation"), lit("")).as("keywordExplanation"),
+        lit("").as("rawCategory"),
+        lit("").as("suggestedCategory"),
+        col("content").as("rawContent"),
+        col("content").as("cleanedContent"))
+      .dropDuplicates("url")
+    val categories = links.select(col("category").as("name")).distinct()
+    val keywords = links.select(explode(col("keywords")).as("name")).distinct()
+    val belongsTo = links.select(col("url").as("src"), col("category").as("dst")).distinct()
+    val hasKeyword = links
+      .select(col("url").as("src"), explode(col("keywords")).as("dst")).distinct()
+    StagedGraph(links, categories, keywords, belongsTo, hasKeyword)
+  }
+}
+
+final case class StagedGraph(
+    links: DataFrame,
+    categories: DataFrame,
+    keywords: DataFrame,
+    belongsTo: DataFrame,
+    hasKeyword: DataFrame)

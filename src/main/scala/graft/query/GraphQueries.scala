@@ -1,0 +1,122 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's declared query set as a Scala API over generic
+  * node/edge DataFrames (SURVEY §2.3/§2.4/§2.8). Each method is a pure
+  * DataFrame→DataFrame transform: Catalyst plans it, so dimension
+  * joins broadcast automatically and the self-join shuffles on the
+  * keyword key (bucket `hasKeyword` by `dst` at rest to make that
+  * shuffle-free on repeat queries; AQE skew-join covers hot keywords).
+  *
+  * Column name contract: node tables expose their PK as `url` (links) /
+  * `name` (dimensions); edges are `(src, dst)`.
+  */
+object GraphQueries {
+
+  /** J1: 1-hop pattern `(l:Link)-[:BELONGS_TO]->(c:Category)` — the
+    * index() listing (reference dockerapp/app/main.py:185).
+    * Dimension side is broadcast: at 100 TB the Link table is the only
+    * big input and this stays a map-side join. */
+  def linkListing(links: DataFrame, belongsTo: DataFrame, categories: DataFrame): DataFrame =
+    links.join(belongsTo, links("url") === belongsTo("src"))
+      .join(broadcast(categories), belongsTo("dst") === categories("name"))
+      .drop("src", "dst")
+
+  /** J2: 1-hop `(l)-[:HAS_KEYWORD]->(k)` (reference main.py:468). */
+  def linkKeywords(links: DataFrame, hasKeyword: DataFrame): DataFrame =
+    links.join(hasKeyword, links("url") === hasKeyword("src"))
+      .select(links("url"), hasKeyword("dst").as("keyword"))
+
+  /** J3 — the flagship interconnection query (reference
+    * notebook/Edits.ipynb:1345-1351): pairs of links that share a
+    * keyword but belong to different categories.
+    *
+    * Shape: self-equi-join of `hasKeyword` on `dst` with the
+    * canonical-pair residual `src1 < src2` (halves the output — the
+    * reference's own hand-optimization), then two joins to the
+    * (broadcast) category assignment. The self-join is the one
+    * physical risk at scale: it shuffles on keyword and hot keywords
+    * skew — mitigations are bucketing on `dst` + AQE skew-join
+    * (SURVEY §4).
+    *
+    * @param canonicalPairs notebook variant uses `<` (true); the
+    *   dockerapp variant (main.py:202) uses `<>` (false).
+    */
+  def interconnections(
+      hasKeyword: DataFrame,
+      belongsTo: DataFrame,
+      canonicalPairs: Boolean = true,
+      limit: Int = 100): DataFrame = {
+    val e1 = hasKeyword.select(col("src").as("url1"), col("dst").as("kw"))
+    val e2 = hasKeyword.select(col("src").as("url2"), col("dst").as("kw"))
+    val pairPred =
+      if (canonicalPairs) col("url1") < col("url2") else col("url1") =!= col("url2")
+    val pairs = e1.join(e2, Seq("kw")).filter(pairPred)
+    val c1 = belongsTo.select(col("src").as("url1"), col("dst").as("category1"))
+    val c2 = belongsTo.select(col("src").as("url2"), col("dst").as("category2"))
+    pairs
+      .join(c1, Seq("url1"))
+      .join(c2, Seq("url2"))
+      .filter(col("category1") =!= col("category2"))
+      .select(col("url1"), col("category1"), col("url2"), col("category2"),
+        col("kw").as("shared_keyword"))
+      .orderBy(col("shared_keyword"), col("category1"), col("category2"),
+        col("url1"), col("url2"))
+      .limit(limit)
+  }
+
+  /** J4: existence pre-check as a set operation — which incoming keys
+    * are already in the store (reference point-lookup loop
+    * main.py:257-261 becomes one anti-join; `novel` is what survives
+    * to the expensive enrich stages). */
+  def existing(incoming: DataFrame, store: DataFrame, pk: String): DataFrame =
+    incoming.join(store, Seq(pk), "left_semi")
+  def novel(incoming: DataFrame, store: DataFrame, pk: String): DataFrame =
+    incoming.join(store, Seq(pk), "left_anti")
+
+  /** J5/G3: orphan dimension nodes — no inbound edge
+    * (reference Edits.ipynb:1443-1444 `WHERE NOT (c)<-[:BELONGS_TO]-()`). */
+  def orphans(dims: DataFrame, edges: DataFrame): DataFrame =
+    dims.join(edges.select(col("dst")), dims("name") === col("dst"), "left_anti")
+
+  /** A5: keyword frequency distribution (reference value_counts,
+    * Edits.ipynb:1068-1075). Map-side partial aggregation makes this a
+    * single small shuffle at any scale. */
+  def keywordDistribution(hasKeyword: DataFrame): DataFrame =
+    hasKeyword.groupBy(col("dst").as("keyword"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("keyword"))
+
+  /** A6: duplicate-id detection (reference main.py:475-478). */
+  def duplicateIds(df: DataFrame, idCol: String): DataFrame =
+    df.groupBy(col(idCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** G4: typed graph projection for visualization (reference
+    * main.py:436-484): one unioned node list `{id, label, group}` and
+    * one edge list `{from, to}`. Node ids are label-prefixed exactly
+    * like the reference (`f"Link:{url}"`, main.py:442). */
+  def vizNodes(links: DataFrame, categories: DataFrame, keywords: DataFrame): DataFrame = {
+    val l = links.filter(col("title").isNotNull)
+      .select(concat(lit("Link:"), col("url")).as("id"), col("title").as("label"),
+        lit("Link").as("group"))
+    val c = categories.filter(col("name").isNotNull)
+      .select(concat(lit("Category:"), col("name")).as("id"), col("name").as("label"),
+        lit("Category").as("group"))
+    val k = keywords.filter(col("name").isNotNull)
+      .select(concat(lit("Keyword:"), col("name")).as("id"), col("name").as("label"),
+        lit("Keyword").as("group"))
+    l.unionByName(c).unionByName(k)
+  }
+
+  def vizEdges(belongsTo: DataFrame, hasKeyword: DataFrame): DataFrame = {
+    val b = belongsTo.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(concat(lit("Link:"), col("src")).as("from"),
+        concat(lit("Category:"), col("dst")).as("to"))
+    val h = hasKeyword.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(concat(lit("Link:"), col("src")).as("from"),
+        concat(lit("Keyword:"), col("dst")).as("to"))
+    b.unionByName(h)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed labeled-property-graph store.
+  *
+  * Plays the role Kùzu plays in the reference (notebook/Edits.ipynb:
+  * 1110-1165 DDL + MERGE load; dockerapp/app/main.py:20-34): node and
+  * rel tables addressed by label, a PK per node table, idempotent
+  * upsert, cascade delete and orphan cleanup — but set-oriented: every
+  * write primitive is a whole-DataFrame job, not a row loop.
+  *
+  * Layout (SURVEY §1.3): `<root>/nodes/<label>/` and
+  * `<root>/edges/<relType>/` as Parquet directories. At cluster scale
+  * each table is just a Parquet dataset: node tables are written
+  * partitioned only when large (Link), dimension tables stay single
+  * footer so Catalyst broadcast-joins them for free.
+  */
+final class GraphStore(spark: SparkSession, root: String) {
+
+  private def nodePath(label: String) = s"$root/nodes/$label"
+  private def edgePath(relType: String) = s"$root/edges/$relType"
+
+  // ---- DDL / catalog (reference S8: CREATE NODE TABLE / show_tables) ----
+
+  /** Create a node table by writing an empty DataFrame with the given
+    * schema. Idempotent: existing tables are left untouched. */
+  def createNodeTable(label: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    if (!exists(nodePath(label))) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(nodePath(label))
+    }
+
+  def createRelTable(relType: String): Unit =
+    if (!exists(edgePath(relType))) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], graft.model.GraphSchema.edge)
+        .write.mode("overwrite").parquet(edgePath(relType))
+    }
+
+  /** `CALL show_tables()` analog (reference Edits.ipynb:1139,1157). */
+  def showTables(): Seq[(String, String)] = {
+    def list(dir: String, kind: String): Seq[(String, String)] = {
+      val d = new java.io.File(s"$root/$dir")
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(_.isDirectory).map(f => (f.getName, kind)).toSeq.sorted
+    }
+    list("nodes", "NODE") ++ list("edges", "REL")
+  }
+
+  private def exists(path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
+  }
+
+  def nodes(label: String): DataFrame = spark.read.parquet(nodePath(label))
+  def edges(relType: String): DataFrame = spark.read.parquet(edgePath(relType))
+
+  def writeNodes(label: String, df: DataFrame): Unit =
+    overwriteSafely(df, nodePath(label))
+  def writeEdges(relType: String, df: DataFrame): Unit =
+    overwriteSafely(df, edgePath(relType))
+
+  /** Overwriting the table we are also reading from would delete the
+    * input mid-scan; stage through a temp dir then swap. Single-writer
+    * discipline is assumed (as in the reference's embedded Kùzu). */
+  private def overwriteSafely(df: DataFrame, path: String): Unit = {
+    val tmp = path + "__staging"
+    df.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  // ---- write primitives (set-oriented rewrites of the reference's
+  //      per-row Cypher MERGE loops) ----
+
+  /** Node upsert with last-writer-wins SET semantics — the engine's
+    * core write primitive (reference J7: MERGE ... SET, Edits.ipynb:
+    * 1256-1262, main.py:119-134).
+    *
+    * `incoming` rows replace `existing` rows with the same `pk`; within
+    * `incoming`, later rows (higher position) win, so
+    * `merge(merge(e, a), b) == merge(e, a ++ b)` and the whole thing is
+    * idempotent. Implemented as union + row_number window over the PK —
+    * one shuffle on the PK, no driver-side loop; at 100 TB this is a
+    * standard hash-partitioned dedup and AQE handles skew.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame, pk: String): DataFrame =
+    GraphStore.mergeByKey(existing, incoming, Seq(pk))
+
+  /** Edge upsert: set-union with dedup on (src, dst) — edges carry no
+    * properties in the reference so MERGE degenerates to distinct. */
+  def mergeEdges(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.select("src", "dst").unionByName(incoming.select("src", "dst")).distinct()
+
+  /** DETACH DELETE analog (reference G2, main.py:490): remove nodes
+    * with the given keys and every edge touching them (anti-join form,
+    * batch-friendly — not a per-row filter). */
+  def detachDelete(label: String, pk: String, keys: DataFrame, relTypes: Seq[String]): Unit = {
+    val keyCol = keys.columns.head
+    val keyDf = keys.select(col(keyCol).as("__key")).distinct()
+    writeNodes(label, nodes(label).join(keyDf, col(pk) === col("__key"), "left_anti"))
+    relTypes.foreach { rt =>
+      writeEdges(rt, edges(rt).join(keyDf, col("src") === col("__key"), "left_anti"))
+    }
+  }
+
+  /** Orphan cleanup (reference J5/G3, Edits.ipynb:1443-1444): delete
+    * dimension nodes with no inbound edge. Pure anti-join — the GraphX
+    * degree-based variant lives in graft.graphx.GraphOps. */
+  def cleanOrphans(dimLabel: String, relType: String): Unit = {
+    val kept = nodes(dimLabel)
+      .join(edges(relType).select(col("dst")).distinct(), col("name") === col("dst"), "left_semi")
+    writeNodes(dimLabel, kept)
+  }
+}
+
+object GraphStore {
+
+  /** Last-writer-wins keyed upsert as a pure DataFrame transform (the
+    * testable core of [[GraphStore.merge]]). `existing` gets batch seq
+    * 0; `incoming` rows are ranked by their position so that a later
+    * duplicate inside one batch wins — matching the reference's
+    * sequential per-row MERGE..SET loop semantics deterministically
+    * under shuffle (SURVEY §7 "hard parts").
+    */
+  def mergeByKey(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(incoming.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: ${incoming.columns.toSeq} vs $cols")
+    // monotonically_increasing_id is (partitionId << 33 | offset): not
+    // dense but strictly increasing in row order within a partition,
+    // which is the only ordering contract the reference loop had.
+    val e = existing.withColumn("__seq", lit(0L))
+    val i = incoming.withColumn("__seq", monotonically_increasing_id() + 1)
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__seq").desc)
+    e.unionByName(i)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+  }
+}
