@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Enrich, Staging, UrlFunctions}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.GraphQueries
 import graft.store.GraphStore
 
@@ -43,6 +44,26 @@ object SparkEntry {
   private def belongsTo(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
       .select(col("s_suppkey").as("src"), col("s_nationkey").as("dst"))
+
+  /** Documents corpus with deterministic planted near-duplicates
+    * (id+1000000, two extra lead tokens) — the synthetic corpus has no
+    * natural near-dups (max trigram Jaccard ≈ 0.03), so dedup
+    * operators are exercised against known positives. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("duplicate marker "), col("text")).as("text")))
+  }
+
+  /** Same corpus with planted *exact* duplicates. */
+  private def plantedExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregations (A1..A6) --
@@ -216,6 +237,87 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
         .orderBy(col("hour"), col("event_type"))),
+
+    // -- text analysis (driver extension §7) --
+    "q_x1_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q_x2_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+        round(TextAnalysis.avgWordLen(col("text")), 4).as("avg_word_len"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("doc_id"))),
+    "q_x3_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+    "q_x4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // -- deduplication (driver extension §7) --
+    "q_d1_exact_dedup" -> ((s, d) =>
+      Dedup.groups(plantedExact(s, d), "doc_id", Seq("text"))
+        .select(col("rep_id"), col("n")).orderBy(col("rep_id"))),
+    "q_d2_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))),
+    "q_d3_simhash" -> ((s, d) => // no SQL oracle: xxhash64-based signature
+      Dedup.simHashDupPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))),
+    "q_d4_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.02)
+        .orderBy(col("id1"), col("id2"))),
+    "q_d5_embed_dup" -> ((s, d) =>
+      Dedup.embeddingDupPairs(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("id1"), col("id2"))),
+
+    // -- similarity search (driver extension §7) --
+    "q_n1_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_n2_lsh_ann" -> ((s, d) => { // no SQL oracle: recall measured in tests
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- multimodal plumbing (driver extension §7; stub decode) --
+    "q_m1_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaTableFromText(s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeStage(s, media, new Multimodal.StubDecoder)
+        .select(col("media_id"), col("byte_len"), col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // -- approximate aggregation (no oracle: HLL sketch differs by impl) --
+    "q_hll_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,5 +463,130 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                 event_type, count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_x1_langid" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['el','los','y','es','un','una','que'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我'], x))) AS h_zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+    "q_x2_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, text, len(toks) AS n_toks,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+               * 1.0 / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+               * 1.0 / len(toks) ELSE 0.0 END AS sr,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS awl
+           FROM t)
+         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+           round(pr, 4) AS punct_ratio, round(sr, 4) AS stop_ratio,
+           round(awl, 4) AS avg_word_len,
+           round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+                 + least(sr * 4.0, 1.0) * 0.2
+                 + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+         FROM m ORDER BY doc_id""",
+    "q_x3_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_x4_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_d1_exact_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text FROM documents
+                       WHERE doc_id % 10 = 0)
+         SELECT min(doc_id) AS rep_id, count(*) AS n
+         FROM base GROUP BY text ORDER BY rep_id""",
+    "q_d2_minhash_lsh" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, 'duplicate marker ' || text
+                       FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          a.n AS n1, b.n AS n2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 4) AS jaccard
+         FROM pairs WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5
+         ORDER BY id1, id2""",
+    "q_d4_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents WHERE doc_id % 10 = 0),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          a.n AS n1, b.n AS n2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 4) AS jaccard
+         FROM pairs WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.02
+         ORDER BY id1, id2""",
+    "q_d5_embed_dup" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 5 = 0)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+         ORDER BY id1, id2""",
+    "q_n1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                    FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                    FROM scored)
+         SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_m1_media_features" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         sha256(text) AS checksum
+         FROM documents ORDER BY media_id""",
   )
 }

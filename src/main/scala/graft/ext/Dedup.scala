@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines (driver
+  * extension, SURVEY §7 module 6): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every operator is a constant number of DataFrame
+  * jobs. The approximate ones (MinHash, SimHash) compute per-row
+  * signatures map-side (no shuffle), then shuffle only the tiny
+  * (band, id) pairs for bucketing — the classic shingle→minhash→band→
+  * bucket-join layout that keeps the candidate join linear in the
+  * number of colliding pairs rather than quadratic in corpus size.
+  * The exact-Jaccard verify runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) + multiplicity per
+    * distinct key. `groups(...).filter($"n" > 1)` is the duplicate
+    * report; semantics match reference A6 generalized to any column. */
+  def groups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n"))
+
+  /** Exact dedup: keep the min-id row per distinct key. */
+  def dropExact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.join(groups(df, idCol, keyCols).select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic MinHash signature (k permutations) over a string
+    * shingle array. h_j(s) = (a_j·xxhash64(s) + b_j) mod p, p
+    * Mersenne-31; signature_j = min over shingles. Computed entirely
+    * map-side as one nested HOF expression. */
+  def minHashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(k)(1 + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+    val hashed = transform(shingleArr, s => pmod(xxhash64(s), lit(p)))
+    array((0 until k).map { j =>
+      array_min(transform(hashed, x => pmod(x * as(j) + bs(j), lit(p))))
+    }: _*)
+  }
+
+  /** LSH banding: signature of length k = bands·rows → one hash per
+    * band. Docs sharing any band hash become candidate pairs. */
+  def bandHashes(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", slice(signature, b * rows + 1, rows)))
+    }: _*)
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+    *
+    * @param docs (id, text)
+    * @return (id1, id2, jaccard) with id1 < id2, jaccard >= threshold
+    */
+  def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val rows = k / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bands", bandHashes(minHashSignature(col("sh"), k, seed), bands, rows))
+    val banded = withSig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    exactJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs: join both shingle sets and
+    * compute |A∩B| / |A∪B| with array ops — only candidates pay. */
+  private def exactJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val a = sets.select(col("id").as("id1"), array_distinct(col("sh")).as("sh1"))
+    val b = sets.select(col("id").as("id2"), array_distinct(col("sh")).as("sh2"))
+    pairs.join(a, Seq("id1")).join(b, Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** All-pairs exact n-gram Jaccard >= threshold (the oracle-checkable
+    * baseline the LSH path approximates): shingle-explode, equi-join on
+    * shingle, count shared per pair, compute |A|+|B|-shared union size.
+    * Shuffles on shingle — fine while shingle frequencies are bounded;
+    * the LSH path is the one to reach for at 100 TB. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("setsize", size(col("sh")))
+    val exploded = sets.select(col("id"), col("setsize"), explode(col("sh")).as("s"))
+    val shared = exploded.as("x").join(exploded.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.setsize").as("n1"), col("y.setsize").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n1") + col("n2") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the signature is
+    * set iff the sum over tokens of ±1 (by bit b of xxhash64(token))
+    * is positive. Backed by the codegen'd
+    * [[graft.functions.SimHash64]] kernel — one pass per row. */
+  def simHash(text: Column): Column =
+    graft.functions.SimHash.simhash64(TextAnalysis.tokens(text))
+
+  /** SimHash near-dup pairs: LSH on 4×16-bit bands of the signature
+    * (any identical band → candidate), verified by Hamming distance.
+    * @return (id1, id2, hamming) with hamming <= maxHamming */
+  def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band_idx", "band_val")))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.sig").as("sig1"), col("y.sig").as("sig2")).distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  // ---- embedding near-dup ----
+
+  /** Embedding-cosine near-dup pairs, brute force: all pairs with
+    * cosine >= threshold. O(n²·d) with the codegen'd cosine kernel —
+    * the correctness baseline; [[Similarity.lshBuckets]] is the
+    * at-scale path. */
+  def embeddingDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("v1"), col("v2")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+}

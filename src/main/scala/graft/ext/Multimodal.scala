@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for training-data pipelines (driver
+  * extension, SURVEY §7 module 6): image/audio/video as opaque
+  * `binary` columns plus typed metadata, processed in per-partition
+  * batches.
+  *
+  * The container ships no image/audio codecs, so the decode kernel is
+  * STUBBED with a deterministic fake ([[StubDecoder]]) — but the
+  * Spark-side plumbing is real and tested: schema, binary column
+  * semantics, partition-batch iteration (the Scala analog of
+  * `mapInPandas` batches), and the feature-extraction output contract.
+  * Swapping in a real decoder means replacing one trait impl.
+  */
+object Multimodal {
+
+  /** Typed media row: the storage contract for a multimodal table.
+    * `media` is the opaque payload; metadata travels beside it so
+    * filters on format/size prune without touching bytes. */
+  final case class MediaRow(
+      media_id: Long,
+      media: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Decoded-feature row produced by the decode/extract stage. */
+  final case class MediaFeatures(
+      media_id: Long,
+      byte_len: Long,
+      checksum: String,
+      // stub "embedding": 16-bin byte histogram, L1-normalized
+      histogram: Seq[Double])
+
+  /** Decode kernel contract. Real impls wrap an image/audio library;
+    * batch-oriented so codec state is reused across a partition. */
+  trait Decoder extends Serializable {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures]
+  }
+
+  /** Deterministic fake decoder: features derived purely from the
+    * bytes, so tests are stable with no codec installed. */
+  final class StubDecoder extends Decoder {
+    def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+        val hist = new Array[Double](16)
+        bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+        val total = math.max(1.0, bytes.length.toDouble)
+        MediaFeatures(
+          r.media_id,
+          bytes.length.toLong,
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bytes).map("%02x".format(_)).mkString,
+          hist.map(_ / total).toSeq)
+      }
+  }
+
+  /** Build a media table from any (id, payload-string) source —
+    * the stand-in ingest while real blobs aren't available. Width /
+    * height / frames are synthesized deterministically from the id. */
+  def mediaTableFromText(spark: SparkSession, src: DataFrame,
+      idCol: String, textCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    src.select(
+        col(idCol).cast("long").as("media_id"),
+        col(textCol).cast("binary").as("media"),
+        element_at(typedLit(Seq("jpeg", "png", "wav", "mp4")),
+          (col(idCol) % 4 + 1).cast("int")).as("format"),
+        (col(idCol) % 640 + 16).cast("int").as("width"),
+        (col(idCol) % 480 + 16).cast("int").as("height"),
+        (col(idCol) % 30 + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** The decode / feature-extract stage: repartition for batch-size
+    * control, then per-partition batched decode — exactly the
+    * `mapInPandas` execution shape (one decoder per task, streaming
+    * batches, no driver collect). */
+  def decodeStage(spark: SparkSession, media: Dataset[MediaRow],
+      decoder: Decoder, partitions: Int = 0): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val repart = if (partitions > 0) media.repartition(partitions) else media
+    repart.mapPartitions(rows => decoder.decodeBatch(rows))
+  }
+
+  /** Frame sampling for video-like media: keep every `stride`-th
+    * frame index up to n_frames — pure metadata op, no decode. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"),
+      filter(sequence(lit(0), col("n_frames") - 1),
+        i => i % stride === 0).as("frame_ids"))
+}

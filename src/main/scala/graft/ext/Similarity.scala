@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (driver extension, SURVEY §7 module 6).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k by cosine. The query set is
+  *    broadcast, so the big side streams once with a codegen'd cosine
+  *    kernel and a per-query top-k window — correct at any corpus
+  *    size, O(|corpus|·|queries|·d).
+  *  - [[lshTopK]]: random-hyperplane LSH. Sign-bit signatures are
+  *    computed map-side against a fixed seeded hyperplane set,
+  *    bucketed by signature band; only same-bucket candidates are
+  *    scored. At 100 TB this turns the cross product into a
+  *    bucket-local join at some recall cost.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic tie-break on
+    * (cos desc, candidate id). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: nBits vectors of dim
+    * components in [-1, 1], seeded. Returned as a literal nested
+    * array so signatures are a map-side expression. */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-bit LSH signature of a float vector: bit j = sign of
+    * dot(v, hyperplane_j), packed into a long (nBits <= 63). */
+  def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(zip_with(vec, typedLit(p.toSeq), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucket assignment for the scale path: corpus partitioned by LSH
+    * signature bands. Two vectors agreeing on any band land in a
+    * shared bucket. Returns (id, band_idx, band_val). */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sig = lshSignature(col(vecCol), dim, nBits, seed)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("sig"))
+      .select(col("id"), col("v"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * bitsPerBand).bitwiseAND(mask)): _*))
+          .as(Seq("band_idx", "band_val")))
+  }
+
+  /** ANN top-k via LSH buckets: score only same-bucket candidates,
+    * then per-query top-k. Approximate — recall depends on nBits /
+    * bands; the ScalaTest suite measures it against brute force. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, nBits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cB = lshBuckets(corpus, idCol, vecCol, dim, nBits, bands, seed)
+      .withColumnRenamed("id", "cand_id").withColumnRenamed("v", "cand_v")
+    val qB = lshBuckets(queries, idCol, vecCol, dim, nBits, bands, seed)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("v", "query_v")
+    val candidates = cB.join(qB, Seq("band_idx", "band_val"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_v"), col("cand_id"), col("cand_v"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    candidates
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+}

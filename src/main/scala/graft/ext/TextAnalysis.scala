@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (driver extension, SURVEY §7 module 6): language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything here is a pure Column expression (no UDFs), so the
+  * operators stay inside Catalyst: they push down, prune, and codegen
+  * like any built-in, and each one has an exact DuckDB-SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty strings dropped). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alnum marks each count as one token (the regex stands in for
+    * a merged-vocab tokenizer at the same asymptotics). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** n-gram word shingles joined with single spaces; empty array when
+    * the document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram language-ID
+    * heuristic. Deterministic and oracle-able; swap for real
+    * frequency profiles in production. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  private def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(Stopwords(lang))))
+
+  /** Language-ID heuristic: argmax of stopword hits, alphabetical
+    * tie-break, "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+    val hits = langs.map(l => stopwordHits(text, l))
+    val best = greatest(hits: _*)
+    val pairs = langs.zip(hits)
+    pairs.tail.foldLeft(when(best > 0 && pairs.head._2 === best, lit(pairs.head._1))) {
+      case (acc, (l, h)) => acc.when(best > 0 && h === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Punctuation ratio: non-alnum-non-space chars / total chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double")
+    when(total > 0, punct / total).otherwise(lit(0.0))
+  }
+
+  /** English stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val n = size(tokens(text)).cast("double")
+    when(n > 0, stopwordHits(text, "en").cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1] — the length/punctuation/
+    * stopword shape of a C4/Gopher-style filter: long enough, not
+    * punctuation soup, has some function words, words of sane length. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val wordLenOk = when(avgWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenOk * 0.2)
+  }
+
+  /** Polynomial rolling-hash document fingerprint:
+    * h = fold(chars)((h, c) => (h * 31 + ord(c)) mod 2147483647).
+    * Stays in BIGINT range at every step, so the DuckDB list_reduce
+    * oracle computes bit-identical values. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % 2147483647L)
+}
