@@ -318,6 +318,59 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
+
+    // -- GraphX analytics (BASELINE.json spark_approach) --
+    "q_gx_degrees" -> ((s, d) => {
+      val hk = hasKeyword(s, d)
+      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
+        "supplier" -> hk.select(col("src")).distinct(),
+        "part" -> hk.select(col("dst")).distinct()))
+      val g = graft.graphx.GraphOps.buildGraph(s, dict,
+        Seq(("supplies", "supplier", "part", hk)))
+      graft.graphx.GraphOps.degreesByOrigId(s, dict, g)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("degree"))
+        .orderBy(col("node"))
+    }),
+    "q_gx_connected_components" -> ((s, d) => {
+      // sparse edge subset so the graph actually has >1 component
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
+        "supplier" -> hk.select(col("src")).distinct(),
+        "part" -> hk.select(col("dst")).distinct()))
+      val g = graft.graphx.GraphOps.buildGraph(s, dict,
+        Seq(("supplies", "supplier", "part", hk)))
+      graft.graphx.GraphOps.connectedComponentsByOrigId(s, dict, g)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("component"))
+        .orderBy(col("node"))
+    }),
+    "q_gx_pagerank" -> ((s, d) => { // no SQL oracle: iterative fixpoint
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
+        "supplier" -> hk.select(col("src")).distinct(),
+        "part" -> hk.select(col("dst")).distinct()))
+      val g = graft.graphx.GraphOps.buildGraph(s, dict,
+        Seq(("supplies", "supplier", "part", hk)))
+      graft.graphx.GraphOps.pageRankByOrigId(s, dict, g)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"),
+          round(col("rank"), 4).as("rank"))
+        .orderBy(col("node"))
+    }),
+    "q_gx_interconnect_am" -> ((s, d) => // flagship via gather-to-vertex (GraphX shape)
+      graft.graphx.GraphOps.interconnectionsViaAggregateMessages(
+          s, hasKeyword(s, d), belongsTo(s, d))
+        .orderBy(col("shared_keyword"), col("category1"), col("category2"),
+          col("url1"), col("url2"))
+        .limit(100)),
+
+    // -- streaming-shaped operators, batch faces (graft.streaming) --
+    "q_t2_sessionize" -> ((s, d) =>
+      graft.streaming.Streams.sessionize(Tables.events(s, d), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
+    "q_t3_asof_join" -> ((s, d) =>
+      graft.streaming.Streams.asOfLastEvent(Tables.events(s, d), "view", "purchase")
+        .orderBy(col("event_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -588,5 +641,59 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          sha256(text) AS checksum
          FROM documents ORDER BY media_id""",
+    "q_gx_degrees" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem)
+         SELECT node, degree FROM (
+           SELECT 'supplier:' || s AS node, count(*) AS degree FROM hk GROUP BY 1
+           UNION ALL
+           SELECT 'part:' || p AS node, count(*) AS degree FROM hk GROUP BY 1)
+         ORDER BY node""",
+    "q_gx_connected_components" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+         e0 AS (SELECT 'supplier:' || s AS a, 'part:' || p AS b FROM hk),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         SELECT id AS node, min(lbl) AS component FROM reach
+         GROUP BY id ORDER BY node""",
+    "q_gx_interconnect_am" ->
+      """WITH hk AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS src,
+                            CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         bt AS (SELECT CAST(s_suppkey AS VARCHAR) AS src,
+                       CAST(s_nationkey AS VARCHAR) AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_t2_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         y AS (SELECT *, lag(us) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM x),
+         z AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS f FROM y),
+         w AS (SELECT *, CAST(sum(f) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM z)
+         SELECT user_id, sid AS session_id, count(*) AS n_events,
+                min(event_id) AS first_event, max(event_id) AS last_event
+         FROM w GROUP BY user_id, sid ORDER BY user_id, session_id""",
+    "q_t3_asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                    WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.us AS ts_us, v.us AS asof_us
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.us <= p.us
+         ORDER BY p.event_id""",
   )
 }

@@ -27,9 +27,11 @@ object Tables {
     * lossless for every whole-second bucketing the queries do. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double
+    // mantissa precision, so float division is off by ±1us
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9 map-forward: the
+  * reference's closest analogue is the one-row-at-a-time add_link
+  * upsert path, dockerapp/app/main.py:358-433).
+  *
+  * Each operator has two faces with identical semantics:
+  *  - a batch DataFrame transform (oracle-checkable, reused by
+  *    SparkEntry), and
+  *  - a streaming form (readStream → watermark → stateful op), smoke-
+  *    tested with the memory sink in the ScalaTest suite.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation, batch face: count + sum(value) per
+    * (hour, event_type). The streaming face is [[hourlyAggStream]]
+    * with a watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+
+  def hourlyAggStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+
+  /** Sessionization, batch face: gap-based sessions (new session when
+    * > gap since the user's previous event). One shuffle on user_id;
+    * the two windows share the same partitioning so Catalyst plans a
+    * single sort+exchange. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+  }
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(sessionId: Long, lastTsUs: Long)
+  final case class SessionAssignment(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Sessionization, streaming face: per-user session assignment via
+    * flatMapGroupsWithState — the custom-state shape the reference's
+    * row-at-a-time upsert loop maps to. Processing-time semantics are
+    * simplified (no out-of-order reconciliation beyond the sort inside
+    * each micro-batch). */
+  def sessionizeStream(spark: SparkSession, events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[SessionAssignment] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val sid = if (st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs)
+              st.sessionId + 1 else st.sessionId
+            st = SessionState(sid, e.ts_us)
+            SessionAssignment(user, e.event_id, sid)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** As-of join, batch face: each `right` event (e.g. purchase) gets
+    * the most recent `left` event (e.g. view) of the same user at or
+    * before it. Implemented as union + single user-ordered window scan
+    * (last_value ignoreNulls) — one shuffle+sort, no range join, which
+    * is the shape that survives 100 TB (a range join would be O(n·m)
+    * per user). */
+  def asOfLastEvent(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("left_us",
+        when(col("event_type") === leftType, unix_micros(col("ts"))))
+      .withColumn("asof_us", last(col("left_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === rightType)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("asof_us"))
+  }
+
+  /** Micro-batch upsert sink: the streaming face of GraphStore.merge —
+    * each batch is merged into the store with last-writer-wins
+    * (reference add_link loop becomes foreachBatch). */
+  def upsertSink(spark: SparkSession, stream: DataFrame, pk: String,
+      store: graft.store.GraphStore, label: String)(
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = graft.store.GraphStore.mergeByKey(
+          store.nodes(label), batch, Seq(pk))
+        store.writeNodes(label, merged)
+      }
+      .start()
+}
