@@ -108,10 +108,11 @@ object Enrich {
   def stripJsonFence(c: Column): Column =
     regexp_replace(regexp_replace(c, "(?s)^\\s*```(?:json)?\\s*", ""), "(?s)\\s*```\\s*$", "")
 
-  /** Fenced LLM output → typed struct; malformed input → null struct so
-    * callers can coalesce to the raw-content fallback, matching the
-    * reference's except-path (Edits.ipynb:461). Replaces
-    * json.loads + Pydantic validate with from_json(schema). */
+  /** Fenced LLM output → typed struct; malformed input → all-null
+    * struct (from_json PERMISSIVE mode), so callers coalesce each
+    * field to the raw-content fallback, matching the reference's
+    * except-path (Edits.ipynb:461). Replaces json.loads + Pydantic
+    * validate with from_json(schema). */
   def parseFenced(c: Column, schema: StructType): Column =
     from_json(stripJsonFence(c), schema)
 

@@ -1,0 +1,110 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlFunctions.normalizeUrl($"u").as("n"))
+      .as[String].collect().toSeq
+
+  test("normalizeUrl: scheme default, query/fragment strip, host lowercase, trailing slash") {
+    assert(norm("example.com/Path/") == Seq("https://example.com/Path"))
+    assert(norm("HTTP://Example.COM/A/b?q=1#f") == Seq("http://example.com/A/b"))
+    assert(norm("  https://a.b/c/  ") == Seq("https://a.b/c"))
+    assert(norm("https://Host.De") == Seq("https://host.de"))
+  }
+
+  test("normalizeUrl is idempotent") {
+    val urls = Seq("example.com/x/", "HTTPS://A.B/c?q#f", "http://h/p///")
+    val once = norm(urls: _*)
+    assert(norm(once: _*) == once)
+  }
+
+  test("CSV staging round-trips multi-line quoted content") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val df = Seq(
+      ("https://a", "T1", "line one\nline two, with comma\n\"quoted\""),
+      ("https://b", "T2", "plain")).toDF("url", "title", "content")
+    Staging.writeCsvSingle(df, dir + "/out")
+    val back = Staging.readCsv(spark, dir + "/out", graft.model.GraphSchema.linksWithContentCsv)
+    assert(back.count() == 2)
+    val c = back.filter($"url" === "https://a").select("content").as[String].head()
+    assert(c == "line one\nline two, with comma\n\"quoted\"")
+  }
+
+  test("keywordArray: trims, drops empties, caps at 3") {
+    val out = Seq("a, b , c, d", " x ,, y", "").toDF("k")
+      .select(Staging.keywordArray($"k").as("a")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a", "b", "c"))
+    assert(out(1) == Seq("x", "y"))
+    assert(out(2) == Seq())
+  }
+
+  test("validRows drops short/uncategorized/none rows (P8)") {
+    val long = "x" * 120
+    val rows = Seq(
+      ("u1", long, "Tech", "kw"),            // valid
+      ("u2", "short", "Tech", "kw"),         // too short
+      ("u3", long, "uncategorized", "kw"),   // uncategorized
+      ("u4", long, "Tech", "none"),          // no keyword
+      ("u5", null, "Tech", "kw")             // null content
+    ).toDF("url", "content", "category", "keyword")
+    assert(Staging.validRows(rows).select("url").as[String].collect().toSeq == Seq("u1"))
+  }
+
+  test("parseFenced: fenced JSON parses; malformed yields null for fallback (F13)") {
+    val schema = Enrich.articleClassificationSchema
+    val df = Seq(
+      """```json
+        |{"category":"Tech","keywords":["a","b"],"category_explanation":"e","keyword_explanations":["x"]}
+        |```""".stripMargin,
+      "not json at all").toDF("raw")
+      .select(Enrich.parseFenced($"raw", schema).as("p"))
+    val rows = df.collect()
+    assert(rows(0).getStruct(0).getString(0) == "Tech")
+    assert(rows(0).getStruct(0).getSeq[String](1) == Seq("a", "b"))
+    // malformed -> all-null struct (PERMISSIVE) -> caller coalesces
+    // each field to the raw-content fallback
+    val malformed = rows(1).getStruct(0)
+    assert(malformed == null || (0 until malformed.length).forall(malformed.isNullAt))
+  }
+
+  test("enrich pipeline: fetch -> clean -> classify with deterministic impls (S5-S7)") {
+    val urls = (1 to 20).map(i => s"https://site$i.example/page").toDF("url")
+    val fetched = Enrich.fetchStage(spark, urls, new Enrich.DeterministicFetcher(failEvery = 7))
+    val failures = fetched.filter($"failureReason".isNotNull)
+    val cleaned = Enrich.cleanStage(spark, fetched, new Enrich.PassThroughCleaner)
+    val classified = Enrich.classifyStage(spark, cleaned, new Enrich.DeterministicClassifier)
+    // failures are captured as data, not thrown (reference routes to review CSV)
+    assert(failures.count() + cleaned.count() == 20)
+    val row = classified.orderBy("url").head()
+    assert(Enrich.SuggestedCategories.contains(row.category))
+    assert(row.keyword.split(", ").length <= 3)
+    // deterministic: same input -> same output
+    val again = Enrich.classifyStage(spark,
+      Enrich.cleanStage(spark,
+        Enrich.fetchStage(spark, urls, new Enrich.DeterministicFetcher(failEvery = 7)),
+        new Enrich.PassThroughCleaner),
+      new Enrich.DeterministicClassifier)
+    assert(classified.exceptAll(again).count() == 0)
+  }
+
+  test("stageMetadata builds nodes and edges with explode semantics (S9)") {
+    val meta = Seq(
+      ("a.com", "TA", "c" * 120, "Tech", "k1, k2", "ce", "ke"),
+      ("b.com", "TB", "c" * 120, "Sci", "k2, k3", "ce", "ke"),
+      ("a.com", "TA2", "c" * 120, "Tech", "k1", "ce", "ke") // dup url -> dedup
+    ).toDF("url", "title", "content", "category", "keyword",
+      "category_explanation", "keyword_explanation")
+    val g = Staging.stageMetadata(meta)
+    assert(g.links.count() == 2)
+    assert(g.categories.as[String].collect().sorted.toSeq == Seq("Sci", "Tech"))
+    assert(g.keywords.count() == 3)
+    assert(g.hasKeyword.count() >= 3) // a->k1,a->k2 or a->k1 depending on kept dup
+    assert(g.belongsTo.count() == 2)
+  }
+}

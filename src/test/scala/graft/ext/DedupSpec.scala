@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, "prefix tokens " + base),                  // near-dup of 1
+    (3L, "completely different words about spark engines and columnar scans here"),
+    (4L, base)                                      // exact dup of 1
+  ).toDF("id", "text")
+
+  test("exact groups: representative + multiplicity") {
+    val g = Dedup.groups(docs, "id", Seq("text")).orderBy("rep_id")
+      .select("rep_id", "n").as[(Long, Long)].collect().toSeq
+    assert(g == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(Dedup.dropExact(docs, "id", Seq("text")).count() == 3)
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups, not unrelated docs") {
+    val pairs = Dedup.minHashDupPairs(docs, "id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash jaccard estimate: exact dup scores 1.0") {
+    val pairs = Dedup.minHashDupPairs(docs, "id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.4)
+      .filter($"id1" === 1 && $"id2" === 4).select("jaccard").as[Double].collect()
+    assert(pairs.length == 1 && pairs(0) == 1.0)
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small; different -> large") {
+    val sigs = docs.select($"id", Dedup.simHash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) <= 8)
+    assert(hamming(sigs(1L), sigs(3L)) > 8)
+  }
+
+  test("simHashDupPairs returns planted pairs within hamming budget") {
+    val pairs = Dedup.simHashDupPairs(docs, "id", "text", maxHamming = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard matches hand computation") {
+    val a = "w1 w2 w3 w4" // shingles: {w1 w2 w3, w2 w3 w4}
+    val b = "w1 w2 w3 w5" // shingles: {w1 w2 w3, w2 w3 w5}
+    val d = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val out = Dedup.ngramJaccardPairs(d, "id", "text", shingleN = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    // |A∩B| = 1, |A∪B| = 3 -> 1/3
+    assert(out == Seq((1L, 2L, 0.3333)))
+  }
+
+  test("embedding near-dup: identical vectors score 1.0, orthogonal excluded") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val out = Dedup.embeddingDupPairs(e, "id", "vec", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+}

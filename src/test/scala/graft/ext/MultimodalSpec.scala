@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table: binary payload + typed metadata") {
+    val media = Multimodal.mediaTableFromText(spark,
+      Tables.documents(spark, sf0001).limit(20), "doc_id", "text")
+    val row = media.filter($"media_id" === 1).head()
+    assert(row.media.nonEmpty)
+    assert(Seq("jpeg", "png", "wav", "mp4").contains(row.format))
+    assert(row.width >= 16 && row.height >= 16 && row.n_frames >= 1)
+  }
+
+  test("decode stage: deterministic features, histogram normalized") {
+    val media = Multimodal.mediaTableFromText(spark,
+      Tables.documents(spark, sf0001).limit(50), "doc_id", "text")
+    val feats = Multimodal.decodeStage(spark, media, new Multimodal.StubDecoder, partitions = 3)
+    assert(feats.count() == 50)
+    val f = feats.filter($"media_id" === 0).head()
+    assert(f.checksum.length == 64)
+    assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    // byte_len equals utf-8 length of source text
+    val expected = Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 0).select(length($"text")).as[Int].head()
+    assert(f.byte_len == expected) // corpus is ascii: chars == bytes
+    // determinism across runs
+    val again = Multimodal.decodeStage(spark, media, new Multimodal.StubDecoder, partitions = 7)
+    assert(feats.toDF().exceptAll(again.toDF()).count() == 0)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val media = Multimodal.mediaTableFromText(spark,
+      Tables.documents(spark, sf0001).limit(5), "doc_id", "text")
+    val sampled = Multimodal.sampleFrames(media.toDF(), stride = 10)
+      .filter($"media_id" === 3).select($"frame_ids").as[Seq[Int]].head()
+    // doc 3: n_frames = 3 % 30 + 1 = 4 -> frames 0..3, stride 10 -> [0]
+    assert(sampled == Seq(0))
+  }
+}

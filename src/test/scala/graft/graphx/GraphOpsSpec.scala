@@ -1,0 +1,63 @@
+package graft.graphx
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two components: {l1,l2,k1} and {l3,k2}
+  private lazy val edges = Seq(("l1", "k1"), ("l2", "k1"), ("l3", "k2")).toDF("src", "dst")
+  private lazy val dict = GraphOps.vertexDictionary(Seq(
+    "link" -> edges.select($"src").distinct(),
+    "kw" -> edges.select($"dst").distinct()))
+  private lazy val graph = GraphOps.buildGraph(spark, dict,
+    Seq(("has", "link", "kw", edges)))
+
+  test("vertex dictionary has no surrogate collisions") {
+    assert(GraphOps.collisionCount(dict) == 0)
+  }
+
+  test("label-qualified ids keep same-valued nodes distinct") {
+    val d = GraphOps.vertexDictionary(Seq(
+      "link" -> Seq("42").toDF("id"),
+      "kw" -> Seq("42").toDF("id")))
+    assert(d.select("vid").distinct().count() == 2)
+  }
+
+  test("degrees by original id") {
+    val deg = GraphOps.degreesByOrigId(spark, dict, graph)
+      .select(concat_ws(":", $"label", $"orig_id").as("n"), $"degree")
+      .as[(String, Long)].collect().toMap
+    assert(deg == Map("link:l1" -> 1L, "link:l2" -> 1L, "link:l3" -> 1L,
+      "kw:k1" -> 2L, "kw:k2" -> 1L))
+  }
+
+  test("connected components labeled by min member id") {
+    val cc = GraphOps.connectedComponentsByOrigId(spark, dict, graph)
+      .select(concat_ws(":", $"label", $"orig_id").as("n"), $"component")
+      .as[(String, String)].collect().toMap
+    assert(cc("link:l1") == "kw:k1") // 'kw' < 'link' lexicographically
+    assert(cc("link:l2") == "kw:k1")
+    assert(cc("kw:k1") == "kw:k1")
+    assert(cc("link:l3") == "kw:k2")
+    assert(cc("kw:k2") == "kw:k2")
+  }
+
+  test("pagerank mass sums to ~N and favors the hub") {
+    val pr = GraphOps.pageRankByOrigId(spark, dict, graph)
+      .select(concat_ws(":", $"label", $"orig_id").as("n"), $"rank")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 5.0) < 0.3)
+    assert(pr("kw:k1") > pr("kw:k2")) // two in-links vs one
+  }
+
+  test("aggregateMessages flagship variant matches DataFrame J3 on a fixture") {
+    val hk = Seq(("l1", "k1"), ("l2", "k1"), ("l3", "k2")).toDF("src", "dst")
+    val bt = Seq(("l1", "A"), ("l2", "B"), ("l3", "A")).toDF("src", "dst")
+    val am = GraphOps.interconnectionsViaAggregateMessages(spark, hk, bt)
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(am == Seq(("l1", "A", "l2", "B", "k1")))
+  }
+}

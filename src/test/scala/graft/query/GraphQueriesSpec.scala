@@ -1,0 +1,95 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture: 4 links, 2 categories, 3 keywords
+  //   l1(cat A): k1, k2     l2(cat B): k1      l3(cat A): k2     l4(cat B): k3
+  private lazy val hasKeyword = Seq(
+    ("l1", "k1"), ("l1", "k2"), ("l2", "k1"), ("l3", "k2"), ("l4", "k3")
+  ).toDF("src", "dst")
+  private lazy val belongsTo = Seq(
+    ("l1", "A"), ("l2", "B"), ("l3", "A"), ("l4", "B")).toDF("src", "dst")
+
+  test("interconnections (J3): cross-category shared-keyword pairs, canonical") {
+    val out = GraphQueries.interconnections(hasKeyword, belongsTo)
+      .as[(String, String, String, String, String)].collect().toSeq
+    // l1-l2 share k1 across A/B; l1-l3 share k2 but same category -> excluded
+    assert(out == Seq(("l1", "A", "l2", "B", "k1")))
+  }
+
+  test("interconnections: unordered variant emits both directions") {
+    val out = GraphQueries.interconnections(hasKeyword, belongsTo, canonicalPairs = false)
+    assert(out.count() == 2) // (l1,l2) and (l2,l1)
+  }
+
+  test("interconnections is invariant under input row order") {
+    val shuffled = hasKeyword.orderBy(rand(7))
+    val a = GraphQueries.interconnections(hasKeyword, belongsTo).collect().toSeq
+    val b = GraphQueries.interconnections(shuffled, belongsTo).collect().toSeq
+    assert(a == b)
+  }
+
+  test("orphans (J5): dimension nodes with no inbound edge") {
+    val dims = Seq("A", "B", "C").toDF("name")
+    val out = GraphQueries.orphans(dims, belongsTo).as[String].collect().toSeq
+    assert(out == Seq("C"))
+  }
+
+  test("existing/novel (J4) partition the incoming batch") {
+    val incoming = Seq("l1", "l9").toDF("url")
+    val store = Seq("l1", "l2").toDF("url")
+    assert(GraphQueries.existing(incoming, store, "url").as[String].collect().toSeq == Seq("l1"))
+    assert(GraphQueries.novel(incoming, store, "url").as[String].collect().toSeq == Seq("l9"))
+  }
+
+  test("keywordDistribution (A5) sorts by count desc then name") {
+    val out = GraphQueries.keywordDistribution(hasKeyword)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("k1", 2L), ("k2", 2L), ("k3", 1L)))
+  }
+
+  test("duplicateIds (A6) flags multiplicity > 1") {
+    val df = Seq("a", "a", "b").toDF("id")
+    val out = GraphQueries.duplicateIds(df, "id").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L)))
+  }
+
+  test("viz projection (G4) prefixes ids by label and unions") {
+    val links = Seq(("l1", "Title1")).toDF("url", "title")
+    val cats = Seq("A").toDF("name")
+    val kws = Seq("k1").toDF("name")
+    val nodes = GraphQueries.vizNodes(links, cats, kws)
+      .as[(String, String, String)].collect().toSet
+    assert(nodes == Set(
+      ("Link:l1", "Title1", "Link"),
+      ("Category:A", "A", "Category"),
+      ("Keyword:k1", "k1", "Keyword")))
+    val edges = GraphQueries.vizEdges(belongsTo.limit(1), hasKeyword.limit(1))
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("Link:l1", "Category:A"), ("Link:l1", "Keyword:k1")))
+  }
+
+  test("golden end-to-end: metadata CSV fixture -> graph -> flagship query") {
+    // mirrors the reference pipeline shape: 7-col metadata -> staged
+    // graph -> interconnections (README.md:23 reason-to-exist)
+    val meta = Seq(
+      ("https://a.com", "A site", "x" * 150, "Tech", "spark, graphs", "", ""),
+      ("https://b.com", "B site", "y" * 150, "Science", "graphs, ml", "", ""),
+      ("https://c.com", "C site", "z" * 150, "Tech", "ml", "", ""),
+      ("https://d.com", "D site", "short", "Tech", "spark", "", "") // filtered: short
+    ).toDF("url", "title", "content", "category", "keyword",
+      "category_explanation", "keyword_explanation")
+    val staged = graft.etl.Staging.stageMetadata(
+      graft.etl.Staging.validRows(meta))
+    val out = GraphQueries.interconnections(staged.hasKeyword, staged.belongsTo)
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://a.com", "Tech", "https://b.com", "Science", "graphs"),
+      ("https://b.com", "Science", "https://c.com", "Tech", "ml")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeByKey: insert-if-absent keeps existing untouched rows") {
+    val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val incoming = Seq(("c", 3)).toDF("k", "v")
+    val out = GraphStore.mergeByKey(existing, incoming, Seq("k"))
+      .orderBy("k").as[(String, Int)].collect()
+    assert(out.toSeq == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("mergeByKey: last-writer-wins on PK collision (SET semantics)") {
+    val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val incoming = Seq(("a", 10), ("a", 11)).toDF("k", "v")
+    val out = GraphStore.mergeByKey(existing, incoming, Seq("k"))
+      .orderBy("k").as[(String, Int)].collect()
+    // within one incoming batch, the later row wins (reference's
+    // sequential MERGE..SET loop order)
+    assert(out.toSeq == Seq(("a", 11), ("b", 2)))
+  }
+
+  test("mergeByKey is idempotent: merge(merge(e,i),i) == merge(e,i)") {
+    val existing = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val incoming = Seq(("b", 20), ("d", 4)).toDF("k", "v")
+    val once = GraphStore.mergeByKey(existing, incoming, Seq("k"))
+    val twice = GraphStore.mergeByKey(once, incoming, Seq("k"))
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+
+  test("mergeByKey preserves PK uniqueness invariant") {
+    val existing = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v") // dirty input
+    val incoming = Seq(("a", 9), ("c", 4)).toDF("k", "v")
+    val out = GraphStore.mergeByKey(existing, incoming, Seq("k"))
+    assert(out.groupBy("k").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("store round-trip: DDL, write, detachDelete, cleanOrphans") {
+    val root = java.nio.file.Files.createTempDirectory("graftstore").toString
+    val store = new GraphStore(spark, root)
+    store.createNodeTable("link", graft.model.GraphSchema.dimension)
+    store.createRelTable("BELONGS_TO")
+    assert(store.showTables() == Seq(("link", "NODE"), ("BELONGS_TO", "REL")))
+
+    store.writeNodes("link", Seq("u1", "u2", "u3").toDF("name"))
+    store.createNodeTable("category", graft.model.GraphSchema.dimension)
+    store.writeNodes("category", Seq("c1", "c2").toDF("name"))
+    store.writeEdges("BELONGS_TO",
+      Seq(("u1", "c1"), ("u2", "c1"), ("u3", "c2")).toDF("src", "dst"))
+
+    // DETACH DELETE u3: node gone, its edge gone
+    store.detachDelete("link", "name", Seq("u3").toDF("k"), Seq("BELONGS_TO"))
+    assert(store.nodes("link").as[String].collect().sorted.toSeq == Seq("u1", "u2"))
+    assert(store.edges("BELONGS_TO").count() == 2)
+
+    // c2 is now an orphan: cleanOrphans removes it
+    store.cleanOrphans("category", "BELONGS_TO")
+    assert(store.nodes("category").as[String].collect().toSeq == Seq("c1"))
+  }
+}

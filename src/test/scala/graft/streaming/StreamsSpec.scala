@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize (batch): gap splits sessions") {
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 10L, 0L * us), (1L, 11L, 60L * us),            // session 1
+      (1L, 12L, 4000L * us),                              // > 30min gap -> session 2
+      (2L, 20L, 0L * us)                                  // other user
+    ).toDF("user_id", "event_id", "us")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"))
+    val out = Streams.sessionize(ev, gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessionizer agrees with batch face on real events") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .as[Streams.SessionEvent]
+    val in = MemoryStream[Streams.SessionEvent](spark)
+    val q = Streams.sessionizeStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("sess_spec").outputMode("append").start()
+    in.addData(ev.collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_spec")
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+    val batch = Streams.sessionize(Tables.events(spark, sf0001))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming sessionizer carries state across micro-batches") {
+    val us = 1000000L
+    val in = MemoryStream[Streams.SessionEvent](spark)
+    val q = Streams.sessionizeStream(spark, in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_state").outputMode("append").start()
+    in.addData(Streams.SessionEvent(1L, 1L, 0L))
+    q.processAllAvailable()
+    in.addData(Streams.SessionEvent(1L, 2L, 60L * us))        // same session
+    in.addData(Streams.SessionEvent(1L, 3L, 4000L * us))      // new session
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_state").orderBy("event_id")
+      .select("session_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 2L))
+  }
+
+  test("hourly agg stream matches batch face") {
+    val ev = Tables.events(spark, sf0001)
+    val schema = ev.schema
+    val in = MemoryStream[org.apache.spark.sql.Row](
+      org.apache.spark.sql.Encoders.row(schema), spark)
+    val agg = Streams.hourlyAggStream(in.toDF(), watermark = "10 years")
+    val q = agg.writeStream.format("memory").queryName("hourly_spec")
+      .outputMode("complete").start()
+    in.addData(ev.collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_spec")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n", $"v")
+    val batch = Streams.hourlyAgg(ev)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("as-of join: each purchase gets latest prior view") {
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 1L, "view", 10L * us),
+      (1L, 2L, "purchase", 20L * us),   // matches view@10
+      (1L, 3L, "view", 30L * us),
+      (1L, 4L, "purchase", 40L * us),   // matches view@30
+      (2L, 5L, "purchase", 5L * us)     // no prior view -> null
+    ).toDF("user_id", "event_id", "event_type", "us")
+      .select($"user_id", $"event_id", $"event_type", timestamp_micros($"us").as("ts"))
+    val out = Streams.asOfLastEvent(ev, "view", "purchase")
+      .orderBy("event_id")
+      .select($"event_id", $"asof_us").as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((2L, Some(10L * us)), (4L, Some(30L * us)), (5L, None)))
+  }
+}
