@@ -34,25 +34,13 @@ object Dedup {
 
   /** Deterministic MinHash signature (k permutations) over a string
     * shingle array. h_j(s) = (a_j·xxhash64(s) + b_j) mod p, p
-    * Mersenne-31; signature_j = min over shingles. Computed entirely
-    * map-side as one nested HOF expression. */
-  def minHashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val as = Seq.fill(k)(1 + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val bs = Seq.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
-    val hashed = transform(shingleArr, s => pmod(xxhash64(s), lit(p)))
-    array((0 until k).map { j =>
-      array_min(transform(hashed, x => pmod(x * as(j) + bs(j), lit(p))))
-    }: _*)
-  }
-
-  /** LSH banding: signature of length k = bands·rows → one hash per
-    * band. Docs sharing any band hash become candidate pairs. */
-  def bandHashes(signature: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64(concat_ws(",", slice(signature, b * rows + 1, rows)))
-    }: _*)
+    * Mersenne-31; signature_j = min over shingles. Backed by the
+    * codegen'd [[graft.functions.MinHashSignature]] kernel — the
+    * composed-HOF formulation was ~300× slower at sf0.1 because
+    * projection collapse duplicates the shingle-hash subtree into
+    * every signature position (see graft.functions.MinHash). */
+  def minHashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column =
+    graft.functions.MinHash.minhashSignature(shingleArr, k, seed)
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified.
     *
@@ -62,28 +50,37 @@ object Dedup {
   def minHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val rows = k / bands
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("bands", bandHashes(minHashSignature(col("sh"), k, seed), bands, rows))
-    val banded = withSig.select(col("id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // tokens only on the big pass; shingle strings are never
+    // materialized per row (fused into the minhash kernel) — the
+    // exact-Jaccard verify computes shingles post-join, so only
+    // candidate pairs pay the HOF cost
+    val base = docs.select(
+        col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+    val banded = base.select(col("id"),
+      posexplode(graft.functions.MinHash.minhashTokenBands(
+        col("toks"), shingleN, k, bands, seed)).as(Seq("band_idx", "band_hash")))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
-    exactJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
+    exactJaccard(candidates, base, shingleN, threshold)
   }
 
-  /** Exact Jaccard over candidate pairs: join both shingle sets and
-    * compute |A∩B| / |A∪B| with array ops — only candidates pay. */
-  private def exactJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val a = sets.select(col("id").as("id1"), array_distinct(col("sh")).as("sh1"))
-    val b = sets.select(col("id").as("id2"), array_distinct(col("sh")).as("sh2"))
+  /** Exact Jaccard over candidate pairs: join both token arrays, then
+    * shingle + |A∩B| / |A∪B| computed only for candidates. */
+  private def exactJaccard(pairs: DataFrame, base: DataFrame, shingleN: Int,
+      threshold: Double): DataFrame = {
+    def sh(c: Column) = array_distinct(
+      transform(sequence(lit(0), size(c) - shingleN),
+        i => array_join(slice(c, i + 1, lit(shingleN)), " ")))
+    val a = base.select(col("id").as("id1"), col("toks").as("t1"))
+    val b = base.select(col("id").as("id2"), col("toks").as("t2"))
     pairs.join(a, Seq("id1")).join(b, Seq("id2"))
+      .withColumn("sh1", sh(col("t1")))
+      .withColumn("sh2", sh(col("t2")))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 4))

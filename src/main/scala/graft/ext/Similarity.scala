@@ -38,25 +38,14 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: nBits vectors of dim
-    * components in [-1, 1], seeded. Returned as a literal nested
-    * array so signatures are a map-side expression. */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
-  }
-
   /** Sign-bit LSH signature of a float vector: bit j = sign of
-    * dot(v, hyperplane_j), packed into a long (nBits <= 63). */
-  def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, nBits, seed)
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(zip_with(vec, typedLit(p.toSeq), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * dot(v, hyperplane_j), packed into a long (nBits <= 63).
+    * Hyperplanes are seeded-deterministic; the codegen'd
+    * [[graft.functions.HyperplaneSig]] kernel computes all bits in one
+    * pass (the per-bit HOF formulation was interpreted and duplicated
+    * by projection collapse). */
+  def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column =
+    graft.functions.Hyperplane.hyperplaneSig(vec, dim, nBits, seed)
 
   /** Bucket assignment for the scale path: corpus partitioned by LSH
     * signature bands. Two vectors agreeing on any band land in a
