@@ -1,0 +1,129 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Enrich, Staging, UrlFunctions}
+import graft.model.EdgeTypes
+import graft.query.GraphQueries
+import graft.store.GraphStore
+
+/** The reference's serving surface (EP2/EP3 — every Flask route in
+  * dockerapp/app/main.py) as a Scala facade over the engine. A user
+  * of the reference maps each route 1:1:
+  *
+  *   GET  /            → [[index]]            (main.py:181-215)
+  *   GET  /graph_data  → [[graphData]]        (main.py:435-484)
+  *   POST /upload_csv  → [[uploadCsv]]        (main.py:217-356)
+  *   POST /add_link    → [[addLink]]          (main.py:358-433)
+  *   POST /delete_link → [[deleteLink]]       (main.py:486-498)
+  *
+  * Writes are micro-batch upserts (set-oriented J7/J6), not row
+  * loops; the duplicate pre-check (J4) runs as an anti-join *before*
+  * the expensive enrich stages, preserving the reference's
+  * cost-hiding order (SURVEY §4).
+  */
+final class GraphService(
+    spark: SparkSession,
+    store: GraphStore,
+    fetcher: Enrich.Fetcher,
+    cleaner: Enrich.Cleaner,
+    classifier: Enrich.Classifier) {
+
+  import spark.implicits._
+
+  /** GET / : the 10-col link listing plus cross-category
+    * interconnections (the two cached index() queries). */
+  def index(interconnectionLimit: Int = 100): (DataFrame, DataFrame) = {
+    val listing = GraphQueries.linkListing(
+      store.nodes("link"), store.edges(EdgeTypes.BelongsTo), store.nodes("category"))
+    val inter = GraphQueries.interconnections(
+      store.edges(EdgeTypes.HasKeyword), store.edges(EdgeTypes.BelongsTo),
+      canonicalPairs = false, limit = interconnectionLimit)
+    (listing, inter)
+  }
+
+  /** GET /graph_data : typed node + edge lists for the visualizer,
+    * with the duplicate-id sanity check (A6). */
+  def graphData(): (DataFrame, DataFrame, DataFrame) = {
+    val nodes = GraphQueries.vizNodes(
+      store.nodes("link"), store.nodes("category"), store.nodes("keyword"))
+    val edges = GraphQueries.vizEdges(
+      store.edges(EdgeTypes.BelongsTo), store.edges(EdgeTypes.HasKeyword))
+    (nodes, edges, GraphQueries.duplicateIds(nodes, "id"))
+  }
+
+  /** POST /upload_csv, metadata variant: 7-col CSV batch → upsert.
+    * `batchSize` caps the ingest like the reference's form default
+    * (main.py:229). */
+  def uploadMetadataCsv(meta: DataFrame, batchSize: Int = 5): Long = {
+    val batch = meta
+      .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
+      .limit(batchSize)
+    val novel = GraphQueries.novel(batch, store.nodes("link"), "url")
+    upsertStaged(Staging.stageMetadata(Staging.validRows(novel)))
+  }
+
+  /** POST /upload_csv, bare-URL variant: scrape + clean + classify
+    * only the urls that are NOT already stored (J4 pre-check before
+    * the expensive stages), then upsert. */
+  def uploadUrls(urls: DataFrame, batchSize: Int = 5): Long = {
+    val batch = urls
+      .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
+      .limit(batchSize)
+    val novel = GraphQueries.novel(batch, store.nodes("link"), "url")
+    val fetched = Enrich.fetchStage(spark, novel, fetcher).filter($"failureReason".isNull)
+    val cleaned = Enrich.cleanStage(spark, fetched, cleaner)
+    val classified = Enrich.classifyStage(spark, cleaned, classifier).toDF()
+    upsertStaged(Staging.stageMetadata(Staging.validRows(classified)))
+  }
+
+  /** POST /add_link : single-url ingest is just a 1-row upload. */
+  def addLink(url: String): Long =
+    uploadUrls(Seq(url).toDF("url"), batchSize = 1)
+
+  /** POST /delete_link : DETACH DELETE + orphan cleanup. */
+  def deleteLink(url: String): Unit = {
+    val key = Seq(url).toDF("url")
+      .select(UrlFunctions.normalizeUrl(col("url")).as("url"))
+    store.detachDelete("link", "url", key,
+      Seq(EdgeTypes.BelongsTo, EdgeTypes.HasKeyword))
+    store.cleanOrphans("category", EdgeTypes.BelongsTo)
+    store.cleanOrphans("keyword", EdgeTypes.HasKeyword)
+  }
+
+  /** Graph → 7-col CSV snapshot after every mutation
+    * (save_to_csv, main.py:157-178). */
+  def saveToCsv(path: String): Unit =
+    Staging.writeCsvSingle(
+      store.nodes("link").select(
+        col("url"), col("title"), col("cleanedContent").as("content"),
+        col("category"),
+        Staging.keywordString(col("keywords")).as("keyword"),
+        col("categoryExplanation").as("category_explanation"),
+        col("keywordExplanation").as("keyword_explanation")),
+      path)
+
+  private def upsertStaged(lazyStaged: graft.etl.StagedGraph): Long = {
+    // sever lineage from the store files before overwriting them —
+    // the staged plans reference the current store via the novel
+    // anti-join and would re-read replaced files otherwise
+    val staged = graft.etl.StagedGraph(
+      GraphStore.materialize(spark, lazyStaged.links),
+      GraphStore.materialize(spark, lazyStaged.categories),
+      GraphStore.materialize(spark, lazyStaged.keywords),
+      GraphStore.materialize(spark, lazyStaged.belongsTo),
+      GraphStore.materialize(spark, lazyStaged.hasKeyword))
+    store.writeNodes("link",
+      GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
+    store.writeNodes("category",
+      GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
+    store.writeNodes("keyword",
+      GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
+    store.writeEdges(EdgeTypes.BelongsTo,
+      store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo))
+    store.writeEdges(EdgeTypes.HasKeyword,
+      store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword))
+    staged.links.count()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the hot-key joins (SURVEY §4: the
+  * keyword self-join J3 is the one real physical risk at 100 TB —
+  * a few viral keywords can dominate a shuffle partition).
+  *
+  * First line of defense is AQE's skew-join splitting (on by
+  * default); [[saltedJoin]] is the explicit fallback for when the
+  * skew is known ahead of time or AQE can't split (e.g. a broadcast
+  * can't apply and one key exceeds a single executor's memory).
+  */
+object Skew {
+
+  /** Salted equi-join of `big` (skewed) against `small` on `key`:
+    * big side gets a random salt in [0, parts); small side is
+    * replicated `parts` times; the join key becomes (key, salt). The
+    * hot key's rows then spread over `parts` partitions at the cost
+    * of replicating the small side.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      parts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(parts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(parts - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Top-N heavy-hitter keys of a column — feed the result into a
+    * split-and-union plan (hot keys via broadcast, the long tail via
+    * the normal shuffle join). */
+  def heavyHitters(df: DataFrame, key: Column, topN: Int): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key")).limit(topN)
+}

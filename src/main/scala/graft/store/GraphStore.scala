@@ -72,6 +72,9 @@ final class GraphStore(spark: SparkSession, root: String) {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // the shared FileStatusCache may still list the replaced part
+    // files; without this, the next read throws FAILED_READ_FILE
+    spark.catalog.refreshByPath(path)
   }
 
   // ---- write primitives (set-oriented rewrites of the reference's
@@ -119,6 +122,19 @@ final class GraphStore(spark: SparkSession, root: String) {
 }
 
 object GraphStore {
+
+  /** Materialize a DataFrame to a scratch parquet dir and re-read it,
+    * severing its lineage from any store files it was derived from.
+    * Required before a read-modify-write cycle that overwrites tables
+    * the plan still references (a lazy plan holds the OLD file list;
+    * executing it after the swap throws FAILED_READ_FILE). The extra
+    * write is the WAL-style staging cost of the write path — reads
+    * never pay it. */
+  def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+  }
 
   /** Last-writer-wins keyed upsert as a pure DataFrame transform (the
     * testable core of [[GraphStore.merge]]). `existing` gets batch seq

@@ -12,6 +12,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // engine SQL functions everywhere
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"

@@ -1,0 +1,92 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.{Enrich, Pipeline}
+import graft.store.GraphStore
+
+class GraphServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newService(): (GraphService, GraphStore) = {
+    val root = java.nio.file.Files.createTempDirectory("graftsvc").toString
+    val store = new GraphStore(spark, root)
+    val svc = new GraphService(spark, store,
+      new Enrich.DeterministicFetcher(failEvery = 0),
+      new Enrich.PassThroughCleaner,
+      new Enrich.DeterministicClassifier)
+    // bootstrap empty tables via the pipeline with zero urls
+    new Pipeline(spark,
+      new Enrich.DeterministicFetcher(failEvery = 0),
+      new Enrich.PassThroughCleaner,
+      new Enrich.DeterministicClassifier)
+      .run(spark.emptyDataset[String].toDF("url"), store)
+    (svc, store)
+  }
+
+  test("EP1 pipeline: urls -> enrich -> graph store -> flagship query") {
+    val root = java.nio.file.Files.createTempDirectory("graftpipe").toString
+    val store = new GraphStore(spark, root)
+    val pipeline = new Pipeline(spark,
+      new Enrich.DeterministicFetcher(failEvery = 7),
+      new Enrich.PassThroughCleaner,
+      new Enrich.DeterministicClassifier,
+      stagingDir = Some(root + "/staging"))
+    val urls = (1 to 30).map(i => s"https://site$i.example/page").toDF("url")
+    val result = pipeline.run(urls, store)
+    // failures routed to review, not thrown
+    assert(result.loadedLinks + result.review.count() == 30)
+    assert(result.loadedLinks > 0)
+    // staged CSVs exist (restartability contract)
+    assert(new java.io.File(root + "/staging/links_with_metadata").exists())
+    // flagship query runs over the loaded store
+    val inter = graft.query.GraphQueries.interconnections(
+      store.edges("HAS_KEYWORD"), store.edges("BELONGS_TO"))
+    assert(inter.count() >= 0) // shape check; content depends on hash categories
+  }
+
+  test("EP3 write path: upload, duplicate pre-check, delete cascades") {
+    val (svc, store) = newService()
+    val n1 = svc.uploadUrls(Seq("https://a.example/x", "https://b.example/y").toDF("url"),
+      batchSize = 5)
+    assert(n1 == 2)
+    assert(store.nodes("link").count() == 2)
+    // re-upload same urls: pre-check skips them (0 novel)
+    val n2 = svc.uploadUrls(Seq("https://a.example/x").toDF("url"), batchSize = 5)
+    assert(n2 == 0)
+    // delete cascades edges and cleans orphan dims
+    svc.deleteLink("https://a.example/x")
+    assert(store.nodes("link").count() == 1)
+    assert(store.edges("HAS_KEYWORD").filter($"src" === "https://a.example/x").count() == 0)
+    val orphans = graft.query.GraphQueries.orphans(
+      store.nodes("keyword"), store.edges("HAS_KEYWORD"))
+    assert(orphans.count() == 0)
+  }
+
+  test("EP2 read path: index and graphData serve from the store") {
+    val (svc, store) = newService()
+    svc.uploadUrls(Seq("https://c.example/1", "https://d.example/2").toDF("url"), 5)
+    val (listing, inter) = svc.index()
+    assert(listing.count() == 2)
+    assert(inter.columns.toSeq ==
+      Seq("url1", "category1", "url2", "category2", "shared_keyword"))
+    val (nodes, edges, dups) = svc.graphData()
+    assert(nodes.count() >= 4) // 2 links + >=1 category + >=1 keyword
+    assert(edges.count() >= 2)
+    assert(dups.count() == 0)
+    // CSV snapshot round-trips through the 7-col contract
+    val tmp = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    svc.saveToCsv(tmp + "/snap")
+    val back = graft.etl.Staging.readCsv(spark, tmp + "/snap",
+      graft.model.GraphSchema.metadataCsv)
+    assert(back.count() == 2)
+  }
+
+  test("batchSize caps ingest like the reference default") {
+    val (svc, store) = newService()
+    val urls = (1 to 10).map(i => s"https://cap$i.example/p").toDF("url")
+    svc.uploadUrls(urls, batchSize = 3)
+    assert(store.nodes("link").count() == 3)
+  }
+}
