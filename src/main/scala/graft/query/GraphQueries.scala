@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** The reference's declared query set as a Scala API over generic
@@ -109,6 +109,18 @@ object GraphQueries {
         lit("Keyword").as("group"))
     l.unionByName(c).unionByName(k)
   }
+
+  /** S11: graph → JSON export for the visualizer — one JSON document
+    * per node/edge via toJSON semantics (reference builds
+    * `{nodes:[{id,label,group}], edges:[{from,to}]}`,
+    * main.py:436-484). Returns the two JSON-line datasets; a driver
+    * collects and wraps them (driver-side assembly is exactly what
+    * the reference does, and the only part that is inherently
+    * single-node). */
+  def vizJson(links: DataFrame, categories: DataFrame, keywords: DataFrame,
+      belongsTo: DataFrame, hasKeyword: DataFrame): (Dataset[String], Dataset[String]) =
+    (vizNodes(links, categories, keywords).toJSON,
+      vizEdges(belongsTo, hasKeyword).toJSON)
 
   def vizEdges(belongsTo: DataFrame, hasKeyword: DataFrame): DataFrame = {
     val b = belongsTo.filter(col("src").isNotNull && col("dst").isNotNull)

@@ -36,6 +36,24 @@ class EtlSpec extends SparkSpec {
     assert(c == "line one\nline two, with comma\n\"quoted\"")
   }
 
+  test("append-mode CSV accumulates across runs (S4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftappend").toString + "/failed"
+    Staging.appendCsv(Seq(("https://x", "timeout")).toDF("url", "reason"), dir)
+    Staging.appendCsv(Seq(("https://y", "short")).toDF("url", "reason"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2)
+  }
+
+  test("viz JSON export produces one document per node/edge (S11)") {
+    val (nodesJson, edgesJson) = graft.query.GraphQueries.vizJson(
+      Seq(("l1", "T")).toDF("url", "title"),
+      Seq("A").toDF("name"), Seq("k").toDF("name"),
+      Seq(("l1", "A")).toDF("src", "dst"), Seq(("l1", "k")).toDF("src", "dst"))
+    val nodes = nodesJson.collect()
+    assert(nodes.length == 3 && nodes.forall(_.startsWith("{\"id\":")))
+    assert(edgesJson.collect().forall(_.contains("\"from\":")))
+  }
+
   test("keywordArray: trims, drops empties, caps at 3") {
     val out = Seq("a, b , c, d", " x ,, y", "").toDF("k")
       .select(Staging.keywordArray($"k").as("a")).as[Seq[String]].collect()
