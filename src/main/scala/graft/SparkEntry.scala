@@ -294,6 +294,15 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_n3_ivf_ann" -> ((s, d) => { // no SQL oracle: k-means cells; recall in tests
+      val e = Tables.embeddings(s, d)
+      val centroids = graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      graft.ext.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", centroids, k = 5, nprobe = 4)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_n2_lsh_ann" -> ((s, d) => { // no SQL oracle: recall measured in tests
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10),

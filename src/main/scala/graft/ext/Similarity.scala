@@ -62,6 +62,47 @@ object Similarity {
           .as(Seq("band_idx", "band_val")))
   }
 
+  /** Train IVF centroids: deterministic (seeded) k-means over a
+    * sample of the corpus. Centroids come back to the driver — they
+    * are k × dim floats, tiny by construction — and get baked into
+    * the assignment expression. */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      seed: Long = 42L, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    val sample = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+    val feats = sample.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** IVF-style ANN top-k: corpus vectors are assigned to their
+    * nearest centroid (nprobe=1) map-side; each query probes its
+    * `nprobe` nearest cells and scores only vectors in those cells.
+    * The inverted index is just a DataFrame keyed by cell id —
+    * shuffle-partitioned (or bucketed at rest) by cell, so a query
+    * touches nprobe/k of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Float]], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cellOf = graft.functions.Centroids.nearestCentroids(col(vecCol), centroids, 1)
+    val probeCells = graft.functions.Centroids.nearestCentroids(col(vecCol), centroids, nprobe)
+    val indexed = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"),
+      explode(cellOf).as("cell"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
+      explode(probeCells).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    indexed.join(probed, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * then per-query top-k. Approximate — recall depends on nBits /
     * bands; the ScalaTest suite measures it against brute force. */

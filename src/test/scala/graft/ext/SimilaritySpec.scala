@@ -51,6 +51,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF ANN: recall vs brute force, and probes fraction of corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 20)
+    val centroids = Similarity.trainIvfCentroids(e, "embedding", k = 8)
+    assert(centroids.length == 8 && centroids.head.length == 64)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", centroids,
+      k = 5, nprobe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // uniform synthetic vectors: weak cells
+  }
+
+  test("IVF centroid training is deterministic under a fixed seed") {
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    val a = Similarity.trainIvfCentroids(e, "embedding", k = 4)
+    val b = Similarity.trainIvfCentroids(e, "embedding", k = 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("lshSignature is deterministic and seed-sensitive") {
     val e = Tables.embeddings(spark, sf0001).limit(10)
     val s1 = e.select(Similarity.lshSignature($"embedding", 64, 16, seed = 42).as("s"))

@@ -1,0 +1,46 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed edges make the keyword self-join shuffle-free") {
+    val root = java.nio.file.Files.createTempDirectory("graftbucket").toString
+    val store = new GraphStore(spark, root)
+    val hk = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_suppkey".cast("string").as("src"), $"l_partkey".cast("string").as("dst"))
+      .distinct()
+    store.writeEdgesBucketed("HAS_KEYWORD", hk, buckets = 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b = store.bucketedEdges("HAS_KEYWORD")
+      val selfJoin = b.as("x").join(b.as("y"),
+        $"x.dst" === $"y.dst" && $"x.src" < $"y.src")
+      selfJoin.count() // force execution so the final plan is real
+      val plan = selfJoin.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed self-join should not shuffle:\n$plan")
+      // sanity: same result as the unbucketed join
+      val plainCount = hk.as("x").join(hk.as("y"),
+        $"x.dst" === $"y.dst" && $"x.src" < $"y.src").count()
+      assert(selfJoin.count() == plainCount)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed aggregation on dst needs no exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graftbucket2").toString
+    val store = new GraphStore(spark, root)
+    val hk = Seq(("a", "k1"), ("b", "k1"), ("c", "k2")).toDF("src", "dst")
+    store.writeEdgesBucketed("HAS_KEYWORD", hk, buckets = 2)
+    val agg = store.bucketedEdges("HAS_KEYWORD").groupBy("dst").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed agg should not shuffle:\n$plan")
+  }
+}
