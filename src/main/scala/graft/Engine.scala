@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session factory for the engine: AQE on (skew-join
+  * handling for the keyword self-join), shuffle partitions sized for
+  * the deployment, UTC, nanos-parquet tolerance, and the engine's SQL
+  * functions registered. `local[32]` defaults mirror the test rig;
+  * on a cluster pass the master/partitions the deployment needs.
+  */
+object Engine {
+  def builder(
+      master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(master, shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

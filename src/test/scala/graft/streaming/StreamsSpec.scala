@@ -74,6 +74,25 @@ class StreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("file-source streaming: events parquet dir drives the hourly agg") {
+    // the readStream->transform->memory-sink path with a real file
+    // source (schema supplied, one file = one micro-batch)
+    val ev = Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftstream").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = Streams.hourlyAggStream(stream, watermark = "10 years")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("file_hourly")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type", $"n", $"v")
+    val batch = Streams.hourlyAgg(ev)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("as-of join: each purchase gets latest prior view") {
     val us = 1000000L
     val ev = Seq(
