@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("float_vec_dot"),
       info("float_vec_dot", "_FUNC_(a, b) - dot product of two float vectors"),

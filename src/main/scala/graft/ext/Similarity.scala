@@ -29,12 +29,20 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** Shared tail of the top-k searches: the native bounded-heap
+    * TopKPerKey operator (no per-partition sort), then row_number
+    * over the surviving ≤ k rows per query for the rank column. */
+  private[ext] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.plans.TopK.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topk.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
@@ -93,14 +101,12 @@ object Similarity {
       explode(cellOf).as("cell"))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
       explode(probeCells).as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    indexed.join(probed, Seq("cell"))
+    // each candidate lives in exactly one cell (nprobe=1 assignment),
+    // so a (query, cand) pair matches at most once — no dedup needed
+    val scored = indexed.join(probed, Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
@@ -117,12 +123,8 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("query_v"), col("cand_id"), col("cand_v"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    candidates
+    val scored = candidates
       .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+    rankTopK(scored, k)
   }
 }

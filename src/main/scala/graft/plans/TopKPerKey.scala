@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Top-k rows per key as a first-class operator (the charter's
+  * option (c): LogicalPlan + Strategy + SparkPlan, registered through
+  * GraftExtensions).
+  *
+  * The built-in formulation — `row_number().over(partitionBy(keys)
+  * .orderBy(ord)) <= k` — pays a full sort of every partition's rows
+  * before discarding all but k. This operator keeps a bounded heap
+  * per key instead: one hash-partition shuffle on the keys (same as
+  * the window), then O(n log k) per partition with O(keys·k) memory,
+  * no sort spill. At 100 TB with small k, the sort the window does is
+  * pure waste — this is the operator top-k similarity search wants.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      // per key: a bounded "worst-first" heap — head is the row that
+      // leaves first when a better one arrives
+      val worstFirst = ord.reverse
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = iter.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < limit) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      heaps.values().forEach { h =>
+        val rows = new Array[UnsafeRow](h.size())
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // emit best-first
+        out ++= rows
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy (injected via GraftExtensions). */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Column API: keep the top `k` rows per key, best-first by
+    * `order` (include a unique tie-break column for deterministic
+    * results). Requires the session to carry GraftExtensions (e.g.
+    * graft.Engine.session) — the planner needs TopKPerKeyStrategy. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    // self-register on sessions built without GraftExtensions
+    // (experimental.extraStrategies is the public per-session hook)
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+    val plan = df.queryExecution.analyzed
+    val keys = keyCols.map(c => org.apache.spark.sql.GraftBridge.expression(spark, c))
+    val order = orderCols.map { c =>
+      org.apache.spark.sql.GraftBridge.expression(spark, c) match {
+        case s: SortOrder => s
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    org.apache.spark.sql.GraftBridge.ofRows(spark, TopKPerKey(keys, order, k, plan))
+  }
+}
