@@ -328,6 +328,60 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // -- grouping sets / rollup (§2.9 map-forward) --
+    "q_a8_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // -- running window aggregate (§2.9 map-forward) --
+    "q_w2_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("running"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- regex extraction (F6/F7) --
+    "q_f6_regex_extract" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "\\b(query|join|scan|filter)\\b", 1).as("first_op"),
+        size(regexp_extract_all(col("text"), lit("\\b[a-z]{6,}\\b"), lit(0)))
+          .cast("long").as("n_long_words"))
+        .orderBy(col("doc_id"))),
+
+    // -- native TopKPerKey operator in the gate (top-3 orders/customer) --
+    "q_o6_topk_per_key" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopK.topKPerKey(o, Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // -- TF-IDF top term per document (text-analysis depth) --
+    "q_x5_tfidf_top_term" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("total"))
+      val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).count()
+      val scored = tf.join(docLen, "doc_id").join(df_, "w")
+        .withColumn("tfidf",
+          round((col("c") / col("total")) * log(lit(n.toDouble) / col("df")), 5))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("w").as("term"), col("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- GraphX analytics (BASELINE.json spark_approach) --
     "q_gx_degrees" -> ((s, d) => {
       val hk = hasKeyword(s, d)
@@ -650,6 +704,45 @@ object SparkEntry {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          sha256(text) AS checksum
          FROM documents ORDER BY media_id""",
+    "q_a8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_w2_running_sum" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING), 2) AS running
+         FROM events ORDER BY event_id""",
+    "q_f6_regex_extract" ->
+      """SELECT doc_id,
+         regexp_extract(text, '\b(query|join|scan|filter)\b', 1) AS first_op,
+         CAST(len(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS BIGINT) AS n_long_words
+         FROM documents ORDER BY doc_id""",
+    "q_o6_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM
+           (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+    "q_x5_tfidf_top_term" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS total FROM toks GROUP BY 1),
+         dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.w,
+             round((tf.c * 1.0 / dl.total) * ln(n.n * 1.0 / dfreq.df), 5) AS tfidf
+           FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (w) CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn FROM scored)
+         SELECT doc_id, w AS term, tfidf FROM ranked WHERE rn = 1
+         ORDER BY doc_id""",
     "q_gx_degrees" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem)
          SELECT node, degree FROM (
