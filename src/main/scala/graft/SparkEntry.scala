@@ -434,6 +434,27 @@ object SparkEntry {
     "q_t3_asof_join" -> ((s, d) =>
       graft.streaming.Streams.asOfLastEvent(Tables.events(s, d), "view", "purchase")
         .orderBy(col("event_id"))),
+    "q_t4_interval_join" -> ((s, d) =>
+      graft.streaming.Streams.intervalJoin(Tables.events(s, d),
+          "view", "purchase", windowMinutes = 120)
+        .orderBy(col("right_id"), col("left_id"))),
+
+    // -- exact percentiles (map-forward aggregation depth) --
+    "q_a9_percentiles" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // -- multimodal frame sampling (metadata-only op) --
+    "q_m2_frame_sample" -> ((s, d) => {
+      val media = Multimodal.mediaTableFromText(s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(media.toDF(), stride = 10)
+        .select(col("media_id"), array_join(col("frame_ids"), ",").as("frames"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,5 +818,25 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.us <= p.us
          ORDER BY p.event_id""",
+    "q_t4_interval_join" ->
+      """WITH l AS (SELECT user_id, event_id AS left_id, epoch_us(ts) AS left_us
+                    FROM events WHERE event_type = 'view'),
+         r AS (SELECT user_id, event_id AS right_id, epoch_us(ts) AS right_us
+               FROM events WHERE event_type = 'purchase')
+         SELECT right_id, user_id, left_id, right_us, left_us
+         FROM r JOIN l USING (user_id)
+         WHERE left_us <= right_us AND left_us > right_us - 7200000000
+         ORDER BY right_id, left_id""",
+    "q_a9_percentiles" ->
+      """SELECT o_orderpriority,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_m2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                array_to_string(list_filter(range(0, doc_id % 30 + 1),
+                                            i -> i % 10 = 0), ',') AS frames
+         FROM documents ORDER BY media_id""",
   )
 }

@@ -99,6 +99,47 @@ object Streams {
         col("asof_us"))
   }
 
+  /** Interval join, batch face: each `right` event paired with every
+    * `left` event of the same user within the trailing window
+    * [ts - window, ts]. Equi-join on user + range residual — Catalyst
+    * plans the equi part as the join key, so the range condition never
+    * becomes a cross product; per-user fan-out is bounded by the
+    * window. The streaming face is [[intervalJoinStream]]. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      windowMinutes: Int): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("left_id"),
+        unix_micros(col("ts")).as("left_us"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("event_id").as("right_id"),
+        unix_micros(col("ts")).as("right_us"))
+    val win = windowMinutes * 60L * 1000000L
+    r.join(l, Seq("user_id"))
+      .filter(col("left_us") <= col("right_us") &&
+        col("left_us") > col("right_us") - win)
+      .select(col("right_id"), col("user_id"), col("left_id"),
+        col("right_us"), col("left_us"))
+  }
+
+  /** Interval join, streaming face: stream-stream inner join with
+    * watermarks and a time-range condition (the canonical Structured
+    * Streaming windowed-join shape). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_id").as("left_id"),
+        col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_id").as("right_id"),
+        col("ts").as("r_ts"))
+    r.join(l,
+      col("l_user") === col("r_user") &&
+      col("l_ts") <= col("r_ts") &&
+      col("l_ts") > col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("right_id"), col("r_user").as("user_id"), col("left_id"),
+        unix_micros(col("r_ts")).as("right_us"), unix_micros(col("l_ts")).as("left_us"))
+  }
+
   /** Micro-batch upsert sink: the streaming face of GraphStore.merge —
     * each batch is merged into the store with last-writer-wins
     * (reference add_link loop becomes foreachBatch). */

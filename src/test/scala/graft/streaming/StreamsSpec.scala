@@ -93,6 +93,27 @@ class StreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch face") {
+    val ev = Tables.events(spark, sf0001)
+    val views = ev.filter($"event_type" === "view")
+    val purchases = ev.filter($"event_type" === "purchase")
+    val dirV = java.nio.file.Files.createTempDirectory("graftv").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graftp").toString
+    views.write.mode("overwrite").parquet(dirV)
+    purchases.write.mode("overwrite").parquet(dirP)
+    val q = Streams.intervalJoinStream(
+        spark.readStream.schema(ev.schema).parquet(dirV),
+        spark.readStream.schema(ev.schema).parquet(dirP),
+        windowMinutes = 120, watermark = "10 years")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ivj")
+    val batch = Streams.intervalJoin(ev, "view", "purchase", 120)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("as-of join: each purchase gets latest prior view") {
     val us = 1000000L
     val ev = Seq(
