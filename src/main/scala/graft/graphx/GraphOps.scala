@@ -41,19 +41,32 @@ object GraphOps {
     dict.groupBy("vid").count().filter(col("count") > 1).count()
 
   /** Property graph → GraphX graph. Edges of shape (src, dst) with a
-    * (srcLabel, dstLabel) per rel type. */
+    * (srcLabel, dstLabel) per rel type.
+    *
+    * Partition count is sized to the edge count (`numPartitions`,
+    * 0 = auto ≈ one partition per 500k edges): iterative GraphX
+    * algorithms run a job per superstep, so a small graph spread over
+    * the session's default 32 shuffle partitions pays ~32× per-stage
+    * overhead for nothing. At 100 TB the same auto-sizing yields
+    * thousands of partitions — the knob scales both ways. */
   def buildGraph(spark: SparkSession, dict: DataFrame,
-      edges: Seq[(String, String, String, DataFrame)]): Graph[String, String] = {
-    val vertices: RDD[(VertexId, String)] = dict
-      .select(col("vid"), concat_ws(":", col("label"), col("orig_id")))
-      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      edges: Seq[(String, String, String, DataFrame)],
+      numPartitions: Int = 0): Graph[String, String] = {
     val edgeRdd: RDD[GxEdge[String]] = edges.map { case (relType, srcLabel, dstLabel, df) =>
       df.select(
         vertexId(lit(srcLabel), col("src")).as("s"),
         vertexId(lit(dstLabel), col("dst")).as("d"))
         .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), relType))
     }.reduce(_ union _)
-    Graph(vertices, edgeRdd)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (edgeRdd.countApprox(1000L, 0.9).getFinalValue().mean / 500000.0).ceil.toInt))
+    val vertices: RDD[(VertexId, String)] = dict
+      .select(col("vid"), concat_ws(":", col("label"), col("orig_id")))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .coalesce(parts)
+    Graph(vertices, edgeRdd.coalesce(parts))
   }
 
   /** Per-node degree joined back to original string ids — the GraphX
