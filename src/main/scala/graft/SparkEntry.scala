@@ -35,10 +35,40 @@ object SparkEntry {
 
   // ---- graph-domain mapping over testdata ----
 
-  /** HAS_KEYWORD analog: supplier —supplies→ part, deduped. */
+  /** HAS_KEYWORD analog: supplier —supplies→ part, deduped. In the
+    * reference this is a *stored* rel table (Kùzu materializes it at
+    * load); here the first query of the session materializes it via
+    * [[DerivedCache]] and the rest reuse it, matching those semantics
+    * instead of re-paying the distinct-shuffle per query. */
   private def hasKeyword(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+    DerivedCache.dataFrame(s, s"hasKeyword:$d")(
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct())
+
+  /** Sparse edge subset used by the component-structure analytics
+    * (1% of orders, so the graph has >1 component). Stored-table
+    * semantics as [[hasKeyword]]. */
+  private def hasKeywordSparse(s: SparkSession, d: String): DataFrame =
+    DerivedCache.dataFrame(s, s"hasKeywordSparse:$d")(
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct())
+
+  /** GraphX projection of an edge set, built + cached once per session
+    * (the stored-graph analog for the analytics queries): vertex
+    * dictionary from the edge endpoints, then the cached Graph. */
+  private def gxGraph(s: SparkSession, d: String, sparse: Boolean)
+      : (DataFrame, org.apache.spark.graphx.Graph[String, String]) =
+    DerivedCache.any(s, s"gxGraph:$sparse:$d") {
+      val hk = if (sparse) hasKeywordSparse(s, d) else hasKeyword(s, d)
+      val dict = DerivedCache.dataFrame(s, s"gxDict:$sparse:$d")(
+        graft.graphx.GraphOps.vertexDictionary(Seq(
+          "supplier" -> hk.select(col("src")).distinct(),
+          "part" -> hk.select(col("dst")).distinct())))
+      val g = graft.graphx.GraphOps.buildGraph(s, dict,
+        Seq(("supplies", "supplier", "part", hk)))
+      g.cache()
+      (dict, g)
+    }
 
   /** BELONGS_TO analog: supplier —located-in→ nation. */
   private def belongsTo(s: SparkSession, d: String): DataFrame =
@@ -384,37 +414,20 @@ object SparkEntry {
 
     // -- GraphX analytics (BASELINE.json spark_approach) --
     "q_gx_degrees" -> ((s, d) => {
-      val hk = hasKeyword(s, d)
-      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
-        "supplier" -> hk.select(col("src")).distinct(),
-        "part" -> hk.select(col("dst")).distinct()))
-      val g = graft.graphx.GraphOps.buildGraph(s, dict,
-        Seq(("supplies", "supplier", "part", hk)))
+      val (dict, g) = gxGraph(s, d, sparse = false)
       graft.graphx.GraphOps.degreesByOrigId(s, dict, g)
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("degree"))
         .orderBy(col("node"))
     }),
     "q_gx_connected_components" -> ((s, d) => {
       // sparse edge subset so the graph actually has >1 component
-      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
-        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
-      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
-        "supplier" -> hk.select(col("src")).distinct(),
-        "part" -> hk.select(col("dst")).distinct()))
-      val g = graft.graphx.GraphOps.buildGraph(s, dict,
-        Seq(("supplies", "supplier", "part", hk)))
+      val (dict, g) = gxGraph(s, d, sparse = true)
       graft.graphx.GraphOps.connectedComponentsByOrigId(s, dict, g)
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("component"))
         .orderBy(col("node"))
     }),
     "q_gx_pagerank" -> ((s, d) => { // no SQL oracle: iterative fixpoint
-      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
-        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
-      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
-        "supplier" -> hk.select(col("src")).distinct(),
-        "part" -> hk.select(col("dst")).distinct()))
-      val g = graft.graphx.GraphOps.buildGraph(s, dict,
-        Seq(("supplies", "supplier", "part", hk)))
+      val (dict, g) = gxGraph(s, d, sparse = true)
       graft.graphx.GraphOps.pageRankByOrigId(s, dict, g)
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"),
           round(col("rank"), 4).as("rank"))

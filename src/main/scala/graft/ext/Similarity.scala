@@ -81,8 +81,11 @@ object Similarity {
     val feats = sample.select(
       org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast("array<double>")).as("features"))
+    // maxIter 10: IVF cells only need a stable, roughly balanced
+    // partition of the space — k-means convergence past ~10 rounds
+    // moves recall by noise while doubling training jobs.
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+      .setK(k).setSeed(seed).setMaxIter(10).fit(feats)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 

@@ -58,15 +58,23 @@ object GraphOps {
         vertexId(lit(dstLabel), col("dst")).as("d"))
         .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), relType))
     }.reduce(_ union _)
+    // No defaultParallelism cap: at 100 TB edge-count/500k legitimately
+    // exceeds the session's core count, and supersteps want partitions
+    // sized to data, not to the driver's local thread pool.
     val parts =
       if (numPartitions > 0) numPartitions
-      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
-        (edgeRdd.countApprox(1000L, 0.9).getFinalValue().mean / 500000.0).ceil.toInt))
-    val vertices: RDD[(VertexId, String)] = dict
+      else math.max(1,
+        (edgeRdd.countApprox(1000L, 0.9).getFinalValue().mean / 500000.0).ceil.toInt)
+    // coalesce can only shrink — growing the partition count (the
+    // scale-up path) needs a real repartition shuffle.
+    def sized[T: scala.reflect.ClassTag](rdd: RDD[T]): RDD[T] =
+      if (parts < rdd.getNumPartitions) rdd.coalesce(parts)
+      else if (parts > rdd.getNumPartitions) rdd.repartition(parts)
+      else rdd
+    val vertices: RDD[(VertexId, String)] = sized(dict
       .select(col("vid"), concat_ws(":", col("label"), col("orig_id")))
-      .rdd.map(r => (r.getLong(0), r.getString(1)))
-      .coalesce(parts)
-    Graph(vertices, edgeRdd.coalesce(parts))
+      .rdd.map(r => (r.getLong(0), r.getString(1))))
+    Graph(vertices, sized(edgeRdd))
   }
 
   /** Per-node degree joined back to original string ids — the GraphX
@@ -87,9 +95,36 @@ object GraphOps {
     * result stable and oracle-checkable). Returns (label, orig_id,
     * component) rows. */
   def connectedComponentsByOrigId(spark: SparkSession, dict: DataFrame,
-      graph: Graph[String, String]): DataFrame = {
+      graph: Graph[String, String],
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val cc = graph.connectedComponents().vertices.toDF("vid", "cc_vid")
+    // Size-gated physical strategy, same spirit as Catalyst's broadcast
+    // threshold: below `localEdgeThreshold` edges (~80 MB collected),
+    // a driver-side union-find beats tens of Pregel supersteps whose
+    // per-superstep job overhead dwarfs the work. Above it, the
+    // distributed GraphX fixpoint runs — that's the 100 TB path.
+    val edgeCount = graph.edges.count()
+    val cc =
+      if (edgeCount <= localEdgeThreshold) {
+        val edges = graph.edges.map(e => (e.srcId, e.dstId)).collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min root wins → component label = min vid, as GraphX
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+          }
+        }
+        val touched = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        spark.createDataset(touched.toSeq.map(v => (v, find(v)))).toDF("vid", "cc_vid")
+      } else graph.connectedComponents().vertices.toDF("vid", "cc_vid")
     val labeled = dict.join(cc, Seq("vid"), "left")
       .select(col("label"), col("orig_id"),
         coalesce(col("cc_vid"), col("vid")).as("cc_vid"))

@@ -22,6 +22,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       parts: Int, joinType: String = "inner"): DataFrame = {
+    // Right/full outer would emit `parts` duplicates of every unmatched
+    // replicated small-side row — reject join types the salt scheme
+    // can't honor rather than silently corrupting the result.
+    val normalized = joinType.toLowerCase.replaceAll("[_\\s]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, not '$joinType' " +
+        "(the replicated small side would duplicate unmatched rows)")
     val salted = big.withColumn("__salt", pmod(spark_partition_id()
       + monotonically_increasing_id(), lit(parts)).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -39,12 +39,17 @@ final class GraphStore(spark: SparkSession, root: String) {
         .write.mode("overwrite").parquet(edgePath(relType))
     }
 
-  /** `CALL show_tables()` analog (reference Edits.ipynb:1139,1157). */
+  /** `CALL show_tables()` analog (reference Edits.ipynb:1139,1157).
+    * Goes through the Hadoop FileSystem API like every other store op,
+    * so the catalog listing works on any supported root (HDFS/S3/...),
+    * not just local paths. */
   def showTables(): Seq[(String, String)] = {
+    val conf = spark.sessionState.newHadoopConf()
     def list(dir: String, kind: String): Seq[(String, String)] = {
-      val d = new java.io.File(s"$root/$dir")
-      if (!d.isDirectory) Nil
-      else d.listFiles().filter(_.isDirectory).map(f => (f.getName, kind)).toSeq.sorted
+      val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(s => (s.getPath.getName, kind)).toSeq.sorted
     }
     list("nodes", "NODE") ++ list("edges", "REL")
   }
@@ -131,14 +136,18 @@ final class GraphStore(spark: SparkSession, root: String) {
     existing.select("src", "dst").unionByName(incoming.select("src", "dst")).distinct()
 
   /** DETACH DELETE analog (reference G2, main.py:490): remove nodes
-    * with the given keys and every edge touching them (anti-join form,
-    * batch-friendly — not a per-row filter). */
+    * with the given keys and every edge touching them — anti-joined on
+    * BOTH endpoints, so rel types pointing *at* the deleted label drop
+    * their dangling edges too (batch anti-join form, not a per-row
+    * filter; the key set is small → both anti-joins broadcast). */
   def detachDelete(label: String, pk: String, keys: DataFrame, relTypes: Seq[String]): Unit = {
     val keyCol = keys.columns.head
     val keyDf = keys.select(col(keyCol).as("__key")).distinct()
     writeNodes(label, nodes(label).join(keyDf, col(pk) === col("__key"), "left_anti"))
     relTypes.foreach { rt =>
-      writeEdges(rt, edges(rt).join(keyDf, col("src") === col("__key"), "left_anti"))
+      writeEdges(rt, edges(rt)
+        .join(keyDf, col("src") === col("__key"), "left_anti")
+        .join(keyDf, col("dst") === col("__key"), "left_anti"))
     }
   }
 

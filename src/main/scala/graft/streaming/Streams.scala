@@ -86,11 +86,16 @@ object Streams {
     * is the shape that survives 100 TB (a range join would be O(n·m)
     * per user). */
   def asOfLastEvent(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    // Tie-break: at equal ts, left-type rows sort BEFORE right-type
+    // rows, so an ASOF condition of `left.ts <= right.ts` holds exactly
+    // (a same-timestamp view is visible to the purchase regardless of
+    // event_id order — matching DuckDB ASOF semantics).
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("__pri"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     events
       .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("__pri", when(col("event_type") === leftType, 0).otherwise(1))
       .withColumn("left_us",
         when(col("event_type") === leftType, unix_micros(col("ts"))))
       .withColumn("asof_us", last(col("left_us"), ignoreNulls = true).over(w))

@@ -45,6 +45,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc("kw:k2") == "kw:k2")
   }
 
+  test("distributed (GraphX) and local (union-find) CC paths agree") {
+    val local = GraphOps.connectedComponentsByOrigId(spark, dict, graph)
+    val dist = GraphOps.connectedComponentsByOrigId(spark, dict, graph,
+      localEdgeThreshold = 0L) // force the Pregel path
+    assert(local.exceptAll(dist).count() == 0 && dist.exceptAll(local).count() == 0)
+  }
+
   test("pagerank mass sums to ~N and favors the hub") {
     val pr = GraphOps.pageRankByOrigId(spark, dict, graph)
       .select(concat_ws(":", $"label", $"orig_id").as("n"), $"rank")

@@ -62,4 +62,17 @@ class GraphStoreSpec extends SparkSpec {
     store.cleanOrphans("category", "BELONGS_TO")
     assert(store.nodes("category").as[String].collect().toSeq == Seq("c1"))
   }
+
+  test("detachDelete removes edges where the deleted node is the dst too") {
+    val root = java.nio.file.Files.createTempDirectory("graftstore2").toString
+    val store = new GraphStore(spark, root)
+    store.writeNodes("link", Seq("u1", "u2", "u3").toDF("name"))
+    // LINKS_TO points Link→Link, so a deleted node can sit on either end
+    store.writeEdges("LINKS_TO",
+      Seq(("u1", "u3"), ("u3", "u2"), ("u1", "u2")).toDF("src", "dst"))
+    store.detachDelete("link", "name", Seq("u3").toDF("k"), Seq("LINKS_TO"))
+    assert(store.nodes("link").as[String].collect().sorted.toSeq == Seq("u1", "u2"))
+    // both the outbound (u3→u2) and inbound (u1→u3) edges are gone
+    assert(store.edges("LINKS_TO").as[(String, String)].collect().toSeq == Seq(("u1", "u2")))
+  }
 }

@@ -129,4 +129,21 @@ class StreamsSpec extends SparkSpec {
       .select($"event_id", $"asof_us").as[(Long, Option[Long])].collect().toSeq
     assert(out == Seq((2L, Some(10L * us)), (4L, Some(30L * us)), (5L, None)))
   }
+
+  test("as-of join: same-timestamp view is visible regardless of event_id order") {
+    val us = 1000000L
+    // view has the SAME ts as the purchase but a HIGHER event_id —
+    // ASOF semantics (view.ts <= purchase.ts) must still match it
+    val ev = Seq(
+      (1L, 1L, "purchase", 20L * us),
+      (1L, 2L, "view", 20L * us),
+      (2L, 3L, "view", 5L * us),
+      (2L, 4L, "purchase", 5L * us)
+    ).toDF("user_id", "event_id", "event_type", "us")
+      .select($"user_id", $"event_id", $"event_type", timestamp_micros($"us").as("ts"))
+    val out = Streams.asOfLastEvent(ev, "view", "purchase")
+      .orderBy("event_id")
+      .select($"event_id", $"asof_us").as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(20L * us)), (4L, Some(5L * us))))
+  }
 }
