@@ -87,6 +87,20 @@ object SparkEntry {
           concat(lit("duplicate marker "), col("text")).as("text")))
   }
 
+  /** EP1 metadata analog: the reference's 7-col links_with_metadata
+    * contract (SURVEY §1.1) derived deterministically from documents —
+    * url ← doc_id, category ← lang, keyword ← "source,firstToken"
+    * (comma string, exercising the ≤3-keyword explode). */
+  private def ep1Metadata(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("https://site"), col("doc_id"), lit(".example/page")).as("url"),
+      concat(lit("Doc "), col("doc_id")).as("title"),
+      col("text").as("content"),
+      col("lang").as("category"),
+      concat(col("source"), lit(","), element_at(split(col("text"), " "), 1)).as("keyword"),
+      lit("lang-derived").as("category_explanation"),
+      lit("source-derived").as("keyword_explanation"))
+
   /** Same corpus with planted *exact* duplicates. */
   private def plantedExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -140,6 +154,54 @@ object SparkEntry {
     "q_j3_interconnect" -> ((s, d) => // FLAGSHIP (ref Edits.ipynb:1345-1351)
       GraphQueries.interconnections(hasKeyword(s, d), belongsTo(s, d),
         canonicalPairs = true, limit = 100)),
+    "q_j3_bucketed" -> ((s, d) => { // FLAGSHIP over the bucketed store layout:
+      // edge table bucketed+sorted by keyword, so the self-join reads
+      // co-partitioned buckets — zero shuffle Exchange (SURVEY §4;
+      // plan asserted in BucketedStoreSpec). Written once per session
+      // (stored-table semantics, like hasKeyword itself).
+      val bucketed = DerivedCache.any(s, s"bucketedHk:$d") {
+        val root = java.nio.file.Files.createTempDirectory("graft_bstore").toString
+        val store = new GraphStore(s, root)
+        store.writeEdgesBucketed("HAS_KEYWORD", hasKeyword(s, d), buckets = 8)
+        store.bucketedEdges("HAS_KEYWORD")
+      }
+      GraphQueries.interconnections(bucketed, belongsTo(s, d),
+        canonicalPairs = true, limit = 100)
+    }),
+    "q_motif_j3" -> ((s, d) => { // FLAGSHIP via the textual motif front-end
+      val bound = graft.query.Motif.find(
+        Map("HAS_KEYWORD" -> hasKeyword(s, d), "BELONGS_TO" -> belongsTo(s, d)),
+        "(url1)-[:HAS_KEYWORD]->(shared_keyword); (url2)-[:HAS_KEYWORD]->(shared_keyword); " +
+          "(url1)-[:BELONGS_TO]->(category1); (url2)-[:BELONGS_TO]->(category2)")
+      bound
+        .filter(col("url1") < col("url2") && col("category1") =!= col("category2"))
+        .select(col("url1"), col("category1"), col("url2"), col("category2"),
+          col("shared_keyword"))
+        .orderBy(col("shared_keyword"), col("category1"), col("category2"),
+          col("url1"), col("url2"))
+        .limit(100)
+    }),
+    "q_ep1_pipeline" -> ((s, d) => { // EP1 end-to-end (ref README.md:23,
+      // Edits.ipynb Cells 1→7): metadata → CSV stage (S3/S2 multiLine
+      // round-trip) → validity filter (P8) → stage/explode (S9) →
+      // store load → flagship J3 over the loaded store.
+      val store = DerivedCache.any(s, s"ep1:$d") {
+        val root = java.nio.file.Files.createTempDirectory("graft_ep1").toString
+        Staging.writeCsvSingle(ep1Metadata(s, d), s"$root/links_with_metadata")
+        val meta = Staging.readCsv(s, s"$root/links_with_metadata",
+          graft.model.GraphSchema.metadataCsv)
+        val staged = Staging.stageMetadata(Staging.validRows(meta))
+        val st = new GraphStore(s, s"$root/graph")
+        st.writeNodes("link", staged.links)
+        st.writeNodes("category", staged.categories)
+        st.writeNodes("keyword", staged.keywords)
+        st.writeEdges("BELONGS_TO", staged.belongsTo)
+        st.writeEdges("HAS_KEYWORD", staged.hasKeyword)
+        st
+      }
+      GraphQueries.interconnections(store.edges("HAS_KEYWORD"),
+        store.edges("BELONGS_TO"), canonicalPairs = true, limit = 100)
+    }),
     "q_j4_semi_existing" -> ((s, d) => {
       val store = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
       GraphQueries.existing(
@@ -314,6 +376,12 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
+    "q_d6_embed_dup_lsh" -> ((s, d) => // scale path for q_d5: LSH-bucketed
+      // candidates + exact-cosine verify; same oracle as the brute force
+      Dedup.embeddingDupPairsLsh(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.45, dim = 64)
+        .orderBy(col("id1"), col("id2"))),
 
     // -- similarity search (driver extension §7) --
     "q_n1_cosine_topk" -> ((s, d) => {
@@ -324,14 +392,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
-    "q_n3_ivf_ann" -> ((s, d) => { // no SQL oracle: k-means cells; recall in tests
+    "q_n3_ivf_ann" -> ((s, d) => { // IVF cells come from seeded k-means —
+      // the *values* aren't SQL-expressible, so the gate checks the
+      // bound: aggregate recall@5 of the IVF path vs exact brute force,
+      // emitted as a deterministic boolean the oracle asserts TRUE
+      // (measured recall ≈ 0.9 at sf0.01/sf0.1; bound 0.4 is the
+      // weak-signal floor for near-uniform synthetic vectors)
       val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
       val centroids = graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
-      graft.ext.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", centroids, k = 5, nprobe = 4)
-        .select(col("query_id"), col("cand_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val ivf = graft.ext.Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        centroids, k = 5, nprobe = 4)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = ivf.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
     "q_n2_lsh_ann" -> ((s, d) => { // no SQL oracle: recall measured in tests
       val e = Tables.embeddings(s, d)
@@ -351,11 +430,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // -- approximate aggregation (no oracle: HLL sketch differs by impl) --
+    // -- approximate aggregation. The sketch value itself is
+    // impl-defined, so the gate checks the *bound*: the HLL estimate
+    // must land within ±5% of exact count(distinct), emitted as a
+    // deterministic boolean the oracle asserts TRUE (rsd 0.02 → the
+    // 5% bound is a 2.5σ margin). --
     "q_hll_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("n_exact"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n_exact"), col("n"),
+          (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))),
 
     // -- grouping sets / rollup (§2.9 map-forward) --
@@ -426,7 +513,10 @@ object SparkEntry {
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("component"))
         .orderBy(col("node"))
     }),
-    "q_gx_pagerank" -> ((s, d) => { // no SQL oracle: iterative fixpoint
+    "q_gx_pagerank" -> ((s, d) => { // fixed-iteration (10) PageRank; the
+      // DuckDB oracle replays the same recurrence + final sum-to-N
+      // normalization (closed-form: this graph is bipartite, so ranks
+      // are stationary after 2 iterations)
       val (dict, g) = gxGraph(s, d, sparse = true)
       graft.graphx.GraphOps.pageRankByOrigId(s, dict, g)
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"),
@@ -504,6 +594,56 @@ object SparkEntry {
     "q_j3_interconnect" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
          bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_j3_bucketed" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_motif_j3" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_ep1_pipeline" ->
+      """WITH meta AS (
+           SELECT 'https://site' || doc_id || '.example/page' AS url,
+                  lang AS category,
+                  source || ',' || string_split(text, ' ')[1] AS keyword,
+                  text AS content
+           FROM documents),
+         valid AS (
+           SELECT * FROM meta
+           WHERE content IS NOT NULL AND length(trim(content)) >= 100
+             AND lower(category) <> 'uncategorized'
+             AND lower(keyword) <> 'none'),
+         hk AS (
+           SELECT DISTINCT url AS src, trim(k) AS dst
+           FROM (SELECT url, unnest(string_split(keyword, ',')) AS k FROM valid)
+           WHERE trim(k) <> ''),
+         bt AS (SELECT DISTINCT url AS src, category AS dst FROM valid)
          SELECT e1.src AS url1, b1.dst AS category1,
                 e2.src AS url2, b2.dst AS category2,
                 e1.dst AS shared_keyword
@@ -720,6 +860,15 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
          ORDER BY id1, id2""",
+    "q_d6_embed_dup_lsh" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id % 5 = 0)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+         ORDER BY id1, id2""",
     "q_n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -810,6 +959,31 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_hll_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+                count(*) AS n, TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_n3_ivf_ann" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
+    "q_gx_pagerank" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                     WHERE l_orderkey % 100 = 0),
+         outdeg AS (SELECT s, count(*) AS d FROM hk GROUP BY s),
+         -- staticPageRank(10) recurrence: rank0 = 1;
+         -- rank_{i+1}(v) = 0.15 + 0.85 * sum(rank_i(u) / outdeg(u)).
+         -- This graph is bipartite supplier->part: suppliers have no
+         -- in-edges (rank = 0.15 from iteration 1 on), so part ranks
+         -- are stationary from iteration 2 on — the closed form below
+         -- EQUALS iteration 10. GraphX then normalizes rank mass to N.
+         raw AS (
+           SELECT 'supplier:' || s AS node, 0.15 AS r
+           FROM (SELECT DISTINCT s FROM hk)
+           UNION ALL
+           SELECT 'part:' || p, 0.15 + 0.85 * sum(0.15 / d)
+           FROM hk JOIN outdeg USING (s) GROUP BY p),
+         norm AS (SELECT count(*) * 1.0 / sum(r) AS f FROM raw)
+         SELECT node, round(r * f, 4) AS rank FROM raw, norm
+         ORDER BY node""",
     "q_t2_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          y AS (SELECT *, lag(us) OVER

@@ -53,6 +53,39 @@ final class GraphService(
     (nodes, edges, GraphQueries.duplicateIds(nodes, "id"))
   }
 
+  /** POST /upload_csv : header-sniffing dispatcher (main.py:236-241).
+    * A CSV whose header carries all 7 metadata columns takes the
+    * preload path; anything else must at least have `url` and takes
+    * the scrape+clean+classify path — same `is_metadata_csv` /
+    * `required_fields` rule as the reference. */
+  def uploadCsv(csv: DataFrame, batchSize: Int = 5): Long = {
+    val metadataFields = Seq("url", "title", "content", "category",
+      "keyword", "category_explanation", "keyword_explanation")
+    val header = csv.columns.toSet
+    require(header.contains("url"), "CSV must contain a 'url' column")
+    if (metadataFields.forall(header)) uploadMetadataCsv(csv, batchSize)
+    else uploadUrls(csv.select("url"), batchSize)
+  }
+
+  /** GET / listing with the reference's per-field display fallbacks
+    * (main.py:186-196): falsy (null/empty) fields render as 'None' /
+    * 'Failed to fetch content' / 'Failed to clean content' / 'none'. */
+  def displayListing(): DataFrame = {
+    def fb(c: org.apache.spark.sql.Column, default: String) =
+      when(c.isNull || c === "", lit(default)).otherwise(c)
+    GraphQueries.linkListing(
+        store.nodes("link"), store.edges(EdgeTypes.BelongsTo), store.nodes("category"))
+      .select(
+        col("url"), col("title"), col("name").as("category"),
+        col("rawCategory").as("raw_category"),
+        fb(col("suggestedCategory"), "None").as("suggested_category"),
+        fb(col("rawContent"), "Failed to fetch content").as("raw_content"),
+        fb(col("cleanedContent"), "Failed to clean content").as("cleaned_content"),
+        fb(Staging.keywordString(col("keywords")), "none").as("keywords"),
+        fb(col("categoryExplanation"), "None").as("category_explanation"),
+        fb(col("keywordExplanation"), "None").as("keyword_explanation"))
+  }
+
   /** POST /upload_csv, metadata variant: 7-col CSV batch → upsert.
     * `batchSize` caps the ingest like the reference's form default
     * (main.py:229). */

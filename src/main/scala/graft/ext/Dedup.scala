@@ -91,15 +91,28 @@ object Dedup {
   /** All-pairs exact n-gram Jaccard >= threshold (the oracle-checkable
     * baseline the LSH path approximates): shingle-explode, equi-join on
     * shingle, count shared per pair, compute |A|+|B|-shared union size.
-    * Shuffles on shingle — fine while shingle frequencies are bounded;
-    * the LSH path is the one to reach for at 100 TB. */
+    *
+    * The pair join is bounded by a shingle document-frequency cap
+    * (the standard stop-shingle guard): a shingle appearing in df
+    * documents contributes df² join rows, so one boilerplate shingle
+    * shared by millions of documents would otherwise dominate the
+    * shuffle. Shingles with df > `maxShingleDf` are dropped before
+    * the join (and df < 2 shingles too — they can't form a pair).
+    * Exact whenever no shared shingle exceeds the cap (true on this
+    * corpus where max df is tiny); at 100 TB the dropped shingles are
+    * boilerplate whose pairs the LSH path ([[minHashDupPairs]]) is
+    * the advertised way to find. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 10000): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
         array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("setsize", size(col("sh")))
-    val exploded = sets.select(col("id"), col("setsize"), explode(col("sh")).as("s"))
+    val exploded0 = sets.select(col("id"), col("setsize"), explode(col("sh")).as("s"))
+    val pairable = exploded0.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxShingleDf)).select("s")
+    val exploded = exploded0.join(pairable, Seq("s"))
     val shared = exploded.as("x").join(exploded.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id1"), col("y.id").as("id2"),
@@ -125,11 +138,19 @@ object Dedup {
     * (any identical band → candidate), verified by Hamming distance.
     * @return (id1, id2, hamming) with hamming <= maxHamming */
   def simHashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band_idx", "band_val")))
+    // bucket-size cap (standard LSH guard): a band value shared by m
+    // docs costs m² candidate rows; degenerate buckets (e.g. the
+    // all-zero band from empty docs) are dropped before the join.
+    // Buckets of 1 can't form a pair, so they're dropped too.
+    val ok = banded0.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m").between(2, maxBucket)).select("band_idx", "band_val")
+    val banded = banded0.join(ok, Seq("band_idx", "band_val"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
@@ -153,6 +174,35 @@ object Dedup {
     val a = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("v1"), col("v2")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Embedding near-dup via hyperplane-LSH buckets — the 100 TB path
+    * for [[embeddingDupPairs]]: sign-bit signatures map-side, candidate
+    * pairs only from band-bucket agreement (bounded per bucket), exact
+    * cosine verify on candidates only. Output ⊆ the brute-force result;
+    * equality holds whenever every pair ≥ threshold agrees on ≥ 1 band
+    * (seed-deterministic — the gate query verifies equality with the
+    * brute-force oracle on this corpus). 2-bit bands (nBits/bands = 2)
+    * keep single-pair recall ≈ 0.99 at cos ≈ 0.45. */
+  def embeddingDupPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 16, bands: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
+    val b = Similarity.lshBuckets(embeddings, idCol, vecCol, dim, nBits, bands, seed)
+      .select(col("id"), col("band_idx"), col("band_val"))
+    val ok = b.groupBy("band_idx", "band_val").agg(count(lit(1)).as("__m"))
+      .filter(col("__m").between(2, maxBucket)).select("band_idx", "band_val")
+    val pruned = b.join(ok, Seq("band_idx", "band_val"))
+    val candidates = pruned.as("x").join(pruned.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2")).distinct()
+    val v1 = embeddings.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val v2 = embeddings.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    candidates.join(v1, Seq("id1")).join(v2, Seq("id2"))
       .withColumn("cos", round(VectorFunctions.cosine(col("v1"), col("v2")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))

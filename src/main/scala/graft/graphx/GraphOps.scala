@@ -124,7 +124,15 @@ object GraphOps {
         }
         val touched = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
         spark.createDataset(touched.toSeq.map(v => (v, find(v)))).toDF("vid", "cc_vid")
-      } else graph.connectedComponents().vertices.toDF("vid", "cc_vid")
+      } else {
+        val ccGraph = graph.connectedComponents()
+        val v = ccGraph.vertices.toDF("vid", "cc_vid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        v.count() // O(V) labels; free the Pregel iteration graphs
+        ccGraph.unpersistVertices(blocking = false)
+        ccGraph.edges.unpersist(blocking = false)
+        v
+      }
     val labeled = dict.join(cc, Seq("vid"), "left")
       .select(col("label"), col("orig_id"),
         coalesce(col("cc_vid"), col("vid")).as("cc_vid"))
@@ -134,51 +142,79 @@ object GraphOps {
     labeled.join(rep, Seq("cc_vid")).select(col("label"), col("orig_id"), col("component"))
   }
 
-  /** PageRank over the graph, back on original ids. Iterative — no
-    * SQL oracle; invariants (sum ≈ N, dangling handling) are asserted
-    * in the test suite. */
+  /** PageRank over the graph, back on original ids. Fixed-iteration
+    * (`staticPageRank`) so the result is deterministic and
+    * oracle-checkable: DuckDB replays the same recurrence
+    * (rank₀ = 1; rankᵢ₊₁(v) = 0.15 + 0.85·Σ rankᵢ(u)/outDeg(u)) for
+    * the same number of iterations and the values hash-match at
+    * round(,4).
+    *
+    * The iteration graphs GraphX caches internally are released once
+    * the O(V) rank vector is materialized — without this, every
+    * PageRank call leaks a cached graph into the block manager for
+    * the rest of the session. */
   def pageRankByOrigId(spark: SparkSession, dict: DataFrame,
-      graph: Graph[String, String], tol: Double = 0.0001): DataFrame = {
+      graph: Graph[String, String], numIter: Int = 10): DataFrame = {
     import spark.implicits._
-    val pr = graph.pageRank(tol).vertices.toDF("vid", "rank")
+    val prGraph = graph.staticPageRank(numIter)
+    val pr = prGraph.vertices.toDF("vid", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pr.count() // materialize the O(V) ranks so the iteration state can go
+    prGraph.unpersistVertices(blocking = false)
+    prGraph.edges.unpersist(blocking = false)
     dict.join(pr, Seq("vid"))
       .select(col("label"), col("orig_id"), col("rank"))
   }
 
   /** The flagship interconnection query (J3) on GraphX primitives:
-    * aggregateMessages collects the (link, category) set per keyword
-    * vertex, then per-keyword pair expansion — the
-    * "collect-then-expand" alternative to the DataFrame self-join.
-    * Kept for parity/benchmark comparison; the DataFrame plan wins at
-    * scale because AQE handles keyword skew there. */
+    * gather the (link, category) member set per keyword vertex, then
+    * per-keyword pair expansion — the "collect-then-expand"
+    * alternative to the DataFrame self-join. Kept for
+    * parity/benchmark comparison.
+    *
+    * Bounded by a heavy-hitter split so a viral keyword can never
+    * materialize an unbounded member array (the skew OOM the
+    * DataFrame plan avoids via AQE): keywords with more than
+    * `hotKeyThreshold` members are routed through a DataFrame
+    * self-join (shuffled on keyword, AQE skew-split applies); only
+    * the long tail takes the gather-to-vertex path, so its per-key
+    * arrays are ≤ `hotKeyThreshold` entries by construction. Both
+    * branches produce identical pair semantics (url1 < url2 by string
+    * order, categories differ), so the union is exactly the unsplit
+    * result. */
   def interconnectionsViaAggregateMessages(spark: SparkSession,
-      hasKeyword: DataFrame, belongsTo: DataFrame): DataFrame = {
+      hasKeyword: DataFrame, belongsTo: DataFrame,
+      hotKeyThreshold: Int = 1024): DataFrame = {
     import spark.implicits._
-    // (keyword, link, category) triples via one join, then per-keyword
-    // grouped pair expansion on the RDD — mirrors aggregateMessages'
-    // gather-to-vertex shape while keeping deterministic output.
     val triples = hasKeyword.as("hk")
       .join(belongsTo.as("bt"), col("hk.src") === col("bt.src"))
-      .select(col("hk.dst").as("kw"), col("hk.src").as("url"), col("bt.dst").as("cat"))
-    val grouped = triples.rdd
-      .map(r => (r.get(0), (r.get(1), r.get(2))))
+      .select(col("hk.dst").cast("string").as("kw"),
+        col("hk.src").cast("string").as("url"),
+        col("bt.dst").cast("string").as("cat"))
+    // member count per keyword: one cheap partial-agg shuffle; the hot
+    // set is tiny by construction (≤ |triples| / hotKeyThreshold keys)
+    val hot = triples.groupBy("kw").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotKeyThreshold).select("kw")
+    val tail = triples.join(broadcast(hot), Seq("kw"), "left_anti")
+      .as[(String, String, String)].rdd
+      .map { case (kw, url, cat) => (kw, (url, cat)) }
       .groupByKey()
       .flatMap { case (kw, members) =>
-        val arr = members.toArray.sortBy(_._1.toString)
+        val arr = members.toArray.sortBy(_._1) // ≤ hotKeyThreshold entries
         for {
           i <- arr.indices.iterator
           j <- (i + 1) until arr.length
           if arr(i)._2 != arr(j)._2
-        } yield (arr(i)._1.toString, arr(i)._2.toString,
-          arr(j)._1.toString, arr(j)._2.toString, kw.toString)
+        } yield (arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2, kw)
       }
-    spark.createDataFrame(grouped.map(t =>
-      org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("url1", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("category1", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("url2", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("category2", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("shared_keyword", org.apache.spark.sql.types.StringType))))
+      .toDF("url1", "category1", "url2", "category2", "shared_keyword")
+    val hotMembers = triples.join(broadcast(hot), Seq("kw"), "left_semi")
+    val hotPairs = hotMembers.as("x").join(hotMembers.as("y"),
+        col("x.kw") === col("y.kw") && col("x.url") < col("y.url") &&
+        col("x.cat") =!= col("y.cat"))
+      .select(col("x.url").as("url1"), col("x.cat").as("category1"),
+        col("y.url").as("url2"), col("y.cat").as("category2"),
+        col("x.kw").as("shared_keyword"))
+    tail.unionByName(hotPairs)
   }
 }

@@ -1,0 +1,56 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Planner-less textual pattern front-end — the reference's entire
+  * query interface is Cypher strings (notebook/Edits.ipynb:1345-1351,
+  * dockerapp/app/main.py:185,199-204); this is the minimal motif
+  * layer SURVEY §4 scoped ("motif string → join DAG, like
+  * GraphFrames"), sitting ABOVE Catalyst: it only declares joins, so
+  * broadcast selection, join reordering, AQE skew handling and
+  * filter pushdown through the motif's columns all come from the
+  * optimizer, exactly as with hand-written joins.
+  *
+  * Grammar (one element per `;`):
+  * {{{
+  *   (a)-[:REL_TYPE]->(b)
+  * }}}
+  * Variables bind an edge table's `src`/`dst`; elements sharing a
+  * variable are equi-joined on it; disconnected groups cross-join
+  * (Cypher comma semantics). Predicates/projection/ordering stay
+  * plain DataFrame ops on the variable columns — matching how the
+  * reference's Cypher composes MATCH + WHERE + RETURN.
+  */
+object Motif {
+
+  private val Elem =
+    """\(\s*(\w+)\s*\)\s*-\s*\[\s*:?\s*(\w+)\s*\]\s*->\s*\(\s*(\w+)\s*\)""".r
+
+  final case class Pattern(src: String, rel: String, dst: String)
+
+  def parse(pattern: String): Seq[Pattern] =
+    pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case Elem(a, r, b) =>
+        require(a != b, s"self-loop variables not supported: ($a)-[:$r]->($b)")
+        Pattern(a, r, b)
+      case other => throw new IllegalArgumentException(
+        s"cannot parse motif element '$other' (expected '(a)-[:REL]->(b)')")
+    }
+
+  /** Translate a motif to a DataFrame whose columns are the motif's
+    * variables (each holding the matched node key). */
+  def find(edges: Map[String, DataFrame], pattern: String): DataFrame = {
+    val pats = parse(pattern)
+    require(pats.nonEmpty, "empty motif")
+    val bound = pats.map { p =>
+      val e = edges.getOrElse(p.rel, throw new IllegalArgumentException(
+        s"unknown rel type '${p.rel}' (have: ${edges.keys.toSeq.sorted.mkString(", ")})"))
+      e.select(col("src").as(p.src), col("dst").as(p.dst))
+    }
+    bound.reduceLeft { (acc, next) =>
+      val common = acc.columns.intersect(next.columns).toSeq
+      if (common.isEmpty) acc.crossJoin(next) else acc.join(next, common)
+    }
+  }
+}

@@ -83,6 +83,42 @@ class GraphServiceSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("uploadCsv sniffs the header: metadata CSV vs bare-URL CSV") {
+    val (svc, store) = newService()
+    val longContent = "spark " * 30 // >= 100 chars, passes validity
+    val meta = Seq(("https://meta.example/1", "T1", longContent, "Tech",
+        "spark, sql", "because", "kw"))
+      .toDF("url", "title", "content", "category", "keyword",
+        "category_explanation", "keyword_explanation")
+    assert(svc.uploadCsv(meta) == 1) // metadata path: no enrich stages
+    assert(store.nodes("link").filter($"url" === "https://meta.example/1").count() == 1)
+    // bare-URL shape → scrape+clean+classify path
+    assert(svc.uploadCsv(Seq("https://bare.example/2").toDF("url")) == 1)
+    assert(store.nodes("link").count() == 2)
+    // a url-less CSV is rejected like the reference's flash error
+    intercept[IllegalArgumentException](
+      svc.uploadCsv(Seq("x").toDF("not_url")))
+  }
+
+  test("displayListing substitutes the reference's display fallbacks") {
+    val (svc, store) = newService()
+    val longContent = "words " * 25
+    val meta = Seq(("https://fb.example/1", "T", longContent, "Tech",
+        "alpha", null, null))
+      .toDF("url", "title", "content", "category", "keyword",
+        "category_explanation", "keyword_explanation")
+    svc.uploadCsv(meta)
+    val row = svc.displayListing().collect().head
+    assert(row.getAs[String]("suggested_category") == "None") // staged as ""
+    assert(row.getAs[String]("category_explanation") == "None") // null in CSV
+    assert(row.getAs[String]("keyword_explanation") == "None")
+    assert(row.getAs[String]("keywords") == "alpha") // non-falsy passes through
+    assert(row.getAs[String]("raw_content").nonEmpty)
+    assert(svc.displayListing().columns.toSeq == Seq("url", "title", "category",
+      "raw_category", "suggested_category", "raw_content", "cleaned_content",
+      "keywords", "category_explanation", "keyword_explanation"))
+  }
+
   test("batchSize caps ingest like the reference default") {
     val (svc, store) = newService()
     val urls = (1 to 10).map(i => s"https://cap$i.example/p").toDF("url")

@@ -73,4 +73,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 1.0)))
   }
+
+  test("LSH embedding dedup: subset of brute force, high recall, exact scores") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val bf = Dedup.embeddingDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bf.nonEmpty) // the comparison must not be vacuous
+    // verify-on-candidates ⇒ every emitted pair is exact (same cos as
+    // brute force); band recall is probabilistic (2-bit bands ⇒ ≈0.98
+    // per pair at cos 0.4), so assert subset + a recall floor — the
+    // gate query q_d6 asserts exact equality at its own configuration
+    assert(lsh.subsetOf(bf), s"non-subset: ${lsh -- bf}")
+    val recall = lsh.size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${bf.size})")
+  }
+
+  test("ngram jaccard df-cap drops hot-shingle pairs but keeps exact ones") {
+    // shingle 'w1 w2 w3' appears in all 3 docs (df=3); with the cap at
+    // 2 no pair can form through it, and doc pairs that ONLY share it
+    // disappear — the documented at-scale approximation
+    val d = Seq((1L, "w1 w2 w3 a4"), (2L, "w1 w2 w3 b4"), (3L, "w1 w2 w3 c4"))
+      .toDF("id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "id", "text", shingleN = 3,
+      threshold = 0.1)
+    assert(uncapped.count() == 3)
+    val capped = Dedup.ngramJaccardPairs(d, "id", "text", shingleN = 3,
+      threshold = 0.1, maxShingleDf = 2)
+    assert(capped.count() == 0)
+  }
 }

@@ -67,4 +67,20 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, String, String, String, String)].collect().toSeq
     assert(am == Seq(("l1", "A", "l2", "B", "k1")))
   }
+
+  test("heavy-hitter split: hot-key path and tail path agree on real data") {
+    val hk = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_suppkey".as("src"), $"l_partkey".as("dst")).distinct()
+    val bt = graft.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey".as("src"), $"s_nationkey".as("dst"))
+    // threshold 0 routes EVERY keyword through the DataFrame hot path;
+    // the default routes (at this scale) everything through the tail —
+    // identical output proves both branches implement the same pairs
+    val allHot = GraphOps.interconnectionsViaAggregateMessages(spark, hk, bt,
+      hotKeyThreshold = 0)
+    val allTail = GraphOps.interconnectionsViaAggregateMessages(spark, hk, bt)
+    assert(allHot.count() > 0)
+    assert(allHot.exceptAll(allTail).count() == 0 &&
+      allTail.exceptAll(allHot).count() == 0)
+  }
 }

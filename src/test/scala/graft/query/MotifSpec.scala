@@ -1,0 +1,53 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MotifSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val hk = Seq(("l1", "k1"), ("l2", "k1"), ("l3", "k2"))
+    .toDF("src", "dst")
+  private lazy val bt = Seq(("l1", "A"), ("l2", "B"), ("l3", "A"))
+    .toDF("src", "dst")
+
+  test("parse accepts the grammar, rejects junk and self-loops") {
+    val pats = Motif.parse("(a)-[:HAS_KEYWORD]->(k); (b)-[ :HAS_KEYWORD ]->(k)")
+    assert(pats == Seq(
+      Motif.Pattern("a", "HAS_KEYWORD", "k"),
+      Motif.Pattern("b", "HAS_KEYWORD", "k")))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[:X]-(b)"))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[:X]->(a)"))
+    intercept[IllegalArgumentException](
+      Motif.find(Map("X" -> hk), "(a)-[:NOPE]->(b)"))
+  }
+
+  test("two-pattern motif equi-joins on the shared variable") {
+    val out = Motif.find(Map("HAS_KEYWORD" -> hk),
+        "(a)-[:HAS_KEYWORD]->(k); (b)-[:HAS_KEYWORD]->(k)")
+      .filter($"a" < $"b")
+      .select("a", "b", "k").as[(String, String, String)].collect().toSet
+    assert(out == Set(("l1", "l2", "k1")))
+  }
+
+  test("disconnected patterns cross-join (Cypher comma semantics)") {
+    val out = Motif.find(Map("HK" -> hk, "BT" -> bt),
+      "(a)-[:HK]->(k); (c)-[:BT]->(cat)")
+    assert(out.count() == hk.count() * bt.count())
+    assert(out.columns.sorted.toSeq == Seq("a", "c", "cat", "k"))
+  }
+
+  test("flagship J3 as a motif string matches the hand-written join DAG") {
+    val motif = Motif.find(Map("HAS_KEYWORD" -> hk, "BELONGS_TO" -> bt),
+        "(url1)-[:HAS_KEYWORD]->(kw); (url2)-[:HAS_KEYWORD]->(kw); " +
+          "(url1)-[:BELONGS_TO]->(c1); (url2)-[:BELONGS_TO]->(c2)")
+      .filter($"url1" < $"url2" && $"c1" =!= $"c2")
+      .select($"url1", $"c1".as("category1"), $"url2", $"c2".as("category2"),
+        $"kw".as("shared_keyword"))
+    val direct = GraphQueries.interconnections(hk, bt,
+      canonicalPairs = true, limit = 1000)
+    assert(motif.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(motif).count() == 0)
+  }
+}

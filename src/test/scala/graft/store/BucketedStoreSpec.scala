@@ -32,6 +32,29 @@ class BucketedStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("gate-shaped flagship J3 over bucketed edges plans zero shuffle Exchange") {
+    val root = java.nio.file.Files.createTempDirectory("graftbucket3").toString
+    val store = new GraphStore(spark, root)
+    val hk = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_suppkey".as("src"), $"l_partkey".as("dst")).distinct()
+    store.writeEdgesBucketed("HAS_KEYWORD", hk, buckets = 4)
+    val bt = graft.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey".as("src"), $"s_nationkey".as("dst"))
+    val q = graft.query.GraphQueries.interconnections(
+      store.bucketedEdges("HAS_KEYWORD"), bt, canonicalPairs = true, limit = 100)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // self-join reads co-partitioned buckets; dims broadcast; the final
+    // ordered LIMIT is TakeOrderedAndProject — so no hash-partition
+    // shuffle anywhere in the gate-shaped plan
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed flagship should not shuffle:\n$plan")
+    // and it matches the unbucketed plan's result
+    val plain = graft.query.GraphQueries.interconnections(
+      hk, bt, canonicalPairs = true, limit = 100)
+    assert(q.exceptAll(plain).count() == 0 && plain.exceptAll(q).count() == 0)
+  }
+
   test("bucketed aggregation on dst needs no exchange") {
     val root = java.nio.file.Files.createTempDirectory("graftbucket2").toString
     val store = new GraphStore(spark, root)
