@@ -188,8 +188,12 @@ object SparkEntry {
       val store = DerivedCache.any(s, s"ep1:$d") {
         val root = java.nio.file.Files.createTempDirectory("graft_ep1").toString
         Staging.writeCsvSingle(ep1Metadata(s, d), s"$root/links_with_metadata")
+        // persist the parsed stage: multiLine CSV parsing is the
+        // pipeline's most expensive scan (unsplittable), and the five
+        // staged-table writes below would each re-parse it otherwise
         val meta = Staging.readCsv(s, s"$root/links_with_metadata",
-          graft.model.GraphSchema.metadataCsv)
+            graft.model.GraphSchema.metadataCsv)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val staged = Staging.stageMetadata(Staging.validRows(meta))
         val st = new GraphStore(s, s"$root/graph")
         st.writeNodes("link", staged.links)
@@ -197,6 +201,7 @@ object SparkEntry {
         st.writeNodes("keyword", staged.keywords)
         st.writeEdges("BELONGS_TO", staged.belongsTo)
         st.writeEdges("HAS_KEYWORD", staged.hasKeyword)
+        meta.unpersist(blocking = false) // store is loaded; stage can go
         st
       }
       GraphQueries.interconnections(store.edges("HAS_KEYWORD"),
@@ -229,6 +234,20 @@ object SparkEntry {
           (col("o_totalprice") + 10000.0).as("o_totalprice"))
       GraphStore.mergeByKey(existing, incoming, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q_j8_salted_join" -> ((s, d) => {
+      // Skew.saltedJoin in the gate: documents ⋈ 5-row lang dimension
+      // is a genuinely skewed equi-join (every row hits one of 5 keys);
+      // salting spreads each hot key over `parts` buckets by
+      // replicating the small side — same rows as the plain join
+      val dim = Tables.documents(s, d).select(col("lang")).distinct()
+        .withColumn("lang_code", upper(col("lang")))
+      graft.query.Skew.saltedJoin(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          dim, "lang", parts = 8)
+        .select(col("doc_id"), col("lang_code"))
+        .orderBy(col("doc_id"))
     }),
 
     // -- projections / filters (P-family) --
@@ -678,6 +697,9 @@ object SparkEntry {
             FROM unioned)
          SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM ranked WHERE rn = 1 ORDER BY o_orderkey""",
+    "q_j8_salted_join" ->
+      """SELECT doc_id, upper(lang) AS lang_code FROM documents
+         ORDER BY doc_id""",
     "q_p8_validity_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) >= 100
