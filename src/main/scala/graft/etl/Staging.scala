@@ -22,11 +22,14 @@ object Staging {
       .schema(schema)
       .csv(path)
 
-  /** S3: CSV sink (overwrite). `coalesce(1)` matches the reference's
-    * single-file contract (df.to_csv) — only for small exports; large
-    * tables should go to Parquet via GraphStore. */
+  /** S3: CSV sink (overwrite), single-file contract (df.to_csv) —
+    * only for small exports; large tables should go to Parquet via
+    * GraphStore. `repartition(1)`, NOT `coalesce(1)`: coalesce folds
+    * the entire producing stage into one task (serializing the scan
+    * and transforms), while repartition keeps the producer parallel
+    * and only the file-writing task is single. */
   def writeCsvSingle(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write
+    df.repartition(1).write
       .mode("overwrite")
       .option("header", "true")
       .option("escape", "\"")

@@ -13,12 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text (empty strings dropped). */
+  /** Whitespace tokens of trimmed text (empty strings dropped). Used
+    * where the actual token array is needed (shingles, TF-IDF
+    * explode); scalar statistics over the tokens go through
+    * [[stats]] instead — the HOF lambda here gets fresh variable ids
+    * per copy, which defeats codegen subexpression elimination. */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Fused one-pass token statistics (codegen kernel,
+    * [[graft.functions.TextStats]]): `[n_tokens, sum_token_len,
+    * hits_de, hits_en, hits_es, hits_fr, hits_zh]`. Every scalar
+    * text metric below derives from this SAME lambda-free subtree,
+    * so whole-stage codegen computes it once per row no matter how
+    * many metric columns a projection asks for. */
+  private def stats(text: Column): Column =
+    graft.functions.TextStats.tokenStats(text)
+  private def nTokens(text: Column): Column = element_at(stats(text), 1)
+  private def sumTokenLen(text: Column): Column = element_at(stats(text), 2)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column = nTokens(text)
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alnum marks each count as one token (the regex stands in for
@@ -38,22 +53,25 @@ object TextAnalysis {
   }
 
   /** Tiny per-language stopword lists for the n-gram language-ID
-    * heuristic. Deterministic and oracle-able; swap for real
-    * frequency profiles in production. */
-  val Stopwords: Map[String, Seq[String]] = Map(
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
-    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
-    "es" -> Seq("el", "los", "y", "es", "un", "una", "que"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
-    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+    * heuristic (canonical copy lives in the codegen kernel,
+    * [[graft.functions.TokenStatsKernel.StopwordLists]], so the
+    * fused path and this surface can't drift). Deterministic and
+    * oracle-able; swap for real frequency profiles in production. */
+  val Stopwords: Map[String, Seq[String]] =
+    graft.functions.TokenStatsKernel.StopwordLists
 
-  private def stopwordHits(text: Column, lang: String): Column =
-    size(filter(tokens(text), t => t.isInCollection(Stopwords(lang))))
+  private def stopwordHits(text: Column, lang: String): Column = {
+    val idx = graft.functions.TokenStatsKernel.Langs.indexOf(lang)
+    require(idx >= 0, s"unknown language '$lang'")
+    element_at(stats(text), 3 + idx)
+  }
 
   /** Language-ID heuristic: argmax of stopword hits, alphabetical
-    * tie-break, "und" (undetermined) when nothing matches. */
+    * tie-break, "und" (undetermined) when nothing matches. The hits
+    * all come from one [[stats]] kernel call (CSE-merged), so this is
+    * a single tokenize pass per row, fully codegen'd. */
   def langId(text: Column): Column = {
-    val langs = Stopwords.keys.toSeq.sorted // de, en, es, fr, zh
+    val langs = graft.functions.TokenStatsKernel.Langs.toSeq // de,en,es,fr,zh
     val hits = langs.map(l => stopwordHits(text, l))
     val best = greatest(hits: _*)
     val pairs = langs.zip(hits)
@@ -71,16 +89,14 @@ object TextAnalysis {
 
   /** English stopword ratio over whitespace tokens. */
   def stopwordRatio(text: Column): Column = {
-    val n = size(tokens(text)).cast("double")
+    val n = nTokens(text).cast("double")
     when(n > 0, stopwordHits(text, "en").cast("double") / n).otherwise(lit(0.0))
   }
 
-  /** Mean token length. */
+  /** Mean token length (code points, matching `length` semantics). */
   def avgWordLen(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) > 0,
-      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
-      .otherwise(lit(0.0))
+    val n = nTokens(text)
+    when(n > 0, sumTokenLen(text).cast("double") / n).otherwise(lit(0.0))
   }
 
   /** Composite quality score in [0,1] — the length/punctuation/

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-row token statistics as a native Catalyst expression.
+  *
+  * The Column/HOF formulation of the text-analysis operators
+  * (`filter(split(trim(text)), λ)` per language, plus token count and
+  * summed token length) falls out of whole-stage codegen (higher-order
+  * functions are interpreted) AND defeats subexpression elimination:
+  * every copy of a lambda gets fresh variable ids, so Catalyst's CSE
+  * sees ~30 distinct subtrees in the language-ID CASE expression and
+  * re-tokenizes the document for each — the same projection-collapse
+  * trap the MinHash kernel documents (graft/functions/MinHash.scala).
+  *
+  * This kernel tokenizes once per row and returns
+  * `[n_tokens, sum_token_len, hits_de, hits_en, hits_es, hits_fr,
+  * hits_zh]` as `array<long>`. Downstream columns are plain
+  * `element_at`/arithmetic/CASE over the SAME (lambda-free) subtree,
+  * so codegen CSE computes the kernel once however many columns
+  * reference it.
+  *
+  * Parity contract (the DuckDB oracles depend on it): tokens are
+  * `trim(text)` split on the Java regex `\s+` with empties dropped —
+  * identical to `split(trim(text), "\\s+")` + non-empty filter; token
+  * length counts code points (Spark/DuckDB `length` semantics).
+  */
+object TokenStatsKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Canonical per-language stopword lists (sorted lang order). The
+    * Column-level surface `graft.ext.TextAnalysis.Stopwords` derives
+    * from these, so kernel and oracle can't drift apart. */
+  val Langs: Array[String] = Array("de", "en", "es", "fr", "zh")
+  val StopwordLists: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+  private val Sets: Array[java.util.HashSet[String]] = Langs.map { l =>
+    val s = new java.util.HashSet[String]()
+    StopwordLists(l).foreach(s.add)
+    s
+  }
+
+  def stats(text: UTF8String): ArrayData = {
+    val out = new Array[Long](2 + Langs.length)
+    val s = text.toString.trim
+    if (s.nonEmpty) {
+      val toks = Ws.split(s)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (!t.isEmpty) {
+          out(0) += 1
+          out(1) += t.codePointCount(0, t.length)
+          var l = 0
+          while (l < Sets.length) {
+            if (Sets(l).contains(t)) out(2 + l) += 1
+            l += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_stats requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenStatsKernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenStatsKernel.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStats {
+  /** Column API: `[n_tokens, sum_token_len, hits_de.. hits_zh]`. */
+  def tokenStats(text: Column): Column = ExprColumn(TokenStats(ExprColumn.expr(text)))
+}

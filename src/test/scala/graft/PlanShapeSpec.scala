@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the `.explain` audits the charter
+  * asks for, pinned as tests so a regression in pushdown, broadcast
+  * selection, codegen coverage or top-k planning fails the suite
+  * instead of silently costing a scan.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push into the parquet scan") {
+    val q = Tables.orders(spark, sf0001)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_totalprice")
+    val plan = executed(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$plan")
+    // column pruning: the scan must read only the 3 referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("dimension join broadcasts; link listing has no shuffle on the dim side") {
+    val links = Tables.supplier(spark, sf0001)
+      .select($"s_suppkey".as("url"), $"s_name".as("title"))
+    val bt = Tables.supplier(spark, sf0001)
+      .select($"s_suppkey".as("src"), $"s_nationkey".as("dst"))
+    val cats = Tables.nation(spark, sf0001).select($"n_nationkey".as("name"), $"n_name")
+    val plan = executed(graft.query.GraphQueries.linkListing(links, bt, cats))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+  }
+
+  test("ordered LIMIT plans TakeOrderedAndProject, not a global sort") {
+    val plan = executed(Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc).limit(10))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not planned:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort planned:\n$plan")
+  }
+
+  test("text analysis is whole-stage-codegen'd via one fused kernel, no UDFs") {
+    val q = Tables.documents(spark, sf0001).select(
+      graft.ext.TextAnalysis.langId($"text").as("lang_pred"),
+      graft.ext.TextAnalysis.tokenCount($"text").as("n"))
+    val plan = executed(q)
+    // `*(n)` is the whole-stage-codegen marker; the HOF formulation
+    // left this Project un-starred (interpreted) because lambda
+    // variables defeat codegen
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      s"projection not codegen'd:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF in the hot path:\n$plan")
+    // all stat references collapse to the ONE fused kernel; its copies
+    // are identical (no lambda ids) so codegen CSE computes it once —
+    // guard that no lambda-bearing tokenizer remains in the projection
+    assert(!plan.contains("lambdafunction"),
+      s"lambda subtree (CSE-defeating) in the projection:\n$plan")
+  }
+
+  test("MinHash banding is a single fused projection (no duplicated subtrees)") {
+    // the projection-collapse trap: a k-column formulation recomputes
+    // the shingle hash per output column; the fused kernel must appear
+    // exactly once in the optimized plan
+    val q = Tables.documents(spark, sf0001).select(
+      posexplode(graft.functions.MinHash.minhashTokenBands(
+        graft.ext.TextAnalysis.tokens($"text"), 3, 32, 8, 42L)))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    val kernels = "minhash_token_bands".r.findAllIn(optimized.toLowerCase).size
+    assert(kernels <= 2, s"kernel duplicated $kernels times:\n$optimized")
+  }
+
+  test("interval join keeps the equi key (no cartesian family)") {
+    val plan = executed(graft.streaming.Streams.intervalJoin(
+      Tables.events(spark, sf0001), "view", "purchase", windowMinutes = 120))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to cross product:\n$plan")
+  }
+}
