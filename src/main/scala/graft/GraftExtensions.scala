@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hyperplane_sig", "_FUNC_(vec, dim, nBits, seed) - random-hyperplane LSH signature"),
       (args: Seq[Expression]) => HyperplaneSig(args(0),
         intArg(args(1), "dim"), intArg(args(2), "nBits"), longArg(args(3), "seed"))))
+    ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      info("token_stats", "_FUNC_(text) - [n_tokens, sum_token_len, stopword hits de/en/es/fr/zh] in one tokenize pass"),
+      (args: Seq[Expression]) => TokenStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_fingerprint"),
+      info("poly_fingerprint", "_FUNC_(text) - rolling-hash document fingerprint (h*31 + codepoint mod 2^31-1)"),
+      (args: Seq[Expression]) => PolyFingerprint(args.head)))
   }
 
   private def intArg(e: Expression, name: String): Int = e.eval() match {

@@ -113,8 +113,9 @@ object TextAnalysis {
   /** Polynomial rolling-hash document fingerprint:
     * h = fold(chars)((h, c) => (h * 31 + ord(c)) mod 2147483647).
     * Stays in BIGINT range at every step, so the DuckDB list_reduce
-    * oracle computes bit-identical values. */
+    * oracle computes bit-identical values. Fused codegen kernel
+    * ([[graft.functions.FingerprintKernel]]) — the `aggregate` HOF
+    * form materialized a per-character array and folded interpreted. */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
-      (h, c) => (h * 31 + ascii(c)) % 2147483647L)
+    graft.functions.TextStats.fingerprint(text)
 }

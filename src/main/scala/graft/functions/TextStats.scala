@@ -93,7 +93,45 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial rolling-hash fingerprint, fused: the Column formulation
+  * (`aggregate(split(text, ""), ...)`) materializes a per-character
+  * string array and folds it interpreted; this walks the code points
+  * directly. Same recurrence as the DuckDB `list_reduce(ord(c))`
+  * oracle: h ← (h·31 + codepoint) mod (2³¹−1), every step in BIGINT
+  * range. */
+object FingerprintKernel {
+  final val Mod = 2147483647L
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_fingerprint requires string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    FingerprintKernel.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintKernel.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStats {
   /** Column API: `[n_tokens, sum_token_len, hits_de.. hits_zh]`. */
   def tokenStats(text: Column): Column = ExprColumn(TokenStats(ExprColumn.expr(text)))
+  /** Column API: rolling-hash document fingerprint. */
+  def fingerprint(text: Column): Column = ExprColumn(PolyFingerprint(ExprColumn.expr(text)))
 }
