@@ -145,6 +145,19 @@ object Streams {
         unix_micros(col("r_ts")).as("right_us"), unix_micros(col("l_ts")).as("left_us"))
   }
 
+  /** Streaming deduplication — the training-pipeline ingest guard:
+    * drop records whose key was already seen, with state bounded by a
+    * watermark (a key older than the watermark can't recur in a
+    * correctly ordered feed, so its dedup state is dropped — this is
+    * what keeps the operator viable on an unbounded 100 TB stream;
+    * `dropDuplicates` without a watermark grows state forever).
+    * Batch face is plain `dropDuplicates(keys)` / [[graft.ext.Dedup]].
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Micro-batch upsert sink: the streaming face of GraphStore.merge —
     * each batch is merged into the store with last-writer-wins
     * (reference add_link loop becomes foreachBatch). */

@@ -130,6 +130,22 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((2L, Some(10L * us)), (4L, Some(30L * us)), (5L, None)))
   }
 
+  test("streaming dedup drops duplicate keys across micro-batches, bounded state") {
+    val us = 1000000L
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp)
+    val in = MemoryStream[(Long, Long)](spark)
+    val stream = in.toDS().toDF("doc_id", "us")
+      .select($"doc_id", timestamp_micros($"us").as("ts"))
+    val q = Streams.dedupStream(stream, Seq("doc_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_spec").outputMode("append").start()
+    in.addData((1L, 0L * us), (2L, 1L * us))
+    q.processAllAvailable()
+    in.addData((1L, 2L * us), (3L, 3L * us)) // 1 is a dup within the watermark
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_spec").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("as-of join: same-timestamp view is visible regardless of event_id order") {
     val us = 1000000L
     // view has the SAME ts as the purchase but a HIGHER event_id —
