@@ -577,6 +577,17 @@ object SparkEntry {
         .select(col("media_id"), array_join(col("frame_ids"), ",").as("frames"))
         .orderBy(col("media_id"))
     }),
+
+    // -- multimodal resize stage (stub kernel, arithmetic-checkable) --
+    "q_m3_resize" -> ((s, d) => {
+      val media = Multimodal.mediaTableFromText(s, Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resizeStage(s, media, new Multimodal.StubResizer, targetWidth = 224)
+        .toDF()
+        .select(col("media_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          length(col("media")).cast("long").as("byte_len"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1047,5 +1058,19 @@ object SparkEntry {
                 array_to_string(list_filter(range(0, doc_id % 30 + 1),
                                             i -> i % 10 = 0), ',') AS frames
          FROM documents ORDER BY media_id""",
+    "q_m3_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+                           doc_id % 640 + 16 AS w0,
+                           doc_id % 480 + 16 AS h0,
+                           octet_length(encode(text)) AS blen
+                    FROM documents),
+         r AS (SELECT media_id,
+                      least(224, w0) AS w,
+                      greatest(1, (h0 * least(224, w0)) // w0) AS h,
+                      blen
+               FROM m)
+         SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                CAST(least(blen, w * h) AS BIGINT) AS byte_len
+         FROM r ORDER BY media_id""",
   )
 }

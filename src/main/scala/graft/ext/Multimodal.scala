@@ -94,4 +94,37 @@ object Multimodal {
     media.select(col("media_id"),
       filter(sequence(lit(0), col("n_frames") - 1),
         i => i % stride === 0).as("frame_ids"))
+
+  /** Resize kernel contract: batch-oriented like [[Decoder]], one
+    * codec instance per task. */
+  trait Resizer extends Serializable {
+    def resizeBatch(rows: Iterator[MediaRow], targetWidth: Int): Iterator[MediaRow]
+  }
+
+  /** Deterministic fake resizer (no codec in the container): clamps
+    * width to the target (never upscales), scales height by the same
+    * integer ratio, and truncates the payload to the new pixel count —
+    * so every output field is a pure arithmetic function of the input
+    * and the gate can oracle-check the whole stage. */
+  final class StubResizer extends Resizer {
+    def resizeBatch(rows: Iterator[MediaRow], targetWidth: Int): Iterator[MediaRow] =
+      rows.map { r =>
+        val bytes = Option(r.media).getOrElse(Array.emptyByteArray)
+        val w = math.min(targetWidth, r.width)
+        val h = math.max(1, r.height * w / r.width)
+        r.copy(
+          media = bytes.take(math.min(bytes.length, w * h)),
+          width = w, height = h)
+      }
+  }
+
+  /** The resize stage: same per-partition batched execution shape as
+    * [[decodeStage]] (mapInPandas analog — codec reuse per task, no
+    * driver involvement). */
+  def resizeStage(spark: SparkSession, media: Dataset[MediaRow],
+      resizer: Resizer, targetWidth: Int, partitions: Int = 0): Dataset[MediaRow] = {
+    import spark.implicits._
+    val repart = if (partitions > 0) media.repartition(partitions) else media
+    repart.mapPartitions(rows => resizer.resizeBatch(rows, targetWidth))
+  }
 }

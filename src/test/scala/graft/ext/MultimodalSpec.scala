@@ -33,6 +33,25 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.toDF().exceptAll(again.toDF()).count() == 0)
   }
 
+  test("resize stage clamps width, scales height, truncates payload") {
+    val media = Multimodal.mediaTableFromText(spark,
+      Tables.documents(spark, sf0001).limit(20), "doc_id", "text")
+    val resized = Multimodal.resizeStage(spark, media,
+      new Multimodal.StubResizer, targetWidth = 224, partitions = 3)
+    val byId = resized.collect().map(r => r.media_id -> r).toMap
+    val origById = media.collect().map(r => r.media_id -> r).toMap
+    byId.values.foreach { r =>
+      val o = origById(r.media_id)
+      assert(r.width == math.min(224, o.width))
+      assert(r.height == math.max(1, o.height * r.width / o.width))
+      assert(r.media.length == math.min(o.media.length, r.width * r.height))
+      assert(r.media.sameElements(o.media.take(r.media.length))) // prefix, not garbage
+    }
+    // small images pass through untouched
+    val small = byId.values.find(r => origById(r.media_id).width <= 224).get
+    assert(small.width == origById(small.media_id).width)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val media = Multimodal.mediaTableFromText(spark,
       Tables.documents(spark, sf0001).limit(5), "doc_id", "text")
