@@ -283,6 +283,12 @@ object SparkEntry {
         .except(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select(col("o_custkey").as("c_custkey")))
         .orderBy(col("c_custkey"))),
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .intersect(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))),
 
     // -- scalar functions (F-family) --
     "q_f_string_medley" -> ((s, d) => // F1/F2/F3/F4/F5/F11/F14 in one projection
@@ -730,6 +736,11 @@ object SparkEntry {
     "q_set_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
          EXCEPT SELECT o_custkey AS c_custkey FROM orders
+         WHERE o_orderstatus = 'F'
+         ORDER BY c_custkey""",
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT SELECT o_custkey AS c_custkey FROM orders
          WHERE o_orderstatus = 'F'
          ORDER BY c_custkey""",
     "q_f_string_medley" ->
