@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RDD-path shuffles (GraphX supersteps, the gather-to-vertex
+      // flagship variant) serialize per-record; Kryo is the standard
+      // GraphX deployment setting (SQL/Tungsten paths are unaffected)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch the hot tables + exercise codegen once

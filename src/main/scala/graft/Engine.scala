@@ -21,6 +21,8 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // standard GraphX deployment setting; SQL/Tungsten unaffected
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .withExtensions(new GraftExtensions)
 
   def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

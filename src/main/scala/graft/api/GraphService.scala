@@ -32,15 +32,14 @@ final class GraphService(
 
   import spark.implicits._
 
-  /** GET / : the 10-col link listing plus cross-category
+  /** GET / : the 10-col link listing (with the reference's display
+    * fallbacks applied, main.py:186-196) plus cross-category
     * interconnections (the two cached index() queries). */
   def index(interconnectionLimit: Int = 100): (DataFrame, DataFrame) = {
-    val listing = GraphQueries.linkListing(
-      store.nodes("link"), store.edges(EdgeTypes.BelongsTo), store.nodes("category"))
     val inter = GraphQueries.interconnections(
       store.edges(EdgeTypes.HasKeyword), store.edges(EdgeTypes.BelongsTo),
       canonicalPairs = false, limit = interconnectionLimit)
-    (listing, inter)
+    (displayListing(), inter)
   }
 
   /** GET /graph_data : typed node + edge lists for the visualizer,
