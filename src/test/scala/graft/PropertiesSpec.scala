@@ -79,6 +79,21 @@ object PropertiesSpec extends Properties("graft") {
       graft.query.GraphQueries.orphans(kept, edges).count() == 0
     }
 
+  property("motif translation equals the hand-written join DAG") =
+    forAll(edgeGen, catGen) { (hk, bt) =>
+      val hkDf = hk.toDF("src", "dst")
+      val btDf = bt.toDF("src", "dst").dropDuplicates("src")
+      val motif = graft.query.Motif.find(
+          Map("HK" -> hkDf, "BT" -> btDf),
+          "(url1)-[:HK]->(kw); (url2)-[:HK]->(kw); " +
+            "(url1)-[:BT]->(c1); (url2)-[:BT]->(c2)")
+        .filter(col("url1") < col("url2") && col("c1") =!= col("c2"))
+        .select("url1", "c1", "url2", "c2", "kw")
+      val direct = graft.query.GraphQueries.interconnections(
+        hkDf, btDf, canonicalPairs = true, limit = Int.MaxValue)
+      motif.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet
+    }
+
   private val asciiText = Gen.listOf(
     Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.take(40).mkString)
 
