@@ -477,6 +477,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // -- grouping sets: CUBE (§2.9 map-forward) --
+    "q_a10_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // -- range-frame window: trailing 1-hour per-user moving sum --
+    "q_w3_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L) // trailing hour in epoch-µs
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .withColumn("trailing_1h", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- analytic functions: lead / lag / ntile over a full ordering --
+    "q_w4_analytics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- running window aggregate (§2.9 map-forward) --
     "q_w2_running_sum" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -936,6 +968,26 @@ object SparkEntry {
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_a10_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_w3_range_window" ->
+      """SELECT event_id, user_id,
+                round(sum(value) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+                  AS trailing_1h
+         FROM events ORDER BY event_id""",
+    "q_w4_analytics" ->
+      """SELECT event_id, user_id,
+                lag(event_id, 1) OVER w AS prev_id,
+                lead(event_id, 1) OVER w AS next_id,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id""",
     "q_w2_running_sum" ->
       """SELECT event_id, user_id,
                 round(sum(value) OVER
