@@ -401,6 +401,15 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
+    "q_d7_drop_dups" -> ((s, d) => { // the dedup DROP face: pair-find →
+      // component resolution (min-label propagation) → keep canonical
+      // min-id representative per dup cluster
+      val docs = plantedDocs(s, d)
+      val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      Dedup.dropNearDups(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_d6_embed_dup_lsh" -> ((s, d) => // scale path for q_d5: LSH-bucketed
       // candidates + exact-cosine verify; same oracle as the brute force
       Dedup.embeddingDupPairsLsh(
@@ -936,6 +945,35 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
          ORDER BY id1, id2""",
+    "q_d7_drop_dups" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, 'duplicate marker ' || text
+                  FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM t WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         a.n AS n1, b.n AS n2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM cand
+               WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM p
+                   UNION SELECT id2, id1 FROM p),
+         reach AS (SELECT DISTINCT a AS id, a AS lbl FROM edges
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id)
+         SELECT doc_id FROM base
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+         ORDER BY doc_id""",
     "q_d6_embed_dup_lsh" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

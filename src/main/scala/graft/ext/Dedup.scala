@@ -125,6 +125,55 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Resolve near-dup pairs into components with a canonical (min-id)
+    * representative: iterative min-label propagation over the pair
+    * graph, pure DataFrame joins (each iteration one shuffle; dup
+    * clusters have tiny diameter, so this converges in a couple of
+    * rounds — maxIter is a safety bound, with a fail-fast if a
+    * pathological chain exceeds it).
+    *
+    * @return (id, rep) for every id that appears in a pair
+    */
+  def resolveDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("a")
+      .agg(min(col("b")).as("minb"))
+      .select(col("a").as("id"), least(col("a"), col("minb")).as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // candidate label for id = min over neighbors of their label
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"dup-group propagation did not converge in $maxIter rounds")
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Drop near-duplicates: keep every unpaired doc plus the canonical
+    * (min-id) representative of each dup component. */
+  def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val doomed = resolveDupGroups(pairs)
+      .filter(col("id") =!= col("rep")).select(col("id").as(idCol))
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit b of the signature is

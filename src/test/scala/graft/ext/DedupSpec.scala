@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${bf.size})")
   }
 
+  test("resolveDupGroups: min-label propagation over chained pairs") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: components
+    // {1,2,3,4} rep 1 and {10,11} rep 10 — the chain needs >1
+    // propagation round, exercising the fixpoint loop
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.resolveDupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("id")
+    val kept = Dedup.dropNearDups(docs, "id", pairs)
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L, 10L)) // reps + unpaired survive
+  }
+
   test("ngram jaccard df-cap drops hot-shingle pairs but keeps exact ones") {
     // shingle 'w1 w2 w3' appears in all 3 docs (df=3); with the cap at
     // 2 no pair can form through it, and doc pairs that ONLY share it
