@@ -608,6 +608,21 @@ object SparkEntry {
           "view", "purchase", windowMinutes = 120)
         .orderBy(col("right_id"), col("left_id"))),
 
+    // -- approximate percentile, bounds-gated like q_hll: the sketch
+    // value is impl-defined, the deterministic boolean isn't. Bound is
+    // 5%: approx returns an actual element while exact interpolates,
+    // so at tiny group sizes the adjacent-element gap (not sketch
+    // error) dominates — 5% covers it at every testdata scale. --
+    "q_a11_approx_percentile" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("within_5pct"))
+        .orderBy(col("o_orderpriority"))),
+
     // -- exact percentiles (map-forward aggregation depth) --
     "q_a9_percentiles" -> ((s, d) =>
       Tables.orders(s, d).groupBy(col("o_orderpriority"))
@@ -1148,6 +1163,9 @@ object SparkEntry {
          FROM r JOIN l USING (user_id)
          WHERE left_us <= right_us AND left_us > right_us - 7200000000
          ORDER BY right_id, left_id""",
+    "q_a11_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n, TRUE AS within_5pct
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_a9_percentiles" ->
       """SELECT o_orderpriority,
                 round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
