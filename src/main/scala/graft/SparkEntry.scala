@@ -101,6 +101,14 @@ object SparkEntry {
       lit("lang-derived").as("category_explanation"),
       lit("source-derived").as("keyword_explanation"))
 
+  /** MinHash near-dup pairs over [[plantedDocs]], materialized once
+    * per session (shared by the pair report q_d2 and the drop face
+    * q_d7 — stored-table semantics like [[hasKeyword]]). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    DerivedCache.dataFrame(s, s"minhashPairs:$d")(
+      Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 0.5))
+
   /** Same corpus with planted *exact* duplicates. */
   private def plantedExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -385,9 +393,7 @@ object SparkEntry {
       Dedup.groups(plantedExact(s, d), "doc_id", Seq("text"))
         .select(col("rep_id"), col("n")).orderBy(col("rep_id"))),
     "q_d2_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
-        .orderBy(col("id1"), col("id2"))),
+      minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
     "q_d3_simhash" -> ((s, d) => // no SQL oracle: xxhash64-based signature
       Dedup.simHashDupPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id1"), col("id2"))),
@@ -401,15 +407,12 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
-    "q_d7_drop_dups" -> ((s, d) => { // the dedup DROP face: pair-find →
+    "q_d7_drop_dups" -> ((s, d) => // the dedup DROP face: pair-find →
       // component resolution (min-label propagation) → keep canonical
-      // min-id representative per dup cluster
-      val docs = plantedDocs(s, d)
-      val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text",
-        shingleN = 3, k = 32, bands = 16, threshold = 0.5)
-      Dedup.dropNearDups(docs, "doc_id", pairs)
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    }),
+      // min-id representative per dup cluster; pairs shared with q_d2
+      // (stored-table semantics, like hasKeyword)
+      Dedup.dropNearDups(plantedDocs(s, d), "doc_id", minhashPairs(s, d))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_d6_embed_dup_lsh" -> ((s, d) => // scale path for q_d5: LSH-bucketed
       // candidates + exact-cosine verify; same oracle as the brute force
       Dedup.embeddingDupPairsLsh(
