@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit dump: prints `explain("formatted")` for the engine's
+  * load-bearing queries so the physical shapes (pushdown, broadcast,
+  * codegen spans, exchange count) can be reviewed as a document.
+  * `PLANS.md` in the repo is this tool's output; PlanShapeSpec pins
+  * the same properties as assertions.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Plans"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_j3_interconnect", "q_j3_bucketed", "q_motif_j3",
+      "q_d2_minhash_lsh", "q_x1_langid", "q_n1_cosine_topk",
+      "q_o6_topk_per_key", "q_t2_sessionize")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.count() // materialize so AQE's final plan is real
+      println(s"\n## $name\n")
+      println("```")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -82,6 +82,23 @@ final class GraphStore(spark: SparkSession, root: String) {
     spark.catalog.refreshByPath(path)
   }
 
+  /** Write a node table hive-partitioned by a column (the "large
+    * node table" layout from SURVEY §1.3 — e.g. Link partitioned by
+    * category): equality/IN filters on the partition column prune
+    * whole directories at planning time (`PartitionFilters` in the
+    * scan, no data files touched for pruned partitions). Dimension
+    * tables should stay unpartitioned single-footer datasets. */
+  def writeNodesPartitioned(label: String, df: DataFrame, partitionCol: String): Unit = {
+    val path = nodePath(label)
+    val tmp = path + "__staging"
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    spark.catalog.refreshByPath(path)
+  }
+
   // ---- bucketed physical layout (SURVEY §4) ----
 
   /** Write an edge table bucketed (and sorted) by `dst`, so joins on

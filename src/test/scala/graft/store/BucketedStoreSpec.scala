@@ -55,6 +55,26 @@ class BucketedStoreSpec extends SparkSpec {
     assert(q.exceptAll(plain).count() == 0 && plain.exceptAll(q).count() == 0)
   }
 
+  test("partitioned node table prunes partitions on the filter column") {
+    val root = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val store = new GraphStore(spark, root)
+    val links = graft.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey".cast("string").as("url"), $"s_name".as("title"),
+        concat(lit("cat"), $"s_nationkey" % 5).as("category"))
+    store.writeNodesPartitioned("link", links, "category")
+    val q = store.nodes("link").filter($"category" === "cat3")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the category predicate must prune at planning time, not scan+filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cat3[^\\]]*\\].*"),
+      s"partition filter not pushed:\n$plan")
+    assert(q.count() ==
+      links.filter($"category" === "cat3").count())
+    // round-trip keeps all rows across partitions
+    assert(store.nodes("link").count() == links.count())
+  }
+
   test("bucketed aggregation on dst needs no exchange") {
     val root = java.nio.file.Files.createTempDirectory("graftbucket2").toString
     val store = new GraphStore(spark, root)
