@@ -189,6 +189,16 @@ object SparkEntry {
           col("url1"), col("url2"))
         .limit(100)
     }),
+    "q_j9_delta_interconnect" -> ((s, d) => { // incremental maintenance of
+      // the flagship: only pairs contributed by a batch of "new" edges
+      // (O(b·E/K) instead of O(E²/K) full recompute)
+      val all = hasKeyword(s, d)
+      val batch = all.filter(col("src") % 50 === 0)
+      GraphQueries.interconnectionsDelta(batch, all, belongsTo(s, d))
+        .orderBy(col("shared_keyword"), col("category1"), col("category2"),
+          col("url1"), col("url2"))
+        .limit(100)
+    }),
     "q_ep1_pipeline" -> ((s, d) => { // EP1 end-to-end (ref README.md:23,
       // Edits.ipynb Cells 1→7): metadata → CSV stage (S3/S2 multiLine
       // round-trip) → validity filter (P8) → stage/explode (S9) →
@@ -720,6 +730,19 @@ object SparkEntry {
          JOIN bt b1 ON b1.src = e1.src
          JOIN bt b2 ON b2.src = e2.src
          WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_j9_delta_interconnect" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+           AND (e1.src % 50 = 0 OR e2.src % 50 = 0)
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
     "q_ep1_pipeline" ->

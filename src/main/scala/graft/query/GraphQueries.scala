@@ -67,6 +67,44 @@ object GraphQueries {
       .limit(limit)
   }
 
+  /** Incremental (delta) maintenance of the flagship J3: the pairs
+    * CONTRIBUTED by a batch of new HAS_KEYWORD edges, i.e. pairs with
+    * at least one endpoint-edge in the batch. On an edge batch of
+    * size b against a stored edge set of size E this costs O(b·E/K)
+    * join work instead of O(E²/K) for full recomputation — the shape
+    * an upsert-heavy deployment (reference add_link/upload_csv loop)
+    * needs at scale. Invariant (spec-checked):
+    * `interconnections(old ∪ new) = interconnections(old) ∪
+    * interconnectionsDelta(new, old ∪ new)` (as sets, before
+    * ordering/limit).
+    *
+    * @param newEdges the just-added HAS_KEYWORD batch (src, dst)
+    * @param allEdges the post-upsert full edge set (src, dst),
+    *   including `newEdges`
+    */
+  def interconnectionsDelta(
+      newEdges: DataFrame,
+      allEdges: DataFrame,
+      belongsTo: DataFrame): DataFrame = {
+    val n1 = newEdges.select(col("src").as("url1"), col("dst").as("kw"))
+    val a2 = allEdges.select(col("src").as("url2"), col("dst").as("kw"))
+    val a1 = allEdges.select(col("src").as("url1"), col("dst").as("kw"))
+    val n2 = newEdges.select(col("src").as("url2"), col("dst").as("kw"))
+    // new-on-the-left ∪ new-on-the-right, deduped (a pair of two new
+    // edges appears in both branches)
+    val pairs = n1.join(a2, Seq("kw")).filter(col("url1") < col("url2"))
+      .unionByName(a1.join(n2, Seq("kw")).filter(col("url1") < col("url2")))
+      .distinct()
+    val c1 = belongsTo.select(col("src").as("url1"), col("dst").as("category1"))
+    val c2 = belongsTo.select(col("src").as("url2"), col("dst").as("category2"))
+    pairs
+      .join(c1, Seq("url1"))
+      .join(c2, Seq("url2"))
+      .filter(col("category1") =!= col("category2"))
+      .select(col("url1"), col("category1"), col("url2"), col("category2"),
+        col("kw").as("shared_keyword"))
+  }
+
   /** J4: existence pre-check as a set operation — which incoming keys
     * are already in the store (reference point-lookup loop
     * main.py:257-261 becomes one anti-join; `novel` is what survives

@@ -79,6 +79,23 @@ object PropertiesSpec extends Properties("graft") {
       graft.query.GraphQueries.orphans(kept, edges).count() == 0
     }
 
+  property("delta maintenance: full recompute = old result + delta of new edges") =
+    forAll(edgeGen, edgeGen, catGen) { (oldE, newE, bt) =>
+      val oldDf = oldE.toDF("src", "dst").distinct()
+      val newDf = newE.toDF("src", "dst").distinct()
+        .exceptAll(oldDf) // a true delta: edges not already stored
+      val allDf = oldDf.unionByName(newDf)
+      val btDf = bt.toDF("src", "dst").dropDuplicates("src")
+      def full(e: org.apache.spark.sql.DataFrame) =
+        graft.query.GraphQueries.interconnections(
+          e, btDf, canonicalPairs = true, limit = Int.MaxValue)
+          .collect().map(_.toSeq).toSet
+      val delta = graft.query.GraphQueries
+        .interconnectionsDelta(newDf, allDf, btDf)
+        .collect().map(_.toSeq).toSet
+      full(allDf) == (full(oldDf) ++ delta)
+    }
+
   property("motif translation equals the hand-written join DAG") =
     forAll(edgeGen, catGen) { (hk, bt) =>
       val hkDf = hk.toDF("src", "dst")
