@@ -130,6 +130,30 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((2L, Some(10L * us)), (4L, Some(30L * us)), (5L, None)))
   }
 
+  test("incremental interconnections: per-batch delta equals full recompute") {
+    val root = java.nio.file.Files.createTempDirectory("graftivm").toString
+    val store = new graft.store.GraphStore(spark, root)
+    val bt = Seq(("l1", "A"), ("l2", "B"), ("l3", "A"), ("l4", "C"))
+      .toDF("src", "dst")
+    store.writeEdges("BELONGS_TO", bt)
+    store.writeEdges("HAS_KEYWORD", Seq.empty[(String, String)].toDF("src", "dst"))
+    store.writeNodes("j3_result",
+      Seq.empty[(String, String, String, String, String)]
+        .toDF("url1", "category1", "url2", "category2", "shared_keyword"))
+    val ivm = new Streams.IncrementalInterconnections(
+      spark, store, "HAS_KEYWORD", "BELONGS_TO", "j3_result")
+    // three batches, including a duplicate edge and a cross-batch pair
+    ivm.applyBatch(Seq(("l1", "k1"), ("l2", "k1")).toDF("src", "dst"))
+    ivm.applyBatch(Seq(("l3", "k1"), ("l1", "k1")).toDF("src", "dst")) // l1,k1 dup
+    ivm.applyBatch(Seq(("l4", "k2"), ("l2", "k2")).toDF("src", "dst"))
+    val incremental = store.nodes("j3_result")
+    val full = graft.query.GraphQueries.interconnections(
+      store.edges("HAS_KEYWORD"), bt, canonicalPairs = true, limit = Int.MaxValue)
+    assert(incremental.count() > 0)
+    assert(incremental.exceptAll(full).count() == 0 &&
+      full.exceptAll(incremental).count() == 0)
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches, bounded state") {
     val us = 1000000L
     final case class Doc(doc_id: Long, ts: java.sql.Timestamp)
