@@ -393,6 +393,26 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))),
+    "q_x6_repetition" -> ((s, d) => { // Gopher-style repetition filter:
+      // duplicate-token fraction + top-bigram dominance. Bigram mode is
+      // computed relationally (explode → count → max) — the shape that
+      // scales, vs a per-row mode HOF which would be interpreted
+      val docs = Tables.documents(s, d)
+      val dup = docs.select(col("doc_id"),
+        when(TextAnalysis.tokenCount(col("text")) > 0,
+          round(lit(1.0) - size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("double") / TextAnalysis.tokenCount(col("text")), 4))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+      val bi = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("bg"))
+      val agg = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_bigram_frac"))
+      dup.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_token_frac"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -927,6 +947,25 @@ object SparkEntry {
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_x6_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         dup AS (SELECT doc_id,
+           CASE WHEN len(t) > 0 THEN
+             round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 4)
+           ELSE 0.0 END AS dup_token_frac
+           FROM t),
+         bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM t WHERE len(t) >= 2),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+         agg AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+                 FROM cnt GROUP BY doc_id)
+         SELECT d.doc_id, d.dup_token_frac,
+                coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac
+         FROM dup d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "q_x4_fingerprint" ->
       """SELECT doc_id,
          list_reduce(

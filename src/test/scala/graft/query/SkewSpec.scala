@@ -35,4 +35,49 @@ class SkewSpec extends SparkSpec {
     val top = Skew.heavyHitters(big, col("key"), 1).select("key").as[String].collect()
     assert(top.toSeq == Seq("hot"))
   }
+
+  test("flagship self-join under a viral keyword: AQE splits the skewed partition") {
+    // one keyword with 800 members dwarfing a 100-keyword tail — the
+    // exact skew SURVEY §4 names as the flagship's one physical risk.
+    // Thresholds are lowered so the skew machinery engages at test
+    // scale; at real scale the defaults play the same role.
+    val hot = (1 to 800).map(i => (s"l$i", "viral"))
+    val tail = (1 to 100).flatMap(k => Seq((s"t${k}a", s"k$k"), (s"t${k}b", s"k$k")))
+    val hk = (hot ++ tail).toDF("src", "dst")
+    val bt = ((1 to 800).map(i => (s"l$i", s"c${i % 4}")) ++
+      (1 to 100).flatMap(k => Seq((s"t${k}a", "cA"), (s"t${k}b", "cB")))).toDF("src", "dst")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = GraphQueries.interconnections(hk, bt,
+        canonicalPairs = true, limit = Int.MaxValue)
+      // execute through q itself: with AQE the final (adaptively
+      // re-planned) physical plan lives on the executed instance
+      val n = q.collect().length.toLong
+      // expected pair count, reference-computed on the driver
+      def pairs(members: Seq[(String, String)]): Long = {
+        val sorted = members.sortBy(_._1)
+        (for {
+          i <- sorted.indices; j <- (i + 1) until sorted.length
+          if sorted(i)._2 != sorted(j)._2
+        } yield 1L).sum
+      }
+      val cats = bt.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val expected =
+        pairs(hot.map { case (l, _) => (l, cats(l)) }) + 100L // tail: 1 pair/keyword
+      assert(n == expected, s"got $n expected $expected")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed self-join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
