@@ -22,8 +22,8 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
-      "q_j3_interconnect", "q_j3_bucketed", "q_motif_j3",
-      "q_d2_minhash_lsh", "q_x1_langid", "q_n1_cosine_topk",
+      "q_j3_interconnect", "q_j3_bucketed", "q_motif_j3", "q_j9_delta_interconnect",
+      "q_d2_minhash_lsh", "q_d7_drop_dups", "q_x1_langid", "q_n1_cosine_topk",
       "q_o6_topk_per_key", "q_t2_sessionize")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

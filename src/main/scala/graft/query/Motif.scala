@@ -25,18 +25,26 @@ import org.apache.spark.sql.functions._
 object Motif {
 
   private val Elem =
-    """\(\s*(\w+)\s*\)\s*-\s*\[\s*:?\s*(\w+)\s*\]\s*->\s*\(\s*(\w+)\s*\)""".r
+    """\(\s*(\w*)\s*\)\s*-\s*\[\s*:?\s*(\w+)\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
 
   final case class Pattern(src: String, rel: String, dst: String)
 
-  def parse(pattern: String): Seq[Pattern] =
+  /** Parse the motif. Anonymous vertices `()` (Cypher's existence
+    * form, e.g. `(l)-[:HAS_KEYWORD]->()`) bind fresh hidden variables
+    * `__anonN` that are dropped from the result. */
+  def parse(pattern: String): Seq[Pattern] = {
+    var anon = 0
+    def fresh(v: String): String =
+      if (v.nonEmpty) v else { anon += 1; s"__anon$anon" }
     pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map {
       case Elem(a, r, b) =>
-        require(a != b, s"self-loop variables not supported: ($a)-[:$r]->($b)")
-        Pattern(a, r, b)
+        val (va, vb) = (fresh(a), fresh(b))
+        require(va != vb, s"self-loop variables not supported: ($a)-[:$r]->($b)")
+        Pattern(va, r, vb)
       case other => throw new IllegalArgumentException(
         s"cannot parse motif element '$other' (expected '(a)-[:REL]->(b)')")
     }
+  }
 
   /** Translate a motif to a DataFrame whose columns are the motif's
     * variables (each holding the matched node key). */
@@ -48,9 +56,11 @@ object Motif {
         s"unknown rel type '${p.rel}' (have: ${edges.keys.toSeq.sorted.mkString(", ")})"))
       e.select(col("src").as(p.src), col("dst").as(p.dst))
     }
-    bound.reduceLeft { (acc, next) =>
+    val joined = bound.reduceLeft { (acc, next) =>
       val common = acc.columns.intersect(next.columns).toSeq
       if (common.isEmpty) acc.crossJoin(next) else acc.join(next, common)
     }
+    val visible = joined.columns.filterNot(_.startsWith("__anon"))
+    joined.select(visible.map(col): _*)
   }
 }

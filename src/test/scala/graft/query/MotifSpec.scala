@@ -31,6 +31,15 @@ class MotifSpec extends SparkSpec {
     assert(out == Set(("l1", "l2", "k1")))
   }
 
+  test("anonymous vertices: existence form binds hidden vars, drops them") {
+    val out = Motif.find(Map("HAS_KEYWORD" -> hk), "(a)-[:HAS_KEYWORD]->()")
+    assert(out.columns.toSeq == Seq("a"))
+    assert(out.count() == 3) // one row per matched edge (bag semantics)
+    // two anonymous endpoints stay distinct variables (no accidental join)
+    val both = Motif.find(Map("HAS_KEYWORD" -> hk), "()-[:HAS_KEYWORD]->()")
+    assert(both.columns.isEmpty && both.count() == 3)
+  }
+
   test("disconnected patterns cross-join (Cypher comma semantics)") {
     val out = Motif.find(Map("HK" -> hk, "BT" -> bt),
       "(a)-[:HK]->(k); (c)-[:BT]->(cat)")
