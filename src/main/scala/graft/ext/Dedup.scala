@@ -139,10 +139,15 @@ object Dedup {
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), not persist: each round's plan would
+    // otherwise reference the previous round's whole tree, so the
+    // logical plan deepens linearly with iterations and analysis /
+    // optimization cost compounds — the same reason GraphX checkpoints
+    // Pregel state. Checkpointing truncates lineage to O(1) per round.
     var labels = edges.groupBy("a")
       .agg(min(col("b")).as("minb"))
       .select(col("a").as("id"), least(col("a"), col("minb")).as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -153,10 +158,9 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
