@@ -28,9 +28,15 @@ final class GraphService(
     store: GraphStore,
     fetcher: Enrich.Fetcher,
     cleaner: Enrich.Cleaner,
-    classifier: Enrich.Classifier) {
+    classifier: Enrich.Classifier,
+    /** When set, every mutation ends with a 7-col CSV snapshot to this
+      * path — the reference calls save_to_csv() after each write
+      * (main.py:350,:427,:492). */
+    snapshotPath: Option[String] = None) {
 
   import spark.implicits._
+
+  private def snapshot(): Unit = snapshotPath.foreach(saveToCsv)
 
   /** GET / : the 10-col link listing (with the reference's display
     * fallbacks applied, main.py:186-196) plus cross-category
@@ -122,6 +128,7 @@ final class GraphService(
       Seq(EdgeTypes.BelongsTo, EdgeTypes.HasKeyword))
     store.cleanOrphans("category", EdgeTypes.BelongsTo)
     store.cleanOrphans("keyword", EdgeTypes.HasKeyword)
+    snapshot()
   }
 
   /** Graph → 7-col CSV snapshot after every mutation
@@ -156,6 +163,7 @@ final class GraphService(
       store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo))
     store.writeEdges(EdgeTypes.HasKeyword,
       store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword))
+    snapshot()
     staged.links.count()
   }
 }

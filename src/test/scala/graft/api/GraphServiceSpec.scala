@@ -119,6 +119,27 @@ class GraphServiceSpec extends SparkSpec {
       "keywords", "category_explanation", "keyword_explanation"))
   }
 
+  test("auto-snapshot: every mutation regenerates the CSV like save_to_csv") {
+    val root = java.nio.file.Files.createTempDirectory("graftsnap").toString
+    val store = new GraphStore(spark, root)
+    val svc = new GraphService(spark, store,
+      new Enrich.DeterministicFetcher(failEvery = 0),
+      new Enrich.PassThroughCleaner,
+      new Enrich.DeterministicClassifier,
+      snapshotPath = Some(root + "/snapshot"))
+    new Pipeline(spark,
+      new Enrich.DeterministicFetcher(failEvery = 0),
+      new Enrich.PassThroughCleaner,
+      new Enrich.DeterministicClassifier)
+      .run(spark.emptyDataset[String].toDF("url"), store)
+    svc.uploadUrls(Seq("https://s.example/1", "https://s.example/2").toDF("url"), 5)
+    def snapCount() = graft.etl.Staging.readCsv(spark, root + "/snapshot",
+      graft.model.GraphSchema.metadataCsv).count()
+    assert(snapCount() == 2) // upload snapshotted
+    svc.deleteLink("https://s.example/1")
+    assert(snapCount() == 1) // delete snapshotted too
+  }
+
   test("batchSize caps ingest like the reference default") {
     val (svc, store) = newService()
     val urls = (1 to 10).map(i => s"https://cap$i.example/p").toDF("url")
