@@ -127,8 +127,11 @@ final class GraphStore(spark: SparkSession, root: String) {
   def bucketedEdges(relType: String): DataFrame =
     spark.table(bucketTable(relType))
 
+  /** Catalog name scoped by the store root — two stores in one
+    * session must not clobber each other's bucket-table entries. */
   private def bucketTable(relType: String): String =
-    "graft_edges_" + relType.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    "graft_edges_" + java.lang.Integer.toHexString(root.hashCode) + "_" +
+      relType.toLowerCase.replaceAll("[^a-z0-9_]", "_")
 
   // ---- write primitives (set-oriented rewrites of the reference's
   //      per-row Cypher MERGE loops) ----
