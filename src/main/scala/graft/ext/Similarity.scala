@@ -119,14 +119,20 @@ object Similarity {
       vecCol: String, dim: Int, k: Int, nBits: Int = 16, bands: Int = 4,
       seed: Long = 42L): DataFrame = {
     val cB = lshBuckets(corpus, idCol, vecCol, dim, nBits, bands, seed)
-      .withColumnRenamed("id", "cand_id").withColumnRenamed("v", "cand_v")
+      .select(col("id").as("cand_id"), col("band_idx"), col("band_val"))
     val qB = lshBuckets(queries, idCol, vecCol, dim, nBits, bands, seed)
-      .withColumnRenamed("id", "query_id").withColumnRenamed("v", "query_v")
+      .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
+    // dedup on the id PAIR, then join the vectors back — a distinct
+    // over rows carrying the embeddings would shuffle and compare the
+    // full arrays once per band agreement
     val candidates = cB.join(qB, Seq("band_idx", "band_val"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_v"), col("cand_id"), col("cand_v"))
-      .distinct()
+      .select(col("query_id"), col("cand_id")).distinct()
     val scored = candidates
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")),
+        Seq("cand_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v")),
+        Seq("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
     rankTopK(scored, k)
   }
