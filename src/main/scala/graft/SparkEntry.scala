@@ -268,6 +268,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_s_jsonl_roundtrip" -> ((s, d) => { // JSONL source/sink: write the
+      // documents table as JSON-lines, read it back with an explicit
+      // schema — identity vs the original proves the staging faces
+      val out = DerivedCache.any(s, s"jsonl:$d") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+        Staging.writeJsonl(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")), dir + "/docs")
+        dir + "/docs"
+      }
+      Staging.readJsonl(s, out,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, lang STRING, source STRING"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_s_orc_roundtrip" -> ((s, d) => { // ORC source/sink round-trip
+      val out = DerivedCache.any(s, s"orc:$d") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        Staging.writeOrc(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars")), dir + "/docs")
+        dir + "/docs"
+      }
+      Staging.readOrc(s, out)
+        .filter(col("n_chars") >= 100) // pushdown survives the format
+        .orderBy(col("doc_id"))
+    }),
+
     // -- projections / filters (P-family) --
     "q_p8_validity_filter" -> ((s, d) => {
       val meta = Tables.documents(s, d).select(
@@ -819,6 +845,11 @@ object SparkEntry {
     "q_j8_salted_join" ->
       """SELECT doc_id, upper(lang) AS lang_code FROM documents
          ORDER BY doc_id""",
+    "q_s_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "q_s_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars >= 100 ORDER BY doc_id""",
     "q_p8_validity_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) >= 100

@@ -40,6 +40,23 @@ object Staging {
   def appendCsv(df: DataFrame, path: String): Unit =
     df.write.mode("append").option("header", "true").option("escape", "\"").csv(path)
 
+  /** JSON-lines staging faces — the interchange format LLM training
+    * pipelines actually move documents in. One JSON object per line,
+    * so the files split cleanly (unlike multiLine CSV) and schema
+    * travels with the data. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC staging faces — second columnar format beside Parquet, for
+    * interop with ORC-based warehouses. Same pushdown/pruning story
+    * via the native ORC reader. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** P8: validity filter before graph load (reference
     * Edits.ipynb:515,1212-1216): content is a non-trivial string and
     * the row was actually classified. */
