@@ -46,10 +46,17 @@ object Bench {
     // remain comparable round-over-round; cross-run min-filtering is
     // the judge's established method for noise.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    // a failed query reports -1.0, not its elapsed-until-failure time —
+    // otherwise an env problem (e.g. missing JDK17 --add-opens) reads
+    // as a suspiciously fast bench instead of a broken one
     def runOnce(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val results = (1 to passes).map(_ => runOnce())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })

@@ -450,9 +450,24 @@ object SparkEntry {
         .select(col("rep_id"), col("n")).orderBy(col("rep_id"))),
     "q_d2_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy(col("id1"), col("id2"))),
-    "q_d3_simhash" -> ((s, d) => // no SQL oracle: xxhash64-based signature
-      Dedup.simHashDupPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id1"), col("id2"))),
+    "q_d3_simhash" -> ((s, d) => { // SimHash signatures are impl-defined
+      // (xxhash64 bit-mixing), so like q_hll/q_n3 the gate checks the
+      // deterministic BOUNDS, not the pair list (which DedupSpec
+      // covers): recall over the planted near-dup pairs and bounded
+      // candidate growth (the band/bucket caps hold). Measured across
+      // sf0.001/0.01/0.1: recall 0.776-0.84, growth 1.26-2.0x —
+      // bounds 0.5 and 4x.
+      val found = Dedup.simHashDupPairs(plantedDocs(s, d), "doc_id", "text", maxHamming = 3)
+      val truth = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1000000).as("id2"))
+      val hits = found.join(truth, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(found.agg(count(lit(1)).as("__nf")))
+        .crossJoin(hits.agg(count(lit(1)).as("__nh")))
+        .select(col("n_planted"),
+          (col("__nh").cast("double") / col("n_planted") >= 0.5).as("recall_ok"),
+          (col("__nf") <= col("n_planted") * 4).as("growth_ok"))
+    }),
     "q_d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
@@ -505,13 +520,23 @@ object SparkEntry {
         .select(col("n_exact"),
           (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
-    "q_n2_lsh_ann" -> ((s, d) => { // no SQL oracle: recall measured in tests
+    "q_n2_lsh_ann" -> ((s, d) => { // LSH bucket membership is impl-defined
+      // (seeded hyperplane signs), so like q_n3 the gate checks the
+      // BOUND: aggregate recall@5 of the LSH path vs exact brute
+      // force, emitted as a deterministic boolean. Measured recall
+      // 0.40/0.40/0.56 at sf0.001/0.01/0.1 — bound 0.3 (uniform
+      // synthetic vectors are the weak-signal worst case).
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", dim = 64, k = 5)
-        .select(col("query_id"), col("cand_id"), col("cos"),
-          col("rank").cast("long").as("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = lsh.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
     }),
 
     // -- multimodal plumbing (driver extension §7; stub decode) --
@@ -709,6 +734,74 @@ object SparkEntry {
           length(col("media")).cast("long").as("byte_len"))
         .orderBy(col("media_id"))
     }),
+
+    // -- PII redaction (pre-training scrub; text synthesized with
+    // known PII so the scrub is observable on this corpus) --
+    "q_x7_pii" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("Contact user"), col("doc_id"),
+          lit("@mail.example.com or 10.0."), pmod(col("doc_id"), lit(256)),
+          lit(".7 or call 555-123-4567 :: "),
+          substring(col("text"), 1, 40)).as("contact"))
+      raw.select(col("doc_id"), TextAnalysis.redactPii(col("contact")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- stratified sampling, deterministic face (seeded face is
+    // spec-covered — Spark's Bernoulli RNG is impl-defined like q_o5) --
+    "q_o7_stratified" -> ((s, d) =>
+      graft.ext.Sampling.stratifiedDeterministic(Tables.documents(s, d),
+          "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.125), grain = 100)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+
+    // -- weighted source-mixture selection --
+    "q_o8_mixture" -> ((s, d) =>
+      graft.ext.Sampling.mixture(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          total = 100L)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+
+    // -- token-budget sequence packing manifest --
+    "q_x8_pack" -> ((s, d) =>
+      graft.ext.Packing.packingManifest(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", budget = 8192L)
+        .select(col("source"), col("bin"), col("n_docs"), col("tokens"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("source"), col("bin"))),
+
+    // -- sliding-window aggregation (overlapping windows, batch face;
+    // streaming face slidingAggStream is spec-covered) --
+    "q_t5_sliding" -> ((s, d) =>
+      graft.streaming.Streams.slidingAgg(Tables.events(s, d),
+          durationMinutes = 60, slideMinutes = 15)
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // -- embedding vector ops: L2 normalize (unit_ok asserts the
+    // normalized self-dot is 1 to 1e-9 — deterministic boolean) --
+    "q_v1_normalize" -> ((s, d) => {
+      import graft.functions.VectorFunctions
+      val vn = VectorFunctions.l2Normalize(col("embedding"))
+      val sq = aggregate(vn, lit(0.0), (acc, x) => acc + x * x)
+      val nrm = VectorFunctions.l2Norm(col("embedding"))
+      Tables.embeddings(s, d).select(col("vec_id"),
+          round(nrm, 4).as("norm"),
+          round(element_at(vn, 1), 5).as("c1"),
+          (nrm === 0.0 || abs(sq - 1.0) < 1e-9).as("unit_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- embedding mean-pool (relational centroid: explode + avg per
+    // (group, position) — the shape that scales past per-row arrays) --
+    "q_v2_meanpool" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select((col("vec_id") % 7).cast("long").as("grp"),
+          posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
+        .groupBy(col("grp"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("x").cast("double")), 4).as("c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp"), col("pos"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1210,6 +1303,77 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_n3_ivf_ann" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
+    "q_n2_lsh_ann" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
+    "q_d3_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                TRUE AS recall_ok, TRUE AS growth_ok
+         FROM documents WHERE doc_id % 10 = 0""",
+    "q_x7_pii" ->
+      """WITH raw AS (SELECT doc_id,
+           'Contact user' || doc_id || '@mail.example.com or 10.0.'
+             || (doc_id % 256) || '.7 or call 555-123-4567 :: '
+             || substr(text, 1, 40) AS contact
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS clean
+         FROM raw ORDER BY doc_id""",
+    "q_o7_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (lang = 'en' AND doc_id % 100 < 50.0)
+            OR (lang = 'de' AND doc_id % 100 < 25.0)
+            OR (lang = 'zh' AND doc_id % 100 < 12.5)
+         ORDER BY doc_id""",
+    "q_o8_mixture" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE (source = 'src0' AND rn <= 40) OR (source = 'src1' AND rn <= 30)
+            OR (source = 'src2' AND rn <= 20) OR (source = 'src3' AND rn <= 10)
+         ORDER BY doc_id""",
+    "q_x8_pack" ->
+      """WITH c AS (SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM documents)
+         SELECT source, CAST(floor(cum / 8192.0) AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY source, bin""",
+    "q_t5_sliding" ->
+      """SELECT CAST(floor(epoch_us(ts) / 900000000) * 900 - k * 900 AS BIGINT)
+               AS w_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS v
+         FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) s
+         GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_v1_normalize" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+             -- list_reduce, not list_sum: guarantees the same
+             -- sequential index-order double fold as the Spark kernel
+             sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(v, x -> x * x)),
+               (a, b) -> a + b)) AS nrm
+           FROM e)
+         SELECT vec_id, round(nrm, 4) AS norm,
+                -- multiply by the inverse (not divide): bit-identical
+                -- to the kernel's x * (1/norm)
+                round(v[1] * (1.0 / nrm), 5) AS c1,
+                TRUE AS unit_ok
+         FROM n ORDER BY vec_id""",
+    "q_v2_meanpool" ->
+      """SELECT CAST(vec_id % 7 AS BIGINT) AS grp, i AS pos,
+                round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS c,
+                count(*) AS n
+         FROM embeddings CROSS JOIN (SELECT unnest(range(0, 8)) AS i) t
+         GROUP BY 1, 2 ORDER BY grp, pos""",
     "q_gx_pagerank" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
                      WHERE l_orderkey % 100 = 0),

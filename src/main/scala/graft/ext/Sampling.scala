@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data pipeline construction (driver
+  * extension, SURVEY §7 module 6): stratified sampling and weighted
+  * source-mixture selection — the two selection primitives a corpus
+  * build runs before tokenization (reference O5 is the plain-sample
+  * ancestor; these are its per-stratum generalizations).
+  *
+  * Two faces per operator, same split as reference O5 / q_o5:
+  *  - *deterministic*: selection is a pure function of the row key
+  *    (modulo hashing), so runs are reproducible, incremental re-runs
+  *    select the same rows, and a SQL oracle can replay the choice.
+  *  - *seeded-random*: Spark's own sampling machinery
+  *    (`df.stat.sampleBy`) for when statistical guarantees matter more
+  *    than replay; Bernoulli-sampled per stratum, spec-covered (the
+  *    sample RNG is impl-defined, like `df.sample` in q_o5's doc).
+  *
+  * Everything is a narrow filter or one window per stratum — no
+  * shuffle beyond the window's own partitioning, no driver loop; at
+  * 100 TB the deterministic face is a map-side filter.
+  */
+object Sampling {
+
+  /** Deterministic stratified sample: keep a row of stratum `s` iff
+    * `pmod(idCol, grain) < fractions(s) * grain`. With ids dense or
+    * hashed this hits the target fraction to within 1/grain per
+    * stratum. Strata absent from `fractions` are dropped (fraction 0).
+    *
+    * The selection predicate is a single CASE expression — fully
+    * codegen'd, pushed to the scan where the format allows. */
+  def stratifiedDeterministic(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], grain: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "fractions must not be empty")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    val keep = fractions.foldLeft(lit(-1.0)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(grain)) < keep * grain)
+  }
+
+  /** Seeded-random stratified sample via Spark's per-stratum Bernoulli
+    * sampler. Exact-fraction guarantees and RNG are Spark's
+    * (impl-defined bits — spec-covered, not oracle-gated). */
+  def stratifiedSeeded(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Weighted source-mixture selection: take the first
+    * `round(weights(s) * total)` rows of each source `s` in
+    * deterministic `orderCol` order — how a corpus build hits a target
+    * mixture ("50% web, 30% wiki, ...") while staying reproducible.
+    * Sources absent from `weights` contribute nothing.
+    *
+    * One `row_number` window partitioned by source; per-source quota
+    * comparison is a broadcast-free CASE. At scale the window is the
+    * standard top-n-per-key shape (or swap in
+    * [[graft.plans.TopK.topKPerKey]] when quotas are small enough for
+    * bounded heaps). */
+  def mixture(df: DataFrame, sourceCol: String, orderCol: String,
+      weights: Map[String, Double], total: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, round(lit(w) * total).cast("long")).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

@@ -110,6 +110,26 @@ object TextAnalysis {
     (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenOk * 0.2)
   }
 
+  /** PII redaction patterns — the pre-training scrub pass (emails,
+    * IPv4 addresses, phone-shaped digit runs). Deliberately simple
+    * RE2-compatible patterns so the same regex runs in any engine;
+    * swap for a vetted PII library's patterns in production. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact PII in place: emails → `<EMAIL>`, then IPv4 → `<IP>`,
+    * then phone numbers → `<PHONE>`. Order matters — the email
+    * pattern can contain digit runs, and IPv4 must win over the
+    * phone shape on dotted quads. Pure regexp_replace chain: fully
+    * codegen'd, no UDF, linear per row. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Polynomial rolling-hash document fingerprint:
     * h = fold(chars)((h, c) => (h * 31 + ord(c)) mod 2147483647).
     * Stays in BIGINT range at every step, so the DuckDB list_reduce

@@ -43,6 +43,18 @@ object VectorFunctions {
 
   /** Codegen'd cosine similarity of two float vectors. */
   def cosine(a: Column, b: Column): Column = ExprColumn(FloatVecCosine(ExprColumn.expr(a), ExprColumn.expr(b)))
+
+  /** L2 norm — sequential index-order double fold via the codegen'd
+    * self-dot, so the value is deterministic and oracle-replayable. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** L2-normalize to a unit `array<double>` (zero vectors come back
+    * as unscaled doubles rather than NaN-filled). Native one-pass
+    * kernel ([[FloatVecL2Normalize]]) — a `transform` lambda dividing
+    * by a norm subtree would re-evaluate the norm per ELEMENT after
+    * projection collapse inlines it into the lambda body (the
+    * MinHash.scala:10-24 trap, O(d²) per row); the kernel is O(2d). */
+  def l2Normalize(a: Column): Column = ExprColumn(FloatVecL2Normalize(ExprColumn.expr(a)))
 }
 
 /** Bridge Column <-> Expression (Spark 4 made the Column(expr)
@@ -115,6 +127,60 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** l2_normalize(a): array<float> → unit-norm array<double>, two tight
+  * loops (norm fold in index order, then scale). Zero-norm vectors are
+  * returned as unscaled doubles (not NaN-filled) so downstream cosine
+  * stays null-safe. */
+case class FloatVecL2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck(prettyName, child, child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vec_l2_normalize"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val xi = x.getFloat(i).toDouble; ss += xi * xi; i += 1 }
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getFloat(i).toDouble * inv; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ss = ctx.freshName("ss")
+      val xi = ctx.freshName("xi")
+      val inv = ctx.freshName("inv")
+      val arr = ctx.freshName("arr")
+      s"""
+         |final int $n = $x.numElements();
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = (double) $x.getFloat($i);
+         |  $ss += $xi * $xi;
+         |}
+         |final double $inv = ($ss == 0.0) ? 1.0 : 1.0 / java.lang.Math.sqrt($ss);
+         |final double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = ((double) $x.getFloat($i)) * $inv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cosine(a, b) = dot / (||a||·||b||), one fused loop. Null on null

@@ -31,6 +31,31 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
 
+  /** Sliding-window aggregation, batch face: count + sum(value) per
+    * (window, event_type) for overlapping windows (each event lands in
+    * duration/slide windows — Spark's `window()` expands them
+    * map-side, so this is one shuffle on the expanded keys, same as
+    * the tumbling case). Window start is emitted as epoch seconds
+    * (timezone-proof for the oracle compare). */
+  def slidingAgg(events: DataFrame, durationMinutes: Int = 60,
+      slideMinutes: Int = 15): DataFrame =
+    events.groupBy(
+        window(col("ts"), s"$durationMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Sliding-window aggregation, streaming face: same plan over an
+    * unbounded source with a watermark bounding window state. */
+  def slidingAggStream(events: DataFrame, durationMinutes: Int = 60,
+      slideMinutes: Int = 15, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), s"$durationMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+
   /** Sessionization, batch face: gap-based sessions (new session when
     * > gap since the user's previous event). One shuffle on user_id;
     * the two windows share the same partitioning so Catalyst plans a

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-4 training-pipeline operators: sampling, mixture, packing,
+  * PII redaction, vector normalize, sliding windows. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("stratifiedDeterministic keeps only listed strata at ~fraction") {
+    val out = Sampling.stratifiedDeterministic(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25), grain = 100)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de")))
+    val en = out.filter($"lang" === "en").count().toDouble
+    val enAll = docs.filter($"lang" === "en").count().toDouble
+    assert(en / enAll > 0.3 && en / enAll < 0.7, s"en fraction ${en / enAll}")
+    // deterministic: same call selects the same rows
+    val again = Sampling.stratifiedDeterministic(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25), grain = 100)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("stratifiedSeeded draws only listed strata, roughly at fraction") {
+    val out = Sampling.stratifiedSeeded(docs, "lang", Map("en" -> 0.5), seed = 7L)
+    assert(out.select("lang").distinct().as[String].collect().toSet == Set("en"))
+    val n = out.count().toDouble
+    val all = docs.filter($"lang" === "en").count().toDouble
+    assert(n / all > 0.2 && n / all < 0.8, s"fraction ${n / all}")
+  }
+
+  test("mixture honors per-source quotas in doc_id order") {
+    val out = Sampling.mixture(docs, "source", "doc_id",
+      Map("src0" -> 0.5, "src1" -> 0.2), total = 20L)
+    val by = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by.keySet.subsetOf(Set("src0", "src1")))
+    assert(by.getOrElse("src0", 0L) == 10L && by.getOrElse("src1", 0L) == 4L, by.toString)
+    // the rows taken are the LOWEST doc_ids of each source
+    val minSkipped = docs.filter($"source" === "src0")
+      .join(out.filter($"source" === "src0"), Seq("doc_id"), "left_anti")
+      .agg(min("doc_id")).as[Long].head()
+    val maxTaken = out.filter($"source" === "src0")
+      .agg(max("doc_id")).as[Long].head()
+    assert(maxTaken < minSkipped)
+  }
+
+  test("packByBudget: bins respect the exclusive-prefix-sum boundary") {
+    val df = Seq(
+      ("a", 1L, 3000L), ("a", 2L, 3000L), ("a", 3L, 3000L), ("a", 4L, 9000L),
+      ("b", 1L, 10000L), ("b", 2L, 1L)
+    ).toDF("shard", "ord", "toks")
+    val out = Packing.packByBudget(df, "shard", "ord", "toks", budget = 8192L)
+      .select("shard", "ord", "bin").as[(String, Long, Long)].collect().toSet
+    // a: cumExcl 0,3000,6000,9000 -> bins 0,0,0,1 ; b: 0,10000 -> 0,1
+    assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 1L)))
+  }
+
+  test("packingManifest sums doc counts and token mass per bin") {
+    val m = Packing.packingManifest(docs.select($"doc_id", $"source", $"n_chars"),
+      "source", "doc_id", "n_chars", budget = 8192L)
+    val total = m.agg(sum("n_docs")).as[Long].head()
+    assert(total == docs.count())
+    // no bin except possibly the last of a shard is under-full by more
+    // than one document's worth: every bin's tokens <= budget + max doc
+    val maxDoc = docs.agg(max("n_chars")).as[Long].head()
+    val over = m.filter($"tokens" > lit(8192L + maxDoc)).count()
+    assert(over == 0)
+  }
+
+  test("redactPii scrubs emails, IPs, and phones, leaves clean text alone") {
+    val out = Seq(
+      "mail me at jane.doe+spam@corp.example.org today",
+      "server at 192.168.0.1 rebooted",
+      "call 555-123-4567 or 555 987 6543",
+      "no pii here, just 42 and v1.2 release"
+    ).toDF("t").select(TextAnalysis.redactPii($"t").as("c")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server at <IP> rebooted")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "no pii here, just 42 and v1.2 release")
+  }
+
+  test("l2Normalize yields unit vectors; zero vector passes through") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = df.select($"id",
+      graft.functions.VectorFunctions.l2Normalize($"v").as("n"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(math.abs(out(1L)(0) - 0.6) < 1e-12 && math.abs(out(1L)(1) - 0.8) < 1e-12)
+    assert(out(2L).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("slidingAgg: every event lands in duration/slide windows") {
+    val events = graft.Tables.events(spark, sf0001)
+    val slid = graft.streaming.Streams.slidingAgg(events, 60, 15)
+    val massed = slid.agg(sum("n")).as[Long].head()
+    assert(massed == events.count() * 4)
+    // each window covers exactly the events within [start, start+60m)
+    val w0 = slid.orderBy($"w_start", $"event_type").first()
+    val s0 = w0.getLong(0)
+    val expect = events
+      .filter(unix_timestamp($"ts") >= s0 && unix_timestamp($"ts") < s0 + 3600 &&
+        $"event_type" === w0.getString(1)).count()
+    assert(w0.getLong(2) == expect)
+  }
+
+  test("slidingAggStream runs with a watermark over a rate-less memory stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.Streams.slidingAggStream(df, 60, 15, "1 hour")
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("slide_test").count()
+      assert(got == 4, s"one event must open 4 sliding windows, got $got")
+    } finally q.stop()
+  }
+}
