@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_fingerprint"),
       info("poly_fingerprint", "_FUNC_(text) - rolling-hash document fingerprint (h*31 + codepoint mod 2^31-1)"),
       (args: Seq[Expression]) => PolyFingerprint(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_l2_normalize"),
+      info("float_vec_l2_normalize", "_FUNC_(vec) - L2-normalize a float vector to a unit double vector"),
+      (args: Seq[Expression]) => FloatVecL2Normalize(args.head)))
   }
 
   private def intArg(e: Expression, name: String): Int = e.eval() match {

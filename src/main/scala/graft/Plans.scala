@@ -24,13 +24,18 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_j3_interconnect", "q_j3_bucketed", "q_motif_j3", "q_j9_delta_interconnect",
       "q_d2_minhash_lsh", "q_d7_drop_dups", "q_x1_langid", "q_n1_cosine_topk",
-      "q_o6_topk_per_key", "q_t2_sessionize")
+      "q_o6_topk_per_key", "q_t2_sessionize",
+      "q_ept_training_pipeline", "q_x8_pack", "q_t5_sliding", "q_v1_normalize")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // materialize so AQE's final plan is real
+      // Execute THIS QueryExecution (toRdd) — a derived count() or a
+      // df.write command builds its own QueryExecution, leaving this
+      // one un-finalized (isFinalPlan=false, no codegen ids).
+      val qe = df.queryExecution
+      qe.toRdd.foreach(_ => ())
       println(s"\n## $name\n")
       println("```")
-      println(df.queryExecution.explainString(
+      println(qe.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       println("```")
     }

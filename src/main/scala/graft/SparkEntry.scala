@@ -109,6 +109,21 @@ object SparkEntry {
       Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, k = 32, bands = 16, threshold = 0.5))
 
+  /** Full-width corpus for the training-pipeline flagship EP-T: the
+    * documents table plus planted *exact* duplicates (doc_id%10==5 →
+    * +2000000, same text) and planted *near* duplicates (doc_id%10==0
+    * → +1000000, two extra lead tokens) — so both dedup stages have
+    * known positives, with `source` kept for the packing stage. */
+  private def plantedFull(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"), col("source")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("duplicate marker "), col("text")).as("text"), col("source")))
+  }
+
   /** Same corpus with planted *exact* duplicates. */
   private def plantedExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -281,6 +296,20 @@ object SparkEntry {
           org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id LONG, text STRING, lang STRING, source STRING"))
         .orderBy(col("doc_id"))
+    }),
+    "q_s_shards_roundtrip" -> ((s, d) => { // sharded training-data
+      // writer round-trip: range-partitioned key-ordered shards with a
+      // per-file row cap, read back — identity vs the source table
+      // proves the output face loses/duplicates nothing
+      val out = DerivedCache.any(s, s"shards:$d") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+        Staging.writeShards(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          dir + "/docs", Seq("source", "doc_id"), numShards = 8,
+          maxRecordsPerFile = 200L)
+        dir + "/docs"
+      }
+      Staging.readShards(s, out).orderBy(col("doc_id"))
     }),
     "q_s_orc_roundtrip" -> ((s, d) => { // ORC source/sink round-trip
       val out = DerivedCache.any(s, s"orc:$d") {
@@ -792,6 +821,32 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // -- EP-T: the training-data pipeline flagship. Composes the gated
+    // operators end-to-end the way a corpus build runs them:
+    //   quality filter (q_x2 formula) → language select (q_x1) →
+    //   exact dedup (q_d1 face) → near-dup drop (q_d2 pairs + q_d7
+    //   component resolution) → PII scrub (q_x7) → token-budget
+    //   sequence packing (q_x8). The oracle replays every stage in
+    //   SQL. Corpus: documents + planted exact AND near duplicates,
+    //   so both dedup stages remove known positives. --
+    "q_ept_training_pipeline" -> ((s, d) => {
+      val scored = plantedFull(s, d)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("quality", round(TextAnalysis.qualityScore(col("text")), 4))
+      val filtered = scored
+        .filter(col("quality") >= 0.6 && col("lang_pred") =!= "und")
+      val exact = Dedup.dropExact(filtered, "doc_id", Seq("text"))
+      val pairs = Dedup.minHashDupPairs(exact.select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      val deduped = Dedup.dropNearDups(exact, "doc_id", pairs)
+      val clean = deduped.withColumn("clean_len",
+        length(TextAnalysis.redactPii(col("text"))).cast("long"))
+      graft.ext.Packing.packByBudget(clean, "source", "doc_id", "clean_len", 8192L)
+        .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"),
+          col("clean_len"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- embedding mean-pool (relational centroid: explode + avg per
     // (group, position) — the shape that scales past per-row arrays) --
     "q_v2_meanpool" -> ((s, d) =>
@@ -943,6 +998,8 @@ object SparkEntry {
     "q_s_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars >= 100 ORDER BY doc_id""",
+    "q_s_shards_roundtrip" ->
+      """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
     "q_p8_validity_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) >= 100
@@ -1368,6 +1425,89 @@ object SparkEntry {
                 round(v[1] * (1.0 / nrm), 5) AS c1,
                 TRUE AS unit_ok
          FROM n ORDER BY vec_id""",
+    "q_ept_training_pipeline" ->
+      """WITH RECURSIVE
+         base AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, text, source FROM documents
+           WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id + 1000000, 'duplicate marker ' || text, source
+           FROM documents WHERE doc_id % 10 = 0),
+         tok AS (SELECT doc_id, text, source,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM base),
+         met AS (SELECT doc_id, text, source, toks,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                 * 1.0 / length(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+                 * 1.0 / len(toks) ELSE 0.0 END AS sr,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS awl,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS h_en,
+             len(list_filter(toks, x -> list_contains(['el','los','y','es','un','una','que'], x))) AS h_es,
+             len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我'], x))) AS h_zh
+           FROM tok),
+         scored AS (SELECT doc_id, text, source,
+             CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred,
+             round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+               + least(sr * 4.0, 1.0) * 0.2
+               + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+           FROM met),
+         filtered AS (SELECT * FROM scored
+           WHERE quality >= 0.6 AND lang_pred <> 'und'),
+         exact AS (SELECT f.* FROM filtered f
+           JOIN (SELECT text, min(doc_id) AS m FROM filtered GROUP BY text) g
+             ON f.text = g.text AND f.doc_id = g.m),
+         t2 AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM exact),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM t2 WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  a.n AS n1, b.n AS n2, count(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM cand
+           WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM p
+           UNION SELECT id2, id1 FROM p),
+         reach AS (SELECT DISTINCT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+         deduped AS (SELECT * FROM exact
+           WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)),
+         clean AS (SELECT doc_id, source, lang_pred, quality,
+             CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS BIGINT)
+               AS clean_len
+           FROM deduped),
+         packed AS (SELECT *,
+             coalesce(sum(clean_len) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM clean)
+         SELECT doc_id, source, lang_pred, quality, clean_len,
+                CAST(floor(cum / 8192.0) AS BIGINT) AS bin
+         FROM packed ORDER BY doc_id""",
     "q_v2_meanpool" ->
       """SELECT CAST(vec_id % 7 AS BIGINT) AS grp, i AS pos,
                 round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS c,

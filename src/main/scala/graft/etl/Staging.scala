@@ -57,6 +57,25 @@ object Staging {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Sharded training-data writer — the pipeline's output face: the
+    * corpus range-partitioned into `numShards` key-ordered shards,
+    * rows sorted within each shard, files capped at
+    * `maxRecordsPerFile` rows. A downstream tokenizer/trainer streams
+    * each shard sequentially and shards are mutually key-disjoint
+    * (range partitioning), so readers scale horizontally without
+    * overlap. At 100 TB this is the standard layout: range exchange +
+    * local sort + rolling file writer, no driver involvement. */
+  def writeShards(df: DataFrame, path: String, shardCols: Seq[String],
+      numShards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartitionByRange(numShards, shardCols.map(col): _*)
+      .sortWithinPartitions(shardCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  def readShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** P8: validity filter before graph load (reference
     * Edits.ipynb:515,1212-1216): content is a non-trivial string and
     * the row was actually classified. */

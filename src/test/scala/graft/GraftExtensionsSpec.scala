@@ -23,6 +23,14 @@ class GraftExtensionsSpec extends graft.SparkSpec {
     assert(r.getSeq[Long](3).length == 4)
   }
 
+  test("float_vec_l2_normalize from SQL yields a unit vector") {
+    val r = spark.sql(
+      """SELECT float_vec_l2_normalize(
+           array(cast(3.0 as float), cast(4.0 as float))) AS n""").head()
+    val n = r.getSeq[Double](0)
+    assert(math.abs(n(0) - 0.6) < 1e-12 && math.abs(n(1) - 0.8) < 1e-12)
+  }
+
   test("SQL and Column APIs agree") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

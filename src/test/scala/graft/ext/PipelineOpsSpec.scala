@@ -110,6 +110,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w0.getLong(2) == expect)
   }
 
+  test("writeShards: key-disjoint range shards, per-file row cap, sorted files") {
+    import graft.etl.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString
+    val df = docs.select($"doc_id", $"source", $"n_chars")
+    Staging.writeShards(df, dir, Seq("source", "doc_id"), numShards = 4,
+      maxRecordsPerFile = 50L)
+    // identity round-trip
+    val back = Staging.readShards(spark, dir)
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // per-file properties: row cap and in-file ordering
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected >= 4 shard files, got ${files.length}")
+    for (f <- files) {
+      val rows = spark.read.parquet(f)
+        .select($"source", $"doc_id").as[(String, Long)].collect()
+      assert(rows.length <= 50, s"file over cap: ${rows.length}")
+      assert(rows.sortBy(r => (r._1, r._2)).toSeq == rows.toSeq, s"file not sorted: $f")
+    }
+    // range partitioning: per-FILE key ranges never interleave across
+    // shard partitions (files of the same partition may share keys)
+    val ord = implicitly[Ordering[(String, Long)]]
+    val spans = files.map { f =>
+      val ks = spark.read.parquet(f).select($"source", $"doc_id")
+        .as[(String, Long)].collect()
+      (ks.min(ord), ks.max(ord))
+    }.sortBy(_._1)(ord)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(ord.lteq(hi, lo2),
+        s"overlapping shard ranges: $hi vs $lo2")
+      case _ =>
+    }
+  }
+
   test("slidingAggStream runs with a watermark over a rate-less memory stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
