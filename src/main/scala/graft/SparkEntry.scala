@@ -830,12 +830,22 @@ object SparkEntry {
     //   SQL. Corpus: documents + planted exact AND near duplicates,
     //   so both dedup stages remove known positives. --
     "q_ept_training_pipeline" -> ((s, d) => {
-      val scored = plantedFull(s, d)
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-        .withColumn("quality", round(TextAnalysis.qualityScore(col("text")), 4))
-      val filtered = scored
-        .filter(col("quality") >= 0.6 && col("lang_pred") =!= "und")
-      val exact = Dedup.dropExact(filtered, "doc_id", Seq("text"))
+      // The SCORED projection is materialized once (stored-table
+      // semantics like hasKeyword/EP1's staged tables), in a single
+      // select so the TokenStats subtrees CSE into one tokenize pass.
+      // Downstream (filter, dedup join branches, pair-finding, the
+      // drop anti-join, packing) then reads plain columns — unstaged,
+      // pushdown/projection-collapse replicates the scoring kernels
+      // into every branch and the pipeline re-evaluates them ~30×
+      // per doc (measured 21 s → ~8 s cold at sf0.1).
+      val scored = DerivedCache.dataFrame(s, s"eptScored:$d") {
+        plantedFull(s, d).select(col("doc_id"), col("text"), col("source"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      }
+      val exact = Dedup.dropExact(
+        scored.filter(col("quality") >= 0.6 && col("lang_pred") =!= "und"),
+        "doc_id", Seq("text"))
       val pairs = Dedup.minHashDupPairs(exact.select(col("doc_id"), col("text")),
         "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       val deduped = Dedup.dropNearDups(exact, "doc_id", pairs)
