@@ -857,6 +857,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- quantile-gated filtering: keep documents at or above their
+    // language's median quality — the relative-threshold selection a
+    // corpus build uses instead of a fixed cutoff. Aggregate-as-window
+    // (percentile over a lang partition), one shuffle. --
+    "q_x9_quantile_filter" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+        .withColumn("p50", expr("percentile(quality, 0.5)").over(w))
+        .filter(col("quality") >= col("p50"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- corpus vocabulary extraction: top bigrams by document
+    // frequency (tokenizer-training shape: explode → distinct per doc
+    // → count → top-k). --
+    "q_x10_vocab" -> ((s, d) => {
+      val bi = Tables.documents(s, d).select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), 2))).as("bigram"))
+      bi.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram")).limit(100)
+    }),
+
     // -- embedding mean-pool (relational centroid: explode + avg per
     // (group, position) — the shape that scales past per-row arrays) --
     "q_v2_meanpool" -> ((s, d) =>
@@ -1518,6 +1544,42 @@ object SparkEntry {
          SELECT doc_id, source, lang_pred, quality, clean_len,
                 CAST(floor(cum / 8192.0) AS BIGINT) AS bin
          FROM packed ORDER BY doc_id""",
+    "q_x9_quantile_filter" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, lang, text,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                 * 1.0 / length(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+                 * 1.0 / len(toks) ELSE 0.0 END AS sr,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS awl
+           FROM t),
+         q AS (SELECT doc_id, lang,
+             round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+               + least(sr * 4.0, 1.0) * 0.2
+               + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+           FROM m),
+         p AS (SELECT *, quantile_cont(quality, 0.5)
+                 OVER (PARTITION BY lang) AS p50 FROM q)
+         SELECT doc_id, lang, quality FROM p
+         WHERE quality >= p50 ORDER BY doc_id""",
+    "q_x10_vocab" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bi AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1]))) AS bigram
+           FROM toks WHERE len(t) >= 2)
+         SELECT bigram, count(*) AS df FROM bi
+         GROUP BY bigram ORDER BY df DESC, bigram LIMIT 100""",
     "q_v2_meanpool" ->
       """SELECT CAST(vec_id % 7 AS BIGINT) AS grp, i AS pos,
                 round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS c,
