@@ -702,6 +702,16 @@ object SparkEntry {
           round(col("rank"), 4).as("rank"))
         .orderBy(col("node"))
     }),
+    "q_gx_sssp" -> ((s, d) => { // BFS hop distances from the min-id
+      // supplier landmark over the undirected sparse graph; oracle is
+      // a depth-bounded recursive-CTE BFS (bound 60; measured
+      // eccentricity 9/21/39 at sf0.001/0.01/0.1)
+      val (dict, g) = gxGraph(s, d, sparse = true)
+      graft.graphx.GraphOps.shortestPathsByOrigId(s, dict, g)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"),
+          col("dist").cast("long").as("dist"))
+        .orderBy(col("node"))
+    }),
     "q_gx_interconnect_am" -> ((s, d) => // flagship via gather-to-vertex (GraphX shape)
       graft.graphx.GraphOps.interconnectionsViaAggregateMessages(
           s, hasKeyword(s, d), belongsTo(s, d))
@@ -713,6 +723,17 @@ object SparkEntry {
     "q_t2_sessionize" -> ((s, d) =>
       graft.streaming.Streams.sessionize(Tables.events(s, d), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_id"))),
+    "q_t6_session_window" -> ((s, d) => // the BUILT-IN session_window
+      // face of q_t2 (native SessionWindow operator). Boundary
+      // semantics differ from sessionize at an exact-gap tie: merged
+      // windows need overlap (strict <), so a gap of exactly 30 min
+      // SPLITS here — the oracle replays >= accordingly.
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))),
     "q_t3_asof_join" -> ((s, d) =>
       graft.streaming.Streams.asOfLastEvent(Tables.events(s, d), "view", "purchase")
         .orderBy(col("event_id"))),
@@ -1605,6 +1626,31 @@ object SparkEntry {
          norm AS (SELECT count(*) * 1.0 / sum(r) AS f FROM raw)
          SELECT node, round(r * f, 4) AS rank FROM raw, norm
          ORDER BY node""",
+    "q_gx_sssp" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+         e0 AS (SELECT 'supplier:' || s AS a, 'part:' || p AS b FROM hk),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         lm AS (SELECT 'supplier:' || min(s) AS id FROM hk),
+         reach AS (SELECT id, 0 AS dist FROM lm
+                   UNION
+                   SELECT e.b AS id, r.dist + 1 AS dist
+                   FROM reach r JOIN edges e ON e.a = r.id
+                   WHERE r.dist < 60)
+         SELECT id AS node, CAST(min(dist) AS BIGINT) AS dist
+         FROM reach GROUP BY id ORDER BY node""",
+    "q_t6_session_window" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         y AS (SELECT *, lag(us) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM x),
+         z AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                              THEN 1 ELSE 0 END AS f FROM y),
+         w AS (SELECT *, CAST(sum(f) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM z)
+         SELECT user_id, min(us) AS start_us, count(*) AS n_events
+         FROM w GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "q_t2_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          y AS (SELECT *, lag(us) OVER

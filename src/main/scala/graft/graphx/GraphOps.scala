@@ -166,6 +166,35 @@ object GraphOps {
       .select(col("label"), col("orig_id"), col("rank"))
   }
 
+  /** Unweighted shortest-path distances (BFS hops) over the
+    * UNDIRECTED view of the graph, from the `landmarkLabel` node with
+    * the smallest numeric original id (deterministic, so a recursive-
+    * CTE oracle can replay it). GraphX `ShortestPaths` propagates
+    * dst→src along edge direction, so the edge set is symmetrized
+    * first. Unreachable nodes are omitted (empty landmark map). The
+    * landmark vid is a single driver-held long (tiny by construction,
+    * like the IVF centroids). */
+  def shortestPathsByOrigId(spark: SparkSession, dict: DataFrame,
+      graph: Graph[String, String], landmarkLabel: String = "supplier"): DataFrame = {
+    import spark.implicits._
+    val lmVid = dict.filter(col("label") === landmarkLabel)
+      .select(col("vid"), col("orig_id").cast("long").as("oid"))
+      .orderBy(col("oid")).limit(1)
+      .select(col("vid")).as[Long].collect()(0)
+    val undirected = Graph(graph.vertices,
+      graph.edges.union(graph.edges.map(e => GxEdge(e.dstId, e.srcId, e.attr))))
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(undirected, Seq(lmVid))
+    val dists = sp.vertices
+      .flatMap { case (vid, m) => m.get(lmVid).map(dd => (vid, dd)) }
+      .toDF("vid", "dist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dists.count() // materialize the O(V) result so the Pregel state can go
+    sp.unpersistVertices(blocking = false)
+    sp.edges.unpersist(blocking = false)
+    dict.join(dists, Seq("vid"))
+      .select(col("label"), col("orig_id"), col("dist"))
+  }
+
   /** The flagship interconnection query (J3) on GraphX primitives:
     * gather the (link, category) member set per keyword vertex, then
     * per-keyword pair expansion — the "collect-then-expand"

@@ -15,6 +15,12 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Executed plan, FINAL section only — AQE's toString appends the
+    * initial plan after `== Initial Plan ==`, which would double-count
+    * operators in string-based assertions. */
+  private def executedFinal(df: org.apache.spark.sql.DataFrame): String =
+    executed(df).split("== Initial Plan ==").head
+
   test("filter + projection push into the parquet scan") {
     val q = Tables.orders(spark, sf0001)
       .filter($"o_orderstatus" === "F")
@@ -83,5 +89,54 @@ class PlanShapeSpec extends SparkSpec {
       Tables.events(spark, sf0001), "view", "purchase", windowMinutes = 120))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval join degenerated to cross product:\n$plan")
+  }
+
+  test("stratified sampling is a pure scan-side filter (no shuffle)") {
+    val q = graft.ext.Sampling.stratifiedDeterministic(
+      Tables.documents(spark, sf0001), "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25), grain = 100)
+    val plan = executed(q)
+    assert(!plan.contains("Exchange"),
+      s"deterministic sample should not shuffle:\n$plan")
+  }
+
+  test("packing manifest reuses the shard partitioning: window + agg share one hash exchange") {
+    val q = graft.ext.Packing.packingManifest(
+      Tables.documents(spark, sf0001).select($"doc_id", $"source", $"n_chars"),
+      "source", "doc_id", "n_chars", budget = 8192L)
+    val plan = executedFinal(q)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange on source feeds the window; the (source, bin) agg is
+    // clustered by a superset key so it must NOT re-shuffle
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("sliding windows expand map-side: one aggregation shuffle only") {
+    val q = graft.streaming.Streams.slidingAgg(
+      Tables.events(spark, sf0001), 60, 15)
+    val plan = executedFinal(q)
+    assert(plan.contains("Expand"), s"window slides not expanded map-side:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
+  test("EP-T final plan: broadcast joins only, no cartesian family") {
+    val q = SparkEntry.queries("q_ept_training_pipeline")(spark, sf0001)
+    val plan = executed(q)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"EP-T degenerated to a cross product:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF in EP-T's hot path:\n$plan")
+  }
+
+  test("l2-normalize projection is codegen'd with no lambda subtrees") {
+    val q = Tables.embeddings(spark, sf0001).select(
+      graft.functions.VectorFunctions.l2Normalize($"embedding").as("v"))
+    val plan = executed(q)
+    assert(!plan.contains("lambdafunction"),
+      s"lambda subtree in the normalize projection:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      s"projection not codegen'd:\n$plan")
   }
 }

@@ -68,6 +68,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(am == Seq(("l1", "A", "l2", "B", "k1")))
   }
 
+  test("shortest paths: undirected BFS hops from the min-id landmark") {
+    // chain 1-10-2-11 plus a disconnected pair 3-12
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L)).toDF("src", "dst")
+    val d = GraphOps.vertexDictionary(Seq(
+      "supplier" -> e.select($"src").distinct(),
+      "part" -> e.select($"dst").distinct()))
+    val g = GraphOps.buildGraph(spark, d, Seq(("has", "supplier", "part", e)))
+    val sp = GraphOps.shortestPathsByOrigId(spark, d, g)
+      .select(concat_ws(":", $"label", $"orig_id").as("n"), $"dist")
+      .as[(String, Int)].collect().toMap
+    assert(sp == Map("supplier:1" -> 0, "part:10" -> 1,
+      "supplier:2" -> 2, "part:11" -> 3))
+  }
+
   test("heavy-hitter split: hot-key path and tail path agree on real data") {
     val hk = graft.Tables.lineitem(spark, sf0001)
       .select($"l_suppkey".as("src"), $"l_partkey".as("dst")).distinct()
