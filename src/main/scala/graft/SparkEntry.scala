@@ -398,6 +398,28 @@ object SparkEntry {
         .select(col("src"), col("dst")).orderBy(col("src"), col("dst"))
     }),
 
+    // -- snapshots / time travel (G5): snapshot a node table, mutate
+    // it (last-writer-wins upsert + compaction), read AS OF the
+    // snapshot — must equal the pre-mutation derivation --
+    "q_g5_time_travel" -> ((s, d) => {
+      val (st, v1) = DerivedCache.any(s, s"g5:$d") {
+        val root = java.nio.file.Files.createTempDirectory("graft_g5").toString
+        val store = new GraphStore(s, root)
+        val links = Tables.documents(s, d).select(
+          col("doc_id").as("url"), col("lang").as("category"), col("n_chars"))
+        store.writeNodes("link", links)
+        val v = store.snapshotNodes("link")
+        val incoming = links.filter(col("url") % 7 === 0)
+          .select(col("url"), lit("mutated").as("category"),
+            (col("n_chars") + 1).as("n_chars"))
+        store.writeNodes("link",
+          store.merge(store.nodes("link"), incoming, "url"))
+        store.compactNodes("link", targetRows = 100000L)
+        (store, v)
+      }
+      st.nodesAsOf("link", v1).orderBy(col("url"))
+    }),
+
     // -- viz projection (G4) --
     "q_g4_viz_nodes" -> ((s, d) => {
       val links = Tables.supplier(s, d)
@@ -1115,6 +1137,9 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM supplier
                            WHERE s_suppkey = src AND s_nationkey = 0)
          ORDER BY src, dst""",
+    "q_g5_time_travel" ->
+      """SELECT doc_id AS url, lang AS category, n_chars FROM documents
+         ORDER BY url""",
     "q_g4_viz_nodes" ->
       """SELECT 'Link:' || CAST(s_suppkey AS VARCHAR) AS id, s_name AS label,
                 'Link' AS "group"

@@ -179,6 +179,54 @@ final class GraphStore(spark: SparkSession, root: String) {
       .join(edges(relType).select(col("dst")).distinct(), col("name") === col("dst"), "left_semi")
     writeNodes(dimLabel, kept)
   }
+
+  // ---- snapshots / time travel ----
+
+  private def snapPath(label: String, v: Int) = s"$root/snapshots/$label/v=$v"
+
+  /** Snapshot the current state of a node table: an immutable copy
+    * under `snapshots/<label>/v=N` (N monotonically increasing). The
+    * generalization of the reference's save_to_csv-after-mutation
+    * habit (main.py:137,162): version the table, not just the latest
+    * export. File-level copy via the Hadoop FileSystem — no recompute,
+    * works on any supported root. Returns the new version. */
+  def snapshotNodes(label: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(nodePath(label))
+    val fs = src.getFileSystem(conf)
+    val v = listSnapshots(label).lastOption.getOrElse(0) + 1
+    val dst = new org.apache.hadoop.fs.Path(snapPath(label, v))
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    v
+  }
+
+  /** Read a node table as of a snapshot version (time travel). */
+  def nodesAsOf(label: String, v: Int): DataFrame =
+    spark.read.parquet(snapPath(label, v))
+
+  /** Available snapshot versions of a node table, ascending. */
+  def listSnapshots(label: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/snapshots/$label")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).toSeq.sorted
+  }
+
+  // ---- compaction ----
+
+  /** Compact a node table's small files: rewrite at ~`targetRows` rows
+    * per file (the small-files problem — a micro-batch upsert loop
+    * leaves one file per batch per partition, and at scale the
+    * metadata/open cost dominates scans). One repartition job through
+    * the staged-overwrite path, contents unchanged. */
+  def compactNodes(label: String, targetRows: Long = 1000000L): Unit = {
+    val df = nodes(label)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    writeNodes(label, df.repartition(files))
+  }
 }
 
 object GraphStore {

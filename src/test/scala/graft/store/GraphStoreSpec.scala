@@ -63,6 +63,37 @@ class GraphStoreSpec extends SparkSpec {
     assert(store.nodes("category").as[String].collect().toSeq == Seq("c1"))
   }
 
+  test("snapshots: versioned copies survive mutation; as-of reads time-travel") {
+    val root = java.nio.file.Files.createTempDirectory("graftstore3").toString
+    val store = new GraphStore(spark, root)
+    store.writeNodes("link", Seq(("u1", 1), ("u2", 2)).toDF("name", "v"))
+    val v1 = store.snapshotNodes("link")
+    store.writeNodes("link",
+      store.merge(store.nodes("link"), Seq(("u2", 20), ("u3", 3)).toDF("name", "v"), "name"))
+    val v2 = store.snapshotNodes("link")
+    assert(store.listSnapshots("link") == Seq(v1, v2) && v1 == 1 && v2 == 2)
+    assert(store.nodesAsOf("link", v1).orderBy("name").as[(String, Int)].collect().toSeq
+      == Seq(("u1", 1), ("u2", 2)))
+    assert(store.nodesAsOf("link", v2).orderBy("name").as[(String, Int)].collect().toSeq
+      == Seq(("u1", 1), ("u2", 20), ("u3", 3)))
+    // latest face unaffected by snapshot reads
+    assert(store.nodes("link").count() == 3)
+  }
+
+  test("compactNodes merges small files without changing contents") {
+    val root = java.nio.file.Files.createTempDirectory("graftstore4").toString
+    val store = new GraphStore(spark, root)
+    // 8 partitions -> 8 files for 16 rows: the micro-batch small-file shape
+    store.writeNodes("link", (1 to 16).map(i => (s"u$i", i)).toDF("name", "v").repartition(8))
+    def files() = new java.io.File(s"$root/nodes/link").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() >= 8)
+    val before = store.nodes("link").orderBy("name").as[(String, Int)].collect().toSeq
+    store.compactNodes("link", targetRows = 100L)
+    assert(files() == 1, s"expected 1 file after compaction, got ${files()}")
+    assert(store.nodes("link").orderBy("name").as[(String, Int)].collect().toSeq == before)
+  }
+
   test("detachDelete removes edges where the deleted node is the dst too") {
     val root = java.nio.file.Files.createTempDirectory("graftstore2").toString
     val store = new GraphStore(spark, root)
