@@ -204,6 +204,27 @@ object SparkEntry {
           col("url1"), col("url2"))
         .limit(100)
     }),
+    "q_sql_j3" -> ((s, d) => { // FLAGSHIP as a pure spark.sql textual
+      // query over registered views — the third query surface beside
+      // the Scala DataFrame API and the motif front-end (the
+      // reference's users write Cypher strings; SQL is the engine's
+      // native string surface, same Catalyst plan as q_j3)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                    FROM lineitem_v),
+          bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier_v)
+        SELECT e1.src AS url1, b1.dst AS category1,
+               e2.src AS url2, b2.dst AS category2,
+               e1.dst AS shared_keyword
+        FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        JOIN bt b1 ON b1.src = e1.src
+        JOIN bt b2 ON b2.src = e2.src
+        WHERE b1.dst <> b2.dst
+        ORDER BY shared_keyword, category1, category2, url1, url2
+        LIMIT 100""")
+    }),
     "q_j9_delta_interconnect" -> ((s, d) => { // incremental maintenance of
       // the flagship: only pairs contributed by a batch of "new" edges
       // (O(b·E/K) instead of O(E²/K) full recompute)
@@ -994,6 +1015,18 @@ object SparkEntry {
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
     "q_motif_j3" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+         bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
+         SELECT e1.src AS url1, b1.dst AS category1,
+                e2.src AS url2, b2.dst AS category2,
+                e1.dst AS shared_keyword
+         FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
+         JOIN bt b1 ON b1.src = e1.src
+         JOIN bt b2 ON b2.src = e2.src
+         WHERE b1.dst <> b2.dst
+         ORDER BY shared_keyword, category1, category2, url1, url2
+         LIMIT 100""",
+    "q_sql_j3" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
          bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)
          SELECT e1.src AS url1, b1.dst AS category1,
