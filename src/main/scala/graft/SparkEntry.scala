@@ -354,6 +354,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // -- data profiling: per-column nulls/distinct/min-max in ONE
+    // aggregation job over the input (multi-distinct via Expand),
+    // unpivoted to a row per column --
+    "q_p9_profile" -> ((s, d) =>
+      graft.ext.Profiling.profile(Tables.documents(s, d),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // -- sorts / limits / sampling (O-family) --
     "q_o1_multisort" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1117,6 +1125,28 @@ object SparkEntry {
          WHERE text IS NOT NULL AND length(trim(text)) >= 100
            AND lower(lang) <> 'uncategorized' AND lower(source) <> 'none'
          ORDER BY doc_id""",
+    "q_p9_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                count(*) - count(doc_id) AS n_nulls,
+                count(DISTINCT doc_id) AS n_distinct,
+                CAST(min(doc_id) AS VARCHAR) AS min_val,
+                CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+         UNION ALL
+         SELECT 'lang', count(*), count(*) - count(lang),
+                count(DISTINCT lang),
+                CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT 'source', count(*), count(*) - count(source),
+                count(DISTINCT source),
+                CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                count(DISTINCT n_chars),
+                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+         FROM documents
+         ORDER BY col_name""",
     "q_o1_multisort" ->
       """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_quantity
          FROM lineitem

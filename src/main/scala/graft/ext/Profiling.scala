@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators (driver extension, SURVEY §7 module 6):
+  * the health checks a pipeline runs before/after every stage —
+  * per-column null/distinct/min/max profile and a physical partition
+  * balance report for skew diagnosis.
+  */
+object Profiling {
+
+  /** Column profile: one output row per profiled column with total
+    * rows, null count, exact distinct count, and min/max rendered as
+    * strings (schema-stable across column types). ONE aggregation job
+    * for all columns — Spark plans the multi-distinct via Expand, so
+    * the input is read once regardless of how many columns are
+    * profiled; the single-row result is then unpivoted with an
+    * explode (no driver loop, no per-column scan). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__${c}__nonnull"),
+      countDistinct(col(c)).as(s"__${c}__distinct"),
+      min(col(c)).cast("string").as(s"__${c}__min"),
+      max(col(c)).cast("string").as(s"__${c}__max")))
+    val all = count(lit(1)).as("__n") +: aggs
+    val row = df.agg(all.head, all.tail: _*)
+    row.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__${c}__nonnull")).as("n_nulls"),
+        col(s"__${c}__distinct").as("n_distinct"),
+        col(s"__${c}__min").as("min_val"),
+        col(s"__${c}__max").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Physical partition balance: rows per partition id plus the
+    * max/mean ratio (the number a skew diagnosis starts from; 1.0 is
+    * perfectly balanced). Partition ids are a property of the current
+    * physical distribution — use the report to DECIDE on salting /
+    * repartitioning, not as stable output (spec-covered, not
+    * oracle-gated). */
+  def partitionStats(df: DataFrame): DataFrame = {
+    val per = df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    per.crossJoin(per.agg(
+        max(col("n_rows")).cast("double").as("__mx"),
+        avg(col("n_rows")).as("__mean")))
+      .select(col("partition_id"), col("n_rows"),
+        round(col("__mx") / col("__mean"), 4).as("max_over_mean"))
+  }
+}

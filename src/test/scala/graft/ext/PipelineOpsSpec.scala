@@ -145,6 +145,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("profile: nulls, distinct, min/max per column in one row each") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (3L, Some("a")))
+      .toDF("id", "s")
+    val p = Profiling.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == ("id", 4L, 0L, 3L, "1", "3"))
+    assert(p("s") == ("s", 4L, 1L, 2L, "a", "b"))
+  }
+
+  test("partitionStats: rows sum to total, ratio >= 1") {
+    val st = Profiling.partitionStats(docs)
+    assert(st.agg(sum("n_rows")).as[Long].head() == docs.count())
+    assert(st.select(min("max_over_mean")).as[Double].head() >= 1.0)
+  }
+
   test("slidingAggStream runs with a watermark over a rate-less memory stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
