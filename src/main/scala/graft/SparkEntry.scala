@@ -571,6 +571,31 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45, dim = 64)
         .orderBy(col("id1"), col("id2"))),
 
+    // -- corpus hygiene: decontamination + cross-corpus line dedup --
+    "q_c1_decontaminate" -> ((s, d) => { // benchmark n-gram collision
+      // report; bench side = every doc_id % 97 == 0 document's text
+      // (planted contamination: those docs must flag themselves)
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+      graft.ext.Decontaminate.contaminationReport(
+          docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+    "q_c2_line_dedup" -> ((s, d) => { // C4-style global line dedup:
+      // shape each doc into 5-token lines (the tiny synthetic vocab
+      // makes real cross-doc line collisions), keep only the first
+      // global occurrence of each distinct line, reassemble
+      val t = graft.ext.TextAnalysis.tokens(col("text"))
+      val shaped = Tables.documents(s, d).select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), floor((size(t) + lit(4)) / lit(5)).cast("int") - 1),
+            j => array_join(slice(t, j * lit(5) + lit(1), lit(5)), " ")),
+          "\n").as("text"))
+      graft.ext.LineDedup.dedupLines(shaped, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // -- similarity search (driver extension §7) --
     "q_n1_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -1389,6 +1414,37 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
          ORDER BY id1, id2""",
+    "q_c1_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 6),
+             i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           FROM toks WHERE len(t) >= 8),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         SELECT g.doc_id, count(*) AS n_hits
+         FROM g JOIN bg USING (gram)
+         GROUP BY g.doc_id ORDER BY doc_id""",
+    "q_c2_line_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         shaped AS (SELECT doc_id,
+           list_transform(range(0, (len(t) + 4) // 5),
+             j -> array_to_string(t[j*5+1:j*5+5], ' ')) AS ls
+           FROM toks),
+         lx AS (SELECT doc_id, u.line_no AS line_no, u.line AS line
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(0, len(ls)),
+                          i -> {'line_no': i, 'line': ls[i+1]})) AS u
+                      FROM shaped)),
+         fo AS (SELECT doc_id, line_no, line, row_number() OVER
+                  (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+                FROM lx)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+         FROM fo WHERE rn = 1
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
