@@ -60,10 +60,37 @@ object Bench {
     }
     val results = (1 to passes).map(_ => runOnce())
       .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    // Full-precision per-query map goes to a file: the driver keeps only
+    // the last 2000 chars of output, which truncated the 86-query JSON
+    // line in every round so far (BENCH_r*.json "parsed": null). The
+    // printed line carries the total (over ALL queries — comparable
+    // round-over-round) plus a representative headline subset, and
+    // stays well under the capture window.
+    val fullJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"sf":"$sfDir","passes":$passes}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL_LATEST.json")
+    try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"BENCH write ${fullPath}: $t") }
+    val headline = Seq(
+      "q_j1_link_listing", "q_j2_link_keywords", "q_j3_interconnect",
+      "q_j3_bucketed", "q_motif_j3", "q_sql_j3", "q_j9_delta_interconnect",
+      "q_ep1_pipeline", "q_ept_training_pipeline", "q_j4_semi_existing",
+      "q_j5_anti_orphans", "q_j7_merge_upsert", "q_d1_exact_dedup",
+      "q_d2_minhash_lsh", "q_d4_ngram_jaccard", "q_d7_drop_dups",
+      "q_n1_cosine_topk", "q_n3_ivf_ann", "q_x1_langid",
+      "q_x5_tfidf_top_term", "q_x10_vocab", "q_t2_sessionize",
+      "q_t4_interval_join", "q_gx_degrees", "q_gx_connected_components",
+      "q_gx_interconnect_am", "q_gx_pagerank", "q_gx_sssp",
+      "q_a5_keyword_freq", "q_agg_pricing", "q_g2_detach_delete",
+      "q_g5_time_travel", "q_o6_topk_per_key", "q_m1_media_features",
+      "q_w1_latest_per_key")
+    val resultMap = results.toMap
+    val qs = headline.flatMap(n => resultMap.get(n).map(v => f""""$n":$v%.3f"""))
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_queries":${results.size},"full":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
   }
 }
