@@ -449,6 +449,26 @@ object SparkEntry {
       st.nodesAsOf("link", v1).orderBy(col("url"))
     }),
 
+    // -- SCD-2 temporal merge (G6): dimension update batch applied
+    // with history kept — changed keys get their open row closed at
+    // the update ts plus a new open row; identical updates are no-ops
+    // (idempotence is the spec's property); closed rows never join --
+    "q_g6_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      val hist = cust.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      // every 7th key gets an update; every 14th is byte-identical to
+      // the current row, so change detection (not just key matching)
+      // is what the oracle checks
+      val upd = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") +
+          when(col("c_custkey") % 14 === 0, 0.0).otherwise(100.0), 2))
+        .withColumn("ts", lit(1000L))
+      GraphStore.scd2Apply(hist, upd, Seq("c_custkey"), "ts")
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // -- viz projection (G4) --
     "q_g4_viz_nodes" -> ((s, d) => {
       val links = Tables.supplier(s, d)
@@ -1228,6 +1248,27 @@ object SparkEntry {
     "q_g5_time_travel" ->
       """SELECT doc_id AS url, lang AS category, n_chars FROM documents
          ORDER BY url""",
+    "q_g6_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+                       FROM customer),
+         upd AS (SELECT c_custkey, c_name,
+                        round(c_acctbal + CASE WHEN c_custkey % 14 = 0
+                                               THEN 0 ELSE 100 END, 2) AS c_acctbal
+                 FROM cust WHERE c_custkey % 7 = 0),
+         chg AS (SELECT u.c_custkey FROM upd u
+                 JOIN cust c USING (c_custkey)
+                 WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+                    OR u.c_name IS DISTINCT FROM c.c_name)
+         SELECT c.c_custkey, c.c_name, c.c_acctbal,
+                CAST(0 AS BIGINT) AS valid_from,
+                CASE WHEN ch.c_custkey IS NOT NULL
+                     THEN CAST(1000 AS BIGINT) END AS valid_to
+         FROM cust c LEFT JOIN chg ch USING (c_custkey)
+         UNION ALL
+         SELECT u.c_custkey, u.c_name, u.c_acctbal,
+                CAST(1000 AS BIGINT), CAST(NULL AS BIGINT)
+         FROM upd u JOIN chg ch USING (c_custkey)
+         ORDER BY c_custkey, valid_from""",
     "q_g4_viz_nodes" ->
       """SELECT 'Link:' || CAST(s_suppkey AS VARCHAR) AS id, s_name AS label,
                 'Link' AS "group"

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -243,6 +243,66 @@ object GraphStore {
     df.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp)
   }
+
+  /** SCD-2 (slowly-changing-dimension, type 2) temporal merge: apply a
+    * batch of dimension updates while KEEPING history. `history` rows
+    * carry `valid_from`/`valid_to` (epoch-µs longs; `valid_to` null =
+    * current); `updates` carries the same key+attribute columns plus
+    * `tsCol`, the effective time of the new version.
+    *
+    * Semantics per key: if the incoming attributes differ from the
+    * current (open) row — null-safe struct comparison — the open row is
+    * closed at the update's ts and a new open row starts there; if they
+    * are identical the update is a no-op (idempotent re-apply); a key
+    * with no open row simply starts one. Closed history rows pass
+    * through untouched, so the expensive part is ONE shuffle of the
+    * open set + dedup of the update batch on the key — the plan that
+    * survives a 100 TB dimension with billions of closed rows (those
+    * never join). This is the reference's last-writer-wins MERGE..SET
+    * (Edits.ipynb:1256-1262) upgraded to keep the overwritten versions
+    * queryable via [[scd2AsOf]] — the table-versioned cousin of the
+    * file-level snapshots above. */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val attrCols = history.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == "valid_from" || c == "valid_to")
+    val open = history.filter(col("valid_to").isNull)
+      .withColumn("__has_old", lit(true))
+    val closedRows = history.filter(col("valid_to").isNotNull)
+    // one update per key: latest ts wins, then batch position (same
+    // contract as mergeByKey for in-batch duplicates)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col("__seq").desc)
+    val u = updates.withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(keys.map(col) ++ attrCols.map(c => col(c).as(s"__u_$c"))
+        :+ col(tsCol).cast("long").as("__u_ts"): _*)
+    val j = open.join(u, keys, "full_outer")
+    val hasOld = col("__has_old").isNotNull
+    val hasNew = col("__u_ts").isNotNull
+    val changed = !(struct(attrCols.map(col): _*) <=>
+      struct(attrCols.map(c => col(s"__u_$c")): _*))
+    def oldOut(vt: Column) = struct(
+      (keys ++ attrCols).map(c => col(c).as(c))
+        :+ col("valid_from").as("valid_from") :+ vt.as("valid_to"): _*)
+    def newOut = struct(
+      keys.map(c => col(c).as(c)) ++ attrCols.map(c => col(s"__u_$c").as(c))
+        :+ col("__u_ts").as("valid_from")
+        :+ lit(null).cast("long").as("valid_to"): _*)
+    val out = j.select(explode(
+      when(!hasNew, array(oldOut(lit(null).cast("long"))))
+        .when(!hasOld, array(newOut))
+        .when(changed, array(oldOut(col("__u_ts")), newOut))
+        .otherwise(array(oldOut(lit(null).cast("long"))))).as("__r"))
+      .select("__r.*")
+    closedRows.unionByName(out)
+  }
+
+  /** Point-in-time view of an SCD-2 history: the version of each key
+    * valid at `tsUs` (partition-prunable filter, no join). */
+  def scd2AsOf(history: DataFrame, tsUs: Long): DataFrame =
+    history.filter(col("valid_from") <= tsUs &&
+      (col("valid_to").isNull || col("valid_to") > tsUs))
 
   /** Last-writer-wins keyed upsert as a pure DataFrame transform (the
     * testable core of [[GraphStore.merge]]). `existing` gets batch seq

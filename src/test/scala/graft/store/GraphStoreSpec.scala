@@ -94,6 +94,33 @@ class GraphStoreSpec extends SparkSpec {
     assert(store.nodes("link").orderBy("name").as[(String, Int)].collect().toSeq == before)
   }
 
+  test("scd2Apply: changed keys close+reopen, identical updates are no-ops, " +
+      "new keys insert; asOf reads the right version") {
+    val hist = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    // a changes, b is byte-identical (no-op), d is new; c untouched
+    val upd = Seq(("a", 10), ("b", 2), ("d", 4)).toDF("k", "v")
+      .withColumn("ts", lit(100L))
+    val out = GraphStore.scd2Apply(hist, upd, Seq("k"), "ts")
+    val rows = out.orderBy("k", "valid_from")
+      .as[(String, Int, Long, Option[Long])].collect().toSeq
+    assert(rows == Seq(
+      ("a", 1, 0L, Some(100L)), ("a", 10, 100L, None),
+      ("b", 2, 0L, None), ("c", 3, 0L, None), ("d", 4, 100L, None)))
+    // point-in-time views straddle the update
+    assert(GraphStore.scd2AsOf(out, 50L).orderBy("k")
+      .as[(String, Int, Long, Option[Long])].collect().map(r => (r._1, r._2)).toSeq
+      == Seq(("a", 1), ("b", 2), ("c", 3)))
+    assert(GraphStore.scd2AsOf(out, 100L).orderBy("k")
+      .as[(String, Int, Long, Option[Long])].collect().map(r => (r._1, r._2)).toSeq
+      == Seq(("a", 10), ("b", 2), ("c", 3), ("d", 4)))
+    // idempotent: re-applying the same batch (later ts) changes nothing
+    val again = GraphStore.scd2Apply(out, upd.withColumn("ts", lit(200L)), Seq("k"), "ts")
+    assert(again.orderBy("k", "valid_from")
+      .as[(String, Int, Long, Option[Long])].collect().toSeq == rows)
+  }
+
   test("detachDelete removes edges where the deleted node is the dst too") {
     val root = java.nio.file.Files.createTempDirectory("graftstore2").toString
     val store = new GraphStore(spark, root)
