@@ -449,6 +449,25 @@ object SparkEntry {
       st.nodesAsOf("link", v1).orderBy(col("url"))
     }),
 
+    // -- Z-order clustering (G7): part table written Morton-ordered on
+    // (p_size, p_retailprice); a 2-D range predicate then reads only
+    // the files whose min/max straddle the query rectangle (LayoutSpec
+    // asserts the skip ratio; the gate proves result parity) --
+    "q_z1_zorder_scan" -> ((s, d) => {
+      val path = DerivedCache.any(s, s"zorder:$d") {
+        val p = java.nio.file.Files.createTempDirectory("graft_z").toString + "/part_z"
+        graft.store.Layout.zOrderWrite(Tables.part(s, d),
+          "p_size", "p_retailprice", p, numFiles = 16)
+        p
+      }
+      graft.store.Layout.read(s, path)
+        .filter(col("p_size").between(10, 30) &&
+          col("p_retailprice").between(905.0, 912.0))
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // -- SCD-2 temporal merge (G6): dimension update batch applied
     // with history kept — changed keys get their open row closed at
     // the update ts plus a new open row; identical updates are no-ops
@@ -1248,6 +1267,12 @@ object SparkEntry {
     "q_g5_time_travel" ->
       """SELECT doc_id AS url, lang AS category, n_chars FROM documents
          ORDER BY url""",
+    "q_z1_zorder_scan" ->
+      """SELECT p_partkey, p_size, round(p_retailprice, 2) AS p_retailprice
+         FROM part
+         WHERE p_size BETWEEN 10 AND 30
+           AND p_retailprice BETWEEN 905.0 AND 912.0
+         ORDER BY p_partkey""",
     "q_g6_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
                        FROM customer),
