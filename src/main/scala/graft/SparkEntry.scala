@@ -304,6 +304,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_j10_bloom_join" -> ((s, d) => {
+      // fact ⋈ selective dim under Catalyst's runtime bloom-filter
+      // reduction: the dim filter becomes bloom_filter_agg +
+      // might_contain ON THE FACT SCAN (PlanShapeSpec asserts it), so
+      // non-matching fact rows are dropped pre-shuffle — the 100 TB
+      // semi-join-reduction plan, gated here for result parity
+      val s2 = graft.query.Skew.runtimeBloomSession(s)
+      val li = Tables.lineitem(s2, d)
+      val supp = Tables.supplier(s2, d).filter(col("s_nationkey") === 3)
+      li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    "q_a12_heavy_hitters" -> ((s, d) =>
+      // Skew.heavyHitters in the gate: exact top-20 hottest join keys
+      // of the fact table (the split-point input for the hot/tail
+      // union plan saltedJoin and the AM flagship variant use)
+      graft.query.Skew.heavyHitters(Tables.lineitem(s, d), col("l_suppkey"), 20)),
+
     "q_s_jsonl_roundtrip" -> ((s, d) => { // JSONL source/sink: write the
       // documents table as JSON-lines, read it back with an explicit
       // schema — identity vs the original proves the staging faces
@@ -1177,6 +1198,14 @@ object SparkEntry {
     "q_j8_salted_join" ->
       """SELECT doc_id, upper(lang) AS lang_code FROM documents
          ORDER BY doc_id""",
+    "q_j10_bloom_join" ->
+      """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey = 3
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_a12_heavy_hitters" ->
+      """SELECT l_suppkey AS key, count(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
     "q_s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
     "q_s_orc_roundtrip" ->

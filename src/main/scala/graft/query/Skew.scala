@@ -42,4 +42,25 @@ object Skew {
   def heavyHitters(df: DataFrame, key: Column, topN: Int): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("key")).limit(topN)
+
+  /** Child session configured for Catalyst's runtime bloom-filter
+    * semi-join reduction (InjectRuntimeFilter): a selective dimension
+    * filter becomes a `bloom_filter_agg` on the build side and a
+    * `might_contain` predicate pushed into the big side's SCAN, so
+    * non-matching fact rows die before the shuffle instead of after
+    * it — at 100 TB that is the difference between shuffling the full
+    * fact table and ~the matching fraction. The stock thresholds
+    * assume a >10 GB application-side scan; this session drops that
+    * floor (and disables auto-broadcast, which would otherwise win at
+    * test scale and skip injection), leaving the 100 TB-shaped plan
+    * visible and assertable at any SF. Conf is per-session, so the
+    * shared session's settings are untouched. */
+  def runtimeBloomSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2
+  }
 }

@@ -129,6 +129,21 @@ class PlanShapeSpec extends SparkSpec {
       s"UDF in EP-T's hot path:\n$plan")
   }
 
+  test("runtime bloom filter: dim filter becomes might_contain on the fact side") {
+    val s2 = graft.query.Skew.runtimeBloomSession(spark)
+    val li = Tables.lineitem(s2, sf0001)
+    val supp = Tables.supplier(s2, sf0001).filter(col("s_nationkey") === 3)
+    val q = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"no bloom probe on the fact side:\n$optimized")
+    assert(optimized.contains("bloom_filter_agg"),
+      s"no bloom build on the dim side:\n$optimized")
+    // and the shared session is untouched by the child session's conf
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+  }
+
   test("l2-normalize projection is codegen'd with no lambda subtrees") {
     val q = Tables.embeddings(spark, sf0001).select(
       graft.functions.VectorFunctions.l2Normalize($"embedding").as("v"))
