@@ -923,6 +923,18 @@ object SparkEntry {
 
     // -- PII redaction (pre-training scrub; text synthesized with
     // known PII so the scrub is observable on this corpus) --
+    "q_x11_normalize_text" -> ((s, d) => {
+      // canonical normalization gate: decorate each doc with the full
+      // zoo of chars the normalizer handles (curly quote, em-dash,
+      // NBSP, CRLF, BEL control) so every rule is exercised, then
+      // normalize — the DuckDB oracle mirrors the chain with chr()
+      val decorated = concat(lit("\u201CHi\u2014there\u00A0 "), col("text"),
+        lit(" \r\nEND\u0007"))
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.normalizeText(decorated).as("norm"))
+        .withColumn("n", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "q_x7_pii" -> ((s, d) => {
       val raw = Tables.documents(s, d).select(col("doc_id"),
         concat(lit("Contact user"), col("doc_id"),
@@ -1662,6 +1674,24 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,
                 TRUE AS recall_ok, TRUE AS growth_ok
          FROM documents WHERE doc_id % 10 = 0""",
+    "q_x11_normalize_text" ->
+      """WITH dec AS (SELECT doc_id,
+           chr(8220) || 'Hi' || chr(8212) || 'there' || chr(160) || ' '
+             || text || ' ' || chr(13) || chr(10) || 'END' || chr(7) AS t
+           FROM documents),
+         norm AS (SELECT doc_id, lower(trim(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '\r\n?', chr(10), 'g'),
+             '[\x00-\x08\x0B-\x1F\x7F\x80-\x9F]', '', 'g'),
+             '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+             '[\x{2018}\x{2019}\x{201A}\x{201B}]', '''', 'g'),
+             '[\x{201C}\x{201D}\x{201E}\x{201F}]', '"', 'g'),
+             '[\x{2012}-\x{2015}\x{2212}]', '-', 'g'),
+             ' +', ' ', 'g'))) AS norm
+           FROM dec)
+         SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n
+         FROM norm ORDER BY doc_id""",
     "q_x7_pii" ->
       """WITH raw AS (SELECT doc_id,
            'Contact user' || doc_id || '@mail.example.com or 10.0.'

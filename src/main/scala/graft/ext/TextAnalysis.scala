@@ -130,6 +130,27 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Canonical text normalization — the standard pre-dedup /
+    * pre-tokenize cleanup stage of a training-data pipeline. In
+    * order: unify Windows/old-Mac newlines, strip other C0/C1 control
+    * chars, map the common Unicode space variants (NBSP, ogham, en/em
+    * quads, thin/hair, line/para separators, ideographic) to ASCII
+    * space, unify curly quotes and long dashes, collapse space runs
+    * (newlines survive), trim, lowercase. Pure regexp_replace/lower
+    * chain — codegen'd, no UDF, linear per row; every step has an
+    * exact DuckDB mirror so the gate hash-matches. */
+  def normalizeText(text: Column): Column = {
+    val newlines = regexp_replace(text, "\\r\\n?", "\n")
+    val controls = regexp_replace(newlines, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]", "")
+    val spaces = regexp_replace(controls,
+      "[\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]", " ")
+    val quotes = regexp_replace(spaces, "[\\u2018\\u2019\\u201A\\u201B]", "'")
+    val dquotes = regexp_replace(quotes, "[\\u201C\\u201D\\u201E\\u201F]", "\"")
+    val dashes = regexp_replace(dquotes, "[\\u2012-\\u2015\\u2212]", "-")
+    val collapsed = regexp_replace(dashes, " +", " ")
+    lower(trim(collapsed))
+  }
+
   /** Polynomial rolling-hash document fingerprint:
     * h = fold(chars)((h, c) => (h * 31 + ord(c)) mod 2147483647).
     * Stays in BIGINT range at every step, so the DuckDB list_reduce

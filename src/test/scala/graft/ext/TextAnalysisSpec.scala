@@ -55,6 +55,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("normalizeText: newlines, controls, unicode spaces/quotes/dashes, " +
+      "collapse, trim, lowercase") {
+    val cases = Seq(
+      "A\r\nB\rC\nD" -> "a\nb\nc\nd",             // CRLF and CR to LF
+      "x\u0007y\u0001z\u009F" -> "xyz",             // C0/C1 controls dropped
+      "a\u00A0b\u2003c\u3000d" -> "a b c d",        // unicode spaces to ASCII
+      "\u2018q\u2019 \u201Cw\u201D" -> "'q' \"w\"",  // curly quotes unified
+      "a\u2014b\u2013c\u2212d" -> "a-b-c-d",        // em/en-dash + minus unified
+      "  A   B  " -> "a b",                        // collapse + trim + lower
+      "tab\tkept" -> "tab\tkept")                  // tab is NOT a space variant
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+    // idempotent: normalizing a normalized string is a no-op
+    val again = out.toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).as[String].collect().toSeq
+    assert(again == out)
+  }
+
   test("fingerprint matches a reference implementation and is order-sensitive") {
     def ref(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
