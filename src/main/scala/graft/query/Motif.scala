@@ -47,20 +47,45 @@ object Motif {
   }
 
   /** Translate a motif to a DataFrame whose columns are the motif's
-    * variables (each holding the matched node key). */
+    * variables (each holding the matched node key).
+    *
+    * Join ORDER is chosen by the motif layer (Catalyst reorders inner
+    * joins only with CBO stats, which ad-hoc DataFrames lack): start
+    * from the pattern with the smallest estimated edge table
+    * (Catalyst's `sizeInBytes` — file-size based, no counting job),
+    * then greedily attach the smallest pattern that shares a variable
+    * with what's bound so far. A disconnected group therefore
+    * cross-joins only when no connected pattern remains (true Cypher
+    * comma semantics) — never just because the motif STRING listed
+    * elements in an unfortunate order. All joins are inner equi-joins
+    * on shared variables, so the chosen order cannot change the
+    * result set, only the plan. */
   def find(edges: Map[String, DataFrame], pattern: String): DataFrame = {
     val pats = parse(pattern)
     require(pats.nonEmpty, "empty motif")
-    val bound = pats.map { p =>
-      val e = edges.getOrElse(p.rel, throw new IllegalArgumentException(
-        s"unknown rel type '${p.rel}' (have: ${edges.keys.toSeq.sorted.mkString(", ")})"))
-      e.select(col("src").as(p.src), col("dst").as(p.dst))
+    val relSize: Map[String, BigInt] = pats.map(_.rel).distinct.map { r =>
+      val e = edges.getOrElse(r, throw new IllegalArgumentException(
+        s"unknown rel type '$r' (have: ${edges.keys.toSeq.sorted.mkString(", ")})"))
+      r -> e.queryExecution.optimizedPlan.stats.sizeInBytes
+    }.toMap
+    def bind(p: Pattern): DataFrame =
+      edges(p.rel).select(col("src").as(p.src), col("dst").as(p.dst))
+    // stable sort: size, then textual position as the tiebreak
+    var remaining = pats.zipWithIndex
+      .sortBy { case (p, i) => (relSize(p.rel), i) }.map(_._1).toList
+    var acc = bind(remaining.head)
+    var accVars = Set(remaining.head.src, remaining.head.dst)
+    remaining = remaining.tail
+    while (remaining.nonEmpty) {
+      val next = remaining.find(p => accVars(p.src) || accVars(p.dst))
+        .getOrElse(remaining.head) // no connected pattern left: new group
+      remaining = remaining.filterNot(_ eq next)
+      val df = bind(next)
+      val common = acc.columns.intersect(df.columns).toSeq
+      acc = if (common.isEmpty) acc.crossJoin(df) else acc.join(df, common)
+      accVars ++= Seq(next.src, next.dst)
     }
-    val joined = bound.reduceLeft { (acc, next) =>
-      val common = acc.columns.intersect(next.columns).toSeq
-      if (common.isEmpty) acc.crossJoin(next) else acc.join(next, common)
-    }
-    val visible = joined.columns.filterNot(_.startsWith("__anon"))
-    joined.select(visible.map(col): _*)
+    val visible = acc.columns.filterNot(_.startsWith("__anon"))
+    acc.select(visible.map(col): _*)
   }
 }

@@ -47,6 +47,23 @@ class MotifSpec extends SparkSpec {
     assert(out.columns.sorted.toSeq == Seq("a", "c", "cat", "k"))
   }
 
+  test("join order: disconnected TEXTUAL order still avoids cross joins " +
+      "when a connecting pattern exists") {
+    val lt = Seq(("l1", "l3")).toDF("src", "dst")
+    // textually, elements 1 and 2 share no variable — the naive
+    // left-to-right fold cross-joined them; the greedy connected
+    // ordering must route through element 3 instead
+    val out = Motif.find(Map("HK" -> hk, "BT" -> bt, "LT" -> lt),
+      "(a)-[:HK]->(k); (c)-[:BT]->(cat); (a)-[:LT]->(c)")
+    val plan = { out.collect(); out.queryExecution.executedPlan.toString }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross join despite connected motif:\n$plan")
+    val rows = out.select("a", "k", "c", "cat")
+      .as[(String, String, String, String)].collect().toSet
+    assert(rows == Set(("l1", "k1", "l3", "A")))
+  }
+
   test("flagship J3 as a motif string matches the hand-written join DAG") {
     val motif = Motif.find(Map("HAS_KEYWORD" -> hk, "BELONGS_TO" -> bt),
         "(url1)-[:HAS_KEYWORD]->(kw); (url2)-[:HAS_KEYWORD]->(kw); " +
