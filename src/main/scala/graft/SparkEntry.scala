@@ -960,6 +960,31 @@ object SparkEntry {
           total = 100L)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
+    "q_o9_weighted_sample" -> ((s, d) =>
+      // quality-weighted downsampling: acceptance by id-modulo against
+      // the doc's own quality score — reproducible (no RNG), map-side,
+      // the curriculum-selection stage of a corpus build
+      graft.ext.Sampling.weightedDeterministic(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            round(TextAnalysis.qualityScore(col("text")), 4).as("quality")),
+          "doc_id", col("quality"), grain = 100)
+        .orderBy(col("doc_id"))),
+
+    "q_x12_token_ids" -> ((s, d) => {
+      // tokenize-to-ids against the session vocab (top-100 unigrams by
+      // df): ids are 1-based vocab positions, 0 = OOV; emitted joined
+      // as a string so the gate compares exact sequences
+      val docs = Tables.documents(s, d)
+      val vocab = DerivedCache.any(s, s"vocab100:$d") {
+        TextAnalysis.topVocab(docs, col("text"), 100)
+      }
+      docs.select(col("doc_id"),
+          TextAnalysis.tokenIds(col("text"), vocab).as("ids"))
+        .select(col("doc_id"), array_join(col("ids"), " ").as("ids_str"),
+          size(col("ids")).cast("long").as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- token-budget sequence packing manifest --
     "q_x8_pack" -> ((s, d) =>
       graft.ext.Packing.packingManifest(
@@ -1718,6 +1743,46 @@ object SparkEntry {
          WHERE (source = 'src0' AND rn <= 40) OR (source = 'src1' AND rn <= 30)
             OR (source = 'src2' AND rn <= 20) OR (source = 'src3' AND rn <= 10)
          ORDER BY doc_id""",
+    "q_o9_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, lang, text, len(toks) AS n_toks,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+               * 1.0 / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+               * 1.0 / len(toks) ELSE 0.0 END AS sr,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS awl
+           FROM t),
+         q AS (SELECT doc_id, lang,
+           round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+                 + least(sr * 4.0, 1.0) * 0.2
+                 + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+           FROM m)
+         SELECT doc_id, lang, quality FROM q
+         WHERE doc_id % 100 < floor(quality * 100)
+         ORDER BY doc_id""",
+    "q_x12_token_ids" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         dfreq AS (SELECT tok, count(*) AS df
+           FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+           GROUP BY tok),
+         vl AS (SELECT list(tok ORDER BY df DESC, tok) AS v
+           FROM (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100))
+         SELECT doc_id,
+           array_to_string(list_transform(t,
+             x -> CAST(coalesce(list_position(v, x), 0) AS VARCHAR)),
+             ' ') AS ids_str,
+           CAST(len(t) AS BIGINT) AS n_toks
+         FROM toks CROSS JOIN vl ORDER BY doc_id""",
     "q_x8_pack" ->
       """WITH c AS (SELECT doc_id, source, n_chars,
              coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

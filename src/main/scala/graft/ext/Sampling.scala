@@ -50,6 +50,18 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Per-row weighted sample: keep a row iff
+    * `pmod(idCol, grain) < weight * grain`, where `weight` is any
+    * [0,1] Column (e.g. a quality score) — the quality-weighted
+    * downsampling stage of a corpus build ("keep high-quality docs
+    * with high probability, junk with low"), reproducible and
+    * oracle-checkable because the acceptance test is modular
+    * arithmetic on the id, not an RNG. Map-side filter: no shuffle,
+    * pushes past column pruning like any predicate. */
+  def weightedDeterministic(df: DataFrame, idCol: String, weight: Column,
+      grain: Int = 100): DataFrame =
+    df.filter(pmod(col(idCol), lit(grain)) < floor(weight * grain))
+
   /** Weighted source-mixture selection: take the first
     * `round(weights(s) * total)` rows of each source `s` in
     * deterministic `orderCol` order — how a corpus build hits a target

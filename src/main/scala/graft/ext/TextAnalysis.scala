@@ -43,14 +43,14 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
 
   /** n-gram word shingles joined with single spaces; empty array when
-    * the document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * the document has fewer than n tokens (null text included, for
+    * parity with the old Column formulation). Fused codegen kernel
+    * ([[graft.functions.ShingleKernel]]) — the HOF formulation
+    * re-walked the token array per shingle, interpreted, and its
+    * lambda ids defeated CSE (the TokenStats/MinHash mechanism). */
+  def shingles(text: Column, n: Int): Column =
+    coalesce(graft.functions.TextStats.shingles(text, n),
+      array().cast("array<string>"))
 
   /** Tiny per-language stopword lists for the n-gram language-ID
     * heuristic (canonical copy lives in the codegen kernel,
@@ -149,6 +149,31 @@ object TextAnalysis {
     val dashes = regexp_replace(dquotes, "[\\u2012-\\u2015\\u2212]", "-")
     val collapsed = regexp_replace(dashes, " +", " ")
     lower(trim(collapsed))
+  }
+
+  /** Top-`n` unigram vocabulary by document frequency (ties broken by
+    * token), collected to the driver. Vocabularies are tiny by
+    * construction (same driver-held-smalls precedent as the IVF
+    * centroid table); the heavy part — the distinct-token explode and
+    * count — is a distributed hash aggregation. */
+  def topVocab(docs: org.apache.spark.sql.DataFrame, textCol: Column, n: Int): Seq[String] = {
+    import org.apache.spark.sql.Encoders
+    docs.select(explode(array_distinct(tokens(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(n)
+      .select(col("tok")).as(Encoders.STRING).collect().toSeq
+  }
+
+  /** Encode whitespace tokens as vocabulary ids — the tokenize-to-ids
+    * stage every training pipeline runs before packing. Ids are
+    * 1-based positions in `vocab`; out-of-vocabulary tokens get 0
+    * (`array_position`'s not-found value). The vocab rides along as an
+    * array literal in the plan — broadcast once per stage by Tungsten,
+    * no join, no shuffle; emitted as strings so downstream `array_join`
+    * faces stay type-stable. */
+  def tokenIds(text: Column, vocab: Seq[String]): Column = {
+    val v = array(vocab.map(lit): _*)
+    transform(tokens(text), t => array_position(v, t).cast("string"))
   }
 
   /** Polynomial rolling-hash document fingerprint:

@@ -129,9 +129,65 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-gram shingles, fused. The Column formulation
+  * (`transform(sequence(0, size-n), i -> array_join(slice(t,i+1,n)))`)
+  * is a lambda HOF: interpreted, CSE-defeated (fresh lambda ids per
+  * copy), and it re-walks the token array per shingle through generic
+  * ArrayData. This tokenizes once and emits the joined n-grams in one
+  * pass — the hot inner loop of decontamination (n=8 over the full
+  * corpus) and n-gram Jaccard.
+  *
+  * Parity contract (DuckDB oracles): tokens = trim + split `\s+`,
+  * empties dropped; shingle = n consecutive tokens joined with a
+  * single space; fewer than n tokens → empty array. Bit-identical to
+  * the Column formulation it replaces. */
+object ShingleKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = Ws.split(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires string, got ${child.dataType.simpleString}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStats {
   /** Column API: `[n_tokens, sum_token_len, hits_de.. hits_zh]`. */
   def tokenStats(text: Column): Column = ExprColumn(TokenStats(ExprColumn.expr(text)))
   /** Column API: rolling-hash document fingerprint. */
   def fingerprint(text: Column): Column = ExprColumn(PolyFingerprint(ExprColumn.expr(text)))
+  /** Column API: word n-gram shingles joined with single spaces. */
+  def shingles(text: Column, n: Int): Column = ExprColumn(WordShingles(ExprColumn.expr(text), n))
 }
