@@ -325,6 +325,26 @@ object SparkEntry {
       // union plan saltedJoin and the AM flagship variant use)
       graft.query.Skew.heavyHitters(Tables.lineitem(s, d), col("l_suppkey"), 20)),
 
+    "q_a13_cms" -> ((s, d) => {
+      // count-min sketch, built and probed relationally: estimates for
+      // the exact top-20 keys must never undercount and stay within
+      // the ε·N bound (ε = e/width) — the bounds-gate shape (q_hll
+      // precedent; cell placement is xxhash64, impl-defined)
+      val li = Tables.lineitem(s, d)
+      val sketch = graft.ext.Sketches.cmsSketch(li, "l_suppkey", 4, 8192)
+      val exact = li.groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("key")).limit(20)
+      val est = graft.ext.Sketches.cmsEstimate(
+        exact.select("key"), sketch, "key", 4, 8192)
+      val total = li.agg(count(lit(1)).as("__N"))
+      exact.join(est, "key").crossJoin(total)
+        .select(col("key"), col("n"),
+          (col("est") >= col("n")).as("no_undercount"),
+          (col("est") <= col("n") + ceil(lit(2.72 / 8192.0) * col("__N")))
+            .as("within_eps"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     "q_s_jsonl_roundtrip" -> ((s, d) => { // JSONL source/sink: write the
       // documents table as JSON-lines, read it back with an explicit
       // schema — identity vs the original proves the staging faces
@@ -1243,6 +1263,10 @@ object SparkEntry {
     "q_a12_heavy_hitters" ->
       """SELECT l_suppkey AS key, count(*) AS n FROM lineitem
          GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
+    "q_a13_cms" ->
+      """SELECT l_suppkey AS key, count(*) AS n,
+                TRUE AS no_undercount, TRUE AS within_eps
+         FROM lineitem GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
     "q_s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
     "q_s_orc_roundtrip" ->

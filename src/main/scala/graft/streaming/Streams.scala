@@ -234,4 +234,30 @@ object Streams {
         store.writeNodes(label, merged)
       }
       .start()
+
+  /** One SCD-2 micro-batch against a stored dimension (exposed for
+    * batch-driven tests; [[scd2Sink]] wires it to foreachBatch). */
+  def applyScd2Batch(store: graft.store.GraphStore, label: String,
+      keys: Seq[String], tsCol: String)(batch: DataFrame): Unit =
+    store.writeNodes(label,
+      graft.store.GraphStore.scd2Apply(store.nodes(label), batch, keys, tsCol))
+
+  /** Streaming SCD-2 sink: each micro-batch of dimension updates is
+    * applied with history KEPT ([[graft.store.GraphStore.scd2Apply]]) —
+    * the continuously-ingesting face of the temporal merge. The stored
+    * node table accumulates the full version history; any point in
+    * time reads back via `GraphStore.scd2AsOf`. Identical updates
+    * re-delivered by at-least-once sources are no-ops (scd2Apply's
+    * idempotence), which is what makes this sink safe under
+    * foreachBatch's replay semantics. */
+  def scd2Sink(stream: DataFrame, keys: Seq[String], tsCol: String,
+      store: graft.store.GraphStore, label: String)(
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyScd2Batch(store, label, keys, tsCol)(batch)
+      }
+      .start()
 }

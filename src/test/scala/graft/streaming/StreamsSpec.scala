@@ -154,6 +154,34 @@ class StreamsSpec extends SparkSpec {
       full.exceptAll(incremental).count() == 0)
   }
 
+  test("streaming SCD-2 sink: micro-batches accumulate version history; " +
+      "re-delivered updates are no-ops") {
+    val root = java.nio.file.Files.createTempDirectory("graftscd2").toString
+    val store = new graft.store.GraphStore(spark, root)
+    store.writeNodes("dim", Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long")))
+    val apply = Streams.applyScd2Batch(store, "dim", Seq("k"), "ts") _
+    // batch 1: a changes at t=100, c appears
+    apply(Seq(("a", 10, 100L), ("c", 3, 100L)).toDF("k", "v", "ts"))
+    // batch 2: at-least-once replay of batch 1 (must be a no-op),
+    // then b changes at t=200
+    apply(Seq(("a", 10, 150L), ("c", 3, 150L)).toDF("k", "v", "ts"))
+    apply(Seq(("b", 20, 200L)).toDF("k", "v", "ts"))
+    val hist = store.nodes("dim").orderBy("k", "valid_from")
+      .as[(String, Int, Long, Option[Long])].collect().toSeq
+    assert(hist == Seq(
+      ("a", 1, 0L, Some(100L)), ("a", 10, 100L, None),
+      ("b", 2, 0L, Some(200L)), ("b", 20, 200L, None),
+      ("c", 3, 100L, None)))
+    // point-in-time faces over the streamed history
+    assert(graft.store.GraphStore.scd2AsOf(store.nodes("dim"), 50L)
+      .select("k", "v").as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2)))
+    assert(graft.store.GraphStore.scd2AsOf(store.nodes("dim"), 300L)
+      .select("k", "v").as[(String, Int)].collect().toSet
+      == Set(("a", 10), ("b", 20), ("c", 3)))
+  }
+
   test("streaming dedup drops duplicate keys across micro-batches, bounded state") {
     val us = 1000000L
     final case class Doc(doc_id: Long, ts: java.sql.Timestamp)
