@@ -922,6 +922,53 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))),
 
+    // -- pivot (wide-format aggregation) --
+    "q_a14_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))),
+
+    // -- GROUPING SETS with grouping() markers (SQL textual surface) --
+    "q_a15_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g2
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // -- statistical aggregates (corr / covariance / stddev) --
+    "q_a16_stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // -- edit distance (fuzzy string matching) --
+    "q_f14_levenshtein" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+          levenshtein(substring(col("p_name"), 1, 12),
+            substring(col("p_type"), 1, 12)).cast("long").as("lev"))
+        .orderBy(col("p_partkey"))),
+
+    // -- corpus distribution entropy (mixture-balance metric) --
+    "q_p10_entropy" -> ((s, d) => {
+      val c = Tables.documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val t = c.groupBy(col("source")).agg(sum(col("c")).as("tc"))
+      c.join(t, "source")
+        .groupBy(col("source"))
+        .agg(round(-sum((col("c") / col("tc")) * log(col("c") / col("tc"))), 4)
+          .as("h"), sum(col("c")).as("n"))
+        .orderBy(col("source"))
+    }),
+
     // -- multimodal frame sampling (metadata-only op) --
     "q_m2_frame_sample" -> ((s, d) => {
       val media = Multimodal.mediaTableFromText(s, Tables.documents(s, d), "doc_id", "text")
@@ -2048,6 +2095,36 @@ object SparkEntry {
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
                 count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_a14_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_a15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g2
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_a16_stats_agg" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS r,
+                round(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+                round(stddev_samp(l_quantity), 4) AS sd,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_f14_levenshtein" ->
+      """SELECT p_partkey,
+                CAST(levenshtein(substr(p_name, 1, 12), substr(p_type, 1, 12)) AS BIGINT) AS lev
+         FROM part ORDER BY p_partkey""",
+    "q_p10_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, sum(c) AS tc FROM c GROUP BY 1)
+         SELECT c.source, round(-sum((c * 1.0 / tc) * ln(c * 1.0 / tc)), 4) AS h,
+                CAST(sum(c) AS BIGINT) AS n
+         FROM c JOIN t ON c.source = t.source
+         GROUP BY c.source ORDER BY c.source""",
     "q_m2_frame_sample" ->
       """SELECT doc_id AS media_id,
                 array_to_string(list_filter(range(0, doc_id % 30 + 1),
