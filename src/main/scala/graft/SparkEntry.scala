@@ -628,6 +628,45 @@ object SparkEntry {
           (col("__nh").cast("double") / col("n_planted") >= 0.5).as("recall_ok"),
           (col("__nf") <= col("n_planted") * 4).as("growth_ok"))
     }),
+    "q_d8_incremental_dedup" -> ((s, d) => {
+      // incremental near-dup vs a persisted signature index: batch 1
+      // ingests the corpus, batch 2 ingests exact copies of every 10th
+      // doc. Identical text ⇒ identical signature ⇒ guaranteed band
+      // collision and est-Jaccard exactly 1.0, so recall over the
+      // planted copies is deterministically total; est-Jaccard flags
+      // on NATURAL near-dup pairs (the sf0.1 corpus has some around
+      // the threshold) are estimator-variance-defined, so like
+      // q_d3/q_hll the gate checks deterministic BOUNDS (pair lists
+      // are DedupSpec-covered)
+      val (report, idxCount, nDocs) = DerivedCache.any(s, s"incdedup:$d") {
+        val root = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+        val store = new GraphStore(s, root)
+        val inc = new Dedup.IncrementalMinHashDedup(s, store, threshold = 0.5)
+        inc.init()
+        val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        inc.applyBatch(base, "doc_id", "text")
+        val r = inc.applyBatch(
+          base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")),
+          "doc_id", "text")
+        (r, store.nodes("minhash_sig").count(), base.count())
+      }
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0 &&
+          size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select((col("doc_id") + 1000000).as("new_id"))
+      val hits = report.join(planted, Seq("new_id"), "left_semi")
+        .select(col("new_id")).distinct()
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(hits.agg(count(lit(1)).as("__nh")))
+        .crossJoin(report.agg(count(lit(1)).as("__nr")))
+        .select(col("n_planted"),
+          (col("__nh") === col("n_planted")).as("recall_ok"),
+          (col("__nr") <= col("n_planted") * 2).as("growth_ok"),
+          lit(idxCount <= nDocs && idxCount >= (0.9 * nDocs).toLong)
+            .as("index_ok"))
+    }),
     "q_d4_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
@@ -1554,6 +1593,13 @@ object SparkEntry {
          SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 4) AS jaccard
          FROM pairs WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5
          ORDER BY id1, id2""",
+    "q_d8_incremental_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+                TRUE AS recall_ok, TRUE AS growth_ok, TRUE AS index_ok
+         FROM documents
+         WHERE doc_id % 10 = 0
+           AND len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')) >= 3""",
     "q_d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

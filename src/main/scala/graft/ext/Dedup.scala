@@ -260,4 +260,91 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** Incremental near-dup detection against a PERSISTED corpus index —
+    * "dedup the incoming crawl against everything already ingested",
+    * the shape a continuously-fed 100 TB pipeline needs (re-running
+    * [[minHashDupPairs]] over the full corpus per batch is O(corpus)
+    * per batch; this is O(batch + collisions)).
+    *
+    * State: one store table of (id, minhash signature) — k longs per
+    * accepted document, bounded and text-free. Each batch: signatures
+    * map-side (fused kernel), LSH band join against the stored index
+    * (bands re-derived from signatures, never from text), candidate
+    * pairs verified by signature agreement (est-Jaccard = fraction of
+    * equal positions, the standard unbiased estimator); novel docs'
+    * signatures are appended, detected dups are reported and kept OUT
+    * of the index. Within-batch dups are caught the same way (higher
+    * id is the dup). At-least-once replays are safe: a replayed doc id
+    * already in the index matches itself at est=1.0 and is reported,
+    * not re-added. */
+  final class IncrementalMinHashDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.GraphStore, sigLabel: String = "minhash_sig",
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, seed: Long = 42L) {
+
+    import graft.functions.MinHash
+
+    /** Create the empty signature index if absent. */
+    def init(): Unit =
+      store.createNodeTable(sigLabel, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false))))
+
+    private def banded(df: DataFrame): DataFrame =
+      df.select(col("id"), col("sig"),
+        posexplode(MinHash.minhashSigBands(col("sig"), bands)).as(Seq("b", "h")))
+
+    private def estJaccard(s1: Column, s2: Column): Column =
+      round(aggregate(zip_with(s1, s2, (a, b) => when(a === b, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / k, 4)
+
+    /** One ingest batch. Returns the materialized dup report
+      * `(new_id, matched_id, est_jaccard)`; mutates the index. */
+    def applyBatch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val sigs = graft.store.GraphStore.materialize(spark,
+        docs.select(col(idCol).cast("long").as("id"),
+            TextAnalysis.tokens(col(textCol)).as("toks"))
+          .filter(size(col("toks")) >= shingleN)
+          .select(col("id"),
+            MinHash.minhashTokenSignature(col("toks"), shingleN, k, seed).as("sig")))
+      val nb = banded(sigs)
+      val vsCorpus = nb.as("x").join(banded(store.nodes(sigLabel)).as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h"))
+        .select(col("x.id").as("new_id"), col("y.id").as("matched_id"),
+          col("x.sig").as("s1"), col("y.sig").as("s2"))
+      val inBatch = nb.as("x").join(nb.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.id") > col("y.id"))
+        .select(col("x.id").as("new_id"), col("y.id").as("matched_id"),
+          col("x.sig").as("s1"), col("y.sig").as("s2"))
+      val report = graft.store.GraphStore.materialize(spark,
+        vsCorpus.unionByName(inBatch).distinct()
+          .withColumn("est_jaccard", estJaccard(col("s1"), col("s2")))
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("new_id"), col("matched_id"), col("est_jaccard")))
+      val novel = sigs.join(
+        report.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
+      store.writeNodes(sigLabel, store.nodes(sigLabel).unionByName(novel))
+      report
+    }
+
+    /** Streaming face: foreachBatch over an unbounded (id, text)
+      * stream; per-batch dup reports go to `onReport`. */
+    def sink(stream: DataFrame, idCol: String, textCol: String)(
+        checkpointDir: String)(onReport: DataFrame => Unit)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          onReport(applyBatch(batch, idCol, textCol))
+        }
+        .start()
+  }
 }

@@ -85,6 +85,13 @@ object MinHashKernel {
       bs: Array[Long], bands: Int): ArrayData =
     new GenericArrayData(bandHashes(signatureOfTokenShingles(arr, shingleN, as, bs), bands))
 
+  def tokenShingleSignature(arr: ArrayData, shingleN: Int, as: Array[Long],
+      bs: Array[Long]): ArrayData =
+    new GenericArrayData(signatureOfTokenShingles(arr, shingleN, as, bs))
+
+  def sigBands(arr: ArrayData, bands: Int): ArrayData =
+    new GenericArrayData(bandHashes(arr.toLongArray(), bands))
+
   /** Band hashes: mix the r signature values of each band into one
     * long (simple xorshift-multiply mix — only intra-run consistency
     * matters, as in the reference's LSH literature usage). */
@@ -178,9 +185,53 @@ case class MinHashTokenBands(child: Expression, shingleN: Int, k: Int,
     copy(child = newChild)
 }
 
+/** Fused tokens → n-gram shingles → signature (no banding): the
+  * persisted-state shape of the incremental dedup path — signatures
+  * are what the corpus index stores per document (k longs), bands
+  * re-derive from them with [[MinHashKernel.bandHashes]]. */
+case class MinHashTokenSignature(child: Expression, shingleN: Int, k: Int,
+    seed: Long) extends MinHashLike {
+  @transient private lazy val (as, bs) = MinHashKernel.coeffs(k, seed)
+  override def prettyName: String = "minhash_token_signature"
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.tokenShingleSignature(input.asInstanceOf[ArrayData], shingleN, as, bs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.tokenShingleSignature($c, $shingleN, $asRef, $bsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Band hashes of an ALREADY-COMPUTED signature array — how stored
+  * signatures re-enter the LSH bucket join without re-reading text. */
+case class MinHashSigBands(child: Expression, bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig_bands requires array<long>, got ${t.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_bands"
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.sigBands(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.sigBands($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHash {
   def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
     ExprColumn(MinHashSignature(ExprColumn.expr(shingles), k, seed))
+  def minhashTokenSignature(tokens: Column, shingleN: Int, k: Int,
+      seed: Long = 42L): Column =
+    ExprColumn(MinHashTokenSignature(ExprColumn.expr(tokens), shingleN, k, seed))
+  def minhashSigBands(sig: Column, bands: Int): Column =
+    ExprColumn(MinHashSigBands(ExprColumn.expr(sig), bands))
   def minhashBands(shingles: Column, k: Int, bands: Int, seed: Long = 42L): Column =
     ExprColumn(MinHashBands(ExprColumn.expr(shingles), k, bands, seed))
   def minhashTokenBands(tokens: Column, shingleN: Int, k: Int, bands: Int,

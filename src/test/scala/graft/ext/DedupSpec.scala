@@ -105,6 +105,36 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 10L)) // reps + unpaired survive
   }
 
+  test("incremental minhash dedup: cross-batch and in-batch dups flagged; " +
+      "index grows only with novel docs; replay is safe") {
+    val root = java.nio.file.Files.createTempDirectory("graftincdedup").toString
+    val store = new graft.store.GraphStore(spark, root)
+    val inc = new Dedup.IncrementalMinHashDedup(spark, store, threshold = 0.9)
+    inc.init()
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about graph analytics engines at scale"
+    val textC = "a third unrelated document mentioning training data pipelines"
+    def ids() = store.nodes("minhash_sig").select("id").as[Long].collect().toSet
+
+    val r1 = inc.applyBatch(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(r1.count() == 0 && ids() == Set(1L, 2L))
+
+    // 3 duplicates A (cross-batch), 4 is novel, 5 duplicates 4 (in-batch)
+    val batch2 = Seq((3L, textA), (4L, textC), (5L, textC)).toDF("doc_id", "text")
+    val r2 = inc.applyBatch(batch2, "doc_id", "text")
+    val pairs = r2.select("new_id", "matched_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((3L, 1L, 1.0), (5L, 4L, 1.0)))
+    assert(ids() == Set(1L, 2L, 4L)) // dups never enter the index
+
+    // at-least-once replay: everything in the batch now reads as a dup
+    // (4 matches its own stored signature) and the index is unchanged
+    val r3 = inc.applyBatch(batch2, "doc_id", "text")
+    assert(r3.filter($"new_id" === 4L && $"matched_id" === 4L).count() == 1)
+    assert(ids() == Set(1L, 2L, 4L))
+  }
+
   test("ngram jaccard df-cap drops hot-shingle pairs but keeps exact ones") {
     // shingle 'w1 w2 w3' appears in all 3 docs (df=3); with the cap at
     // 2 no pair can form through it, and doc pairs that ONLY share it
