@@ -77,7 +77,8 @@ object Bench {
     val headline = Seq(
       "q_j1_link_listing", "q_j2_link_keywords", "q_j3_interconnect",
       "q_j3_bucketed", "q_motif_j3", "q_sql_j3", "q_j9_delta_interconnect",
-      "q_ep1_pipeline", "q_ept_training_pipeline", "q_j4_semi_existing",
+      "q_ep1_pipeline", "q_ept_training_pipeline", "q_ep2_report",
+      "q_d8_incremental_dedup", "q_j4_semi_existing",
       "q_j5_anti_orphans", "q_j7_merge_upsert", "q_d1_exact_dedup",
       "q_d2_minhash_lsh", "q_d4_ngram_jaccard", "q_d7_drop_dups",
       "q_n1_cosine_topk", "q_n3_ivf_ann", "q_x1_langid",

@@ -304,6 +304,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_ep2_report" -> ((s, d) => {
+      // macro analytical report: 4-table star join (fact lineitem,
+      // dims orders→customer→nation) + distinct-count + revenue agg +
+      // top-k — the composed plan shape a BI layer generates; nation
+      // broadcasts, the fact never shuffles before its partial agg
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_mktsegment"), col("n_name"))
+        .limit(20)
+    }),
+
     "q_j10_bloom_join" -> ((s, d) => {
       // fact ⋈ selective dim under Catalyst's runtime bloom-filter
       // reduction: the dim filter becomes bloom_filter_agg +
@@ -1341,6 +1363,18 @@ object SparkEntry {
     "q_j8_salted_join" ->
       """SELECT doc_id, upper(lang) AS lang_code FROM documents
          ORDER BY doc_id""",
+    "q_ep2_report" ->
+      """SELECT c_mktsegment, n_name,
+                count(DISTINCT o_orderkey) AS n_orders,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE o_orderstatus <> 'F'
+         GROUP BY c_mktsegment, n_name
+         ORDER BY revenue DESC, c_mktsegment, n_name
+         LIMIT 20""",
     "q_j10_bloom_join" ->
       """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -29,6 +29,20 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton value: bit i of dimension j lands at
+    * position i·k + j (k = number of dimensions). [[zValue]] is the
+    * k = 2 case with (x, y) ordering preserved. Bits per dimension
+    * shrink as k grows (k·bits ≤ 63). */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val k = dims.size
+    require(k >= 1 && k * bits <= 63, s"need k*bits <= 63, got $k*$bits")
+    val terms = for {
+      (c, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Scale a numeric column linearly onto the integer grid
     * [0, 2^bits): the normalization step before bit interleaving.
     * min/max are passed in (one tiny agg job computes both for both
@@ -62,6 +76,23 @@ object Layout {
       gridScale(col(xCol), xMin, xMax, bits),
       gridScale(col(yCol), yMin, yMax, bits), bits)
     df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** N-dimensional [[zOrderWrite]]: one agg job for all dims' min/max,
+    * then range-repartition + sort on the interleaved value. */
+  def zOrderWriteN(df: DataFrame, dims: Seq[String], path: String,
+      numFiles: Int, bits: Int = 10): Unit = {
+    val aggs = dims.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = dims.zipWithIndex.map { case (c, j) =>
+      gridScale(col(c), stats.getDouble(2 * j), stats.getDouble(2 * j + 1), bits)
+    }
+    df.withColumn("__z", zValueN(scaled, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -52,6 +52,42 @@ class LayoutSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("zValueN: 3-D interleave matches a reference impl; 2-D case equals zValue") {
+    def mortonN(vs: Seq[Long], bits: Int): Long = {
+      val k = vs.size
+      (for (j <- vs.indices; i <- 0 until bits)
+        yield ((vs(j) >> i) & 1L) << (i * k + j)).reduce(_ | _)
+    }
+    val cases = Seq(Seq(0L, 0L, 0L), Seq(1L, 2L, 3L), Seq(7L, 0L, 5L),
+      Seq(1023L, 1023L, 1023L))
+    val got = cases.map(c => (c(0), c(1), c(2))).toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(mortonN(_, 10)))
+    // 2-D zValueN == zValue (same bit layout)
+    val two = Seq((3L, 5L), (123L, 45L)).toDF("x", "y")
+      .select(Layout.zValueN(Seq(col("x"), col("y")), 16).as("zn"),
+        Layout.zValue(col("x"), col("y"), 16).as("z2"))
+      .as[(Long, Long)].collect()
+    assert(two.forall { case (a, b) => a == b })
+  }
+
+  test("3-D z-ordered layout skips files on a 3-D range filter") {
+    val n = 32
+    val grid = spark.range(0, n.toLong * n * n)
+      .select((col("id") % n).as("x"),
+        ((col("id") / n) % n).cast("long").as("y"),
+        (col("id") / (n * n)).cast("long").as("z3"),
+        col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zn").toString
+    Layout.zOrderWriteN(grid, Seq("x", "y", "z3"), s"$base/zn", numFiles = 16, bits = 10)
+    val touched = spark.read.parquet(s"$base/zn")
+      .filter(col("x") < 8 && col("y") < 8 && col("z3") < 8)
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 4, s"3-D z-ordered read touched $touched files")
+    assert(spark.read.parquet(s"$base/zn").count() == n.toLong * n * n)
+  }
+
   test("gridScale clamps to [0, 2^bits) and spreads min..max linearly") {
     val vals = Seq(-5.0, 0.0, 50.0, 100.0, 105.0).toDF("v")
       .select(Layout.gridScale(col("v"), 0.0, 100.0, 8).as("g"))
