@@ -531,6 +531,42 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // -- data repair: group-mean imputation (planted nulls) --
+    "q_p11_impute" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 13 === 0, lit(null))
+          .otherwise(col("n_chars")).cast("double").as("v"))
+      graft.ext.Profiling.imputeGroupMean(t, "v", "lang")
+        .select(col("doc_id"), col("lang"), round(col("v"), 4).as("v"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- data quality: per-group z-score outliers (planted spikes;
+    // naturals are uniform with max |z| ≈ 1.7, so threshold 3 sits in
+    // a wide empty gap — no float-boundary flakiness) --
+    "q_p12_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        (col("value") * when(col("event_id") % 101 === 0, 50.0).otherwise(1.0))
+          .as("v"))
+      graft.ext.Profiling.outliersZ(ev, "v", "event_type", z = 3.0)
+        .select(col("event_id"), col("event_type"), round(col("v"), 4).as("v"),
+          round(col("zscore"), 4).as("zscore"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- GraphX triangle counting over the keyword-projection graph --
+    "q_gx_triangles" -> ((s, d) => {
+      // suppliers sharing a part (sparse l_orderkey%100 subgraph, the
+      // q_gx_pagerank precedent) → canonical projection edges →
+      // per-vertex triangle counts vs a 3-way self-join oracle
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("src"), col("b.s").as("dst")).distinct()
+      graft.graphx.GraphOps.triangleCounts(s, e).orderBy(col("id"))
+    }),
+
     // -- SCD-2 temporal merge (G6): dimension update batch applied
     // with history kept — changed keys get their open row closed at
     // the update ts plus a new open row; identical updates are no-ops
@@ -1483,6 +1519,43 @@ object SparkEntry {
          WHERE p_size BETWEEN 10 AND 30
            AND p_retailprice BETWEEN 905.0 AND 912.0
          ORDER BY p_partkey""",
+    "q_p11_impute" ->
+      """WITH t AS (SELECT doc_id, lang,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+                  ELSE CAST(n_chars AS DOUBLE) END AS v
+           FROM documents)
+         SELECT doc_id, lang,
+                round(coalesce(v, avg(v) OVER (PARTITION BY lang)), 4) AS v
+         FROM t ORDER BY doc_id""",
+    "q_p12_outliers" ->
+      """WITH t AS (SELECT event_id, event_type,
+             value * (CASE WHEN event_id % 101 = 0 THEN 50 ELSE 1 END) AS v
+           FROM events),
+         w AS (SELECT event_id, event_type, v,
+                      avg(v) OVER (PARTITION BY event_type) AS mu,
+                      stddev_samp(v) OVER (PARTITION BY event_type) AS sd
+               FROM t)
+         SELECT event_id, event_type, round(v, 4) AS v,
+                round((v - mu) / sd, 4) AS zscore
+         FROM w WHERE sd > 0 AND abs((v - mu) / sd) > 3
+         ORDER BY event_id""",
+    "q_gx_triangles" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                     FROM lineitem WHERE l_orderkey % 100 = 0),
+         e AS (SELECT DISTINCT a.s AS x, b.s AS y
+               FROM hk a JOIN hk b ON a.p = b.p AND a.s < b.s),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.x = e1.y
+                 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         verts AS (SELECT x AS id FROM e UNION SELECT y FROM e),
+         cnt AS (SELECT id, count(*) AS t
+                 FROM (SELECT a AS id FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri)
+                 GROUP BY id)
+         SELECT v.id, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
+         FROM verts v LEFT JOIN cnt USING (id) ORDER BY id""",
     "q_g6_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
                        FROM customer),

@@ -51,4 +51,29 @@ object Profiling {
       .select(col("partition_id"), col("n_rows"),
         round(col("__mx") / col("__mean"), 4).as("max_over_mean"))
   }
+
+  /** Group-mean imputation: nulls in `valueCol` filled with the mean
+    * of the row's group (a group with no non-null values stays null).
+    * One window over the group key — a single shuffle, no driver
+    * statistics pass; the standard numeric-feature repair step before
+    * training-data export. */
+  def imputeGroupMean(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn(valueCol, coalesce(col(valueCol), avg(col(valueCol)).over(w)))
+  }
+
+  /** Per-group z-score outliers: rows whose value deviates from the
+    * group mean by more than `z` sample standard deviations, with the
+    * score attached. Same single-shuffle window shape as
+    * [[imputeGroupMean]]; groups with zero variance yield no outliers
+    * (sd guard) rather than dividing by zero. */
+  def outliersZ(df: DataFrame, valueCol: String, groupCol: String,
+      z: Double = 3.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__mu", avg(col(valueCol)).over(w))
+      .withColumn("__sd", stddev_samp(col(valueCol)).over(w))
+      .withColumn("zscore", (col(valueCol) - col("__mu")) / col("__sd"))
+      .filter(col("__sd") > 0 && abs(col("zscore")) > z)
+      .drop("__mu", "__sd")
+  }
 }

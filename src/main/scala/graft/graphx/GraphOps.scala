@@ -246,4 +246,24 @@ object GraphOps {
         col("x.kw").as("shared_keyword"))
     tail.unionByName(hotPairs)
   }
+
+  /** Per-vertex triangle counts of an undirected simple graph given
+    * as numeric edge pairs. GraphX's TriangleCount canonicalizes and
+    * dedups internally, then intersects adjacent neighbor sets — each
+    * edge's work is bounded by the smaller endpoint's degree
+    * (effectively O(E^1.5) total), the standard distributed triangle
+    * algorithm; a DataFrame 3-way self-join would shuffle the edge
+    * list twice and explode on high-degree vertices. Vertices are all
+    * edge endpoints; a vertex in no triangle reports 0. */
+  def triangleCounts(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.PartitionStrategy
+    val edgeRdd: RDD[GxEdge[Int]] = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+    val g = Graph.fromEdges(edgeRdd, 0)
+      .partitionBy(PartitionStrategy.EdgePartition2D)
+    import spark.implicits._
+    g.triangleCount().vertices.toDF("id", "t")
+      .select(col("id"), col("t").cast("long").as("triangles"))
+  }
 }
