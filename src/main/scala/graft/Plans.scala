@@ -25,7 +25,9 @@ object Plans {
       "q_j3_interconnect", "q_j3_bucketed", "q_motif_j3", "q_j9_delta_interconnect",
       "q_d2_minhash_lsh", "q_d7_drop_dups", "q_x1_langid", "q_n1_cosine_topk",
       "q_o6_topk_per_key", "q_t2_sessionize",
-      "q_ept_training_pipeline", "q_x8_pack", "q_t5_sliding", "q_v1_normalize")
+      "q_ept_training_pipeline", "q_x8_pack", "q_t5_sliding", "q_v1_normalize",
+      "q_z1_zorder_scan", "q_ep2_report", "q_a13_cms", "q_j10_bloom_join",
+      "q_g6_scd2")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // Execute THIS QueryExecution (toRdd) — a derived count() or a
