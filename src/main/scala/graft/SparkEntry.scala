@@ -662,6 +662,41 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // -- feature hashing (hashing-trick bag-of-words): tokens bucketed
+    // by the poly-fingerprint kernel mod dim — the fixed-width sparse
+    // feature map a downstream trainer consumes; poly hash (not
+    // xxhash) so the DuckDB oracle can mirror it exactly --
+    "q_x13_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(TextAnalysis.fingerprint(col("tok")), lit(64L)).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // -- time-series resample + forward fill: per-user hourly grid
+    // (sequence-explode, no driver loop) left-joined with the hourly
+    // aggregate, gaps forward-filled by the last non-null value --
+    "q_t7_resample_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      val hourly = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val span = ev.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          round(col("v_ff"), 2).as("v"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
     // -- deduplication (driver extension §7) --
     "q_d1_exact_dedup" -> ((s, d) =>
       Dedup.groups(plantedExact(s, d), "doc_id", Seq("text"))
@@ -1673,6 +1708,36 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_x13_feature_hash" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, x) -> (a * 31 + x) % 2147483647) % 64 AS bucket
+           FROM toks)
+         SELECT doc_id, bucket, count(*) AS n FROM b
+         GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "q_t7_resample_ffill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                date_trunc('hour', max(ts)) AS h1
+           FROM events GROUP BY 1),
+         grid AS (SELECT user_id,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM span),
+         j AS (SELECT g.user_id, g.h, hourly.v
+           FROM grid g LEFT JOIN hourly
+             ON hourly.user_id = g.user_id AND hourly.h = g.h)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+                round(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v
+         FROM j ORDER BY user_id, h""",
     "q_d1_exact_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents
                        UNION ALL
