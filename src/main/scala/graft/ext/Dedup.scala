@@ -307,12 +307,17 @@ object Dedup {
     /** One ingest batch. Returns the materialized dup report
       * `(new_id, matched_id, est_jaccard)`; mutates the index. */
     def applyBatch(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-      val sigs = graft.store.GraphStore.materialize(spark,
-        docs.select(col(idCol).cast("long").as("id"),
-            TextAnalysis.tokens(col(textCol)).as("toks"))
-          .filter(size(col("toks")) >= shingleN)
-          .select(col("id"),
-            MinHash.minhashTokenSignature(col("toks"), shingleN, k, seed).as("sig")))
+      // cached, not parquet-materialized: the signatures derive only
+      // from the caller's input (never from index files), so there is
+      // no overwrite-lineage hazard — persist just stops the three
+      // consumers (corpus join, in-batch join, novel anti-join) from
+      // re-tokenizing the batch
+      val sigs = docs.select(col(idCol).cast("long").as("id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= shingleN)
+        .select(col("id"),
+          MinHash.minhashTokenSignature(col("toks"), shingleN, k, seed).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = banded(sigs)
       val vsCorpus = nb.as("x").join(banded(store.nodes(sigLabel)).as("y"),
           col("x.b") === col("y.b") && col("x.h") === col("y.h"))
@@ -331,6 +336,7 @@ object Dedup {
       val novel = sigs.join(
         report.select(col("new_id").as("id")).distinct(), Seq("id"), "left_anti")
       store.writeNodes(sigLabel, store.nodes(sigLabel).unionByName(novel))
+      sigs.unpersist(blocking = false)
       report
     }
 
