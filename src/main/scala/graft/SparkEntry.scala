@@ -837,6 +837,29 @@ object SparkEntry {
         .select(col("n_exact"),
           (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
     }),
+    "q_n4_ivf_index" -> ((s, d) => { // the PERSISTED IVF index (codebook +
+      // cell-partitioned postings tables): build once per session, then
+      // query with directory-level cell pruning — same recall bound
+      // shape as q_n3, proving the at-rest index path, not just the
+      // recompute-per-call path
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = DerivedCache.any(s, s"vindex:$d") {
+        val root = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+        val vi = new graft.ext.VectorIndex(s, new GraphStore(s, root))
+        vi.build(e, "vec_id", "embedding", k = 16)
+        vi
+      }
+      val ann = idx.query(q, "vec_id", "embedding", topK = 5, nprobe = 4)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = ann.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
+    }),
     "q_n2_lsh_ann" -> ((s, d) => { // LSH bucket membership is impl-defined
       // (seeded hyperplane signs), so like q_n3 the gate checks the
       // BOUND: aggregate recall@5 of the LSH path vs exact brute
@@ -1981,6 +2004,8 @@ object SparkEntry {
                 count(*) AS n, TRUE AS within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_n3_ivf_ann" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
+    "q_n4_ivf_index" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
     "q_n2_lsh_ann" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",

@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // uniform synthetic vectors: weak cells
   }
 
+  test("persisted IVF index: same results as the in-session IVF path, " +
+      "and the postings scan prunes cell directories") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 5)
+    val root = java.nio.file.Files.createTempDirectory("graftvidx").toString
+    val store = new graft.store.GraphStore(spark, root)
+    val vi = new VectorIndex(spark, store)
+    vi.build(e, "vec_id", "embedding", k = 8)
+    val fromIndex = vi.query(q, "vec_id", "embedding", topK = 5, nprobe = 2)
+    val inSession = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+      vi.centroids(), k = 5, nprobe = 2)
+    // identical codebook -> identical cells -> identical candidates
+    assert(fromIndex.exceptAll(inSession).count() == 0 &&
+      inSession.exceptAll(fromIndex).count() == 0)
+    // the isin(cell) filter must reach the scan as a PARTITION filter
+    val plan = { fromIndex.collect(); fromIndex.queryExecution.executedPlan.toString }
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell pruning not in the scan:\n$plan")
+  }
+
   test("IVF centroid training is deterministic under a fixed seed") {
     val e = Tables.embeddings(spark, sf0001).limit(200)
     val a = Similarity.trainIvfCentroids(e, "embedding", k = 4)
