@@ -22,6 +22,38 @@ object Staging {
       .schema(schema)
       .csv(path)
 
+  /** S2 hardened: the same scan with malformed-row CAPTURE instead of
+    * silent nulling — PERMISSIVE mode routes each unparseable line
+    * into `_corrupt_record` while clean rows parse normally. At 100 TB
+    * a crawler feed always contains breakage; failing the whole job
+    * (FAILFAST) or nulling silently (plain PERMISSIVE) both lose
+    * information, so this face returns (clean, quarantined) — the
+    * quarantine goes to the reject sink ([[appendCsv]] is the
+    * reference's failed-urls pattern) for replay. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    // cached: Spark's CSV parser forbids filtering on _corrupt_record
+    // alone from a lazy scan (the column is only populated for rows
+    // the parser actually touched in the same pass)
+    val parsed = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (clean, quarantined)
+  }
+
   /** S3: CSV sink (overwrite), single-file contract (df.to_csv) —
     * only for small exports; large tables should go to Parquet via
     * GraphStore. `repartition(1)`, NOT `coalesce(1)`: coalesce folds

@@ -36,6 +36,23 @@ class EtlSpec extends SparkSpec {
     assert(c == "line one\nline two, with comma\n\"quoted\"")
   }
 
+  test("quarantine CSV scan: clean rows parse, malformed rows are " +
+      "captured verbatim, nothing is silently nulled") {
+    val dir = java.nio.file.Files.createTempDirectory("graftquar").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name\n1,alice\nnotanint,bob\n2,carol\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val (clean, quarantined) = Staging.readCsvQuarantine(spark, s"$dir/in.csv", schema)
+    assert(clean.orderBy("id").as[(Int, String)].collect().toSeq
+      == Seq((1, "alice"), (2, "carol")))
+    assert(quarantined.as[String].collect().toSeq == Seq("notanint,bob"))
+  }
+
   test("append-mode CSV accumulates across runs (S4)") {
     val dir = java.nio.file.Files.createTempDirectory("graftappend").toString + "/failed"
     Staging.appendCsv(Seq(("https://x", "timeout")).toDF("url", "reason"), dir)
