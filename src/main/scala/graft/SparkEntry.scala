@@ -531,6 +531,29 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // -- k-hop neighborhood (Cypher MATCH (s)-[*..k]->(n) analog) --
+    "q_g8_khop" -> ((s, d) => {
+      // undirected supplier↔part graph (sparse %100 subgraph, part ids
+      // offset out of the supplier id space); min-hop-distance within
+      // 3 hops of suppliers {1,2,3} vs a recursive-CTE oracle
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 10000000L).as("p"))
+        .distinct()
+      val e = hk.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(hk.select(col("p").as("src"), col("s").as("dst")))
+      val seeds = s.range(1, 4).select(col("id").as("node"))
+      GraphQueries.kHopNeighborhood(e, seeds, k = 3)
+        .orderBy(col("node"))
+    }),
+
+    // -- inverted postings export (keyword -> ordered link list) --
+    "q_g9_postings" -> ((s, d) =>
+      hasKeyword(s, d).groupBy(col("dst").as("keyword"))
+        .agg(count(lit(1)).as("n"),
+          array_join(transform(sort_array(collect_list(col("src"))),
+            x => x.cast("string")), " ").as("postings"))
+        .orderBy(col("keyword"))),
+
     // -- data repair: group-mean imputation (planted nulls) --
     "q_p11_impute" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
@@ -1577,6 +1600,27 @@ object SparkEntry {
          WHERE p_size BETWEEN 10 AND 30
            AND p_retailprice BETWEEN 905.0 AND 912.0
          ORDER BY p_partkey""",
+    "q_g8_khop" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+                FROM lineitem WHERE l_orderkey % 100 = 0),
+         e AS (SELECT s AS src, p AS dst FROM hk
+               UNION ALL SELECT p, s FROM hk),
+         hop(node, d) AS (
+           SELECT CAST(node AS BIGINT), 0 FROM (VALUES (1), (2), (3)) t(node)
+           UNION ALL
+           SELECT e.dst, h.d + 1 FROM hop h JOIN e ON e.src = h.node
+           WHERE h.d < 3)
+         SELECT node, CAST(min(d) AS BIGINT) AS hop
+         FROM hop GROUP BY node ORDER BY node""",
+    "q_g9_postings" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                     FROM lineitem)
+         SELECT dst AS keyword, count(*) AS n,
+                array_to_string(
+                  list_transform(list(src ORDER BY src),
+                                 x -> CAST(x AS VARCHAR)), ' ') AS postings
+         FROM hk GROUP BY dst ORDER BY keyword""",
     "q_p11_impute" ->
       """WITH t AS (SELECT doc_id, lang,
              CASE WHEN doc_id % 13 = 0 THEN NULL

@@ -169,4 +169,33 @@ object GraphQueries {
         concat(lit("Keyword:"), col("dst")).as("to"))
     b.unionByName(h)
   }
+
+  /** k-hop neighborhood expansion from a seed set: every node within
+    * `k` directed hops, labeled with its MINIMUM hop distance —
+    * Cypher's `MATCH (s)-[*..k]->(n)` as bounded iterative joins.
+    * Each round is one equi-join (frontier ⋈ edges) plus an anti-join
+    * against the visited set, so the work is proportional to the
+    * expanding frontier, never to the full graph; `localCheckpoint`
+    * per round keeps the logical plan flat (the label-propagation
+    * lesson — lineage otherwise deepens linearly in k). k is a small
+    * constant by contract; frontiers are the only state. */
+  def kHopNeighborhood(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val seedNodes = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("hop", lit(0L))
+    var visited = seedNodes.localCheckpoint(true)
+    var frontier = visited
+    var i = 1
+    while (i <= k) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(i.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    visited
+  }
 }

@@ -92,4 +92,18 @@ class GraphQueriesSpec extends SparkSpec {
       ("https://a.com", "Tech", "https://b.com", "Science", "graphs"),
       ("https://b.com", "Science", "https://c.com", "Tech", "ml")))
   }
+
+  test("kHopNeighborhood: min hop distance, bounded by k, cycles safe") {
+    // a→b→c→d plus shortcut a→c and a back-edge d→a (cycle)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val out = GraphQueries.kHopNeighborhood(e, Seq("a").toDF("n"), k = 2)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    // c is reachable in 1 (shortcut) — min distance, not path count;
+    // d is 2 hops via c; the d→a cycle must not re-add a
+    assert(out == Seq(("a", 0L), ("b", 1L), ("c", 1L), ("d", 2L)))
+    // k = 0 is just the seed set
+    assert(GraphQueries.kHopNeighborhood(e, Seq("a").toDF("n"), k = 0)
+      .as[(String, Long)].collect().toSeq == Seq(("a", 0L)))
+  }
 }
