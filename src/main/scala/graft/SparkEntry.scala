@@ -1332,6 +1332,148 @@ object SparkEntry {
         .agg(round(avg(col("x").cast("double")), 4).as("c"),
           count(lit(1)).as("n"))
         .orderBy(col("grp"), col("pos"))),
+
+    // -- fixed-width histogram + cumulative counts: the profiling
+    // companion to q_a9/q_a11 — one hash agg over arithmetic buckets
+    // (never a per-bucket scan), then a running total over the tiny
+    // bucket list (single-partition window over ~20 rows is fine;
+    // the data-sized work all happened in the agg) --
+    "q_a17_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.withColumn("cum", sum(col("n")).over(w)).orderBy(col("bucket"))
+    }),
+
+    // -- array-function medley (list-processing parity face: distinct,
+    // sort, slice, transform/max — the per-row collection ops a
+    // feature pipeline leans on between explodes) --
+    "q_f15_array_medley" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("n_uniq"),
+          array_join(slice(array_sort(array_distinct(t)), 1, 5), " ").as("first5"),
+          array_max(transform(t, x => length(x))).cast("long").as("max_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- linear gap interpolation over the q_t7 hourly grid: prev/next
+    // anchors via IGNORE NULLS windows; the fraction is built from the
+    // same integer hour indexes on both sides so the double math is
+    // bit-identical (see TimeSeries.interpolate) --
+    "q_t8_interpolate" -> ((s, d) => {
+      val grid = graft.ext.TimeSeries.hourlyGrid(
+        Tables.events(s, d), "user_id", "ts", "value")
+      graft.ext.TimeSeries.interpolate(grid, "user_id")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"), col("v_li"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
+    // -- OHLC bar downsampling: per (user, hour) open/high/low/close
+    // picked (not computed) from raw values, ties ordered by
+    // (ts, event_id) so open/close are deterministic --
+    "q_t9_ohlc" -> ((s, d) =>
+      graft.ext.TimeSeries.ohlcHourly(
+          Tables.events(s, d), "user_id", "ts", "event_id", "value")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy(col("user_id"), col("h"))),
+
+    // -- sentence segmentation stats: the corpus has no punctuation,
+    // so (c2-precedent) both sides shape 7-token sentences first, then
+    // the regex splitter + per-doc stats run over shaped text --
+    "q_x14_sentences" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val shaped = concat(array_join(
+        transform(
+          sequence(lit(0), floor((size(t) + lit(6)) / lit(7)).cast("int") - 1),
+          j => array_join(slice(t, j * lit(7) + lit(1), lit(7)), " ")),
+        ". "), lit("."))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(t).cast("long").as("__ntok"),
+          filter(split(shaped, "[.!?]+\\s+"), x => length(trim(x)) > 0).as("__sents"))
+        .select(col("doc_id"),
+          size(col("__sents")).cast("long").as("n_sent"),
+          round(col("__ntok").cast("double") / size(col("__sents")).cast("double"), 4)
+            .as("words_per_sent"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- schema-evolution scan: two parquet generations with different
+    // (compatible) schemas under one root, read back as one table via
+    // footer schema merging; the missing column nulls out for gen 1 --
+    "q_s_evolve_schema" -> ((s, d) => {
+      val root = DerivedCache.any(s, s"evolve:$d") {
+        val r = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$r/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$r/gen=2")
+        r
+      }
+      Staging.readMergedGenerations(s, root)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Bloom-filtered decontamination (two-phase filter face of
+    // q_c1): the benchmark gram SET folds to a constant-size Bloom
+    // filter; gate checks the Bloom theorems — zero false negatives
+    // vs the exact report, flagged growth bounded by the fpp (1e-6 →
+    // expected extra docs ≪ the +50 slack at every testdata sf) --
+    "q_c3_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+      val exact = graft.ext.Decontaminate.contaminationReport(
+        docs, "doc_id", "text", bench, "text", n = 8)
+      val flagged = graft.ext.Decontaminate.bloomContaminationFlags(
+        docs, "doc_id", "text", bench, "text", n = 8,
+        expectedGrams = 200000L, fpp = 1e-6)
+      val missed = exact.join(flagged, Seq("doc_id"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .crossJoin(flagged.agg(count(lit(1)).as("__flag")))
+        .select(col("n_exact"),
+          (col("__miss") === 0).as("no_false_negatives"),
+          (col("__flag") <= col("n_exact") * 2 + lit(50)).as("fp_bounded"))
+    }),
+
+    // -- LPA community detection: membership depends on GraphX's
+    // tie-break order (and LPA oscillates on bipartite graphs), so
+    // the gate checks the run-independent THEOREMS — every community
+    // label lives in its own component, community count bracketed by
+    // [#components, #vertices] (q_d3 bounds-gate shape) --
+    "q_gx_lpa" -> ((s, d) => {
+      val (dict, g) = gxGraph(s, d, sparse = true)
+      val lpa = graft.graphx.GraphOps.labelPropagationByOrigId(s, dict, g, maxSteps = 5)
+      val cc = graft.graphx.GraphOps.connectedComponentsByOrigId(s, dict, g)
+      val lpaCc = lpa.join(cc, Seq("label", "orig_id"))
+      val commCc = lpa.select(col("comm_vid")).distinct()
+        .join(dict, col("comm_vid") === dict("vid"))
+        .join(cc.withColumnRenamed("component", "comm_component"),
+          Seq("label", "orig_id"))
+        .select(col("comm_vid"), col("comm_component"))
+      val bad = lpaCc.join(commCc, Seq("comm_vid"))
+        .filter(col("component") =!= col("comm_component"))
+      dict.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(cc.select(col("component")).distinct()
+          .agg(count(lit(1)).as("n_components")))
+        .crossJoin(bad.agg(count(lit(1)).as("__bad")))
+        .crossJoin(lpa.select(col("comm_vid")).distinct()
+          .agg(count(lit(1)).as("__ncomm")))
+        .select(col("n_vertices"), col("n_components"),
+          (col("__bad") === 0).as("labels_within_component"),
+          (col("__ncomm") >= col("n_components") &&
+           col("__ncomm") <= col("n_vertices")).as("community_count_bracketed"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2431,5 +2573,118 @@ object SparkEntry {
          SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                 CAST(least(blen, w * h) AS BIGINT) AS byte_len
          FROM r ORDER BY media_id""",
+    "q_a17_histogram" ->
+      """WITH h AS (SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                count(*) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT bucket, n,
+                CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM h ORDER BY bucket""",
+    "q_f15_array_medley" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_tok,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+                array_to_string(list_sort(list_distinct(t))[1:5], ' ') AS first5,
+                CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_len
+         FROM toks ORDER BY doc_id""",
+    "q_t8_interpolate" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                date_trunc('hour', max(ts)) AS h1
+           FROM events GROUP BY 1),
+         grid AS (SELECT user_id,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM span),
+         j AS (SELECT g.user_id, g.h, hourly.v,
+                epoch_us(g.h) // 3600000000 AS hi
+           FROM grid g LEFT JOIN hourly
+             ON hourly.user_id = g.user_id AND hourly.h = g.h),
+         f AS (SELECT user_id, h, hi, v,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                first_value(v IGNORE NULLS) OVER wn AS nv,
+                last_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+                  OVER wp AS ph,
+                first_value(CASE WHEN v IS NOT NULL THEN hi END IGNORE NULLS)
+                  OVER wn AS nh
+           FROM j
+           WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                         ROWS UNBOUNDED PRECEDING),
+                  wn AS (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+                CASE WHEN pv IS NULL THEN nv
+                     WHEN nv IS NULL THEN pv
+                     WHEN nh = ph THEN pv
+                     ELSE pv + (nv - pv) *
+                       (CAST(hi - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+                END AS v_li
+         FROM f ORDER BY user_id, h""",
+    "q_t9_ohlc" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+           FROM events),
+         o AS (SELECT user_id, h,
+                first_value(value) OVER w AS open,
+                max(value) OVER w AS high,
+                min(value) OVER w AS low,
+                last_value(value) OVER w AS close,
+                count(*) OVER w AS n
+           FROM b
+           WINDOW w AS (PARTITION BY user_id, h ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         SELECT DISTINCT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+                open, high, low, close, n
+         FROM o ORDER BY user_id, h""",
+    "q_x14_sentences" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         shaped AS (SELECT doc_id, len(t) AS ntok,
+           array_to_string(list_transform(range(0, (len(t) + 6) // 7),
+             j -> array_to_string(t[j*7+1:j*7+7], ' ')), '. ') || '.' AS s2
+           FROM toks),
+         sp AS (SELECT doc_id, ntok,
+           list_filter(string_split_regex(s2, '[.!?]+\s+'), x -> trim(x) <> '') AS sents
+           FROM shaped)
+         SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sent,
+                round(CAST(ntok AS DOUBLE) / CAST(len(sents) AS DOUBLE), 4) AS words_per_sent
+         FROM sp ORDER BY doc_id""",
+    "q_s_evolve_schema" ->
+      """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+         ORDER BY doc_id""",
+    "q_c3_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 6),
+             i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           FROM toks WHERE len(t) >= 8),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+         SELECT CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_exact,
+                TRUE AS no_false_negatives, TRUE AS fp_bounded""",
+    "q_gx_lpa" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+         e0 AS (SELECT 'supplier:' || s AS a, 'part:' || p AS b FROM hk),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_vertices,
+                CAST((SELECT count(DISTINCT component) FROM comp) AS BIGINT) AS n_components,
+                TRUE AS labels_within_component,
+                TRUE AS community_count_bracketed""",
   )
 }

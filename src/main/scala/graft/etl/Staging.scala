@@ -108,6 +108,21 @@ object Staging {
   def readShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: one logical table whose parquet
+    * generations were written with different (compatible) schemas —
+    * the standard long-lived-pipeline situation where a column was
+    * added or dropped mid-stream. `mergeSchema` makes the footer
+    * union the read schema; generations missing a column yield NULLs.
+    *
+    * Scale note: schema merging reads every file's FOOTER on the
+    * driver side before planning. At 100 TB that is a metadata scan
+    * of every generation — acceptable once (cache the merged schema /
+    * pin it in a catalog), wrong per-query. This face is the
+    * write-side contract; the read-side steady state should pass the
+    * pinned schema via `.schema(...)` and skip merging. */
+  def readMergedGenerations(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** P8: validity filter before graph load (reference
     * Edits.ipynb:515,1212-1216): content is a non-trivial string and
     * the row was actually classified. */

@@ -46,4 +46,34 @@ object Decontaminate {
       contaminationReport(docs, idCol, textCol, bench, benchTextCol, n)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filtered contamination flags: the constant-size variant of
+    * [[contaminationReport]] for when even the benchmark's distinct
+    * n-gram SET is too big to broadcast as an exact hash relation
+    * (stacked eval suites at 100 TB-corpus scale). The benchmark
+    * grams are folded into a Bloom filter (`DataFrameStatFunctions
+    * .bloomFilter`, built distributed via treeAggregate); the corpus
+    * side probes it map-side — same no-shuffle probe topology, but
+    * the broadcast payload is a few MB regardless of gram count.
+    *
+    * Bloom semantics: NO false negatives (every truly contaminated
+    * doc is flagged), bounded false positives (fpp). Callers route
+    * flagged docs to the exact [[contaminationReport]] for
+    * confirmation — the classic two-phase filter.
+    *
+    * @return (idCol, n_maybe_hits) for docs with ≥1 probable hit
+    */
+  def bloomContaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = benchmarkGrams(bench, benchTextCol, n)
+      .stat.bloomFilter("gram", expectedGrams, fpp)
+    val spark = docs.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    docs.select(col(idCol),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
+      .filter(mightContain(col("gram")))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_maybe_hits"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling faces beyond forward-fill (which lives in
+  * the q_t7 gate): linear gap interpolation and OHLC bar
+  * downsampling. Reference scope: the reference keeps raw event rows
+  * only (dockerapp/app/main.py:229 ingest); these are the
+  * map-forward operators a feature/training pipeline derives from
+  * that same event stream.
+  *
+  * Scale design: everything here is one shuffle on the resample key
+  * (user, bucket) — grids are generated with `sequence`+`explode`
+  * (distributed, no driver loop), fills/interpolation are window
+  * functions over the per-user partition, and bars are a single
+  * hash aggregate. Per-user cardinality is bounded by the time span,
+  * so partitions stay balanced even when event counts skew.
+  */
+object TimeSeries {
+
+  /** Per-key hourly grid spanning each key's [min(ts), max(ts)],
+    * left-joined with the hourly aggregate `agg(valueCol)`; gap
+    * buckets carry NULL. Columns: (key, h, v). */
+  def hourlyGrid(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val ev = events.select(col(keyCol), col(tsCol).as("__ts"), col(valueCol).as("__v"))
+    val hourly = ev.groupBy(col(keyCol), date_trunc("hour", col("__ts")).as("h"))
+      .agg(round(sum(col("__v")), 2).as("v"))
+    val span = ev.groupBy(col(keyCol))
+      .agg(date_trunc("hour", min(col("__ts"))).as("h0"),
+        date_trunc("hour", max(col("__ts"))).as("h1"))
+    span.select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(hourly, Seq(keyCol, "h"), "left")
+  }
+
+  /** Linear interpolation over grid gaps: each NULL bucket gets
+    * prev + (next - prev) * (steps since prev / steps prev→next);
+    * leading gaps back-fill from the first value, trailing gaps
+    * forward-fill from the last. The fraction is built from the SAME
+    * integer hour indexes on both engine and oracle, so the double
+    * arithmetic is bit-identical (IEEE ops in the same order) — the
+    * result is emitted RAW, not rounded: interpolated values land on
+    * grids like .xxx25/.xxx75 where a fixed round() would tie at the
+    * rounding digit and Spark's BigDecimal half-up and DuckDB's
+    * round disagree by one ulp (measured at sf0.001). Bit-identical
+    * inputs + identical op order means raw doubles hash-match.
+    *
+    * Input: (key, h, v) from [[hourlyGrid]]. Output adds `v_li`.
+    */
+  def interpolate(grid: DataFrame, keyCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    // integral hour index: epoch-micros div 3600e6 (exact on longs)
+    val hi = expr("unix_micros(h) div 3600000000")
+    val prevV = last(col("v"), ignoreNulls = true).over(wPrev)
+    val nextV = first(col("v"), ignoreNulls = true).over(wNext)
+    val prevH = last(when(col("v").isNotNull, hi), ignoreNulls = true).over(wPrev)
+    val nextH = first(when(col("v").isNotNull, hi), ignoreNulls = true).over(wNext)
+    grid
+      .withColumn("__pv", prevV).withColumn("__nv", nextV)
+      .withColumn("__ph", prevH).withColumn("__nh", nextH)
+      .withColumn("v_li",
+        when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .when(col("__nh") === col("__ph"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((hi - col("__ph")).cast("double") /
+             (col("__nh") - col("__ph")).cast("double"))))
+      .drop("__pv", "__nv", "__ph", "__nh")
+  }
+
+  /** OHLC bar downsampling: per (key, hour bucket) the first / max /
+    * min / last raw value, ordering ties on (ts, tieCol) so open and
+    * close are deterministic. No arithmetic touches the values (they
+    * are picked, not computed), so raw doubles compare exactly.
+    *
+    * One window pass + distinct — the window and the dedup share the
+    * same (key, bucket) hash partitioning, so this is a single
+    * exchange end-to-end.
+    */
+  def ohlcHourly(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val h = date_trunc("hour", col(tsCol)).as("h")
+    val base = events.select(col(keyCol), h, col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), col(valueCol).as("__v"))
+    val wAll = Window.partitionBy(col(keyCol), col("h"))
+      .orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base.select(col(keyCol), col("h"),
+        first(col("__v")).over(wAll).as("open"),
+        max(col("__v")).over(wAll).as("high"),
+        min(col("__v")).over(wAll).as("low"),
+        last(col("__v")).over(wAll).as("close"),
+        count(lit(1)).over(wAll).as("n"))
+      .distinct()
+  }
+}

@@ -247,6 +247,32 @@ object GraphOps {
     tail.unionByName(hotPairs)
   }
 
+  /** Label-propagation community detection (LPA) on original ids.
+    * Communities are labeled by the vid that won the propagation;
+    * exact membership depends on tie-break order inside GraphX's
+    * map-merge (and LPA famously oscillates on bipartite graphs), so
+    * the oracle-checkable surface is the set of INVARIANTS every LPA
+    * run satisfies — labels only travel along edges, so a vertex's
+    * community label always belongs to its own connected component,
+    * and the community count is bracketed by [#components,
+    * #vertices]. The q_gx_lpa gate checks exactly those; membership
+    * stability is spec territory.
+    *
+    * Same Pregel-state hygiene as PageRank: materialize the O(V)
+    * label vector, then release the iteration graphs. */
+  def labelPropagationByOrigId(spark: SparkSession, dict: DataFrame,
+      graph: Graph[String, String], maxSteps: Int = 5): DataFrame = {
+    val lp = org.apache.spark.graphx.lib.LabelPropagation.run(graph, maxSteps)
+    import spark.implicits._
+    val labels = lp.vertices.toDF("vid", "comm_vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    lp.unpersistVertices(blocking = false)
+    lp.edges.unpersist(blocking = false)
+    dict.join(labels, Seq("vid"))
+      .select(col("label"), col("orig_id"), col("vid"), col("comm_vid"))
+  }
+
   /** Per-vertex triangle counts of an undirected simple graph given
     * as numeric edge pairs. GraphX's TriangleCount canonicalizes and
     * dedups internally, then intersects adjacent neighbor sets — each

@@ -142,4 +142,13 @@ class EtlSpec extends SparkSpec {
     assert(g.hasKeyword.count() >= 3) // a->k1,a->k2 or a->k1 depending on kept dup
     assert(g.belongsTo.count() == 2)
   }
+  test("readMergedGenerations unions generation schemas, nulls missing cols") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve_spec").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$root/gen=1")
+    Seq((2L, "b", 9L)).toDF("id", "s", "extra").write.parquet(s"$root/gen=2")
+    val m = Staging.readMergedGenerations(spark, root)
+    assert(m.columns.toSet == Set("id", "s", "extra", "gen"))
+    val rows = m.select($"id", $"extra").as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9L)), rows.toString)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Linear interpolation + OHLC downsampling (TimeSeries). */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("interpolate fills interior gaps linearly, edges by nearest value") {
+    // user 1: values at hours 0 and 3 (10.0 → 16.0), gap hours 1, 2
+    // user 2: single point (grid of one row)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 03:20:00"), 16.0),
+      (2L, ts("2024-01-01 05:00:00"), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.interpolate(
+        TimeSeries.hourlyGrid(ev, "user_id", "ts", "value"), "user_id")
+      .select($"user_id", date_format($"h", "HH").cast("int").as("hh"), $"v_li")
+      .as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val u1 = out.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    assert(u1 == Map(0 -> 10.0, 1 -> 12.0, 2 -> 14.0, 3 -> 16.0), u1.toString)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 5, 7.0)))
+  }
+
+  test("interpolate back-fills a leading gap and forward-fills a trailing one") {
+    // value only at hour 1; span is [0, 2] because events (null value
+    // buckets don't exist here — craft span via extra rows at 0 and 2
+    // whose hourly sum still lands on the grid)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 0.0), // hour 0 sums to 0.0
+      (1L, ts("2024-01-01 01:30:00"), 4.0),
+      (1L, ts("2024-01-01 02:30:00"), 8.0)
+    ).toDF("user_id", "ts", "value")
+    // hours 0/1/2 all have values — no gap; now a real gap corpus:
+    val ev2 = Seq(
+      (9L, ts("2024-01-01 01:00:00"), 4.0),
+      (9L, ts("2024-01-01 04:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out2 = TimeSeries.interpolate(
+        TimeSeries.hourlyGrid(ev2, "user_id", "ts", "value"), "user_id")
+      .select(date_format($"h", "HH").cast("int"), $"v_li")
+      .as[(Int, Double)].collect().toMap
+    assert(out2 == Map(1 -> 4.0, 2 -> 4.0, 3 -> 4.0, 4 -> 4.0), out2.toString)
+    val out1 = TimeSeries.interpolate(
+        TimeSeries.hourlyGrid(ev, "user_id", "ts", "value"), "user_id")
+      .select(date_format($"h", "HH").cast("int"), $"v_li")
+      .as[(Int, Double)].collect().toMap
+    assert(out1 == Map(0 -> 0.0, 1 -> 4.0, 2 -> 8.0), out1.toString)
+  }
+
+  test("ohlcHourly picks first/max/min/last by (ts, tie) within the hour") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, 5.0),
+      (1L, ts("2024-01-01 00:15:00"), 11L, 9.0),
+      (1L, ts("2024-01-01 00:55:00"), 12L, 2.0),
+      // same-ts tie: event 21 before 22 ⇒ open is 21's value
+      (2L, ts("2024-01-01 01:00:00"), 22L, 3.0),
+      (2L, ts("2024-01-01 01:00:00"), 21L, 1.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.ohlcHourly(ev, "user_id", "ts", "event_id", "value")
+      .select($"user_id", $"open", $"high", $"low", $"close", $"n")
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 5.0, 9.0, 2.0, 2.0, 3L)), out(0).toString)
+    assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
+  }
+}

@@ -97,4 +97,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(allHot.exceptAll(allTail).count() == 0 &&
       allTail.exceptAll(allHot).count() == 0)
   }
+  test("label propagation: labels stay inside their component, count bracketed") {
+    val lpa = GraphOps.labelPropagationByOrigId(spark, dict, graph, maxSteps = 5)
+    // every vertex labeled
+    assert(lpa.count() == dict.count())
+    // each community label is a vid of a vertex in the SAME component
+    val cc = GraphOps.connectedComponentsByOrigId(spark, dict, graph)
+    val nodeCc = lpa.join(cc, Seq("label", "orig_id"))
+    val commCc = lpa.select($"comm_vid").distinct()
+      .join(dict, $"comm_vid" === dict("vid")).select($"comm_vid", $"label", $"orig_id")
+      .join(cc.withColumnRenamed("component", "comm_component"), Seq("label", "orig_id"))
+      .select($"comm_vid", $"comm_component")
+    val crossers = nodeCc.join(commCc, Seq("comm_vid"))
+      .filter($"component" =!= $"comm_component").count()
+    assert(crossers == 0)
+    val nComm = lpa.select("comm_vid").distinct().count()
+    assert(nComm >= 2 && nComm <= 5, s"nComm=$nComm") // 2 components, 5 vertices
+  }
 }
