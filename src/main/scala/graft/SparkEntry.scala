@@ -70,6 +70,29 @@ object SparkEntry {
       (dict, g)
     }
 
+  /** Directed graph for SCC: sparse supplier→part edges plus an even
+    * sparser part→supplier overlay; orders divisible by both moduli
+    * (lcm 3000) plant deterministic 2-cycles. */
+  private def sccGraph(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.graphx.Graph[String, String]) =
+    DerivedCache.any(s, s"sccGraph:$d") {
+      val li = Tables.lineitem(s, d)
+      val e1 = li.filter(col("l_orderkey") % 1000 === 0)
+        .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct()
+      val e2 = li.filter(col("l_orderkey") % 1500 === 0)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")).distinct()
+      val dict = graft.graphx.GraphOps.vertexDictionary(Seq(
+        "supplier" -> e1.select(col("src"))
+          .union(e2.select(col("dst"))).distinct(),
+        "part" -> e1.select(col("dst"))
+          .union(e2.select(col("src"))).distinct()))
+      val g = graft.graphx.GraphOps.buildGraph(s, dict,
+        Seq(("supplies", "supplier", "part", e1),
+          ("supplied_by", "part", "supplier", e2)))
+      g.cache()
+      (dict, g)
+    }
+
   /** BELONGS_TO analog: supplier —located-in→ nation. */
   private def belongsTo(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
@@ -1474,6 +1497,45 @@ object SparkEntry {
           (col("__ncomm") >= col("n_components") &&
            col("__ncomm") <= col("n_vertices")).as("community_count_bracketed"))
     }),
+
+    // -- deterministic train/val/test split by content fingerprint:
+    // the standard leakage-safe corpus split (hash of the TEXT, not
+    // the id, so exact duplicates always land in the same split) —
+    // poly hash so DuckDB mirrors it (q_x13 precedent) --
+    "q_o11_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("__b"))
+        .select(col("doc_id"),
+          when(col("__b") < 80, "train").when(col("__b") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))),
+
+    // -- strongly connected components on a DIRECTED graph with
+    // planted 2-cycles (supplier→part ∪ a sparser part→supplier
+    // overlay): unlike LPA, SCC membership is a graph property —
+    // deterministic — so the FULL assignment is gated against a
+    // mutual-reachability closure oracle --
+    "q_gx_scc" -> ((s, d) => {
+      val (dict, g) = sccGraph(s, d)
+      graft.graphx.GraphOps.stronglyConnectedByOrigId(s, dict, g)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("scc"))
+        .orderBy(col("node"))
+    }),
+
+    // -- passage-level duplication report: 20-token windows shared by
+    // ≥2 distinct documents (the passage-granularity face of exact
+    // dedup — C4/RefinedWeb-style repeated-boilerplate detection);
+    // map-side gram explode + one count-distinct agg --
+    "q_c4_passage_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingles(col("text"), 20))).as("passage"))
+        .groupBy(col("passage"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("passage"))
+        .limit(100)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2686,5 +2748,47 @@ object SparkEntry {
                 CAST((SELECT count(DISTINCT component) FROM comp) AS BIGINT) AS n_components,
                 TRUE AS labels_within_component,
                 TRUE AS community_count_bracketed""",
+    "q_o11_split" ->
+      """WITH fp AS (SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) % 100 AS b
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM fp ORDER BY doc_id""",
+    "q_gx_scc" ->
+      """WITH RECURSIVE
+         e1 AS (SELECT DISTINCT 'supplier:' || l_suppkey AS a,
+                       'part:' || l_partkey AS b
+                FROM lineitem WHERE l_orderkey % 1000 = 0),
+         e2 AS (SELECT DISTINCT 'part:' || l_partkey AS a,
+                       'supplier:' || l_suppkey AS b
+                FROM lineitem WHERE l_orderkey % 1500 = 0),
+         edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2),
+         nodes AS (SELECT DISTINCT a AS id FROM edges
+                   UNION SELECT DISTINCT b FROM edges),
+         reach AS (SELECT a AS src, b AS dst FROM edges
+                   UNION
+                   SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         mutual AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
+                    JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+         lbl AS (SELECT id, id AS m FROM nodes
+                 UNION ALL SELECT v AS id, u AS m FROM mutual)
+         SELECT id AS node, min(m) AS scc FROM lbl
+         GROUP BY id ORDER BY node""",
+    "q_c4_passage_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 18),
+             i -> array_to_string(t[i:i+19], ' ')))) AS passage
+           FROM toks WHERE len(t) >= 20)
+         SELECT passage, count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, passage LIMIT 100""",
   )
 }

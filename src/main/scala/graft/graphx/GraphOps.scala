@@ -273,6 +273,36 @@ object GraphOps {
       .select(col("label"), col("orig_id"), col("vid"), col("comm_vid"))
   }
 
+  /** Strongly connected components on the DIRECTED graph, relabeled
+    * by each SCC's minimum "label:orig_id" member (same stable-label
+    * trick as [[connectedComponentsByOrigId]] — GraphX's internal
+    * min-vid label is hash order). Unlike LPA, SCC membership is a
+    * graph property: mutual reachability is deterministic, so the
+    * full assignment is oracle-checkable against a reachability-
+    * closure oracle.
+    *
+    * numIter bounds GraphX's outer trim/color loop; component
+    * diameter here is tiny (2-cycles + short chains), and the q_gx
+    * gates verify convergence empirically at every testdata sf. */
+  def stronglyConnectedByOrigId(spark: SparkSession, dict: DataFrame,
+      graph: Graph[String, String], numIter: Int = 10): DataFrame = {
+    import spark.implicits._
+    val sccGraph = graph.stronglyConnectedComponents(numIter)
+    val scc = sccGraph.vertices.toDF("vid", "scc_vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scc.count() // O(V) labels; release the iteration graphs
+    sccGraph.unpersistVertices(blocking = false)
+    sccGraph.edges.unpersist(blocking = false)
+    val labeled = dict.join(scc, Seq("vid"))
+      .select(col("label"), col("orig_id"), col("scc_vid"))
+    val rep = labeled.groupBy("scc_vid")
+      .agg(min(struct(col("label"), col("orig_id"))).as("rep"))
+      .select(col("scc_vid"),
+        concat_ws(":", col("rep.label"), col("rep.orig_id")).as("scc"))
+    labeled.join(rep, Seq("scc_vid"))
+      .select(col("label"), col("orig_id"), col("scc"))
+  }
+
   /** Per-vertex triangle counts of an undirected simple graph given
     * as numeric edge pairs. GraphX's TriangleCount canonicalizes and
     * dedups internally, then intersects adjacent neighbor sets — each

@@ -114,4 +114,19 @@ class GraphOpsSpec extends SparkSpec {
     val nComm = lpa.select("comm_vid").distinct().count()
     assert(nComm >= 2 && nComm <= 5, s"nComm=$nComm") // 2 components, 5 vertices
   }
+  test("strongly connected components: 2-cycle merges, acyclic stays singleton") {
+    // l1 <-> k1 is a 2-cycle; l2 -> k2 is acyclic
+    val fwd = Seq(("l1", "k1"), ("l2", "k2")).toDF("src", "dst")
+    val back = Seq(("k1", "l1")).toDF("src", "dst")
+    val d2 = GraphOps.vertexDictionary(Seq(
+      "link" -> fwd.select($"src").distinct(),
+      "kw" -> fwd.select($"dst").distinct()))
+    val g2 = GraphOps.buildGraph(spark, d2, Seq(
+      ("has", "link", "kw", fwd), ("rev", "kw", "link", back)))
+    val scc = GraphOps.stronglyConnectedByOrigId(spark, d2, g2)
+      .select(concat_ws(":", $"label", $"orig_id").as("n"), $"scc")
+      .as[(String, String)].collect().toMap
+    assert(scc("link:l1") == "kw:k1" && scc("kw:k1") == "kw:k1") // merged, min label
+    assert(scc("link:l2") == "link:l2" && scc("kw:k2") == "kw:k2") // singletons
+  }
 }
