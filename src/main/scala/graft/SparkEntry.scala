@@ -1536,6 +1536,47 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("passage"))
         .limit(100)),
+
+    // -- event-type transition matrix: (type → next type) per user via
+    // lead(), then one global count — the Markov-chain summary of the
+    // event stream (per-user window sort, tiny aggregate out) --
+    "q_t10_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // -- staged funnel (view → click → purchase, in timestamp order):
+    // each stage's time is the min event time at-or-after the prior
+    // stage — three tiny per-user aggregates chained by broadcast-able
+    // joins on user_id, no window over the raw stream --
+    "q_t11_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") >= col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") >= col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+          when(col("p_us").isNotNull, 3L).when(col("c_us").isNotNull, 2L)
+            .when(col("v_us").isNotNull, 1L).otherwise(0L).as("stage"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2687,20 +2728,14 @@ object SparkEntry {
                 END AS v_li
          FROM f ORDER BY user_id, h""",
     "q_t9_ohlc" ->
-      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
-           FROM events),
-         o AS (SELECT user_id, h,
-                first_value(value) OVER w AS open,
-                max(value) OVER w AS high,
-                min(value) OVER w AS low,
-                last_value(value) OVER w AS close,
-                count(*) OVER w AS n
-           FROM b
-           WINDOW w AS (PARTITION BY user_id, h ORDER BY epoch_us(ts), event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-         SELECT DISTINCT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
-                open, high, low, close, n
-         FROM o ORDER BY user_id, h""",
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                printf('%020d%011d', epoch_us(ts), event_id) AS ord, value
+           FROM events)
+         SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS h,
+                arg_min(value, ord) AS open, max(value) AS high,
+                min(value) AS low, arg_max(value, ord) AS close,
+                count(*) AS n
+         FROM b GROUP BY user_id, h ORDER BY user_id, h""",
     "q_x14_sentences" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
@@ -2790,5 +2825,29 @@ object SparkEntry {
          SELECT passage, count(DISTINCT doc_id) AS n_docs
          FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, passage LIMIT 100""",
+    "q_t10_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM p WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    "q_t11_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM ev
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT ev.user_id, min(us) AS c_us FROM ev JOIN v USING (user_id)
+               WHERE event_type = 'click' AND us >= v_us GROUP BY ev.user_id),
+         p AS (SELECT ev.user_id, min(us) AS p_us FROM ev JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND us >= c_us GROUP BY ev.user_id)
+         SELECT u.user_id, v_us, c_us, p_us,
+                CAST(CASE WHEN p_us IS NOT NULL THEN 3
+                          WHEN c_us IS NOT NULL THEN 2
+                          WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         LEFT JOIN p USING (user_id)
+         ORDER BY u.user_id""",
   )
 }

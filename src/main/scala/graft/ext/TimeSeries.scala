@@ -79,24 +79,27 @@ object TimeSeries {
     * close are deterministic. No arithmetic touches the values (they
     * are picked, not computed), so raw doubles compare exactly.
     *
-    * One window pass + distinct — the window and the dedup share the
-    * same (key, bucket) hash partitioning, so this is a single
-    * exchange end-to-end.
+    * ONE hash aggregate with map-side partial aggregation — open and
+    * close are `min_by`/`max_by` over a zero-padded "(µs, tie)"
+    * string key (lexicographic = numeric order; the oracle's
+    * arg_min/arg_max take only scalar keys, and a string composite
+    * keeps both engines on the same total order). The earlier
+    * window-plus-distinct formulation sorted every (key, hour)
+    * partition and then shuffled AGAIN to dedup — at 100 TB the
+    * partial agg sends one row per (key, hour) per map task instead.
     */
   def ohlcHourly(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCol: String): DataFrame = {
-    val h = date_trunc("hour", col(tsCol)).as("h")
-    val base = events.select(col(keyCol), h, col(tsCol).as("__ts"),
-      col(tieCol).as("__tie"), col(valueCol).as("__v"))
-    val wAll = Window.partitionBy(col(keyCol), col("h"))
-      .orderBy(col("__ts"), col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    base.select(col(keyCol), col("h"),
-        first(col("__v")).over(wAll).as("open"),
-        max(col("__v")).over(wAll).as("high"),
-        min(col("__v")).over(wAll).as("low"),
-        last(col("__v")).over(wAll).as("close"),
-        count(lit(1)).over(wAll).as("n"))
-      .distinct()
+    val ord = format_string("%020d%011d",
+      unix_micros(col(tsCol)), col(tieCol))
+    events
+      .select(col(keyCol), date_trunc("hour", col(tsCol)).as("h"),
+        ord.as("__ord"), col(valueCol).as("__v"))
+      .groupBy(col(keyCol), col("h"))
+      .agg(min_by(col("__v"), col("__ord")).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), col("__ord")).as("close"),
+        count(lit(1)).as("n"))
   }
 }
