@@ -1577,6 +1577,41 @@ object SparkEntry {
             .when(col("v_us").isNotNull, 1L).otherwise(0L).as("stage"))
         .orderBy(col("user_id"))
     }),
+
+    // -- data-quality expectations report: four row-level rules in ONE
+    // aggregation pass, plus key-uniqueness and referential-integrity
+    // checks — the batch-promotion contract. The synthetic lineitem
+    // genuinely FAILS two checks (duplicate (orderkey, linenumber)
+    // pairs; tax above cap), so pass/fail are both exercised --
+    "q_p13_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ext.Profiling.checkRowRules(li, Seq(
+          "disc_range" -> col("l_discount").between(0.0, 0.1),
+          "qty_range" -> col("l_quantity").between(1.0, 50.0),
+          "shipdate_nonnull" -> col("l_shipdate").isNotNull,
+          "tax_cap" -> (col("l_tax") <= 0.05)))
+        .unionByName(graft.ext.Profiling.uniquenessViolations(
+          li, Seq("l_orderkey", "l_linenumber"), "pk_unique"))
+        .unionByName(graft.ext.Profiling.orphanCount(
+          li, "l_orderkey", Tables.orders(s, d), "o_orderkey", "fk_orders"))
+        .orderBy(col("check_name"))
+    }),
+
+    // -- CDC snapshot diff: old vs new corpus generation classified
+    // into inserts/deletes/updates by one full-outer join (planted
+    // changes: %17 deleted, %13 text-edited, %11 re-inserted under a
+    // new id) — the incremental-propagation face --
+    "q_g11_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newDocs = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.ext.ChangeCapture.snapshotDiff(
+          docs, newDocs, Seq("doc_id"), Seq("text", "lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2849,5 +2884,45 @@ object SparkEntry {
          LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
          LEFT JOIN p USING (user_id)
          ORDER BY u.user_id""",
+    "q_p13_expectations" ->
+      """WITH q AS (
+           SELECT 'disc_range' AS check_name,
+                  (SELECT count(*) FROM lineitem) AS n_rows,
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_discount IS NULL
+                      OR NOT (l_discount BETWEEN 0.0 AND 0.1)) AS n_violations
+           UNION ALL
+           SELECT 'qty_range', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_quantity IS NULL
+                      OR NOT (l_quantity BETWEEN 1.0 AND 50.0))
+           UNION ALL
+           SELECT 'shipdate_nonnull', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+           UNION ALL
+           SELECT 'tax_cap', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_tax IS NULL OR l_tax > 0.05)
+           UNION ALL
+           SELECT 'pk_unique', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM
+                    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+           UNION ALL
+           SELECT 'fk_orders', (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)))
+         SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_violations AS BIGINT) AS n_violations,
+                n_violations = 0 AS pass
+         FROM q ORDER BY check_name""",
+    "q_g11_snapshot_diff" ->
+      """SELECT doc_id, 'D' AS op FROM documents WHERE doc_id % 17 = 0
+         UNION ALL
+         SELECT doc_id, 'U' FROM documents
+         WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, 'I' FROM documents WHERE doc_id % 11 = 0
+         ORDER BY doc_id""",
   )
 }

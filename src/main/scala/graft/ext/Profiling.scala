@@ -36,6 +36,54 @@ object Profiling {
       .select(col("p.*"))
   }
 
+  /** Declarative data-quality expectations (the Deequ-style contract
+    * check a pipeline runs before promoting a batch). All ROW-LEVEL
+    * rules evaluate in ONE aggregation pass — each rule contributes a
+    * conditional violation counter to the same agg, so checking 20
+    * rules costs the same scan as checking one. The single stat row
+    * is then unpivoted to (check, n_rows, n_violations, pass).
+    *
+    * Dataset-level checks (key uniqueness, referential integrity)
+    * need their own shuffles by nature; [[uniquenessViolations]] and
+    * [[orphanCount]] return scalar frames unioned onto the report. */
+  def checkRowRules(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    // NULL rule results count as violations (a row that can't prove
+    // the contract doesn't satisfy it)
+    val aggs = rules.map { case (name, ok) =>
+      count(when(!coalesce(ok, lit(false)), lit(1))).as(s"__v__$name") }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    row.select(explode(array(rules.map { case (name, _) => struct(
+        lit(name).as("check_name"),
+        col("__n").as("n_rows"),
+        col(s"__v__$name").as("n_violations"),
+        (col(s"__v__$name") === 0).as("pass")) }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Duplicate-key count for a uniqueness expectation: rows beyond
+    * the first per key (0 = unique). One hash agg on the key. */
+  def uniquenessViolations(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__k"), sum(col("__c")).as("__n"))
+      .select(lit(name).as("check_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__k")).as("n_violations"),
+        (col("__n") === col("__k")).as("pass"))
+
+  /** Referential-integrity expectation: child rows whose key has no
+    * parent (anti-join count; Catalyst broadcasts the parent side
+    * when it fits, AQE handles the rest). */
+  def orphanCount(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame = {
+    val orphans = child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+    child.agg(count(lit(1)).as("__n"))
+      .crossJoin(orphans.agg(count(lit(1)).as("__v")))
+      .select(lit(name).as("check_name"), col("__n").as("n_rows"),
+        col("__v").as("n_violations"), (col("__v") === 0).as("pass"))
+  }
+
   /** Physical partition balance: rows per partition id plus the
     * max/mean ratio (the number a skew diagnosis starts from; 1.0 is
     * perfectly balanced). Partition ids are a property of the current

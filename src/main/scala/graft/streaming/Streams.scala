@@ -56,6 +56,23 @@ object Streams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
 
+  /** OHLC bar downsampling, streaming face: the incremental form of
+    * [[graft.ext.TimeSeries.ohlcHourly]] — min_by/max_by over the
+    * same zero-padded (µs, event_id) order key are declarative
+    * aggregates, so they fold per micro-batch with bounded per-window
+    * state and the watermark expires closed bars. Batch/stream parity
+    * is the same-agg-different-source property the other faces have. */
+  def ohlcHourlyStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ord = format_string("%020d%011d", unix_micros(col("ts")), col("event_id"))
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Sessionization, batch face: gap-based sessions (new session when
     * > gap since the user's previous event). One shuffle on user_id;
     * the two windows share the same partitioning so Catalyst plans a

@@ -214,4 +214,22 @@ class StreamsSpec extends SparkSpec {
       .select($"event_id", $"asof_us").as[(Long, Option[Long])].collect().toSeq
     assert(out == Seq((1L, Some(20L * us)), (4L, Some(5L * us))))
   }
+  test("streaming OHLC matches the batch single-agg face") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val in = MemoryStream[org.apache.spark.sql.Row](
+      org.apache.spark.sql.Encoders.row(ev.schema), spark)
+    val q = Streams.ohlcHourlyStream(in.toDF(), watermark = "10 years")
+      .writeStream.format("memory").queryName("ohlc_spec")
+      .outputMode("complete").start()
+    in.addData(ev.collect().toSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ohlc_spec")
+      .select($"user_id", date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("h"),
+        $"open", $"high", $"low", $"close", $"n")
+    val batch = graft.ext.TimeSeries.ohlcHourly(ev, "user_id", "ts", "event_id", "value")
+      .select($"user_id", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("h"),
+        $"open", $"high", $"low", $"close", $"n")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
