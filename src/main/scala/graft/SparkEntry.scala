@@ -1612,6 +1612,63 @@ object SparkEntry {
           docs, newDocs, Seq("doc_id"), Seq("text", "lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // -- exponentially weighted moving average per user over the
+    // hourly series: EWMA is a RECURRENCE (window sums can't express
+    // it without overflowing weights), so both engines fold the same
+    // time-ordered list sequentially — identical op order ⇒ raw
+    // doubles hash-match. Per-user list length is bounded by the time
+    // span (same bound the q_t7 grid has) --
+    "q_t12_ewma" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      hourly.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("hv"))
+        .select(col("user_id"),
+          aggregate(transform(col("hv"), x => x.getField("v")),
+            lit(Double.NaN),
+            (acc, x) => when(isnan(acc), x)
+              .otherwise(acc * 0.7 + x * 0.3)).as("ewma"),
+          size(col("hv")).cast("long").as("n_hours"))
+        .orderBy(col("user_id"))
+    }),
+
+    // -- bipartite projection: keyword co-occurrence graph (keywords
+    // weighted by shared suppliers) — the graph-construction step
+    // community detection consumes. Self-join on the supplier side;
+    // at 100 TB a viral supplier bounds via the same heavy-hitter
+    // split as the AM flagship (GraphOps.interconnections...) --
+    "q_g12_cooccurrence" -> ((s, d) => {
+      val hk = hasKeywordSparse(s, d)
+      hk.as("a").join(hk.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .groupBy(col("a.dst").as("kw1"), col("b.dst").as("kw2"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("kw1"), col("kw2"))
+        .limit(100)
+    }),
+
+    // -- equi-depth (decile) binning: exact percentile cutoffs,
+    // rounded onto the price's 2-decimal grid (q_a9 precedent: that's
+    // where Spark percentile and DuckDB quantile_cont provably agree)
+    // then broadcast as a literal array — rows classify map-side by
+    // counting cutoffs below (no second shuffle, IVF-centroid
+    // pattern for driver-held small state) --
+    "q_a18_equidepth" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cuts = li.agg(expr(
+          "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("c")).head().getSeq[Double](0)
+        .map(c => BigDecimal(c).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val arr = array(cuts.map(lit): _*)
+      li.select(col("l_extendedprice").as("p"),
+          size(filter(arr, c => col("l_extendedprice") > c)).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p")), 2).as("lo"), round(max(col("p")), 2).as("hi"))
+        .orderBy(col("decile"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2924,5 +2981,35 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 1000000, 'I' FROM documents WHERE doc_id % 11 = 0
          ORDER BY doc_id""",
+    "q_t12_ewma" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2)
+         SELECT user_id,
+                list_reduce(
+                  list_prepend(CAST('nan' AS DOUBLE), list(v ORDER BY h)),
+                  (a, x) -> CASE WHEN isnan(a) THEN x
+                                 ELSE a * 0.7 + x * 0.3 END) AS ewma,
+                CAST(count(*) AS BIGINT) AS n_hours
+         FROM hourly GROUP BY user_id ORDER BY user_id""",
+    "q_g12_cooccurrence" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                     FROM lineitem WHERE l_orderkey % 100 = 0)
+         SELECT a.dst AS kw1, b.dst AS kw2, count(*) AS weight
+         FROM hk a JOIN hk b ON a.src = b.src AND a.dst < b.dst
+         GROUP BY 1, 2 ORDER BY weight DESC, kw1, kw2 LIMIT 100""",
+    "q_a18_equidepth" ->
+      """WITH c AS (SELECT list_transform(
+                quantile_cont(l_extendedprice,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                x -> round(x, 2)) AS cuts
+           FROM lineitem),
+         b AS (SELECT CAST(len(list_filter(c.cuts,
+                  x -> l.l_extendedprice > x)) AS BIGINT) AS decile,
+                l.l_extendedprice AS p
+           FROM lineitem l CROSS JOIN c)
+         SELECT decile, count(*) AS n, round(min(p), 2) AS lo,
+                round(max(p), 2) AS hi
+         FROM b GROUP BY decile ORDER BY decile""",
   )
 }

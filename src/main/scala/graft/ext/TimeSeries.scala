@@ -79,14 +79,16 @@ object TimeSeries {
     * close are deterministic. No arithmetic touches the values (they
     * are picked, not computed), so raw doubles compare exactly.
     *
-    * ONE hash aggregate with map-side partial aggregation — open and
-    * close are `min_by`/`max_by` over a zero-padded "(µs, tie)"
-    * string key (lexicographic = numeric order; the oracle's
-    * arg_min/arg_max take only scalar keys, and a string composite
-    * keeps both engines on the same total order). The earlier
+    * ONE aggregate (partial + final around a single hash exchange) —
+    * open and close are `min_by`/`max_by` over a zero-padded
+    * "(µs, tie)" string key (lexicographic = numeric order; the
+    * oracle's arg_min/arg_max take only scalar keys, and a string
+    * composite keeps both engines on the same total order). The
+    * string buffer makes Spark pick SortAggregate over HashAggregate
+    * (partition-local sorts, no extra exchange); the earlier
     * window-plus-distinct formulation sorted every (key, hour)
-    * partition and then shuffled AGAIN to dedup — at 100 TB the
-    * partial agg sends one row per (key, hour) per map task instead.
+    * partition AND shuffled again to dedup — at 100 TB the map-side
+    * partial agg sends one row per (key, hour) per task instead.
     */
   def ohlcHourly(events: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCol: String): DataFrame = {

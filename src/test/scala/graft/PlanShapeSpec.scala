@@ -154,4 +154,46 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("Project") && l.trim.stripPrefix("+- ").startsWith("*(")),
       s"projection not codegen'd:\n$plan")
   }
+  test("OHLC is one hash aggregate with map-side partial agg, no sort or re-shuffle") {
+    val plan = executedFinal(graft.ext.TimeSeries.ohlcHourly(
+      Tables.events(spark, sf0001), "user_id", "ts", "event_id", "value"))
+    // partial + final aggregate pair around ONE hash exchange, no
+    // Window and no range shuffle — the rewrite's whole point. (The
+    // aggregates are SortAggregate, not HashAggregate: min_by's
+    // buffer carries the string order key, which hash agg's mutable
+    // buffer can't hold — the sorts are partition-local and the
+    // map-side partial agg still collapses to one row per (user, h).)
+    assert(!plan.contains("Window"), s"OHLC planned a window:\n$plan")
+    assert("SortAggregate".r.findAllIn(plan).size == 2,
+      s"expected partial+final agg pair:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"unexpected range shuffle:\n$plan")
+  }
+
+  test("bloom decontamination probe side has no shuffle before the per-doc agg") {
+    val docs = Tables.documents(spark, sf0001)
+    val bench = docs.filter($"doc_id" % 97 === 0).select($"text")
+    val plan = executedFinal(graft.ext.Decontaminate.bloomContaminationFlags(
+      docs, "doc_id", "text", bench, "text", n = 8,
+      expectedGrams = 10000L, fpp = 1e-4))
+    // corpus side: scan → explode → bloom filter → partial agg, then
+    // ONE exchange for the final per-doc agg (no join exchange at all)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"bloom probe should shuffle once (final agg only):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"bloom path should not plan a join:\n$plan")
+  }
+
+  test("histogram buckets aggregate before the tiny cumulative window") {
+    val q = SparkEntry.queries("q_a17_histogram")(spark, sf0001)
+    val plan = executedFinal(q)
+    // the window runs over ~20 bucket rows AFTER the agg — assert the
+    // aggregate exists and the scan reads only the bucketed column
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_partkey"),
+      s"scan not pruned to the histogram column: $readSchema")
+  }
 }
