@@ -1669,6 +1669,48 @@ object SparkEntry {
           round(min(col("p")), 2).as("lo"), round(max(col("p")), 2).as("hi"))
         .orderBy(col("decile"))
     }),
+
+    // -- banded range join: views within 30 min before each purchase,
+    // NO equi key — bucketing by floor(ts/window) with factor-2 left
+    // replication turns the would-be cartesian into an equi join on
+    // the bucket (see RangeJoin); the oracle replays the naive theta
+    // join, proving the banded plan computes the identical relation --
+    "q_t13_banded_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view").select(col("ts").as("l_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("r_ts"))
+      graft.query.RangeJoin.leadingWindowPairs(v, p, "l_ts", "r_ts",
+          windowUs = 30L * 60 * 1000000)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_prior_views"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // -- distributed BPE training (15 merges on the word-frequency
+    // dict). The merge LOOP is iterative argmax — not SQL-replayable —
+    // so the gate pins what IS deterministic: the first merge (one
+    // pair-count pass, fully mirrored in DuckDB), the merge count,
+    // the base alphabet size, and the BPE theorems (vocab ≤ base +
+    // merges; segmentations always concatenate back to the word) --
+    "q_x15_bpe" -> ((s, d) => {
+      val (merges, wf) = DerivedCache.any(s, s"bpe:$d") {
+        graft.ext.BpeTrainer.train(s, Tables.documents(s, d), "text",
+          numMerges = 15)
+      }
+      val base = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .select(explode(split(col("w"), "")).as("ch")).distinct()
+      val vocab = wf.select(explode(col("syms")).as("sym")).distinct()
+      val bad = wf.filter(array_join(col("syms"), "") =!= col("w"))
+      base.agg(count(lit(1)).as("n_base_chars"))
+        .crossJoin(vocab.agg(count(lit(1)).as("__nv")))
+        .crossJoin(bad.agg(count(lit(1)).as("__bad")))
+        .select(lit(merges.size.toLong).as("n_merges"),
+          lit(merges.head._1 + " " + merges.head._2).as("first_merge"),
+          col("n_base_chars"),
+          (col("__nv") <= col("n_base_chars") + merges.size).as("vocab_bounded"),
+          (col("__bad") === 0).as("roundtrip_ok"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3011,5 +3053,29 @@ object SparkEntry {
          SELECT decile, count(*) AS n, round(min(p), 2) AS lo,
                 round(max(p), 2) AS hi
          FROM b GROUP BY decile ORDER BY decile""",
+    "q_t13_banded_range" ->
+      """WITH v AS (SELECT epoch_us(ts) AS lus FROM events
+                    WHERE event_type = 'view'),
+         p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS rus
+               FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, count(*) AS n_prior_views
+         FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
+         GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_x15_bpe" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+           FROM documents),
+         wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+         chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS ch FROM wf),
+         pc AS (SELECT p, sum(freq) AS c FROM (
+                  SELECT unnest(list_transform(range(1, len(cs)),
+                           i -> cs[i] || ' ' || cs[i+1])) AS p, freq
+                  FROM (SELECT string_split(w, '') AS cs, freq FROM wf
+                        WHERE length(w) >= 2))
+                GROUP BY p)
+         SELECT CAST(15 AS BIGINT) AS n_merges,
+                (SELECT p FROM pc ORDER BY c DESC, p LIMIT 1) AS first_merge,
+                CAST((SELECT count(*) FROM chars) AS BIGINT) AS n_base_chars,
+                TRUE AS vocab_bounded, TRUE AS roundtrip_ok""",
   )
 }
