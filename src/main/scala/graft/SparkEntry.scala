@@ -924,6 +924,33 @@ object SparkEntry {
         .select(col("n_exact"),
           (col("n_hits").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
     }),
+    "q_n5_pq_ann" -> ((s, d) => { // product-quantization ANN: the
+      // MEMORY-bound scale path — corpus streams as m=8 int codes
+      // (8x less data than the raw dim-64 floats), candidates cost
+      // O(m) ADC table lookups, and only the oversampled survivors
+      // rejoin the raw vectors for the exact-cosine refine. Codebook
+      // values come from seeded k-means, so like q_n2/q_n3 the gate
+      // checks the recall BOUND vs brute force as a deterministic
+      // boolean (measured recall with 8x oversample-and-refine:
+      // 0.65 at sf0.001, 0.75 at sf0.01 — uniform synthetic vectors
+      // are PQ's worst case, no cluster structure to quantize;
+      // bound 0.4 matches q_n3's).
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val cb = DerivedCache.any(s, s"pqcb:$d") {
+        Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 8, k = 16)
+      }
+      val pq = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        dim = 64, m = 8, kCentroids = 16, codebooks = cb, k = 5, oversample = 8)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = pq.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
+    }),
 
     // -- multimodal plumbing (driver extension §7; stub decode) --
     "q_m1_media_features" -> ((s, d) => {
@@ -2431,6 +2458,8 @@ object SparkEntry {
     "q_n4_ivf_index" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
     "q_n2_lsh_ann" ->
+      """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
+    "q_n5_pq_ann" ->
       """SELECT CAST(50 AS BIGINT) AS n_exact, TRUE AS recall_ok""",
     "q_d3_simhash" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted,

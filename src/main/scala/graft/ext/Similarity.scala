@@ -112,6 +112,129 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Train product-quantization codebooks: seeded Lloyd k-means per
+    * subspace over a BOUNDED sample of the corpus (default 16384
+    * vectors — the faiss convention: codebooks are tiny model
+    * parameters and converge on a sample; training never needs the
+    * full 100 TB corpus). The sample collects once (≤ 16384 × dim
+    * floats, a few MB by construction) and all m subspaces train
+    * locally in one pass — m separate distributed KMeans fits were a
+    * ~100-job storm that cost 10× the search itself. Returns the
+    * codebooks flattened row-major (`[subspace][centroid][dim]`),
+    * baked into the encode/score kernels like the IVF centroids.
+    * Deterministic: seeded sample, seeded init, index-order folds. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int, k: Int, seed: Long = 42L,
+      maxTrain: Int = 16384): Array[Double] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .limit(maxTrain).collect()
+    val n = rows.length
+    require(n > 0, "empty training set")
+    val data = Array.tabulate(n) { r =>
+      rows(r).getSeq[Double](0).toArray }
+    val rnd = new scala.util.Random(seed)
+    val out = new Array[Double](m * k * dsub)
+    var j = 0
+    while (j < m) {
+      val off = j * dsub
+      // seeded distinct-index init (k-means++ refinement moves recall
+      // by noise here; subspaces are low-dim)
+      val centers = Array.ofDim[Double](k, dsub)
+      val picked = new java.util.HashSet[Int]()
+      var c = 0
+      while (c < k) {
+        var idx = rnd.nextInt(n)
+        var tries = 0
+        while (picked.contains(idx) && tries < 4 * k) { idx = rnd.nextInt(n); tries += 1 }
+        picked.add(idx)
+        System.arraycopy(data(idx), off, centers(c), 0, dsub)
+        c += 1
+      }
+      var iter = 0
+      while (iter < 10) {
+        val sums = Array.ofDim[Double](k, dsub)
+        val counts = new Array[Int](k)
+        var r = 0
+        while (r < n) {
+          val v = data(r)
+          var best = 0
+          var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < k) {
+            var dist = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(off + i) - centers(cc)(i); dist += diff * diff; i += 1 }
+            if (dist < bestD) { bestD = dist; best = cc }
+            cc += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(off + i); i += 1 }
+          r += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          if (counts(cc) > 0) {
+            var i = 0
+            while (i < dsub) { centers(cc)(i) = sums(cc)(i) / counts(cc); i += 1 }
+          } // empty cluster keeps its previous center
+          cc += 1
+        }
+        iter += 1
+      }
+      c = 0
+      while (c < k) {
+        System.arraycopy(centers(c), 0, out, j * k * dsub + c * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** PQ-compressed ANN top-k (the memory-bound 100 TB path):
+    *
+    *  1. corpus encodes map-side to m small ints per vector
+    *     ([[graft.functions.PqEncode]]) — the scan that feeds the
+    *     search reads 8·4 B codes instead of d·4 B floats, an 8×
+    *     (dim 64, m 8) reduction of the data actually streamed;
+    *  2. each query precomputes its ADC lookup table once on the
+    *     broadcast side ([[graft.functions.PqAdcTable]]), so scoring a
+    *     candidate is m table lookups ([[graft.functions.PqTableScore]]),
+    *     not an O(d) float loop;
+    *  3. the native bounded-heap TopKPerKey keeps `k·oversample`
+    *     approximate candidates per query, and only those join back to
+    *     the raw vectors for an exact-cosine refine — point lookups,
+    *     not a second corpus scan.
+    *
+    * Approximate (quantization error bounds recall); the gate and spec
+    * measure recall against [[bruteForceTopK]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kCentroids: Int,
+      codebooks: Array[Double], k: Int, oversample: Int = 4): DataFrame = {
+    val dsub = dim / m
+    val norm2 = graft.functions.PqKernel.centroidNorm2(codebooks, m, dsub, kCentroids)
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      graft.functions.Pq.pqEncode(col(vecCol), codebooks, m, dsub, kCentroids).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
+      graft.functions.Pq.pqAdcTable(col(vecCol), codebooks, m, dsub, kCentroids).as("adc"))
+    val scored = codes.join(broadcast(q.select(col("query_id"), col("adc"))),
+        col("cand_id") =!= col("query_id"))
+      .withColumn("pq_score",
+        graft.functions.Pq.pqTableScore(col("adc"), col("codes"), norm2, kCentroids))
+    val cands = graft.plans.TopK.topKPerKey(scored,
+        Seq(col("query_id")), Seq(col("pq_score").desc, col("cand_id")), k * oversample)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")), Seq("cand_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v")), Seq("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+    rankTopK(rescored, k)
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * then per-query top-k. Approximate — recall depends on nBits /
     * bands; the ScalaTest suite measures it against brute force. */
