@@ -569,6 +569,16 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // -- k-core degree peel (corpus/graph hygiene; fixed 3 rounds so
+    // the DuckDB oracle is the identical unrolled CTE chain; the
+    // fixpoint face is kCore, spec-covered) --
+    "q_g10_kcore" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")).distinct()
+      GraphQueries.kCorePeel(edges, k = 30, rounds = 3).orderBy(col("node"))
+    }),
+
     // -- inverted postings export (keyword -> ordered link list) --
     "q_g9_postings" -> ((s, d) =>
       hasKeyword(s, d).groupBy(col("dst").as("keyword"))
@@ -2019,6 +2029,9 @@ object SparkEntry {
            WHERE h.d < 3)
          SELECT node, CAST(min(d) AS BIGINT) AS hop
          FROM hop GROUP BY node ORDER BY node""",
+    "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
+      "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
+      k = 30, rounds = 3),
     "q_g9_postings" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
                      FROM lineitem)

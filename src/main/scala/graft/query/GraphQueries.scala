@@ -198,4 +198,73 @@ object GraphQueries {
     }
     visited
   }
+
+  /** Undirected degree table of an edge set: one hash aggregation over
+    * the two-endpoint union. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** k-core degree peel (map-forward: absent in the reference like the
+    * rest of §2.9's analytics; standard corpus/graph-hygiene op —
+    * Matula & Beck 1983's peeling, expressed as iterated relational
+    * steps). Each round drops every node whose undirected degree in
+    * the surviving subgraph is below `k`, then induces the subgraph on
+    * the survivors. Exactly `rounds` rounds when `toFixpoint` is false
+    * (the oracle-matched form: a fixed unrolled DuckDB CTE chain
+    * computes the identical rounds); peel-until-stable when true, with
+    * `rounds` as the safety bound (convergence is detected by edge
+    * count — if no edge was removed, no degree changed).
+    *
+    * Scale shape: each round is one hash agg (degrees) + two semi
+    * joins on the node key — all key-partitioned shuffles, no
+    * driver-side state beyond the per-round count in fixpoint mode;
+    * per-round localCheckpoint truncates the growing lineage exactly
+    * like [[kHopNeighborhood]]. Returns (node, deg) in the peeled
+    * subgraph. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      toFixpoint: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var nEdges = if (toFixpoint) e.count() else -1L
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      val alive = degrees(e).filter(col("deg") >= k).select(col("node"))
+      val induced = e
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      if (toFixpoint) {
+        val n2 = induced.count()
+        stable = n2 == nEdges
+        nEdges = n2
+      }
+      e = induced
+      r += 1
+    }
+    degrees(e)
+  }
+
+  /** k-core to fixpoint: peel until no node falls below `k`. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
+    kCorePeel(edges, k, maxRounds, toFixpoint = true)
+
+  /** The unrolled DuckDB oracle for [[kCorePeel]]: the same fixed
+    * number of peel rounds as a WITH chain over an edge CTE named
+    * `e0`. Generated, not hand-written — rounds is a parameter. */
+  def kCoreOracleSql(edgeCte: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH e0 AS ($edgeCte)")
+    def degSql(r: Int) =
+      s"SELECT node, count(*) AS deg FROM (SELECT src AS node FROM e$r UNION ALL SELECT dst FROM e$r) GROUP BY node"
+    for (r <- 0 until rounds) {
+      sb.append(s", a$r AS (SELECT node FROM (${degSql(r)}) WHERE deg >= $k)")
+      sb.append(s", e${r + 1} AS (SELECT e.src, e.dst FROM e$r e JOIN a$r x ON e.src = x.node JOIN a$r y ON e.dst = y.node)")
+    }
+    sb.append(s" SELECT node, CAST(deg AS BIGINT) AS deg FROM (${degSql(rounds)}) ORDER BY node")
+    sb.toString
+  }
 }

@@ -106,4 +106,30 @@ class GraphQueriesSpec extends SparkSpec {
     assert(GraphQueries.kHopNeighborhood(e, Seq("a").toDF("n"), k = 0)
       .as[(String, Long)].collect().toSeq == Seq(("a", 0L)))
   }
+
+  test("kCore: triangle+tail peels the tail; chain dissolves entirely") {
+    // triangle a-b-c (undirected via directed edges) with a tail c→d:
+    // 2-core = the triangle; d (deg 1) peels in round 1
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val core = GraphQueries.kCore(e, k = 2)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(core == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    // a pure chain has no 2-core: peeling cascades from both ends —
+    // this NEEDS multiple rounds, so it exercises the fixpoint loop
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    assert(GraphQueries.kCore(chain, k = 2).count() == 0)
+    // a single fixed round only strips the endpoints
+    assert(GraphQueries.kCorePeel(chain, k = 2, rounds = 1)
+      .orderBy("node").as[(String, Long)].collect().toSeq ==
+      Seq(("b", 1L), ("c", 2L), ("d", 1L)))
+  }
+
+  test("kCore fixpoint equals a large fixed-round peel") {
+    val e = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_suppkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+      .distinct()
+    val fix = GraphQueries.kCore(e, k = 30)
+    val fixed = GraphQueries.kCorePeel(e, k = 30, rounds = 20)
+    assert(fix.exceptAll(fixed).count() == 0 && fixed.exceptAll(fix).count() == 0)
+  }
 }
