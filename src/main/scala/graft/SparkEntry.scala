@@ -1195,6 +1195,16 @@ object SparkEntry {
             substring(col("p_type"), 1, 12)).cast("long").as("lev"))
         .orderBy(col("p_partkey"))),
 
+    // -- fuzzy self-join: ed<=1 pairs via deletion-neighborhood
+    // blocking (exact recall at this bound; equi-join on short keys,
+    // no cross product — the oracle IS the cross product, which is
+    // exactly the plan this operator exists to avoid) --
+    "q_f16_fuzzy_join" -> ((s, d) =>
+      graft.ext.FuzzyJoin.selfJoinWithin1(
+        Tables.customer(s, d).filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "c_name")
+        .orderBy(col("id1"), col("id2"))),
+
     // -- corpus distribution entropy (mixture-balance metric) --
     "q_p10_entropy" -> ((s, d) => {
       val c = Tables.documents(s, d).groupBy(col("source"), col("lang"))
@@ -2826,6 +2836,14 @@ object SparkEntry {
       """SELECT p_partkey,
                 CAST(levenshtein(substr(p_name, 1, 12), substr(p_type, 1, 12)) AS BIGINT) AS lev
          FROM part ORDER BY p_partkey""",
+    "q_f16_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+         SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                a.c_name AS s1, b.c_name AS s2
+         FROM c a JOIN c b
+           ON a.c_custkey < b.c_custkey
+          AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id1, id2""",
     "q_p10_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
          t AS (SELECT source, sum(c) AS tc FROM c GROUP BY 1)
