@@ -693,6 +693,12 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))),
+    "q_x16_bigram_lm" -> ((s, d) => // corpus-trained bigram LM fluency
+      // score (add-one smoothed avg log-prob) — the pre-neural
+      // perplexity-filter pass
+      graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_x6_repetition" -> ((s, d) => { // Gopher-style repetition filter:
       // duplicate-token fraction + top-bigram dominance. Bigram mode is
       // computed relationally (explode → count → max) — the shape that
@@ -2178,6 +2184,28 @@ object SparkEntry {
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_x16_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bi AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+                      FROM t WHERE len(t) >= 2)),
+         uni AS (SELECT w1, count(*) AS cw
+                 FROM (SELECT unnest(t) AS w1 FROM t) GROUP BY w1),
+         v AS (SELECT count(*) AS v FROM uni),
+         bg AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln((cb + 1) * 1.0 / (cw + v))), 4) AS logprob
+                FROM bi JOIN bg USING (w1, w2) JOIN uni USING (w1), v
+                GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                coalesce(sc.logprob, 0.0) AS logprob
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
     "q_x6_repetition" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

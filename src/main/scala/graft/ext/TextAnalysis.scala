@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -184,4 +184,49 @@ object TextAnalysis {
     * form materialized a per-character array and folded interpreted. */
   def fingerprint(text: Column): Column =
     graft.functions.TextStats.fingerprint(text)
+
+  /** Corpus-trained bigram language-model score per document — the
+    * cheap perplexity proxy a training-data pipeline uses to rank
+    * fluency before it can afford a neural LM pass (KenLM-style
+    * filtering, add-one smoothed):
+    *
+    *   score(doc) = avg over doc bigrams of
+    *                ln( (c(w1 w2) + 1) / (c(w1) + V) )
+    *
+    * where counts come from the whole input corpus and V is the
+    * distinct-unigram count. Self-trained, so high-probability docs
+    * are the ones that look like the corpus — exactly the in-domain
+    * signal the filter wants.
+    *
+    * Scale shape: two hash aggregations build the model (bigram and
+    * unigram count tables — proportional to the distinct n-gram
+    * vocabulary, not the corpus), scoring joins each doc bigram to
+    * those tables on their keys (hash-partitioned), V rides along as
+    * a broadcast single row. No driver-side model materialization —
+    * at 100 TB the bigram table is itself a distributed table.
+    * Docs with < 2 tokens score 0.0 with n_bigrams 0. */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bi = t.filter(size(col("t")) >= 2).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = t.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val scored = bi
+      .join(bg, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cb") + 1).cast("double") / (col("cw") + col("v")))), 4)
+          .as("logprob"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+  }
 }

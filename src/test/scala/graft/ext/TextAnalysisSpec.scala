@@ -83,4 +83,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == inputs.map(ref))
     assert(out(0) != out(1))
   }
+
+  test("bigramLm: add-one smoothed avg logprob on a hand-computed corpus") {
+    // uni: a=4 b=3 c=1 x=1 -> V=4; bigrams: (a b)=3, (b a)=1, (a x)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, "a x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val d1 = r4((2 * math.log(4.0 / 8) + math.log(2.0 / 7)) / 3)
+    assert(out == Seq(
+      (1L, 3L, d1),
+      (2L, 1L, r4(math.log(4.0 / 8))),
+      (3L, 0L, 0.0),                      // single token: no bigrams
+      (4L, 1L, r4(math.log(2.0 / 8)))))
+    // the corpus-likeliest doc (repeating the dominant bigram) wins
+    assert(out(1)._3 > d1 && d1 > out(3)._3)
+  }
 }
