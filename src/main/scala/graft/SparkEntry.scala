@@ -693,6 +693,12 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))),
+    "q_x17_chunks" -> ((s, d) => // sliding token-window chunking
+      // (context-window prep; 40-token windows at stride 30)
+      graft.ext.TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+        window = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "q_x16_bigram_lm" -> ((s, d) => // corpus-trained bigram LM fluency
       // score (add-one smoothed avg log-prob) — the pre-neural
       // perplexity-filter pass
@@ -991,6 +997,29 @@ object SparkEntry {
           (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
             <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))),
+    "q_a19_hll_merge" -> ((s, d) => { // MERGEABLE distinct-count sketches
+      // (Datasketches HLL as a first-class column): per-subgroup
+      // sketches built independently, merged later with hll_union_agg
+      // — the property that makes distinct-count incremental at 100 TB
+      // (persist per-partition/per-day sketch rows, fold on read; no
+      // re-scan of history). Sketch bytes are impl-defined, so the
+      // gate checks the merged estimate against exact within ±5%
+      // (12-bit sketches: rsd well inside the bound).
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+          count(lit(1)).as("n"))
+      val merged = per.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"),
+          sum(col("n")).as("n"))
+      val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("n"),
+          (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // -- grouping sets / rollup (§2.9 map-forward) --
     "q_a8_rollup" -> ((s, d) =>
@@ -2184,6 +2213,19 @@ object SparkEntry {
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_x17_chunks" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t,
+                  CASE WHEN len(t) <= 40 THEN 1
+                       ELSE CAST(ceil((len(t) - 40) * 1.0 / 30) AS INT) + 1
+                  END AS nc
+                FROM t WHERE len(t) > 0)
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(t, j * 30 + 1, j * 30 + 40), ' ') AS chunk
+         FROM (SELECT doc_id, t, unnest(range(0, nc)) AS j FROM nz)
+         ORDER BY doc_id, chunk_id""",
     "q_x16_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
@@ -2500,6 +2542,10 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_a19_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+                count(*) AS n, TRUE AS within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_hll_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
                 count(*) AS n, TRUE AS within_5pct

@@ -185,6 +185,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.TextStats.fingerprint(text)
 
+  /** Sliding token-window chunking — the context-window prep step of
+    * a training/RAG pipeline: each document becomes ceil((n-w)/s)+1
+    * overlapping chunks of `window` tokens at `stride` starts (the
+    * final chunk may be shorter; empty docs yield no chunks). Pure
+    * map-side explode: no shuffle at all, chunk count per row is
+    * bounded by n/stride, so the operator streams at any corpus
+    * size. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    val t = tokens(col(textCol))
+    val nChunks = when(size(t) <= window, lit(1))
+      .otherwise(ceil((size(t) - window).cast("double") / stride).cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"), t.as("t"), nChunks.as("nc"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), col("nc") - 1),
+        j => struct(j.cast("long").as("chunk_id"),
+          array_join(slice(col("t"), j * stride + 1, lit(window)), " ").as("chunk"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * cheap perplexity proxy a training-data pipeline uses to rank
     * fluency before it can afford a neural LM pass (KenLM-style

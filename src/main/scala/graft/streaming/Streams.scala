@@ -200,6 +200,17 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (the streaming face of the reference's J1 listing join
+    * — category lookup per incoming link, dockerapp/app/main.py:185).
+    * The dimension is broadcast, so the stream never shuffles — each
+    * micro-batch enriches map-side; Spark re-plans the static side per
+    * batch, picking up dimension file changes between batches. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keyCol: String, joinType: String = "left_outer"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(keyCol), joinType)
+
   /** Incremental view maintenance of the flagship interconnection
     * query: each micro-batch of HAS_KEYWORD edges is merged into the
     * edge store AND only its *contributed pairs*

@@ -84,6 +84,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(1))
   }
 
+  test("chunk: overlapping token windows, short tail kept, empty doc dropped") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x"), (3L, "  ")).toDF("doc_id", "text")
+    val w2s2 = TextAnalysis.chunk(docs, "doc_id", "text", window = 2, stride = 2)
+      .orderBy("doc_id", "chunk_id").as[(Long, Long, String)].collect().toSeq
+    assert(w2s2 == Seq((1L, 0L, "a b"), (1L, 1L, "c d"), (1L, 2L, "e"),
+      (2L, 0L, "x")))
+    val w3s1 = TextAnalysis.chunk(docs.filter($"doc_id" === 1), "doc_id", "text",
+        window = 3, stride = 1)
+      .orderBy("chunk_id").as[(Long, Long, String)].collect().map(_._3).toSeq
+    assert(w3s1 == Seq("a b c", "b c d", "c d e"))
+  }
+
   test("bigramLm: add-one smoothed avg logprob on a hand-computed corpus") {
     // uni: a=4 b=3 c=1 x=1 -> V=4; bigrams: (a b)=3, (b a)=1, (a x)=1
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, "a x"))

@@ -198,6 +198,20 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrich: micro-batches join the broadcast dimension map-side") {
+    val dim = Seq((1L, "Tech"), (2L, "Science")).toDF("cat_id", "category")
+    val in = MemoryStream[(Long, Long)](spark)
+    val stream = in.toDS().toDF("url_id", "cat_id")
+    val q = Streams.enrichStream(stream, dim, "cat_id")
+      .writeStream.format("memory").queryName("enrich_spec").outputMode("append").start()
+    in.addData((10L, 1L), (11L, 2L), (12L, 9L)) // 9 has no dim row
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_spec")
+      .select($"url_id", $"category").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((10L, Some("Tech")), (11L, Some("Science")), (12L, None)))
+  }
+
   test("as-of join: same-timestamp view is visible regardless of event_id order") {
     val us = 1000000L
     // view has the SAME ts as the purchase but a HIGHER event_id —
