@@ -1131,6 +1131,22 @@ object SparkEntry {
           round(col("rank"), 4).as("rank"))
         .orderBy(col("node"))
     }),
+    "q_gx_ppr" -> ((s, d) => { // personalized PageRank from the min-id
+      // supplier: teleport mass to the seed only, fixed 10 iterations,
+      // final ranks normalized to sum 1. On this bipartite
+      // supplier→part graph the recurrence is stationary from
+      // iteration 2, so the DuckDB oracle is the closed form
+      // (seed 0.15/0.2775; seed's parts (0.1275/0.2775)/outdeg(seed);
+      // everything else 0) — verified against GraphX empirically.
+      val (dict, g) = gxGraph(s, d, sparse = true)
+      val seedVid = dict.filter(col("label") === "supplier")
+        .orderBy(col("orig_id").cast("long"))
+        .select(col("vid")).head().getLong(0)
+      graft.graphx.GraphOps.personalizedPageRankByOrigId(s, dict, g, seedVid)
+        .select(concat_ws(":", col("label"), col("orig_id")).as("node"),
+          round(col("rank"), 4).as("rank"))
+        .orderBy(col("node"))
+    }),
     "q_gx_sssp" -> ((s, d) => { // BFS hop distances from the min-id
       // supplier landmark over the undirected sparse graph; oracle is
       // a depth-bounded recursive-CTE BFS (bound 60; measured
@@ -2823,6 +2839,24 @@ object SparkEntry {
          norm AS (SELECT count(*) * 1.0 / sum(r) AS f FROM raw)
          SELECT node, round(r * f, 4) AS rank FROM raw, norm
          ORDER BY node""",
+    "q_gx_ppr" ->
+      """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                     WHERE l_orderkey % 100 = 0),
+         seed AS (SELECT min(s) AS s0 FROM hk),
+         deg AS (SELECT count(*) AS d FROM hk, seed WHERE hk.s = seed.s0),
+         nodes AS (
+           SELECT 'supplier:' || s AS node, s AS sid, CAST(NULL AS BIGINT) AS pid
+           FROM (SELECT DISTINCT s FROM hk)
+           UNION ALL
+           SELECT 'part:' || p, CAST(NULL AS BIGINT), p
+           FROM (SELECT DISTINCT p FROM hk))
+         SELECT node,
+                round(CASE
+                  WHEN sid = (SELECT s0 FROM seed) THEN 0.15 / 0.2775
+                  WHEN pid IN (SELECT p FROM hk, seed WHERE hk.s = seed.s0)
+                    THEN (0.1275 / 0.2775) / (SELECT d FROM deg)
+                  ELSE 0.0 END, 4) AS rank
+         FROM nodes ORDER BY node""",
     "q_gx_sssp" ->
       """WITH RECURSIVE
          hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem

@@ -166,6 +166,28 @@ object GraphOps {
       .select(col("label"), col("orig_id"), col("rank"))
   }
 
+  /** Personalized PageRank from a single source vertex — "important
+    * relative to THIS page", the reference-shaped ranking for a
+    * focused crawl frontier. Fixed-iteration
+    * (`staticPersonalizedPageRank`) like [[pageRankByOrigId]], so the
+    * recurrence is oracle-replayable: teleport mass goes only to the
+    * source (rankᵢ₊₁(v) = 0.15·δ(v=src) + 0.85·Σ rankᵢ(u)/outDeg(u)),
+    * and GraphX normalizes the final ranks to sum 1. Same cache
+    * hygiene: iteration graphs are released once the rank vector
+    * materializes. */
+  def personalizedPageRankByOrigId(spark: SparkSession, dict: DataFrame,
+      graph: Graph[String, String], srcVid: Long, numIter: Int = 10): DataFrame = {
+    import spark.implicits._
+    val prGraph = graph.staticPersonalizedPageRank(srcVid, numIter)
+    val pr = prGraph.vertices.toDF("vid", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    prGraph.unpersistVertices(blocking = false)
+    prGraph.edges.unpersist(blocking = false)
+    dict.join(pr, Seq("vid"))
+      .select(col("label"), col("orig_id"), col("rank"))
+  }
+
   /** Unweighted shortest-path distances (BFS hops) over the
     * UNDIRECTED view of the graph, from the `landmarkLabel` node with
     * the smallest numeric original id (deterministic, so a recursive-
