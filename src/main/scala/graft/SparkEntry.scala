@@ -579,6 +579,19 @@ object SparkEntry {
       GraphQueries.kCorePeel(edges, k = 30, rounds = 3).orderBy(col("node"))
     }),
 
+    // -- deterministic random walks (graph-embedding corpus; the
+    // fingerprint-seeded step choice lets DuckDB replay every hop) --
+    "q_g13_walks" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("b"))
+        .distinct()
+      val e = hk.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(hk.select(col("b").as("src"), col("a").as("dst")))
+      GraphQueries.deterministicWalks(e, walkLen = 4)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // -- inverted postings export (keyword -> ordered link list) --
     "q_g9_postings" -> ((s, d) =>
       hasKeyword(s, d).groupBy(col("dst").as("keyword"))
@@ -2090,6 +2103,12 @@ object SparkEntry {
            WHERE h.d < 3)
          SELECT node, CAST(min(d) AS BIGINT) AS hop
          FROM hop GROUP BY node ORDER BY node""",
+    "q_g13_walks" -> graft.query.GraphQueries.walksOracleSql(
+      """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         UNION ALL
+         SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
+         FROM lineitem WHERE l_orderkey % 100 = 0""", walkLen = 4),
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),

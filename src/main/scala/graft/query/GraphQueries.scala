@@ -253,6 +253,82 @@ object GraphQueries {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
     kCorePeel(edges, k, maxRounds, toFixpoint = true)
 
+  /** Deterministic "random" walks — DeepWalk-style corpus generation
+    * for graph embeddings, with the randomness replaced by the
+    * oracle-replayable polynomial fingerprint: at step i, walk w
+    * standing on a node of out-degree d moves to sorted-neighbor index
+    * `fingerprint(w ++ ":" ++ i) mod d`. Deterministic across runs and
+    * engines (the fingerprint is bit-identical in DuckDB's
+    * list_reduce), uniform-ish across neighbors — exactly what an
+    * embedding corpus needs, since true RNG walks can't be verified.
+    *
+    * `edges` are (src, dst) STRING node ids, taken as directed —
+    * symmetrize first for undirected walks (a bipartite graph stalls
+    * all walks at step 1 otherwise). One walk starts at every distinct
+    * src. Walks stop early at sinks (inner join drops them).
+    *
+    * Scale shape: the neighbor index (rank within src by dst order +
+    * degree) is built once — one window + agg over the edge table;
+    * each step is one equi-join on the current node key. walkLen
+    * key-partitioned shuffles total, no driver state; at rest you'd
+    * bucket the neighbor index by src to make every step co-located.
+    * Returns (walk_id, step, node). */
+  def deterministicWalks(edges: DataFrame, walkLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walkLen >= 0)
+    val nbr = edges.select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .as("r"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .localCheckpoint(true)
+    var cur = edges.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+      .localCheckpoint(true)
+    var out = cur.withColumn("step", lit(0L))
+    var i = 1
+    while (i <= walkLen) {
+      val pick = graft.functions.TextStats.fingerprint(
+        concat(col("walk_id"), lit(":" + i)))
+      cur = cur.join(nbr, cur("node") === nbr("src") &&
+          nbr("r") === pick % nbr("deg"))
+        .select(col("walk_id"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.withColumn("step", lit(i.toLong)))
+      i += 1
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
+  /** The unrolled DuckDB oracle for [[deterministicWalks]]: the same
+    * fixed-length walk chain, each step choosing
+    * fingerprint(walk_id:step) mod degree over the row_number-ranked
+    * neighbor list. `edgeCte` must yield (src, dst) string columns. */
+  def walksOracleSql(edgeCte: String, walkLen: Int): String = {
+    def fp(s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647)"""
+    val sb = new StringBuilder(
+      s"""WITH e AS ($edgeCte),
+         nbr AS (SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                   count(*) OVER (PARTITION BY src) AS deg
+                 FROM (SELECT DISTINCT src, dst FROM e)),
+         w0 AS (SELECT src AS walk_id, src AS node FROM (SELECT DISTINCT src FROM e))""")
+    for (i <- 1 to walkLen)
+      sb.append(
+        s""", w$i AS (SELECT w.walk_id, n.dst AS node FROM w${i - 1} w
+            JOIN nbr n ON n.src = w.node
+            AND n.r = ${fp(s"w.walk_id || ':$i'")} % n.deg)""")
+    sb.append(
+      (0 to walkLen).map(i =>
+        s" SELECT walk_id, CAST($i AS BIGINT) AS step, node FROM w$i")
+        .mkString("", " UNION ALL", ""))
+    sb.append(" ORDER BY walk_id, step")
+    sb.toString
+  }
+
   /** The unrolled DuckDB oracle for [[kCorePeel]]: the same fixed
     * number of peel rounds as a WITH chain over an edge CTE named
     * `e0`. Generated, not hand-written — rounds is a parameter. */

@@ -124,6 +124,34 @@ class GraphQueriesSpec extends SparkSpec {
       Seq(("b", 1L), ("c", 2L), ("d", 1L)))
   }
 
+  test("deterministicWalks: fingerprint-seeded hops, full length on cycles, stop at sinks") {
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
+    // undirected triangle (symmetrized): no sinks -> every walk runs
+    // the full length; replay each hop on the driver with the same fold
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val sym = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val walks = GraphQueries.deterministicWalks(sym, walkLen = 3)
+      .orderBy("walk_id", "step").as[(String, Long, String)].collect().toSeq
+    assert(walks.count(_._2 == 0L) == 3 && walks.size == 12)
+    val nbrs = (tri ++ tri.map(_.swap)).groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sorted }
+    for (start <- Seq("a", "b", "c")) {
+      var node = start
+      for (step <- 1 to 3) {
+        val ns = nbrs(node)
+        node = ns((fp(s"$start:$step") % ns.size).toInt)
+        assert(walks.contains((start, step.toLong, node)), s"$start step $step")
+      }
+    }
+    // directed chain a->b->c: walks stall at the sink c
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val stalled = GraphQueries.deterministicWalks(chain, walkLen = 5)
+    assert(stalled.filter($"walk_id" === "b").count() == 2) // b, c then sink
+    assert(stalled.groupBy("walk_id").count()
+      .filter($"count" > 3).count() == 0)
+  }
+
   test("kCore fixpoint equals a large fixed-round peel") {
     val e = graft.Tables.lineitem(spark, sf0001)
       .select($"l_suppkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
