@@ -227,6 +227,20 @@ object SparkEntry {
           col("url1"), col("url2"))
         .limit(100)
     }),
+    "q_motif_varlen" -> ((s, d) => { // variable-length motif element
+      // (Cypher -[:R*..3]-> distinct-pair semantics) over a directed
+      // CYCLIC graph (supplier→part plus a sparser part→supplier
+      // overlay, the SCC edge set) vs a recursive-CTE oracle
+      val li = Tables.lineitem(s, d)
+      val adj = li.filter(col("l_orderkey") % 1000 === 0)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")).distinct()
+        .unionByName(li.filter(col("l_orderkey") % 1500 === 0)
+          .select((col("l_partkey") + 10000000L).as("src"),
+            col("l_suppkey").as("dst")).distinct())
+      graft.query.Motif.find(Map("ADJ" -> adj), "(a)-[:ADJ*..3]->(b)")
+        .orderBy(col("a"), col("b"))
+    }),
     "q_sql_j3" -> ((s, d) => { // FLAGSHIP as a pure spark.sql textual
       // query over registered views — the third query surface beside
       // the Scala DataFrame API and the motif front-end (the
@@ -1891,6 +1905,18 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_motif_varlen" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+           FROM lineitem WHERE l_orderkey % 1000 = 0
+           UNION ALL
+           SELECT DISTINCT l_partkey + 10000000, l_suppkey
+           FROM lineitem WHERE l_orderkey % 1500 = 0),
+         r AS (SELECT src AS a, dst AS b, 1 AS d FROM e
+               UNION ALL
+               SELECT r.a, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.b
+               WHERE r.d < 3)
+         SELECT DISTINCT a, b FROM r ORDER BY a, b""",
     "q_sql_j3" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
          bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier)

@@ -76,4 +76,27 @@ class MotifSpec extends SparkSpec {
     assert(motif.exceptAll(direct).count() == 0 &&
       direct.exceptAll(motif).count() == 0)
   }
+
+  test("variable-length element: distinct 1..k-hop pairs, cycle safe") {
+    assert(Motif.parse("(a)-[:R*..3]->(b)") ==
+      Seq(Motif.Pattern("a", "R", "b", Some(3))))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[:R*..0]->(b)"))
+    // chain with a back-edge making a 3-cycle: a→b→c→a, plus c→d
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val two = Motif.find(Map("R" -> e), "(x)-[:R*..2]->(y)")
+      .as[(String, String)].collect().toSet
+    assert(two == Set(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")))
+    // *..3 closes the cycle: every node reaches itself — and the pair
+    // set is DISTINCT pairs, not paths
+    val three = Motif.find(Map("R" -> e), "(x)-[:R*..3]->(y)")
+      .as[(String, String)].collect().toSet
+    assert(three.contains(("a", "a")) && three.contains(("a", "d")))
+    assert(three.size == 12)
+    // composes with a 1-hop element on a shared variable
+    val combo = Motif.find(Map("R" -> e), "(x)-[:R*..2]->(y); (y)-[:R]->(z)")
+      .filter($"x" === "a").select("y", "z")
+      .as[(String, String)].collect().toSet
+    assert(combo == Set(("b", "c"), ("c", "a"), ("c", "d")))
+  }
 }
