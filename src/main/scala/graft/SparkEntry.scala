@@ -1024,6 +1024,27 @@ object SparkEntry {
           (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
             <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))),
+    "q_a20_unpivot" -> ((s, d) => // wide->long melt (Dataset.unpivot):
+      // the inverse of q_a14's pivot, a first-class relational face
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          round(col("l_extendedprice"), 2).as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+    "q_a21_weighted_mean" -> ((s, d) => // typed Aggregator UDAF face:
+      // quantity-weighted mean price per return flag (partial-agg
+      // mergeable O(1) buffers; see ext/Aggregators.scala)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(graft.ext.Aggregators.weightedMean(
+            col("l_extendedprice"), col("l_quantity")), 2)
+          .as("w_mean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
     "q_a19_hll_merge" -> ((s, d) => { // MERGEABLE distinct-count sketches
       // (Datasketches HLL as a first-class column): per-subgroup
       // sketches built independently, merged later with hll_union_agg
@@ -2603,6 +2624,25 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_a20_unpivot" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+                CAST(l_quantity AS DOUBLE) AS quantity,
+                round(l_extendedprice, 2) AS extendedprice,
+                CAST(l_discount AS DOUBLE) AS discount
+         FROM lineitem WHERE l_orderkey % 100 = 0)
+         SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS value FROM s
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM s
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount', discount FROM s)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q_a21_weighted_mean" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+                  AS w_mean_price,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_a19_hll_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
                 count(*) AS n, TRUE AS within_5pct
