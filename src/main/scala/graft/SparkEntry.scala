@@ -53,6 +53,28 @@ object SparkEntry {
       Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
         .select(col("l_suppkey").as("src"), col("l_partkey").as("dst")).distinct())
 
+  /** Fact table laid out PARTITIONED BY the join key at rest plus a
+    * file-backed dim (the DPP demo layout; written once per session).
+    * The dim MUST be a file scan: a filter over an in-memory
+    * LocalRelation gets constant-folded away by ConvertToLocalRelation
+    * before the PartitionPruning rule looks for a selective predicate,
+    * and DPP never plans. Price is rounded at write so the DuckDB
+    * oracle can mirror sums exactly. */
+  private def dppTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = DerivedCache.any(s, s"dppFact:$d") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .write.partitionBy("rf").mode("overwrite").parquet(s"$dir/fact")
+      s.createDataFrame(Seq(("R", "returned"), ("A", "active"), ("N", "none")))
+        .toDF("rf", "status")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      dir
+    }
+    (s.read.parquet(s"$root/fact"), s.read.parquet(s"$root/dim"))
+  }
+
   /** GraphX projection of an edge set, built + cached once per session
     * (the stored-graph analog for the analytics queries): vertex
     * dictionary from the edge endpoints, then the cached Graph. */
@@ -1024,6 +1046,19 @@ object SparkEntry {
           (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
             <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))),
+    "q_j11_dpp" -> ((s, d) => { // DYNAMIC partition pruning: the fact
+      // table is laid out partitioned by the join key; the selective
+      // dim filter is only known at run time, and DPP turns it into a
+      // partition filter on the fact scan — at 100 TB this is the
+      // difference between scanning one day/flag directory and the
+      // whole table. Plan shape (dynamicpruningexpression on the scan)
+      // is asserted in PlanShapeSpec; this gate checks the answer.
+      val (fact, dim) = dppTables(s, d)
+      fact.join(dim.filter(col("status") === "returned"), Seq("rf"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("rev"))
+        .orderBy(col("rf"))
+    }),
     "q_a20_unpivot" -> ((s, d) => // wide->long melt (Dataset.unpivot):
       // the inverse of q_a14's pivot, a first-class relational face
       Tables.lineitem(s, d)
@@ -2624,6 +2659,11 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_j11_dpp" ->
+      """SELECT l_returnflag AS rf, count(*) AS n,
+                round(sum(round(l_extendedprice, 2)), 2) AS rev
+         FROM lineitem WHERE l_returnflag = 'R'
+         GROUP BY 1 ORDER BY 1""",
     "q_a20_unpivot" ->
       """WITH s AS (SELECT l_orderkey, l_linenumber,
                 CAST(l_quantity AS DOUBLE) AS quantity,

@@ -34,6 +34,28 @@ class PlanShapeSpec extends SparkSpec {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("dynamic partition pruning: runtime dim filter becomes a fact partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toString
+    Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".as("price"))
+      .write.partitionBy("rf").mode("overwrite").parquet(s"$dir/fact")
+    // the dim must be FILE-backed: a filter over a LocalRelation is
+    // constant-folded before the PartitionPruning rule runs, and DPP
+    // never plans (found the hard way)
+    Seq(("R", "returned"), ("A", "active"), ("N", "none"))
+      .toDF("rf", "status").write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = fact.join(dim.filter($"status" === "returned"), Seq("rf"))
+      .groupBy($"rf").agg(count(lit(1)).as("n"))
+    val plan = executed(q)
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic pruning on the fact scan:\n$plan")
+    // and the answer matches the static-filter equivalent
+    val expected = fact.filter($"rf" === "R").count()
+    assert(q.as[(String, Long)].collect().toSeq == Seq(("R", expected)))
+  }
+
   test("dimension join broadcasts; link listing has no shuffle on the dim side") {
     val links = Tables.supplier(spark, sf0001)
       .select($"s_suppkey".as("url"), $"s_name".as("title"))
