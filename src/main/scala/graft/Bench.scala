@@ -81,7 +81,8 @@ object Bench {
       "q_d8_incremental_dedup", "q_j4_semi_existing",
       "q_j5_anti_orphans", "q_j7_merge_upsert", "q_d1_exact_dedup",
       "q_d2_minhash_lsh", "q_d4_ngram_jaccard", "q_d7_drop_dups",
-      "q_n1_cosine_topk", "q_n3_ivf_ann", "q_x1_langid",
+      "q_n1_cosine_topk", "q_n3_ivf_ann", "q_n5_pq_ann", "q_j11_dpp",
+      "q_g10_kcore", "q_g13_walks", "q_f16_fuzzy_join", "q_x1_langid",
       "q_x5_tfidf_top_term", "q_x10_vocab", "q_t2_sessionize",
       "q_t4_interval_join", "q_gx_degrees", "q_gx_connected_components",
       "q_gx_interconnect_am", "q_gx_pagerank", "q_gx_sssp",
