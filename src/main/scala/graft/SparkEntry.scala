@@ -887,6 +887,14 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
+    "q_d9_prefix_jaccard" -> ((s, d) => // EXACT Jaccard>=0.5 self-join
+      // via prefix filtering (PPJoin family): blocking on rare-first
+      // prefix shingles only, verify on candidates only — the oracle
+      // is the all-pairs shingle join, so a green row PROVES the
+      // prefix filter is lossless at the threshold
+      Dedup.prefixJaccardPairs(plantedDocs(s, d), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))),
     "q_d7_drop_dups" -> ((s, d) => // the dedup DROP face: pair-find →
       // component resolution (min-label propagation) → keep canonical
       // min-id representative per dup cluster; pairs shared with q_d2
@@ -2455,6 +2463,26 @@ object SparkEntry {
          WHERE doc_id % 10 = 0
            AND len(list_filter(string_split_regex(trim(text), '\s+'),
                                x -> x <> '')) >= 3""",
+    "q_d9_prefix_jaccard" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, 'duplicate marker ' || text
+           FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          a.n AS n1, b.n AS n2, count(*) AS c
+                   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2, round(c * 1.0 / (n1 + n2 - c), 4) AS jaccard
+         FROM pairs WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5
+         ORDER BY id1, id2""",
     "q_d4_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -125,6 +125,59 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold self-join with prefix filtering (SSJoin/
+    * PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    * the scale-safe exact path between [[ngramJaccardPairs]] (all
+    * pairs by shingle — the oracle baseline, quadratic in shared-
+    * shingle frequency) and [[minHashDupPairs]] (linear but
+    * approximate).
+    *
+    * Completeness: order every document's shingle set by one global
+    * total order (document frequency asc, then shingle — rare-first,
+    * which is what keeps blocks small); J(A,B) ≥ t implies
+    * |A∩B| ≥ ceil(t·|A|), and if none of those common shingles sat in
+    * A's first |A| − ceil(t·|A|) + 1 shingles they would all have to
+    * fit in the ceil(t·|A|) − 1 suffix slots — contradiction. So
+    * blocking on prefix shingles only (both sides) loses NO pair above
+    * the threshold; DedupSpec pins equality with the all-pairs result.
+    * Shingles with df = 1 are skipped after ranking (no partner
+    * exists; ranks are computed over the full set first so prefix
+    * membership is unchanged).
+    *
+    * The exact-Jaccard verify runs only on candidate id pairs (sets
+    * joined back by id — point lookups, not a second all-pairs). */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    val ex = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1 &&
+        col("df") >= 2)
+      .select(col("id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    cand
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1"),
+        col("sz").as("n1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2"),
+        col("sz").as("n2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Resolve near-dup pairs into components with a canonical (min-id)
     * representative: iterative min-label propagation over the pair
     * graph, pure DataFrame joins (each iteration one shuffle; dup

@@ -148,4 +148,30 @@ class DedupSpec extends SparkSpec {
       threshold = 0.1, maxShingleDf = 2)
     assert(capped.count() == 0)
   }
+
+  test("prefix-filtered exact Jaccard equals the all-pairs result (lossless blocking)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id".as("id"), $"text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.ngramJaccardPairs(docs, "id", "text",
+          shingleN = 3, threshold = t, maxShingleDf = Int.MaxValue)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.prefixJaccardPairs(docs, "id", "text",
+          shingleN = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == brute, s"threshold $t: ${prefix.size} vs ${brute.size}")
+    }
+    // planted corpus: the copies must all pair with their originals
+    val planted = docs.unionByName(
+      docs.filter($"id" % 10 === 0)
+        .select(($"id" + 1000000).as("id"),
+          concat(lit("duplicate marker "), $"text").as("text")))
+    val pairs = Dedup.prefixJaccardPairs(planted, "id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = docs.filter($"id" % 10 === 0)
+      .select($"id").as[Long].collect()
+      .map(i => (i, i + 1000000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
 }
