@@ -133,6 +133,25 @@ object Staging {
       lower(col("category")) =!= "uncategorized" &&
       lower(col("keyword")) =!= "none")
 
+  /** P8 with ZERO-extra-pass metrics (`Dataset.observe`): the validity
+    * filter plus an Observation carrying rows_in / null_content /
+    * short_content counters, collected as a side effect of whatever
+    * action the pipeline runs anyway. At 100 TB this is the only
+    * affordable way to get stage-level data-quality counters — a
+    * separate `count()` per metric would re-scan the input per
+    * counter. Read `observation.get` AFTER an action on the returned
+    * frame. */
+  def validRowsObserved(df: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows_in"),
+      count(when(col("content").isNull, 1)).as("null_content"),
+      count(when(col("content").isNotNull &&
+        length(trim(col("content"))) < 100, 1)).as("short_content"))
+    (validRows(observed), obs)
+  }
+
   /** F3: comma-string → array of ≤3 trimmed keywords (reference
     * Edits.ipynb:1072,1240; main.py:76 slices `[:3]`). */
   def keywordArray(keyword: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

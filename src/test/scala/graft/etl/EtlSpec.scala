@@ -91,6 +91,22 @@ class EtlSpec extends SparkSpec {
     assert(Staging.validRows(rows).select("url").as[String].collect().toSeq == Seq("u1"))
   }
 
+  test("validRowsObserved: observe() metrics arrive with the main action, no extra scan") {
+    val long = "x" * 120
+    val rows = Seq(
+      ("u1", long, "Tech", "kw"),
+      ("u2", "short", "Tech", "kw"),
+      ("u3", long, "uncategorized", "kw"),
+      ("u4", long, "Tech", "none"),
+      ("u5", null, "Tech", "kw")
+    ).toDF("url", "content", "category", "keyword")
+    val (valid, obs) = Staging.validRowsObserved(rows)
+    assert(valid.select("url").as[String].collect().toSeq == Seq("u1"))
+    val m = obs.get
+    assert(m("rows_in") == 5L && m("null_content") == 1L &&
+      m("short_content") == 1L)
+  }
+
   test("parseFenced: fenced JSON parses; malformed yields null for fallback (F13)") {
     val schema = Enrich.articleClassificationSchema
     val df = Seq(
