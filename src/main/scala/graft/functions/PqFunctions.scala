@@ -33,8 +33,12 @@ import org.apache.spark.sql.types._
   */
 object PqKernel {
 
-  /** Nearest centroid per subspace by L2 distance → m int codes. */
+  /** Nearest centroid per subspace by L2 distance → m int codes.
+    * Vectors shorter than m·dsub are zero-padded (same convention as
+    * [[CentroidKernel.topCentroids]]'s length clamp) rather than
+    * faulting the whole task on one malformed row. */
   def encode(arr: ArrayData, cb: Array[Double], m: Int, dsub: Int, k: Int): ArrayData = {
+    val n = arr.numElements()
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -48,7 +52,8 @@ object PqKernel {
         var dist = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = arr.getFloat(voff + i).toDouble - cb(coff + i)
+          val v = if (voff + i < n) arr.getFloat(voff + i).toDouble else 0.0
+          val diff = v - cb(coff + i)
           dist += diff * diff
           i += 1
         }
@@ -65,6 +70,7 @@ object PqKernel {
     * O(m·k·dsub) = O(k·d) per QUERY (queries are the broadcast side), so
     * candidates pay only O(m). */
   def adcTable(arr: ArrayData, cb: Array[Double], m: Int, dsub: Int, k: Int): ArrayData = {
+    val n = arr.numElements()
     val table = new Array[Double](m * k)
     var j = 0
     while (j < m) {
@@ -75,7 +81,8 @@ object PqKernel {
         val coff = base + c * dsub
         var dot = 0.0
         var i = 0
-        while (i < dsub) { dot += arr.getFloat(voff + i).toDouble * cb(coff + i); i += 1 }
+        while (i < dsub && voff + i < n) {
+          dot += arr.getFloat(voff + i).toDouble * cb(coff + i); i += 1 }
         table(j * k + c) = dot
         c += 1
       }
@@ -96,8 +103,10 @@ object PqKernel {
     var j = 0
     while (j < m) {
       val idx = j * k + codes.getInt(j)
-      dot += table.getDouble(idx)
-      dn += norm2(idx)
+      if (idx >= 0 && idx < norm2.length) { // foreign/corrupt codes: skip, don't fault
+        dot += table.getDouble(idx)
+        dn += norm2(idx)
+      }
       j += 1
     }
     if (dn == 0.0) 0.0 else dot / math.sqrt(dn)

@@ -141,6 +141,19 @@ class SimilaritySpec extends SparkSpec {
       bfScores.get((qid, cid)).foreach(bf => assert(math.abs(bf - cos) < 1e-9)) }
   }
 
+  test("PQ kernels tolerate short vectors (zero-pad) instead of faulting the task") {
+    val cb = Array.fill(2 * 2 * 2)(0.5) // m=2, dsub=2, k=2
+    val df = Seq(Seq(1.0f), Seq(1.0f, 2.0f, 3.0f, 4.0f)).toDF("v")
+    val out = df.select(
+      graft.functions.Pq.pqEncode($"v", cb, 2, 2, 2).as("codes"),
+      graft.functions.Pq.pqTableScore(
+        graft.functions.Pq.pqAdcTable($"v", cb, 2, 2, 2),
+        graft.functions.Pq.pqEncode($"v", cb, 2, 2, 2),
+        graft.functions.PqKernel.centroidNorm2(cb, 2, 2, 2), 2).as("score"))
+      .collect()
+    assert(out.length == 2 && out.forall(!_.isNullAt(0)))
+  }
+
   test("lshSignature is deterministic and seed-sensitive") {
     val e = Tables.embeddings(spark, sf0001).limit(10)
     val s1 = e.select(Similarity.lshSignature($"embedding", 64, 16, seed = 42).as("s"))
