@@ -891,9 +891,24 @@ object SparkEntry {
       // via prefix filtering (PPJoin family): blocking on rare-first
       // prefix shingles only, verify on candidates only — the oracle
       // is the all-pairs shingle join, so a green row PROVES the
-      // prefix filter is lossless at the threshold
-      Dedup.prefixJaccardPairs(plantedDocs(s, d), "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
+      // prefix filter is lossless at the threshold. %3 subset like
+      // q_d4's %10: the tiny synthetic vocabulary gives every shingle
+      // a huge document frequency, which is the structurally worst
+      // case for prefix blocking (real web text is zipfian with a
+      // long rare tail) — the subset keeps the gate about the
+      // operator, not the corpus adversarial-ness
+      // (filter BEFORE planting: the +1000000 copy offset shifts ids
+      // mod 3, so filtering the union would drop every copy)
+      Dedup.prefixJaccardPairs(
+        {
+          val base = Tables.documents(s, d)
+            .select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 3 === 0)
+          base.unionByName(base.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("duplicate marker "), col("text")).as("text")))
+        },
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
         .orderBy(col("id1"), col("id2"))),
     "q_d7_drop_dups" -> ((s, d) => // the dedup DROP face: pair-find →
       // component resolution (min-label propagation) → keep canonical
@@ -2464,10 +2479,10 @@ object SparkEntry {
            AND len(list_filter(string_split_regex(trim(text), '\s+'),
                                x -> x <> '')) >= 3""",
     "q_d9_prefix_jaccard" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
            UNION ALL
            SELECT doc_id + 1000000, 'duplicate marker ' || text
-           FROM documents WHERE doc_id % 10 = 0),
+           FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
          toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
            FROM base),
