@@ -1227,6 +1227,16 @@ object SparkEntry {
         .select(concat_ws(":", col("label"), col("orig_id")).as("node"), col("component"))
         .orderBy(col("node"))
     }),
+    "q_g14_cc_star" -> ((s, d) => { // the SAME components as
+      // q_gx_connected_components, computed by the pure-DataFrame
+      // alternating-star algorithm (O(log n) rounds, no GraphX) —
+      // same oracle, so the gate proves the two paths agree
+      val hk = hasKeywordSparse(s, d)
+      val e = hk.select(
+        concat(lit("supplier:"), col("src").cast("string")).as("src"),
+        concat(lit("part:"), col("dst").cast("string")).as("dst"))
+      GraphQueries.connectedComponentsStar(e).orderBy(col("node"))
+    }),
     "q_gx_pagerank" -> ((s, d) => { // fixed-iteration (10) PageRank; the
       // DuckDB oracle replays the same recurrence + final sum-to-N
       // normalization (closed-form: this graph is bipartite, so ranks
@@ -2677,6 +2687,18 @@ object SparkEntry {
            SELECT 'part:' || p AS node, count(*) AS degree FROM hk GROUP BY 1)
          ORDER BY node""",
     "q_gx_connected_components" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+                WHERE l_orderkey % 100 = 0),
+         e0 AS (SELECT 'supplier:' || s AS a, 'part:' || p AS b FROM hk),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+         SELECT id AS node, min(lbl) AS component FROM reach
+         GROUP BY id ORDER BY node""",
+    "q_g14_cc_star" ->
       """WITH RECURSIVE
          hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
                 WHERE l_orderkey % 100 = 0),

@@ -253,6 +253,62 @@ object GraphQueries {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
     kCorePeel(edges, k, maxRounds, toFixpoint = true)
 
+  /** Connected components with ALTERNATING STAR rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the pure-DataFrame 1000-executor path beside the GraphX Pregel
+    * variant: O(log n) rounds instead of O(diameter), each round two
+    * hash aggregations and a join, no vertex-program runtime, no
+    * graph object pinned in the block manager.
+    *
+    *  - large-star(u): connect every neighbor GREATER than u to
+    *    min(Γ(u) ∪ u);
+    *  - small-star(u): connect every neighbor ≤ u (and u itself) to
+    *    the minimum of those.
+    *
+    * The edge set converges to stars centered at component minima;
+    * convergence is detected by edge-set equality. Labels follow the
+    * column's natural ordering (strings compare lexicographically —
+    * matches the SQL oracle's min()). Returns (node, component) for
+    * every endpoint of the input; isolated self-loop-only nodes label
+    * themselves. */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def sym(e: DataFrame) =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = sym(e)
+      val mu = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nb.join(mu, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mu = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(mu, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mu.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var e = edges.select(col(edges.columns(0)).as("u"), col(edges.columns(1)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var r = 0
+    var stable = false
+    while (!stable && r < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      stable = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      r += 1
+    }
+    val nodes = edges.select(col(edges.columns(0)).as("node"))
+      .unionByName(edges.select(col(edges.columns(1)).as("node"))).distinct()
+    nodes.join(e.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** Deterministic "random" walks — DeepWalk-style corpus generation
     * for graph embeddings, with the randomness replaced by the
     * oracle-replayable polynomial fingerprint: at step i, walk w

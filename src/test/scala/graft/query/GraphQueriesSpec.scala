@@ -152,6 +152,22 @@ class GraphQueriesSpec extends SparkSpec {
       .filter($"count" > 3).count() == 0)
   }
 
+  test("connectedComponentsStar: multi-component labels, long chain, isolated pair") {
+    val e = Seq(("b", "a"), ("c", "b"), ("z", "y"),      // {a,b,c} and {y,z}
+      ("q", "q")).toDF("src", "dst")                     // self-loop only
+    val out = GraphQueries.connectedComponentsStar(e)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y", "q" -> "q"))
+    // 64-node path: diameter 63 — plain min-propagation needs ~63
+    // rounds, alternating stars converge well inside the 50-round cap
+    val chain = (1 until 64).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+      .toDF("src", "dst")
+    val comp = GraphQueries.connectedComponentsStar(chain)
+      .as[(String, String)].collect()
+    assert(comp.length == 64 && comp.forall(_._2 == "n001"))
+  }
+
   test("kCore fixpoint equals a large fixed-round peel") {
     val e = graft.Tables.lineitem(spark, sf0001)
       .select($"l_suppkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
