@@ -293,12 +293,25 @@ object GraphQueries {
     }
     var e = edges.select(col(edges.columns(0)).as("u"), col(edges.columns(1)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // convergence probe: (count, xxhash64 bit_xor) in ONE job per
+    // round (xor, not sum — an ANSI long overflow killed the sum
+    // form); the exact anti-join check runs only when the cheap
+    // signal repeats — a hash collision costs one extra exact check,
+    // never a wrong answer
+    def sig(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    var prevSig = sig(e)
     var r = 0
     var stable = false
     while (!stable && r < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      stable = next.count() == e.count() &&
+      val s = sig(next)
+      stable = s == prevSig &&
         next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      prevSig = s
       e = next
       r += 1
     }
