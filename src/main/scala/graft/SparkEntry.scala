@@ -1082,6 +1082,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("rev"))
         .orderBy(col("rf"))
     }),
+    "q_j12_cogroup" -> ((s, d) => { // typed cogroup face: customers and
+      // orders grouped on the key, merged per-key in one pass with NO
+      // join operator — the KeyValueGroupedDataset surface for
+      // per-entity merge logic that doesn't fit join/agg shapes
+      // (both sides shuffle once on the key, like a shuffle join, but
+      // arbitrary Scala merges the two iterators)
+      import s.implicits._
+      val customers = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .as[(Long, String)].groupByKey(_._1)
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice").cast("double"))
+        .as[(Long, Double)].groupByKey(_._1)
+      customers.cogroup(orders) { (k, cs, os) =>
+        val name = cs.toSeq.headOption.map(_._2)
+        // customers only (reference semantics: listing is customer-driven)
+        name.map { n =>
+          val prices = os.map(_._2).toSeq
+          (k, n, prices.size.toLong, prices.sum)
+        }
+      }.toDF("c_custkey", "c_name", "n_orders", "total_spend")
+        // round in the DataFrame layer: Spark round is HALF_UP like
+        // DuckDB's; scala rint would be HALF_EVEN
+        .select(col("c_custkey"), col("c_name"), col("n_orders"),
+          round(col("total_spend"), 2).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_a20_unpivot" -> ((s, d) => // wide->long melt (Dataset.unpivot):
       // the inverse of q_a14's pivot, a first-class relational face
       Tables.lineitem(s, d)
@@ -2729,6 +2756,12 @@ object SparkEntry {
                 round(sum(round(l_extendedprice, 2)), 2) AS rev
          FROM lineitem WHERE l_returnflag = 'R'
          GROUP BY 1 ORDER BY 1""",
+    "q_j12_cogroup" ->
+      """SELECT c.c_custkey, c.c_name,
+                count(o.o_orderkey) AS n_orders,
+                round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2 ORDER BY c.c_custkey""",
     "q_a20_unpivot" ->
       """WITH s AS (SELECT l_orderkey, l_linenumber,
                 CAST(l_quantity AS DOUBLE) AS quantity,
