@@ -1933,6 +1933,27 @@ object SparkEntry {
     // pair-count pass, fully mirrored in DuckDB), the merge count,
     // the base alphabet size, and the BPE theorems (vocab ≤ base +
     // merges; segmentations always concatenate back to the word) --
+    "q_x18_bpe_encode" -> ((s, d) => { // the BPE APPLY step over the
+      // whole corpus (x15 gates training): merge choice is data-driven
+      // so the symbol sequences aren't SQL-expressible — like q_d3 the
+      // gate checks deterministic INVARIANTS as booleans: encoding is
+      // lossless (symbols reconstruct every word), never grows a word,
+      // and actually compresses somewhere (the merges did something)
+      val (merges, _) = DerivedCache.any(s, s"bpe:$d") {
+        graft.ext.BpeTrainer.train(s, Tables.documents(s, d), "text",
+          numMerges = 15)
+      }
+      val words = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val enc = words.select(col("w"),
+        graft.ext.BpeTrainer.encode(split(col("w"), ""), merges).as("syms"))
+      enc.agg(
+        count(lit(1)).as("n_words"),
+        (count(when(array_join(col("syms"), "") === col("w"), 1))
+          === count(lit(1))).as("lossless_ok"),
+        (max(size(col("syms")) - length(col("w"))) <= 0).as("bounded_ok"),
+        (max(length(col("w")) - size(col("syms"))) > 0).as("compressed_some"))
+    }),
     "q_x15_bpe" -> ((s, d) => {
       val (merges, wf) = DerivedCache.any(s, s"bpe:$d") {
         graft.ext.BpeTrainer.train(s, Tables.documents(s, d), "text",
@@ -3452,6 +3473,12 @@ object SparkEntry {
          SELECT purchase_id, count(*) AS n_prior_views
          FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
          GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_x18_bpe_encode" ->
+      """SELECT CAST(sum(len(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT)
+               AS n_words,
+             TRUE AS lossless_ok, TRUE AS bounded_ok, TRUE AS compressed_some
+         FROM documents""",
     "q_x15_bpe" ->
       """WITH toks AS (SELECT unnest(list_filter(
              string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
