@@ -172,17 +172,24 @@ object Streams {
     * watermarks and a time-range condition (the canonical Structured
     * Streaming windowed-join shape). */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-      windowMinutes: Int, watermark: String = "1 hour"): DataFrame = {
+      windowMinutes: Int, watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("user_id").as("l_user"), col("event_id").as("left_id"),
         col("ts").as("l_ts"))
     val r = right.withWatermark("ts", watermark)
       .select(col("user_id").as("r_user"), col("event_id").as("right_id"),
         col("ts").as("r_ts"))
+    // left_outer (with r as the preserved side): an unmatched right
+    // row is emitted with nulls only once the watermark closes its
+    // window — the interval condition bounds both event times, which
+    // is what lets Spark EVICT join state instead of keeping every
+    // row forever (the 100 TB-stream requirement)
     r.join(l,
       col("l_user") === col("r_user") &&
       col("l_ts") <= col("r_ts") &&
-      col("l_ts") > col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      col("l_ts") > col("r_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("right_id"), col("r_user").as("user_id"), col("left_id"),
         unix_micros(col("r_ts")).as("right_us"), unix_micros(col("l_ts")).as("left_us"))
   }

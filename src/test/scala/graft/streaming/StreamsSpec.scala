@@ -114,6 +114,33 @@ class StreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit with nulls " +
+      "after the watermark closes their window") {
+    val us = 1000000L
+    val min = 60L * us
+    val inV = MemoryStream[(Long, Long, Long)](spark) // (user, event_id, us)
+    val inP = MemoryStream[(Long, Long, Long)](spark)
+    def shaped(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDS().toDF("user_id", "event_id", "us")
+        .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"))
+    val q = Streams.intervalJoinStream(shaped(inV), shaped(inP),
+        windowMinutes = 30, watermark = "1 minute", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ivj_outer").outputMode("append").start()
+    inV.addData((1L, 100L, 5L * min))   // view for u1
+    inP.addData((1L, 200L, 10L * min),  // purchase u1: matches the view
+      (2L, 201L, 12L * min))            // purchase u2: NO view
+    q.processAllAvailable()
+    // advance both watermarks far past the windows -> u2's state closes
+    inV.addData((9L, 998L, 300L * min))
+    inP.addData((9L, 999L, 300L * min))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ivj_outer")
+      .select($"right_id", $"left_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(200L) == Some(100L))   // matched pair carries the view id
+    assert(out.contains(201L) && out(201L).isEmpty) // unmatched emits nulls
+  }
+
   test("as-of join: each purchase gets latest prior view") {
     val us = 1000000L
     val ev = Seq(
