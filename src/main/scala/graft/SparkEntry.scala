@@ -615,6 +615,23 @@ object SparkEntry {
       GraphQueries.kCorePeel(edges, k = 30, rounds = 3).orderBy(col("node"))
     }),
 
+    // -- weighted SSSP: fixed-round Bellman-Ford relaxation (the
+    // weighted complement of q_gx_sssp's hop-BFS; generated unrolled
+    // oracle replays the identical rounds) --
+    "q_g15_bellman_ford" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(min(col("l_quantity").cast("long") % 5 + 1).as("w"))
+      val e = hk.select(
+          concat(lit("supplier:"), col("sk").cast("string")).as("src"),
+          concat(lit("part:"), col("pk").cast("string")).as("dst"), col("w"))
+        .unionByName(hk.select(
+          concat(lit("part:"), col("pk").cast("string")).as("src"),
+          concat(lit("supplier:"), col("sk").cast("string")).as("dst"), col("w")))
+      val srcId = "supplier:" + hk.agg(min(col("sk"))).head().getLong(0)
+      GraphQueries.bellmanFord(e, srcId, rounds = 6).orderBy(col("node"))
+    }),
+
     // -- deterministic random walks (graph-embedding corpus; the
     // fingerprint-seeded step choice lets DuckDB replay every hop) --
     "q_g13_walks" -> ((s, d) => {
@@ -2266,6 +2283,18 @@ object SparkEntry {
            WHERE h.d < 3)
          SELECT node, CAST(min(d) AS BIGINT) AS hop
          FROM hop GROUP BY node ORDER BY node""",
+    "q_g15_bellman_ford" -> graft.query.GraphQueries.bellmanFordOracleSql(
+      """SELECT 'supplier:' || sk AS src, 'part:' || pk AS dst, w FROM (
+           SELECT l_suppkey AS sk, l_partkey AS pk,
+                  min(CAST(l_quantity AS BIGINT) % 5 + 1) AS w
+           FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)
+         UNION ALL
+         SELECT 'part:' || pk, 'supplier:' || sk, w FROM (
+           SELECT l_suppkey AS sk, l_partkey AS pk,
+                  min(CAST(l_quantity AS BIGINT) % 5 + 1) AS w
+           FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)""",
+      "(SELECT 'supplier:' || min(l_suppkey) FROM lineitem WHERE l_orderkey % 100 = 0)",
+      rounds = 6),
     "q_g13_walks" -> graft.query.GraphQueries.walksOracleSql(
       """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
          FROM lineitem WHERE l_orderkey % 100 = 0

@@ -398,6 +398,58 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Weighted single-source shortest paths by FIXED-ROUND Bellman-Ford
+    * relaxation (the weighted complement of the hop-BFS in
+    * [[graft.graphx.GraphOps.shortestPathsByOrigId]]): each round
+    * joins the current distance frontier to the edge table and keeps
+    * the per-node minimum — one equi-join + one hash agg, the same
+    * relational-iteration shape as [[kCorePeel]]. Exactly `rounds`
+    * relaxations, so a generated unrolled DuckDB chain
+    * ([[bellmanFordOracleSql]]) replays it verbatim; distances are
+    * exact for every node whose shortest path uses ≤ `rounds` edges
+    * (fixed-round semantics, gated identically on both sides).
+    * `edges` columns: (src, dst, w) with integral non-negative w.
+    * Returns (node, d) for nodes reached within `rounds` hops. */
+  def bellmanFord(edges: DataFrame, source: String, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    var dist = e.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(source, 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+
+  /** The unrolled DuckDB oracle for [[bellmanFord]]: `edgeCte` must
+    * yield (src, dst, w); `sourceSql` a scalar subquery/literal for
+    * the source node id. */
+  def bellmanFordOracleSql(edgeCte: String, sourceSql: String, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH e AS ($edgeCte), d0 AS (SELECT $sourceSql AS node, CAST(0 AS BIGINT) AS d)")
+    for (r <- 0 until rounds)
+      sb.append(
+        s""", d${r + 1} AS (SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d$r
+            UNION ALL
+            SELECT e.dst, d$r.d + e.w FROM d$r JOIN e ON e.src = d$r.node)
+            GROUP BY node)""")
+    sb.append(s" SELECT node, d FROM d$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** The unrolled DuckDB oracle for [[kCorePeel]]: the same fixed
     * number of peel rounds as a WITH chain over an edge CTE named
     * `e0`. Generated, not hand-written — rounds is a parameter. */

@@ -152,6 +152,23 @@ class GraphQueriesSpec extends SparkSpec {
       .filter($"count" > 3).count() == 0)
   }
 
+  test("bellmanFord: weighted distance beats fewer-hop path; fixed rounds honored") {
+    // a->b costs 10 direct, but 2 via c — weighted SSSP must find 2
+    val e = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "w")
+    val two = GraphQueries.bellmanFord(e, "a", rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(two == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+    // with a single round only the direct relaxation has happened
+    val one = GraphQueries.bellmanFord(e, "a", rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 0L, "b" -> 10L, "c" -> 1L))
+    // unreachable nodes never appear
+    val far = Seq(("x", "y", 1L)).toDF("src", "dst", "w")
+    assert(GraphQueries.bellmanFord(e.unionByName(far), "a", rounds = 5)
+      .filter($"node".isin("x", "y")).count() == 0)
+  }
+
   test("connectedComponentsStar: multi-component labels, long chain, isolated pair") {
     val e = Seq(("b", "a"), ("c", "b"), ("z", "y"),      // {a,b,c} and {y,z}
       ("q", "q")).toDF("src", "dst")                     // self-loop only
