@@ -122,6 +122,6 @@ object Motif {
       accVars ++= Seq(next.src, next.dst)
     }
     val visible = acc.columns.filterNot(_.startsWith("__anon"))
-    acc.select(visible.map(col): _*)
+    acc.select(visible.toIndexedSeq.map(col): _*)
   }
 }
