@@ -28,7 +28,8 @@ object Plans {
       "q_ept_training_pipeline", "q_x8_pack", "q_t5_sliding", "q_v1_normalize",
       "q_z1_zorder_scan", "q_ep2_report", "q_a13_cms", "q_j10_bloom_join",
       "q_g6_scd2", "q_n5_pq_ann", "q_f16_fuzzy_join", "q_x16_bigram_lm",
-      "q_a19_hll_merge")
+      "q_a19_hll_merge", "q_d9_prefix_jaccard", "q_j11_dpp",
+      "q_x17_chunks", "q_j12_cogroup")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // Execute THIS QueryExecution (toRdd) — a derived count() or a
