@@ -307,6 +307,10 @@ object GraphQueries {
     var r = 0
     var stable = false
     while (!stable && r < maxRounds) {
+      // one (large, small) pair per materialization — batching two
+      // pairs per checkpoint was tried and is ~2× SLOWER: the
+      // four-star lineage compounds into a much larger plan per stage
+      // than the per-round fixed job overhead it saves
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val s = sig(next)
       stable = s == prevSig &&
