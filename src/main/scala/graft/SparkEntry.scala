@@ -1020,12 +1020,15 @@ object SparkEntry {
     "q_n2_lsh_ann" -> ((s, d) => { // LSH bucket membership is impl-defined
       // (seeded hyperplane signs), so like q_n3 the gate checks the
       // BOUND: aggregate recall@5 of the LSH path vs exact brute
-      // force, emitted as a deterministic boolean. Measured recall
-      // 0.40/0.40/0.56 at sf0.001/0.01/0.1 — bound 0.3 (uniform
-      // synthetic vectors are the weak-signal worst case).
+      // force, emitted as a deterministic boolean. Multi-probe
+      // (query-side Hamming-1 bucket fan-out) lifted measured recall
+      // 0.40-0.42 → 0.92-0.94 at sf0.001/0.01 — bound 0.5 (was 0.3
+      // single-probe; uniform synthetic vectors remain the weak-signal
+      // worst case).
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, k = 5,
+        multiProbe = true)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       val hits = lsh.select(col("query_id"), col("cand_id"))
         .join(bf.select(col("query_id"), col("cand_id")),
@@ -1033,7 +1036,7 @@ object SparkEntry {
       bf.agg(count(lit(1)).as("n_exact"))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(col("n_exact"),
-          (col("n_hits").cast("double") / col("n_exact") >= 0.3).as("recall_ok"))
+          (col("n_hits").cast("double") / col("n_exact") >= 0.5).as("recall_ok"))
     }),
     "q_n5_pq_ann" -> ((s, d) => { // product-quantization ANN: the
       // MEMORY-bound scale path — corpus streams as m=8 int codes

