@@ -765,6 +765,17 @@ object SparkEntry {
         window = 40, stride = 30)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    "q_x19_bm25" -> ((s, d) => { // BM25 corpus filter: query = the 3
+      // most frequent corpus tokens (deterministic on both sides:
+      // count desc, token asc)
+      val terms = Tables.documents(s, d)
+        .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(3)
+        .select(col("t")).collect().map(_.getString(0)).toSeq
+      graft.ext.TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text", terms)
+        .orderBy(col("doc_id"))
+    }),
     "q_x16_bigram_lm" -> ((s, d) => // corpus-trained bigram LM fluency
       // score (add-one smoothed avg log-prob) — the pre-neural
       // perplexity-filter pass
@@ -2456,6 +2467,31 @@ object SparkEntry {
                 array_to_string(list_slice(t, j * 30 + 1, j * 30 + 40), ' ') AS chunk
          FROM (SELECT doc_id, t, unnest(range(0, nc)) AS j FROM nz)
          ORDER BY doc_id, chunk_id""",
+    "q_x19_bm25" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         q AS (SELECT tok FROM (
+                 SELECT tok, count(*) AS c
+                 FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok)
+               ORDER BY c DESC, tok LIMIT 3),
+         lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM t),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+                WHERE tok IN (SELECT tok FROM q)
+                GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         sc AS (SELECT doc_id,
+                  round(sum(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                    * tf * 2.2
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+                FROM tf JOIN df USING (tok) JOIN lens USING (doc_id), stats
+                GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.bm25, 0.0) AS bm25
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
     "q_x16_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -208,6 +208,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"))
   }
 
+  /** BM25 document scores for a query term set (Robertson/Spärck
+    * Jones; the Lucene `+1` idf variant so scores stay positive) —
+    * the standard query-based corpus filter a retrieval-augmented
+    * training pipeline runs before an embedding pass:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * All relational: one explode + per-(doc, term) count for tf, one
+    * distinct-per-doc count for df, N/avgdl as a broadcast single
+    * row. Docs matching no query term score 0 (kept — the filter
+    * face thresholds downstream). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val t = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val lens = t.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val toks = t.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, Seq("term")).join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("part", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(round(sum(col("part")), 4).as("bm25"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * cheap perplexity proxy a training-data pipeline uses to rank
     * fluency before it can afford a neural LM pass (KenLM-style

@@ -96,6 +96,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w3s1 == Seq("a b c", "b c d", "c d e"))
   }
 
+  test("bm25: saturation and length normalization on a hand-computed corpus") {
+    // query = {a}; N=3, df(a)=2, avgdl = (4+1+1)/3 = 2
+    val docs = Seq((1L, "a a a b"), (2L, "a"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text", Seq("a"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf: Double, dl: Double) =
+      math.rint(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.0)) * 1e4) / 1e4
+    assert(out == Seq((1L, s(3, 4)), (2L, s(1, 1)), (3L, 0.0)))
+    // tf saturation: doc 1 has 3x the tf of doc 2 but nowhere near 3x
+    // the score — and still outranks it despite the length penalty
+    assert(out(0)._2 > out(1)._2 && out(0)._2 < 3 * out(1)._2)
+  }
+
   test("bigramLm: add-one smoothed avg logprob on a hand-computed corpus") {
     // uni: a=4 b=3 c=1 x=1 -> V=4; bigrams: (a b)=3, (b a)=1, (a x)=1
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, "a x"))
