@@ -1,6 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination (driver extension, SURVEY §7 module 6):
@@ -51,10 +54,13 @@ object Decontaminate {
     * [[contaminationReport]] for when even the benchmark's distinct
     * n-gram SET is too big to broadcast as an exact hash relation
     * (stacked eval suites at 100 TB-corpus scale). The benchmark
-    * grams are folded into a Bloom filter (`DataFrameStatFunctions
-    * .bloomFilter`, built distributed via treeAggregate); the corpus
-    * side probes it map-side — same no-shuffle probe topology, but
-    * the broadcast payload is a few MB regardless of gram count.
+    * grams fold into a Bloom filter via the native `bloom_filter_agg`
+    * aggregate (the same machinery Catalyst's InjectRuntimeFilter
+    * uses — see [[graft.query.Skew.runtimeBloomSession]]); the corpus
+    * side probes it with the codegen'd `BloomFilterMightContain`
+    * predicate over a scalar subquery, so the filter binary never
+    * touches the driver and the probe stays inside whole-stage
+    * codegen — no UDF, no per-row serialization.
     *
     * Bloom semantics: NO false negatives (every truly contaminated
     * doc is flagged), bounded false positives (fpp). Callers route
@@ -66,14 +72,25 @@ object Decontaminate {
   def bloomContaminationFlags(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13,
       expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = benchmarkGrams(bench, benchTextCol, n)
-      .stat.bloomFilter("gram", expectedGrams, fpp)
-    val spark = docs.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    // optimal bit count for (n, p) — the standard -n·ln p / (ln 2)² of
+    // Bloom'70, the same sizing the sketch library derives from fpp
+    val numBits = math.max(64L, math.ceil(
+      -expectedGrams.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // build side: distinct benchmark grams → one binary sketch row.
+    // BloomFilterAggregate is constructed directly (Catalyst keeps
+    // bloom_filter_agg off the public registry); xxhash64 (seed 42)
+    // on both sides keeps build and probe aligned.
+    val benchBloom = benchmarkGrams(bench, benchTextCol, n)
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+          new XxHash64(Seq(UnresolvedAttribute("gram")), 42L),
+          Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      ScalarSubquery(benchBloom.queryExecution.analyzed),
+      new XxHash64(Seq(UnresolvedAttribute("gram")), 42L)))
     docs.select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
-      .filter(mightContain(col("gram")))
+      .filter(probe)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_maybe_hits"))
   }
 }

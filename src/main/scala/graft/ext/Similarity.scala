@@ -122,14 +122,21 @@ object Similarity {
     * ~100-job storm that cost 10× the search itself. Returns the
     * codebooks flattened row-major (`[subspace][centroid][dim]`),
     * baked into the encode/score kernels like the IVF centroids.
-    * Deterministic: seeded sample, seeded init, index-order folds. */
+    * Deterministic: content-hash-ordered sample (layout-independent —
+    * a bare limit() takes whatever partitions scan first, so the
+    * codebooks would drift across cluster layouts), seeded init,
+    * index-order folds. The order-by-hash + limit plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merge), not a
+    * global sort, so the bounded collect stays scale-safe. */
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
       m: Int, k: Int, seed: Long = 42L,
       maxTrain: Int = 16384): Array[Double] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
     val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .limit(maxTrain).collect()
+      .withColumn("__key", col("v").cast("string"))
+      .orderBy(xxhash64(col("__key"), lit(seed)), col("__key"))
+      .limit(maxTrain).select(col("v")).collect()
     val n = rows.length
     require(n > 0, "empty training set")
     val data = Array.tabulate(n) { r =>

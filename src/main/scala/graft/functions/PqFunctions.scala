@@ -102,8 +102,9 @@ object PqKernel {
     var dn = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * k + codes.getInt(j)
-      if (idx >= 0 && idx < norm2.length) { // foreign/corrupt codes: skip, don't fault
+      val c = codes.getInt(j)
+      if (c >= 0 && c < k) { // foreign/corrupt codes: skip, don't fault
+        val idx = j * k + c
         dot += table.getDouble(idx)
         dn += norm2(idx)
       }

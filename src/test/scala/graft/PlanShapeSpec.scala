@@ -201,11 +201,20 @@ class PlanShapeSpec extends SparkSpec {
       docs, "doc_id", "text", bench, "text", n = 8,
       expectedGrams = 10000L, fpp = 1e-4))
     // corpus side: scan → explode → bloom filter → partial agg, then
-    // ONE exchange for the final per-doc agg (no join exchange at all)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+    // ONE exchange for the final per-doc agg (no join exchange at
+    // all). The bloom build runs as a scalar subquery with its own
+    // tiny benchmark-side exchanges — count the corpus plan only.
+    val corpusPlan = plan.split("Subquery subquery").head
+    assert("Exchange hashpartitioning".r.findAllIn(corpusPlan).size == 1,
       s"bloom probe should shuffle once (final agg only):\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"bloom path should not plan a join:\n$plan")
+    // the probe is the native codegen'd might_contain over a scalar
+    // subquery — never a Scala UDF (r5 verdict: the one UDF violation)
+    assert(plan.contains("might_contain"),
+      s"bloom probe should use the native might_contain predicate:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"),
+      s"bloom probe must not plan a UDF:\n$plan")
   }
 
   test("histogram buckets aggregate before the tiny cumulative window") {
