@@ -49,31 +49,80 @@ object Bench {
     // a failed query reports -1.0, not its elapsed-until-failure time —
     // otherwise an env problem (e.g. missing JDK17 --add-opens) reads
     // as a suspiciously fast bench instead of a broken one
-    def runOnce(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = (1 to passes).map(_ => runOnce())
-      .reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Full-precision per-query map goes to a file: the driver keeps only
-    // the last 2000 chars of output, which truncated the 86-query JSON
-    // line in every round so far (BENCH_r*.json "parsed": null). The
-    // printed line carries the total (over ALL queries — comparable
-    // round-over-round) plus a representative headline subset, and
-    // stays well under the capture window.
-    val fullJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"sf":"$sfDir","passes":$passes}"""
+    def runOnce(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+      name -> timeQuery(name, fn)
+    }
+    val passResults = (1 to passes).map(_ => runOnce())
+    // per query: first = cold first-pass time (pay-once materialization
+    // stays visible), min = noise-filtered floor over in-session passes
+    val firstMap = scala.collection.mutable.LinkedHashMap(passResults.head: _*)
+    val minMap = scala.collection.mutable.LinkedHashMap(
+      passResults.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }): _*)
+    // Prior snapshot: BENCH_FULL_LATEST.json is the cross-round
+    // comparison artifact. Partial (SPARK_GRAFT_ONLY) runs MERGE into
+    // it instead of clobbering the full-suite map — an isolated
+    // bisection run destroyed it twice across rounds before this.
+    // Old-format numeric entries normalize to {first: v, min: v}.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val fullPath = java.nio.file.Paths.get("BENCH_FULL_LATEST.json")
-    try java.nio.file.Files.write(fullPath, (fullLine + "\n").getBytes("UTF-8"))
-    catch { case t: Throwable => System.err.println(s"BENCH write ${fullPath}: $t") }
+    val (priorQueries: Map[String, (Double, Double)], priorSf: Option[String]) =
+      if (java.nio.file.Files.exists(fullPath)) {
+        try {
+          val root = mapper.readTree(java.nio.file.Files.readAllBytes(fullPath))
+          val qn = root.path("queries")
+          val buf = scala.collection.mutable.Map[String, (Double, Double)]()
+          qn.properties().forEach { e =>
+            val v = e.getValue
+            if (v.isNumber) buf(e.getKey) = (v.asDouble(), v.asDouble())
+            else buf(e.getKey) = (v.path("first").asDouble(-1.0), v.path("min").asDouble(-1.0))
+          }
+          (buf.toMap, Option(root.path("sf").asText(null)))
+        } catch { case t: Throwable =>
+          System.err.println(s"BENCH prior parse ${fullPath}: $t"); (Map.empty[String, (Double, Double)], None) }
+      } else (Map.empty[String, (Double, Double)], None)
+    // contention self-defense: any query measuring >3x its stored min
+    // gets one automatic re-run, and min takes the better of the two —
+    // this host's multi-second contention windows have eaten diagnostic
+    // effort in four rounds (`first` still records the raw cold pass)
+    val suspects = selected.filter { case (n, _) =>
+      priorQueries.get(n).exists { case (_, pm) =>
+        pm > 0 && minMap(n) > 3 * pm } }
+    suspects.foreach { case (n, fn) =>
+      System.err.println(f"BENCH rerun $n: ${minMap(n)}%.2fs vs stored min ${priorQueries(n)._2}%.2fs")
+      minMap(n) = math.min(minMap(n), timeQuery(n, fn))
+    }
+    val results = minMap.toSeq
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Full-precision per-query {first, min} map goes to a file: the
+    // driver keeps only the last 2000 chars of output, which truncated
+    // the 86-query JSON line in every round so far (BENCH_r*.json
+    // "parsed": null). The printed line carries the total plus a
+    // representative headline subset, and stays under the capture
+    // window. Queries not in this run keep their prior entries.
+    val partial = only.isDefined
+    // a partial run at a DIFFERENT sf than the stored full map must not
+    // mix into it — those numbers aren't comparable; side-file it
+    val sfMismatch = partial && priorSf.exists(_ != sfDir)
+    val merged: Seq[(String, (Double, Double))] =
+      if (sfMismatch) minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n)))
+      else (priorQueries -- minMap.keys).toSeq ++
+        minMap.keys.map(n => n -> (firstMap(n), minMap(n)))
+    val fullJson = merged.sortBy(_._1).map { case (k, (f, m)) =>
+      s"""\"$k\":{\"first\":$f,\"min\":$m}""" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"sf":"$sfDir","passes":$passes,"partial":$partial}"""
+    val outPath = if (sfMismatch) java.nio.file.Paths.get("BENCH_PARTIAL_LATEST.json") else fullPath
+    try java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => System.err.println(s"BENCH write ${outPath}: $t") }
     val headline = Seq(
       "q_j1_link_listing", "q_j2_link_keywords", "q_j3_interconnect",
       "q_j3_bucketed", "q_motif_j3", "q_sql_j3", "q_j9_delta_interconnect",
