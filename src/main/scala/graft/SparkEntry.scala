@@ -1809,6 +1809,17 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("passage"))
         .limit(100)),
 
+    // -- exact substring dedup (Lee et al. ACL'22 repeated-substring
+    // removal, shingle-granularity distributed form): every ≥20-token
+    // substring occurring twice in the corpus is cut from all but its
+    // globally-first occurrence; docs reassemble from surviving
+    // tokens. The missing member of the dedup family per the r5
+    // verdict --
+    "q_c5_substring_dedup" -> ((s, d) =>
+      graft.ext.SubstringDedup.dedupSubstrings(
+          Tables.documents(s, d), "doc_id", "text", k = 20)
+        .orderBy(col("doc_id"))),
+
     // -- event-type transition matrix: (type → next type) per user via
     // lead(), then one global count — the Markov-chain summary of the
     // event stream (per-user window sort, tiny aggregate out) --
@@ -3439,6 +3450,25 @@ object SparkEntry {
          SELECT passage, count(DISTINCT doc_id) AS n_docs
          FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, passage LIMIT 100""",
+    "q_c5_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (SELECT doc_id,
+           unnest(range(1, len(t) - 18)) - 1 AS p,
+           unnest(list_transform(range(1, len(t) - 18),
+             i -> array_to_string(t[i:i+19], ' '))) AS gram
+           FROM toks WHERE len(t) >= 20),
+         dup AS (SELECT doc_id, p FROM sh
+           QUALIFY row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) > 1),
+         covered AS (SELECT DISTINCT doc_id, unnest(range(p, p + 20)) AS tok_pos
+           FROM dup),
+         pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) - 1 AS tok_pos,
+           unnest(t) AS tok FROM toks),
+         kept AS (SELECT pos.doc_id, pos.tok_pos, pos.tok
+           FROM pos ANTI JOIN covered USING (doc_id, tok_pos))
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_pos) AS text
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
     "q_t10_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
                 lead(event_type, 1) OVER (PARTITION BY user_id
