@@ -1510,6 +1510,25 @@ object SparkEntry {
           "doc_id", col("quality"), grain = 100)
         .orderBy(col("doc_id"))),
 
+    // -- seeded global-shuffle shard law (Staging.writeShuffledShards'
+    // order contract as a queryable face): shard = fingerprint(id:seed)
+    // mod 8, within-shard rank = fingerprint order — the deterministic
+    // training-order permutation, bit-replayable by the oracle via the
+    // q_x4/q_g13 poly-fingerprint recurrence --
+    "q_o10_shuffle_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = TextAnalysis.fingerprint(
+        concat(col("doc_id").cast("string"), lit(":42")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("__fp"))
+        .withColumn("shard", pmod(col("__fp"), lit(8L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__fp"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("rk"))
+        .orderBy(col("shard"), col("rk"))
+    }),
+
     "q_x12_token_ids" -> ((s, d) => {
       // tokenize-to-ids against the session vocab (top-100 unigrams by
       // df): ids are 1-based vocab positions, 0 = OOV; emitted joined
@@ -2970,6 +2989,18 @@ object SparkEntry {
          SELECT doc_id, lang, quality FROM q
          WHERE doc_id % 100 < floor(quality * 100)
          ORDER BY doc_id""",
+    "q_o10_shuffle_shards" ->
+      """WITH f AS (SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 string_split(concat(CAST(doc_id AS VARCHAR), ':42'), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp
+           FROM documents)
+         SELECT doc_id, fp % 8 AS shard,
+                row_number() OVER (PARTITION BY fp % 8 ORDER BY fp, doc_id) AS rk
+         FROM f ORDER BY shard, rk""",
     "q_x12_token_ids" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -108,6 +108,39 @@ object Staging {
   def readShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Seeded GLOBAL SHUFFLE shard writer — the training-order face of
+    * [[writeShards]]. Range-partitioned key-sorted shards are exactly
+    * what a dataloader does NOT want (adjacent examples correlate);
+    * training wants a deterministic global permutation. Each row's
+    * shuffle key is the polynomial fingerprint of `idCol:seed` — a
+    * seeded pseudo-random 31-bit draw that is (a) uniform, (b) stable
+    * across runs/layouts, (c) bit-replayable by the DuckDB oracle
+    * (same `list_reduce` recurrence, see q_g13's precedent). Shard =
+    * key mod numShards (uniform row split), within-shard order = key
+    * (ties broken by id) — together a deterministic permutation of
+    * the corpus. New seed → new permutation, zero data movement
+    * beyond the one shuffle every epoch-reshuffle pays by definition.
+    *
+    * Layout: `shard=N/` hive dirs so a per-worker reader targets its
+    * shards by path (partition pruning); row order inside each file
+    * is the shuffle order (parquet preserves it). One exchange + one
+    * local sort, no driver involvement — scale shape identical to
+    * [[writeShards]]. */
+  def writeShuffledShards(df: DataFrame, path: String, idCol: String,
+      seed: Long, numShards: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+    val key = graft.functions.TextStats.fingerprint(
+      concat(col(idCol).cast("string"), lit(s":$seed")))
+    df.withColumn("__shuffle_key", key)
+      .withColumn("shard", pmod(col("__shuffle_key"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__shuffle_key"), col(idCol))
+      .drop("__shuffle_key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Schema-evolution read: one logical table whose parquet
     * generations were written with different (compatible) schemas —
     * the standard long-lived-pipeline situation where a column was

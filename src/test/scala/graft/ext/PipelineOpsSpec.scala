@@ -145,6 +145,54 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeShuffledShards: deterministic seeded permutation, uniform disjoint shards") {
+    import graft.etl.Staging
+    val df = docs.select($"doc_id", $"source")
+    // read back shard -> in-file row order of ids
+    def writeRead(tag: String, seed: Long): Map[Int, Seq[Long]] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_shuffle_$tag").toString
+      Staging.writeShuffledShards(df, dir, "doc_id", seed = seed, numShards = 8)
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .map { sd =>
+          val ids = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq
+            .flatMap(f => spark.read.parquet(f.getAbsolutePath)
+              .select($"doc_id").as[Long].collect().toSeq)
+          sd.getName.stripPrefix("shard=").toInt -> ids
+        }.toMap
+    }
+    val a = writeRead("a", 42L)
+    // determinism: a second write is bit-identical
+    assert(a == writeRead("b", 42L))
+    // permutation: shards are disjoint and complete
+    val flat = a.values.flatten.toSeq
+    assert(flat.length == df.count() && flat.distinct.length == flat.length)
+    // cross-shard uniformity (500 rows / 8 shards, expected 62.5)
+    a.values.foreach(s => assert(s.length > 30 && s.length < 100,
+      s"skewed shard: ${s.length}"))
+    // order law: within a shard, ids follow fingerprint(id:seed) order —
+    // the same key q_o10_shuffle_shards' oracle replays
+    val fp = graft.functions.TextStats.fingerprint(
+      concat($"doc_id".cast("string"), lit(":42")))
+    val expect = df.select($"doc_id", fp.as("fp")).as[(Long, Long)].collect()
+      .groupBy(t => (t._2 % 8).toInt)
+      .map { case (sh, rows) => sh -> rows.sortBy(t => (t._2, t._1)).map(_._1).toSeq }
+    assert(a == expect)
+    // a different seed is a different permutation
+    val c = writeRead("c", 7L)
+    assert(c != a && c.values.flatten.toSeq.sorted == flat.sorted)
+  }
+
+  test("EP-T final stage: the training pipeline's output shuffles into shards losslessly") {
+    import graft.etl.Staging
+    val ept = graft.SparkEntry.queries("q_ept_training_pipeline")(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ept_shuffle").toString
+    Staging.writeShuffledShards(ept, dir, "doc_id", seed = 42L, numShards = 4)
+    val back = Staging.readShards(spark, dir).drop("shard")
+    assert(back.count() == ept.count())
+    assert(back.exceptAll(ept).isEmpty && ept.exceptAll(back).isEmpty)
+  }
+
   test("profile: nulls, distinct, min/max per column in one row each") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (3L, Some("a")))
       .toDF("id", "s")
