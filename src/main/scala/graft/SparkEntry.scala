@@ -1461,6 +1461,46 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // -- cross-modal pair dedup: image-caption pairs deduped by the
+    // composite key (exact payload sha256 ∪ caption SimHash). Planted
+    // duplicates of both kinds: type A = same payload bytes, rewritten
+    // caption (only the exact branch can catch — and MUST catch all,
+    // deterministically); type B = perturbed payload, near-identical
+    // caption (only the SimHash branch can catch — bounds gate, q_d3
+    // shape). Growth bound caps collateral removal (natural corpus
+    // dups + LSH false positives). --
+    "q_m4_pair_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.select(col("doc_id"), col("text"), col("text").as("caption"))
+      val plantA = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          concat(lit("caption rewritten entirely anew "),
+            (col("doc_id") * 7).cast("string")).as("caption"))
+      val plantB = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" PAYLOADMARK")).as("text"),
+          concat(lit("duplicate marker "), col("text")).as("caption"))
+      val all = base.unionByName(plantA).unionByName(plantB)
+      val pairs = all.select(col("doc_id"),
+        col("text").cast("binary").as("media"), col("caption"))
+      val survivors = Multimodal.dedupPairs(pairs, "doc_id", "media", "caption",
+        maxHamming = 3)
+      val survA = survivors.join(plantA.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val survB = survivors.join(plantB.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      plantA.agg(count(lit(1)).as("n_payload_dups"))
+        .crossJoin(plantB.agg(count(lit(1)).as("n_caption_dups")))
+        .crossJoin(survA.agg(count(lit(1)).as("__sa")))
+        .crossJoin(survB.agg(count(lit(1)).as("__sb")))
+        .crossJoin(all.agg(count(lit(1)).as("__n_in")))
+        .crossJoin(survivors.agg(count(lit(1)).as("__n_out")))
+        .select(col("n_payload_dups"), col("n_caption_dups"),
+          (col("__sa") === 0).as("payload_dups_all_removed"),
+          ((col("n_caption_dups") - col("__sb")).cast("double")
+            / col("n_caption_dups") >= 0.5).as("caption_recall_ok"),
+          (col("__n_in") - col("__n_out")
+            <= (col("n_payload_dups") + col("n_caption_dups")) * 2 + 100).as("growth_ok"))
+    }),
+
     // -- PII redaction (pre-training scrub; text synthesized with
     // known PII so the scrub is observable on this corpus) --
     "q_x11_normalize_text" -> ((s, d) => {
@@ -3318,6 +3358,13 @@ object SparkEntry {
                 array_to_string(list_filter(range(0, doc_id % 30 + 1),
                                             i -> i % 10 = 0), ',') AS frames
          FROM documents ORDER BY media_id""",
+    "q_m4_pair_dedup" ->
+      """SELECT CAST(a.n AS BIGINT) AS n_payload_dups,
+                CAST(b.n AS BIGINT) AS n_caption_dups,
+                TRUE AS payload_dups_all_removed,
+                TRUE AS caption_recall_ok, TRUE AS growth_ok
+         FROM (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 0) a,
+              (SELECT count(*) AS n FROM documents WHERE doc_id % 10 = 5) b""",
     "q_m3_resize" ->
       """WITH m AS (SELECT doc_id AS media_id,
                            doc_id % 640 + 16 AS w0,

@@ -127,4 +127,55 @@ object Multimodal {
     val repart = if (partitions > 0) media.repartition(partitions) else media
     repart.mapPartitions(rows => resizer.resizeBatch(rows, targetWidth))
   }
+
+  // ---- cross-modal pairing + composite dedup ----
+
+  /** Cross-modal pair construction: media rows joined with their text
+    * captions by a shared document key — the image-caption-pair shape
+    * every multimodal training corpus is built from. Plain equi-join
+    * on the key: Catalyst broadcasts the smaller side or shuffles
+    * co-partitioned, and the opaque payload bytes ride through
+    * untouched. Caption lands as `caption`. */
+  def pairWithText(media: DataFrame, texts: DataFrame, mediaKey: String,
+      textKey: String, captionCol: String): DataFrame =
+    media.join(
+      texts.select(col(textKey).as(mediaKey), col(captionCol).as("caption")),
+      Seq(mediaKey))
+
+  /** Composite near-dup pairs over (payload, caption): the union of
+    *  - EXACT payload duplicates — sha256(payload) equality, found by
+    *    electing a min-id representative per hash and pairing every
+    *    other member to it (star pairs: linear in group size, never
+    *    the quadratic self-join, and exactly what the component
+    *    resolution needs);
+    *  - NEAR caption duplicates — [[Dedup.simHashDupPairs]] LSH.
+    * This is the standard multimodal dedup key: re-encoded images keep
+    * their caption (caught by text SimHash), re-captioned images keep
+    * their bytes (caught by payload hash).
+    * @return (id1, id2) with id1 < id2
+    */
+  def pairDupPairs(pairs: DataFrame, idCol: String, payloadCol: String,
+      captionCol: String, maxHamming: Int = 3): DataFrame = {
+    val h = pairs.select(col(idCol).as("id"), sha2(col(payloadCol), 256).as("ph"))
+    val rep = h.groupBy(col("ph"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("ph"), col("rep"))
+    val exact = h.join(rep, Seq("ph"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("id").as("id2")) // rep = min ⇒ id1 < id2
+    val near = Dedup.simHashDupPairs(
+        pairs.select(col(idCol), col(captionCol)), idCol, captionCol, maxHamming)
+      .select(col("id1"), col("id2"))
+    exact.unionByName(near).distinct()
+  }
+
+  /** Composite pair dedup: drop every pair row that is an exact-payload
+    * or near-caption duplicate of an earlier (min-id representative)
+    * row — duplicate components resolve via
+    * [[Dedup.resolveDupGroups]]'s min-label propagation. */
+  def dedupPairs(pairs: DataFrame, idCol: String, payloadCol: String,
+      captionCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.dropNearDups(pairs, idCol,
+      pairDupPairs(pairs, idCol, payloadCol, captionCol, maxHamming))
 }

@@ -60,4 +60,37 @@ class MultimodalSpec extends SparkSpec {
     // doc 3: n_frames = 3 % 30 + 1 = 4 -> frames 0..3, stride 10 -> [0]
     assert(sampled == Seq(0))
   }
+
+  test("pairWithText joins captions onto media rows by key") {
+    val media = Multimodal.mediaTableFromText(spark,
+      Tables.documents(spark, sf0001).limit(10), "doc_id", "text").toDF()
+    val caps = Tables.documents(spark, sf0001).limit(10)
+      .select($"doc_id", concat(lit("cap "), $"doc_id").as("c"))
+    val paired = Multimodal.pairWithText(media, caps, "media_id", "doc_id", "c")
+    assert(paired.count() == 10)
+    assert(paired.filter($"media_id" === 3)
+      .select($"caption").as[String].head() == "cap 3")
+    // payload bytes ride through untouched
+    assert(paired.columns.contains("media"))
+  }
+
+  test("composite pair dedup: payload branch exact, caption branch near, both resolve to min id") {
+    val long = "the quick brown fox jumps over the lazy dog again and again " +
+      "with many more tokens to make simhash stable across small edits"
+    val rows = Seq(
+      (1L, "payloadA", long),                        // base
+      (2L, "payloadA", "completely different words entirely unrelated caption here"), // exact payload dup of 1
+      (3L, "payloadB", long + " tiny edit"),         // caption near-dup of 1
+      (4L, "payloadC", "an island row sharing nothing with anyone at all ok")
+    ).toDF("id", "payload", "caption")
+      .select($"id", $"payload".cast("binary").as("payload"), $"caption")
+    val dupPairs = Multimodal.pairDupPairs(rows, "id", "payload", "caption", maxHamming = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(dupPairs.contains((1L, 2L)), s"exact payload pair missing: $dupPairs")
+    assert(dupPairs.contains((1L, 3L)), s"caption near pair missing: $dupPairs")
+    assert(!dupPairs.exists(p => p._1 == 4L || p._2 == 4L), s"island paired: $dupPairs")
+    val kept = Multimodal.dedupPairs(rows, "id", "payload", "caption", maxHamming = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"kept: $kept")
+  }
 }
