@@ -1540,6 +1540,18 @@ object SparkEntry {
           total = 100L)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
+    // -- TOKEN-budget mixture: per-source quotas in tokens, not rows
+    // (real curricula budget tokens; docs are size-skewed). src0's
+    // quota exceeds its corpus total at sf0.01 → the exhausted-source
+    // edge is exercised; the rest select partial prefixes. --
+    "q_o12_token_mixture" -> ((s, d) =>
+      graft.ext.Sampling.tokenMixture(Tables.documents(s, d),
+          "source", "doc_id", "n_chars",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          totalTokens = 20000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "q_o9_weighted_sample" -> ((s, d) =>
       // quality-weighted downsampling: acceptance by id-modulo against
       // the doc's own quality score — reproducible (no RNG), map-side,
@@ -3003,6 +3015,17 @@ object SparkEntry {
            FROM documents)
          WHERE (source = 'src0' AND rn <= 40) OR (source = 'src1' AND rn <= 30)
             OR (source = 'src2' AND rn <= 20) OR (source = 'src3' AND rn <= 10)
+         ORDER BY doc_id""",
+    "q_o12_token_mixture" ->
+      """WITH c AS (SELECT doc_id, source, n_chars,
+           coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM documents)
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM c
+         WHERE (source = 'src0' AND cum < 8000)
+            OR (source = 'src1' AND cum < 6000)
+            OR (source = 'src2' AND cum < 4000)
+            OR (source = 'src3' AND cum < 2000)
          ORDER BY doc_id""",
     "q_o9_weighted_sample" ->
       """WITH t AS (SELECT doc_id, lang, text,

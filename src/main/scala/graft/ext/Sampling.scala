@@ -84,4 +84,32 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** TOKEN-budget mixture: like [[mixture]], but quotas are measured
+    * in tokens, not rows — real curricula say "40% of 2B tokens from
+    * web", and documents are not equal-sized, so row quotas miss the
+    * target by the size skew. Per source `s`, keep the maximal
+    * deterministic-order prefix of documents whose running token total
+    * BEFORE each doc is under `round(weights(s) * totalTokens)` —
+    * greedy prefix packing: at least one doc per positive quota,
+    * overshoot bounded by one document (the q_x8 packing convention),
+    * and the selection replays exactly from (order, token counts).
+    * Sources absent from `weights` contribute nothing.
+    *
+    * Same scale shape as [[mixture]]: one cumulative-sum window
+    * partitioned by source — the exclusive-prefix sum the packing
+    * manifest (q_x8) already pays, no extra exchange. */
+  def tokenMixture(df: DataFrame, sourceCol: String, orderCol: String,
+      tokenCol: String, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, round(lit(w) * totalTokens).cast("long")).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("__cum") < quota)
+      .drop("__cum")
+  }
 }

@@ -183,6 +183,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c != a && c.values.flatten.toSeq.sorted == flat.sorted)
   }
 
+  test("tokenMixture keeps per-source prefixes under the token quota, overshoot < 1 doc") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 100L),
+      ("b", 5L, 500L), ("b", 6L, 500L),
+      ("c", 7L, 50L)
+    ).toDF("source", "doc_id", "n_toks")
+    // total 1000: a→0.25 (250: docs 1,2,3 — cum before doc3 is 200<250,
+    // overshoot bounded by one doc), b→0.5 (500: doc 5 only — cum
+    // before doc6 is 500, not < 500), c excluded entirely
+    val out = Sampling.tokenMixture(df, "source", "doc_id", "n_toks",
+        Map("a" -> 0.25, "b" -> 0.5), totalTokens = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 5L), out.toString)
+    // quota above a source's total takes the whole source
+    val all = Sampling.tokenMixture(df, "source", "doc_id", "n_toks",
+        Map("a" -> 1.0), totalTokens = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+    // determinism
+    val again = Sampling.tokenMixture(df, "source", "doc_id", "n_toks",
+        Map("a" -> 0.25, "b" -> 0.5), totalTokens = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == out)
+  }
+
   test("EP-T final stage: the training pipeline's output shuffles into shards losslessly") {
     import graft.etl.Staging
     val ept = graft.SparkEntry.queries("q_ept_training_pipeline")(spark, sf0001)
