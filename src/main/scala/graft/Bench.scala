@@ -92,8 +92,11 @@ object Bench {
     // contention self-defense: any query measuring >3x its stored min
     // gets one automatic re-run, and min takes the better of the two —
     // this host's multi-second contention windows have eaten diagnostic
-    // effort in four rounds (`first` still records the raw cold pass)
-    val suspects = selected.filter { case (n, _) =>
+    // effort in four rounds (`first` still records the raw cold pass).
+    // Only when this run's sf matches the stored map's: cross-sf time
+    // ratios are real scaling, not contention (found via the sf1 run).
+    val sameSf = priorSf.forall(_ == sfDir)
+    val suspects = if (!sameSf) Seq.empty else selected.filter { case (n, _) =>
       priorQueries.get(n).exists { case (_, pm) =>
         pm > 0 && minMap(n) > 3 * pm } }
     suspects.foreach { case (n, fn) =>

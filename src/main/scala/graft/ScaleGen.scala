@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up test-data generator: replicates the driver's sf0.1 tables
+  * REPLICAS× with shifted keys into a scratch dir, so the heavy gates
+  * can be smoke-run at ~sf1 without touching `/root/testdata`
+  * (read-only). Text rows get a per-replica unique suffix so exact
+  * dedup doesn't collapse the corpus to 10-dup groups while near-dup
+  * machinery still sees realistic clusters; embeddings get a tiny
+  * per-replica perturbation for the same reason.
+  *
+  * Usage: SPARK_GRAFT_SRC=/root/testdata/sf0.1 SPARK_GRAFT_OUT=/tmp/sf1
+  *        SPARK_GRAFT_REPLICAS=10 runMain graft.ScaleGen
+  */
+object ScaleGen {
+  private final val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // read events.ts as raw nanos LONG and write it back as LONG, so
+    // Tables.events' nanos→micros conversion works on the output too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(r => f(df, r)).reduce(_ unionByName _)
+
+    val docs = Tables.documents(spark, src)
+    replicate(docs, (d, r) =>
+      if (r == 0) d
+      else d.select((col("doc_id") + r * Shift).as("doc_id"),
+        concat(col("text"), lit(s" uniq$r"), col("doc_id")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    replicate(emb, (e, r) =>
+      if (r == 0) e
+      else e.select((col("vec_id") + r * Shift).as("vec_id"),
+        transform(col("embedding"), x => x + lit(r * 1e-3f)).as("embedding"),
+        col("label")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    replicate(ev, (e, r) =>
+      if (r == 0) e
+      else e.select((col("event_id") + r * Shift).as("event_id"), col("ts"),
+        (col("user_id") + r * Shift).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    replicate(li, (l, r) =>
+      if (r == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + r * Shift))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // small dims copy through unchanged (gates join them by key ranges
+    // the replication does not disturb)
+    for (t <- Seq("orders", "customer", "part", "supplier", "nation", "region")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"""{"scalegen":"$out","replicas":$replicas}""")
+    spark.stop()
+  }
+}

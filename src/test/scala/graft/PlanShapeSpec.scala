@@ -217,6 +217,17 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe must not plan a UDF:\n$plan")
   }
 
+  test("substring dedup plans no corpus window, no cartesian, fused shingles") {
+    val plan = executedFinal(graft.ext.SubstringDedup.dedupSubstrings(
+      Tables.documents(spark, sf0001), "doc_id", "text", k = 20))
+    // first-occurrence election is a min-struct AGGREGATE (map-side
+    // partial combine), never a window sort over the corpus gram set
+    assert(!plan.contains("Window"), s"substring dedup planned a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in dedup plan:\n$plan")
+    // shingling runs through the fused codegen kernel, not a HOF lambda
+    assert(plan.contains("word_shingles"), s"fused shingle kernel missing:\n$plan")
+  }
+
   test("histogram buckets aggregate before the tiny cumulative window") {
     val q = SparkEntry.queries("q_a17_histogram")(spark, sf0001)
     val plan = executedFinal(q)
