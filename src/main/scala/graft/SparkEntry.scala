@@ -1605,6 +1605,24 @@ object SparkEntry {
           col("first_doc"), col("last_doc"))
         .orderBy(col("source"), col("bin"))),
 
+    // -- concatenate-then-chunk sequence packing: the actual packed
+    // context windows (256 token-ids each, documents spanning
+    // boundaries), not just the q_x8 manifest. Token ids are vocab-100
+    // positions (q_x12 kernel); ids_str is the full packed stream, so
+    // the gate is an exact content comparison per sequence. --
+    "q_x20_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = DerivedCache.any(s, s"vocab100:$d") {
+        TextAnalysis.topVocab(docs, col("text"), 100)
+      }
+      val ids = docs.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenIds(col("text"), vocab).as("ids"))
+      graft.ext.Packing.packSequences(ids, "source", "doc_id", "ids", 256)
+        .select(col("shard").as("source"), col("seq_id"), col("n_docs"),
+          col("n_toks"), array_join(col("ids"), " ").as("ids_str"))
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
     // -- sliding-window aggregation (overlapping windows, batch face;
     // streaming face slidingAggStream is spec-covered) --
     "q_t5_sliding" -> ((s, d) =>
@@ -3088,6 +3106,40 @@ object SparkEntry {
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2 ORDER BY source, bin""",
+    "q_x20_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id, source,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         dfreq AS (SELECT tok, count(*) AS df
+           FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+           GROUP BY tok),
+         vl AS (SELECT list(tok ORDER BY df DESC, tok) AS v
+           FROM (SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 100)),
+         ids AS (SELECT doc_id, source,
+             list_transform(t,
+               x -> CAST(coalesce(list_position(v, x), 0) AS VARCHAR)) AS ids,
+             CAST(len(t) AS BIGINT) AS len
+           FROM toks CROSS JOIN vl),
+         o AS (SELECT source, doc_id, ids, len,
+             CAST(coalesce(sum(len) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS strt
+           FROM ids),
+         p AS (SELECT source, ids, strt, len,
+             unnest(range(strt // 256, (strt + len - 1) // 256 + 1)) AS seq_id
+           FROM o WHERE len > 0),
+         pieces AS (SELECT source, seq_id,
+             greatest(strt, seq_id * 256) AS piece_start,
+             ids[(greatest(strt, seq_id * 256) - strt + 1):
+                 (least(strt + len, (seq_id + 1) * 256) - strt)] AS piece
+           FROM p)
+         SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(len(flatten(list(piece ORDER BY piece_start))) AS BIGINT)
+                  AS n_toks,
+                array_to_string(flatten(list(piece ORDER BY piece_start)), ' ')
+                  AS ids_str
+         FROM pieces GROUP BY source, seq_id ORDER BY source, seq_id""",
     "q_t5_sliding" ->
       """SELECT CAST(floor(epoch_us(ts) / 900000000) * 900 - k * 900 AS BIGINT)
                AS w_start,

@@ -44,4 +44,58 @@ object Packing {
         sum(col(tokenCol)).as("tokens"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
+
+  /** Concatenate-then-chunk sequence construction — the actual packed
+    * context windows a dataloader reads, not just the manifest: per
+    * shard, documents' token arrays are concatenated in `orderCol`
+    * order and cut into sequences of exactly `seqLen` tokens (the last
+    * sequence per shard may be shorter). Documents span sequence
+    * boundaries, matching GPT-style pre-training layout.
+    *
+    * Plan shape: one window (exclusive prefix sum of lengths → each
+    * document's global start offset), then a pure map-side explode of
+    * each document into per-sequence slices (a document overlaps
+    * `len/seqLen + <=1` sequences), then one hash aggregation on
+    * (shard, seq_id) that reassembles each sequence's tokens in
+    * offset order. Two shuffles total, both on keys; every output row
+    * is bounded by `seqLen` tokens, so sequence reassembly can never
+    * concentrate mass — the operator streams at any corpus size
+    * provided shards are sized so one shard's window partition fits an
+    * executor (same contract as [[packByBudget]]).
+    *
+    * Output: (shard, seq_id, n_docs, ids, n_toks) where `ids` is the
+    * packed token array and `seq_id` is 0-based per shard. */
+  def packSequences(df: DataFrame, shardCol: String, orderCol: String,
+      idsCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    val L = lit(seqLen.toLong)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df
+      .select(col(shardCol).as("shard"), col(orderCol).as("ord"),
+        col(idsCol).as("ids"))
+      .withColumn("len", size(col("ids")).cast("long"))
+      .withColumn("start", coalesce(sum(col("len")).over(w), lit(0L)))
+      .filter(col("len") > 0)
+    // A document starting at `start` with `len` tokens overlaps
+    // sequences floor(start/L) .. floor((start+len-1)/L); each overlap
+    // contributes the slice of its ids that falls inside the sequence.
+    val pieces = offsets
+      .select(col("shard"), col("start"), col("len"), col("ids"),
+        explode(sequence(
+          floor(col("start") / L).cast("long"),
+          floor((col("start") + col("len") - lit(1L)) / L).cast("long")))
+          .as("seq_id"))
+      .withColumn("lo", greatest(col("start"), col("seq_id") * L))
+      .withColumn("hi", least(col("start") + col("len"), (col("seq_id") + lit(1L)) * L))
+      .select(col("shard"), col("seq_id"), col("lo").as("piece_start"),
+        slice(col("ids"), (col("lo") - col("start") + lit(1L)).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("piece"))
+    pieces.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("piece_start"), col("piece")))),
+          p => p.getField("piece"))).as("ids"))
+      .withColumn("n_toks", size(col("ids")).cast("long"))
+  }
 }

@@ -59,6 +59,52 @@ class PipelineOpsSpec extends SparkSpec {
       ("b", 1L, 0L), ("b", 2L, 1L)))
   }
 
+  test("packSequences: exact seqLen windows, boundary-spanning docs, stream equals concat") {
+    // shard a: doc1 has 3 tokens, doc2 has 6 (spans the 4-boundary),
+    // doc3 has 9 (longer than 2*seqLen: spans three sequences);
+    // shard b: a single short doc; plus an empty doc that must vanish.
+    val df = Seq(
+      ("a", 1L, Seq("1", "2", "3")),
+      ("a", 2L, Seq("4", "5", "6", "7", "8", "9")),
+      ("a", 3L, (10 to 18).map(_.toString)),
+      ("b", 1L, Seq("x")),
+      ("b", 2L, Seq.empty[String])
+    ).toDF("shard", "ord", "ids")
+    val out = Packing.packSequences(df, "shard", "ord", "ids", seqLen = 4)
+      .select($"shard", $"seq_id", $"n_docs", $"ids")
+      .as[(String, Long, Long, Seq[String])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // shard a stream = 1..18 cut into windows of 4
+    val streamA = (1 to 18).map(_.toString)
+    val expectA = streamA.grouped(4).zipWithIndex
+      .map { case (w, i) => ("a", i.toLong) -> w }.toMap
+    assert(out.view.filterKeys(_._1 == "a").mapValues(_._2).toMap ==
+      expectA.map { case (k, v) => k -> v.toSeq })
+    // positions: doc1 0-2, doc2 3-8, doc3 9-17 → piece counts per window
+    assert(out(("a", 0L))._1 == 2L) // doc1 + doc2 head
+    assert(out(("a", 1L))._1 == 1L) // doc2 interior
+    assert(out(("a", 2L))._1 == 2L) // doc2 tail + doc3 head
+    assert(out(("a", 3L))._1 == 1L && out(("a", 4L))._1 == 1L) // doc3 tail
+    // shard b: one short sequence; the empty doc contributed nothing
+    assert(out(("b", 0L)) == ((1L, Seq("x"))))
+    assert(out.size == 6)
+  }
+
+  test("packSequences conserves the corpus token stream at sf0.001") {
+    val ids = docs.select($"source", $"doc_id",
+      graft.ext.TextAnalysis.tokens($"text").as("ids"))
+    val out = Packing.packSequences(ids, "source", "doc_id", "ids", seqLen = 128)
+    // token mass conserved
+    val inToks = ids.agg(sum(size($"ids"))).as[Long].head()
+    assert(out.agg(sum($"n_toks")).as[Long].head() == inToks)
+    // every sequence except the last per shard is exactly seqLen
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard")
+    val bad = out.withColumn("mx", max($"seq_id").over(w))
+      .filter($"seq_id" < $"mx" && $"n_toks" =!= 128L).count()
+    assert(bad == 0L)
+  }
+
   test("packingManifest sums doc counts and token mass per bin") {
     val m = Packing.packingManifest(docs.select($"doc_id", $"source", $"n_chars"),
       "source", "doc_id", "n_chars", budget = 8192L)
