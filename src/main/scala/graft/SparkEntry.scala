@@ -535,6 +535,27 @@ object SparkEntry {
       raw.select(col("doc_id"), UrlFunctions.normalizeUrl(col("url")).as("url_norm"))
         .orderBy(col("doc_id"))
     }),
+
+    // -- per-domain cap: registrable-domain extraction (eTLD+1
+    // heuristic) + at most 5 docs per domain, selected by fingerprint
+    // permutation through the native TopKPerKey operator. URL corpus
+    // is synthesized skewed: one heavy co.uk domain (~57% of docs),
+    // ten medium .com hosts, a long unique-.org tail. --
+    "q_x21_domain_cap" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 < 4,
+            concat(lit("https://sub"), col("doc_id") % 3,
+              lit(".bighost.co.uk/p/"), col("doc_id")))
+          .when(col("doc_id") % 7 < 6,
+            concat(lit("www.site"), col("doc_id") % 10, lit(".com/x")))
+          .otherwise(concat(lit("host"), col("doc_id"), lit(".org/y")))
+          .as("url"))
+      val dom = urls.select(col("doc_id"),
+        graft.etl.UrlFunctions.registeredDomain(
+          graft.etl.UrlFunctions.host(col("url"))).as("domain"))
+      graft.ext.Sampling.capPerDomain(dom, "domain", "doc_id", cap = 5)
+        .orderBy(col("domain"), col("doc_id"))
+    }),
     "q_f13_json_parse" -> ((s, d) => // fenced-JSON structured parse (ref F13)
       Tables.events(s, d).select(col("event_id"),
         Enrich.parseFenced(col("props"),
@@ -2366,6 +2387,39 @@ object SparkEntry {
              || regexp_replace(u, '^[^:]*://[^/]*', '') AS u FROM s2)
          SELECT doc_id, regexp_replace(u, '/+$', '') AS url_norm
          FROM s3 ORDER BY doc_id""",
+    "q_x21_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 < 4 THEN concat('https://sub',
+                  CAST(doc_id % 3 AS VARCHAR), '.bighost.co.uk/p/',
+                  CAST(doc_id AS VARCHAR))
+                WHEN doc_id % 7 < 6 THEN concat('www.site',
+                  CAST(doc_id % 10 AS VARCHAR), '.com/x')
+                ELSE concat('host', CAST(doc_id AS VARCHAR), '.org/y')
+           END AS url FROM documents),
+         h AS (SELECT doc_id, lower(regexp_extract(
+             CASE WHEN regexp_matches(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://')
+                  THEN trim(url) ELSE concat('https://', trim(url)) END,
+             '://(?:[^/@]*@)?([^/:?#]*)', 1)) AS host FROM u),
+         r AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+             len(string_split(host, '.')) AS n FROM h),
+         dm AS (SELECT doc_id,
+             CASE WHEN n <= 2 THEN host
+                  WHEN length(ls[n]) = 2 AND ls[n-1] IN
+                    ('co','com','net','org','gov','ac','edu')
+                    THEN array_to_string(ls[n-2:n], '.')
+                  ELSE array_to_string(ls[n-1:n], '.') END AS domain
+           FROM r),
+         f AS (SELECT doc_id, domain,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(
+                 concat(CAST(doc_id AS VARCHAR), ':', domain), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS fp
+           FROM dm)
+         SELECT doc_id, domain FROM
+           (SELECT doc_id, domain, row_number() OVER
+              (PARTITION BY domain ORDER BY fp, doc_id) AS rn FROM f)
+         WHERE rn <= 5 ORDER BY domain, doc_id""",
     "q_f13_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events ORDER BY event_id""",

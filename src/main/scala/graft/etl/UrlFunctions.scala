@@ -38,4 +38,30 @@ object UrlFunctions {
     * normalizeUrl(normalizeUrl(u)) == normalizeUrl(u). */
   def normalizeUrl(url: Column): Column =
     stripTrailingSlash(canonicalHost(stripQueryFragment(ensureScheme(trim(url)))))
+
+  /** Hostname of a URL: authority minus userinfo and port,
+    * lowercased (RFC 3986 §3.2.2 — hosts compare case-insensitively). */
+  def host(url: Column): Column =
+    lower(regexp_extract(ensureScheme(trim(url)),
+      "://(?:[^/@]*@)?([^/:?#]*)", 1))
+
+  /** Registrable domain (eTLD+1) by the standard offline heuristic:
+    * last two labels, or last three when the TLD is a two-letter
+    * country code and the second-level label is a common public
+    * second-level suffix (co/com/net/org/gov/ac/edu — the `co.uk`
+    * family). The full Public Suffix List is a network-updated
+    * artifact; this heuristic is the accepted no-egress approximation
+    * and covers the overwhelming mass of real corpora. Pure Column —
+    * codegen'd, no UDF. */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, -2)
+    val publicSld = (length(tld) === 2) &&
+      sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
+    when(n <= 2, hostCol)
+      .when(publicSld, array_join(slice(labels, n - 2, lit(3)), "."))
+      .otherwise(array_join(slice(labels, n - 1, lit(2)), "."))
+  }
 }

@@ -112,4 +112,28 @@ object Sampling {
       .filter(col("__cum") < quota)
       .drop("__cum")
   }
+
+  /** Per-domain document cap — the over-represented-host guard every
+    * web-corpus build runs (keep at most `cap` documents per
+    * registrable domain). Selection is deterministic but unbiased:
+    * rows are ranked by the polynomial fingerprint of (id, domain) —
+    * a seeded pseudo-random permutation a SQL oracle replays exactly —
+    * not by raw id, which would systematically prefer early crawl
+    * order.
+    *
+    * Scale shape: routed through the native [[graft.plans.TopKPerKey]]
+    * operator — one hash-partition shuffle on domain, bounded
+    * O(domains·cap) memory per partition, no sort. The window
+    * formulation (`row_number` ≤ cap) would fully sort every domain's
+    * rows; at 100 TB the head domains hold billions of rows, and the
+    * heap discards them in one streaming pass instead. */
+  def capPerDomain(df: DataFrame, domainCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val fp = graft.functions.TextStats.fingerprint(
+      concat(col(idCol).cast("string"), lit(":"), col(domainCol)))
+    graft.plans.TopK.topKPerKey(df.withColumn("__fp", fp),
+        Seq(col(domainCol)), Seq(col("__fp").asc, col(idCol).asc), cap)
+      .drop("__fp")
+  }
 }

@@ -24,6 +24,40 @@ class EtlSpec extends SparkSpec {
     assert(norm(once: _*) == once)
   }
 
+  test("host + registeredDomain: userinfo/port strip, eTLD+1 heuristic") {
+    def dom(urls: String*): Seq[String] =
+      urls.toDF("u").select(
+        UrlFunctions.registeredDomain(UrlFunctions.host($"u")).as("d"))
+        .as[String].collect().toSeq
+    assert(dom("https://www.Example.COM/a?q=1") == Seq("example.com"))
+    assert(dom("user:pw@Sub.Host.org:8080/p") == Seq("host.org"))
+    assert(dom("https://a.b.news.co.uk/x") == Seq("news.co.uk"))
+    assert(dom("https://deep.sub.example.ac.jp") == Seq("example.ac.jp"))
+    assert(dom("localhost/x") == Seq("localhost"))
+    assert(dom("example.io") == Seq("example.io"))
+    // two-letter TLD without a public second-level label stays eTLD+1=2
+    assert(dom("https://www.site.de/p") == Seq("site.de"))
+  }
+
+  test("capPerDomain: cap enforced, deterministic, fingerprint-permuted") {
+    import graft.ext.Sampling
+    val df = (1L to 200L).map(i => (i, if (i % 4 == 0L) "tail" + i else "big.com"))
+      .toDF("doc_id", "domain")
+    val out = Sampling.capPerDomain(df, "domain", "doc_id", cap = 5)
+    val by = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(by("big.com") == 5L)
+    assert(by.filter(_._1 != "big.com").forall(_._2 == 1L))
+    // columns unchanged, selection deterministic across runs
+    assert(out.columns.toSeq == Seq("doc_id", "domain"))
+    val again = Sampling.capPerDomain(df, "domain", "doc_id", cap = 5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // fingerprint permutation, not head-of-crawl bias: the kept five
+    // from big.com are not simply the five lowest ids
+    val kept = out.filter($"domain" === "big.com")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept != Set(1L, 2L, 3L, 5L, 6L), s"kept=$kept")
+  }
+
   test("CSV staging round-trips multi-line quoted content") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val df = Seq(
