@@ -936,6 +936,34 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
+    "q_d10_semdedup" -> ((s, d) => { // SemDeDup: cluster-partitioned
+      // semantic near-dup. Cluster assignment comes from seeded
+      // k-means (values not SQL-expressible), so the gate checks the
+      // bound: each planted duplicate (a ×1.001-scaled copy, cosine
+      // exactly 1.0, L2-adjacent so it co-clusters) must be found by
+      // the within-cluster pass — recall over planted pairs ≥ 0.5,
+      // emitted as a deterministic boolean the oracle asserts TRUE
+      // (measured 1.0 at sf0.01/sf0.1; cross-cluster NATURAL pairs
+      // are the documented SemDeDup recall trade and aren't bounded).
+      val base = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val copies = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      val corpus = base.unionByName(copies)
+      val cents = DerivedCache.any(s, s"semcents:$d") {
+        graft.ext.Similarity.trainIvfCentroids(corpus, "embedding", k = 8)
+      }
+      val sem = Dedup.semanticDupPairs(corpus, "vec_id", "embedding", cents, 0.45)
+      val hits = sem.filter(col("id2") === col("id1") + 1000000L)
+      base.filter(col("vec_id") % 10 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        // 2·hits ≥ planted ⇔ recall ≥ 0.5, div-free so an empty
+        // corpus stays vacuously green under ANSI mode
+        .select(col("n_planted"),
+          (col("n_hits") * 2 >= col("n_planted")).as("recall_ok"))
+    }),
     "q_d9_prefix_jaccard" -> ((s, d) => // EXACT Jaccard>=0.5 self-join
       // via prefix filtering (PPJoin family): blocking on rare-first
       // prefix shingles only, verify on candidates only — the oracle
@@ -2803,6 +2831,9 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
          ORDER BY id1, id2""",
+    "q_d10_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id % 10 = 0""",
     "q_d7_drop_dups" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id, text FROM documents

@@ -302,6 +302,37 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic near-dup
+    * pairs found ONLY within k-means clusters of the embedding space.
+    * Each vector is assigned to its nearest centroid map-side (the
+    * IVF nprobe=1 kernel), and the quadratic cosine comparison runs
+    * per cluster — O(Σ cᵢ²) with k chosen so clusters stay bounded
+    * (the paper uses k ≈ n/160), instead of O(n²) over the corpus.
+    * Pairs crossing cluster boundaries are missed by design; that is
+    * the documented recall trade the gate bounds. One shuffle on the
+    * cell id; the within-cell join is an equi-join Catalyst plans as
+    * a hash join, never a cartesian. */
+  def semanticDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double): DataFrame = {
+    val cellOf = graft.functions.Centroids.nearestCentroids(col(vecCol), centroids, 1)
+    val assigned = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(cellOf).as("cell"))
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("x.v"), col("y.v")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), col("cos"))
+  }
+
+  /** SemDeDup drop face: remove all but one representative per
+    * semantic near-dup component (same component resolution as
+    * [[dropNearDups]] — min-id representative). */
+  def semDeDup(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double): DataFrame =
+    dropNearDups(embeddings, idCol,
+      semanticDupPairs(embeddings, idCol, vecCol, centroids, threshold))
+
   /** Embedding near-dup via hyperplane-LSH buckets — the 100 TB path
     * for [[embeddingDupPairs]]: sign-bit signatures map-side, candidate
     * pairs only from band-bucket agreement (bounded per bucket), exact

@@ -91,6 +91,36 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${bf.size})")
   }
 
+  test("semDeDup: planted scaled copies are dropped, survivors keep one per group") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val copies = e.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f)).as("embedding"))
+    val corpus = e.unionByName(copies)
+    val cents = Similarity.trainIvfCentroids(corpus, "embedding", k = 8)
+    val pairs = Dedup.semanticDupPairs(corpus, "vec_id", "embedding", cents, 0.45)
+    // every planted identity pair is found (copies co-cluster: cosine
+    // 1.0 and L2-adjacent) and scored exactly 1.0
+    val planted = pairs.filter($"id2" === $"id1" + 1000000L)
+      .as[(Long, Long, Double)].collect()
+    assert(planted.length == copies.count().toInt, s"found ${planted.length}")
+    assert(planted.forall(_._3 == 1.0))
+    // drop face: one survivor per component, no surviving planted pair
+    val kept = Dedup.semDeDup(corpus, "vec_id", "embedding", cents, 0.45)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val bothEnds = planted.filter(p => keptIds(p._1) && keptIds(p._2))
+    assert(bothEnds.isEmpty, s"surviving planted pairs: ${bothEnds.toSeq}")
+    // representatives survive: min-id end of each planted pair kept
+    // unless it was itself merged into a lower-id component
+    assert(kept.count() < corpus.count())
+    assert(keptIds.nonEmpty)
+    // deterministic across calls with the same centroids
+    val again = Dedup.semDeDup(corpus, "vec_id", "embedding", cents, 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == keptIds)
+  }
+
   test("resolveDupGroups: min-label propagation over chained pairs") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: components
     // {1,2,3,4} rep 1 and {10,11} rep 10 — the chain needs >1
