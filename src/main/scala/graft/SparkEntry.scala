@@ -797,6 +797,25 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text", terms)
         .orderBy(col("doc_id"))
     }),
+    "q_n6_rrf_fusion" -> ((s, d) => { // hybrid retrieval: BM25 lexical
+      // top-100 + cosine semantic top-100 (query = vec 0) fused by
+      // reciprocal rank — both legs and the fusion replay exactly in
+      // SQL, so the gate is an exact oracle, not a bound
+      val docs = Tables.documents(s, d)
+      val terms = docs.select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(3)
+        .select(col("t")).collect().map(_.getString(0)).toSeq
+      val lexical = graft.ext.TextAnalysis.bm25(docs, "doc_id", "text", terms)
+        .select(col("doc_id"), col("bm25").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(100)
+      val e = Tables.embeddings(s, d)
+      val semantic = graft.ext.Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 100)
+        .select(col("cand_id").as("doc_id"), col("cos").as("score"))
+      graft.ext.Similarity.rrfFuse(Seq(lexical, semantic), "doc_id", "score")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
     "q_x16_bigram_lm" -> ((s, d) => // corpus-trained bigram LM fluency
       // score (add-one smoothed avg log-prob) — the pre-neural
       // perplexity-filter pass
@@ -2674,6 +2693,48 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.bm25, 0.0) AS bm25
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q_n6_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         q AS (SELECT tok FROM (
+                 SELECT tok, count(*) AS c
+                 FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok)
+               ORDER BY c DESC, tok LIMIT 3),
+         lens AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM t),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+                WHERE tok IN (SELECT tok FROM q)
+                GROUP BY doc_id, tok),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         sc AS (SELECT doc_id,
+                  round(sum(
+                    ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                    * tf * 2.2
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+                FROM tf JOIN df USING (tok) JOIN lens USING (doc_id), stats
+                GROUP BY doc_id),
+         lex AS (SELECT d.doc_id, coalesce(sc.bm25, 0.0) AS score
+                 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         lexr AS (SELECT doc_id, r FROM (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM lex) WHERE r <= 100),
+         e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         scored AS (SELECT c.vec_id AS doc_id,
+                      round(list_cosine_similarity(qv.v, c.v), 6) AS score
+                    FROM e c, (SELECT v FROM e WHERE vec_id = 0) qv
+                    WHERE c.vec_id <> 0),
+         semr AS (SELECT doc_id, r FROM (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM scored) WHERE r <= 100),
+         u AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr)
+         SELECT doc_id,
+                round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf,
+                count(*) AS n_lists
+         FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_x16_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -46,6 +46,31 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each input list (id, score) is ranked
+    * by (score desc, id), and an id's fused score is
+    * Σ_lists 1/(kConst + rank). Ids missing from a list simply don't
+    * collect that list's term, so lexical (BM25) and semantic (cosine)
+    * candidate lists of different sizes fuse directly.
+    *
+    * Scale note: inputs are top-k candidate LISTS (bounded by
+    * construction — the output of bm25/topK searches), so the
+    * unpartitioned ranking window runs over k rows per list, not the
+    * corpus. Fusing corpus-sized lists would need a partitioned rank;
+    * that is not this operator's contract. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String,
+      kConst: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val ranked = lists.map { df =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol), row_number().over(w).cast("long").as("__rank"))
+    }
+    ranked.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (col("__rank") + lit(kConst))), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+  }
+
   /** Sign-bit LSH signature of a float vector: bit j = sign of
     * dot(v, hyperplane_j), packed into a long (nBits <= 63).
     * Hyperplanes are seeded-deterministic; the codegen'd

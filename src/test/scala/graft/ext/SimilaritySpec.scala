@@ -109,6 +109,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rm >= 0.8, s"multi-probe recall $rm")
   }
 
+  test("rrfFuse: rank math, asymmetric membership, deterministic ties") {
+    // list A ranks: x(1), y(2), z(3); list B ranks: y(1), x(2) — z absent
+    val a = Seq(("x", 0.9), ("y", 0.8), ("z", 0.7)).toDF("id", "score")
+    val b = Seq(("y", 0.99), ("x", 0.5)).toDF("id", "score")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", "score", kConst = 60)
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def rr(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("x") == ((rr(1, 2), 2L)))
+    assert(out("y") == ((rr(2, 1), 2L)))
+    assert(out("z") == ((rr(3), 1L))) // single-list membership
+    // equal scores tie-break by id: both get ranks in id order
+    val t = Seq(("b", 1.0), ("a", 1.0)).toDF("id", "score")
+    val tied = Similarity.rrfFuse(Seq(t), "id", "score")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(tied("a") == rr(1) && tied("b") == rr(2))
+  }
+
   test("PQ encode/ADC: table score equals reconstruction cosine modulo query norm") {
     val e = Tables.embeddings(spark, sf0001).limit(100)
     val cb = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 8, k = 4)
