@@ -822,6 +822,35 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x22_quality_classifier" -> ((s, d) => { // trained quality filter:
+      // logistic regression by full-batch GD over planted labels
+      // (clean docs = 1, repetition-corrupted copies = 0). Learned
+      // weights aren't SQL-expressible, so the gate checks the bound:
+      // holdout accuracy ≥ 0.9 on the %3 split, emitted as a
+      // deterministic boolean (measured ≈1.0 — the corrupted class
+      // collapses token diversity, which is linearly separable).
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // 999999 ≡ 0 (mod 3): copies keep their source's split residue
+      val corrupted = docs.select((col("doc_id") + 999999L).as("doc_id"),
+        concat_ws(" ", array_repeat(substring(col("text"), 1, 8), 40)).as("text"))
+      val corpus = docs.withColumn("label", lit(1.0))
+        .unionByName(corrupted.withColumn("label", lit(0.0)))
+        .withColumn("feat", graft.ext.QualityClassifier.features(col("text")))
+      val w = DerivedCache.any(s, s"qclf:$d") {
+        graft.ext.QualityClassifier.trainLogReg(
+          corpus.filter(col("doc_id") % 3 =!= 0), "feat", "label",
+          dim = 6, iters = 50, lr = 2.0)
+      }
+      val correct = (graft.ext.QualityClassifier.margin(col("feat"), w) >= 0) ===
+        (col("label") >= 0.5)
+      corpus.filter(col("doc_id") % 3 === 0)
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(correct, 1L).otherwise(0L)).as("n_correct"))
+        // 10·correct ≥ 9·eval ⇔ accuracy ≥ 0.9, div-free under ANSI
+        .select(col("n_eval"),
+          (col("n_correct") * 10 >= col("n_eval") * 9).as("acc_ok"))
+    }),
+
     "q_x6_repetition" -> ((s, d) => { // Gopher-style repetition filter:
       // duplicate-token fraction + top-bigram dominance. Bigram mode is
       // computed relationally (explode → count → max) — the shape that
@@ -2895,6 +2924,9 @@ object SparkEntry {
     "q_d10_semdedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
          FROM embeddings WHERE vec_id % 10 = 0""",
+    "q_x22_quality_classifier" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
+         FROM documents WHERE doc_id % 3 = 0""",
     "q_d7_drop_dups" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id, text FROM documents

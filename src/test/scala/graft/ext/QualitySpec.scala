@@ -7,6 +7,32 @@ import graft.SparkSpec
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("QualityClassifier: GD training separates planted corruption, scores sane") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corrupted = docs.select(($"doc_id" + 999999L).as("doc_id"),
+      concat_ws(" ", array_repeat(substring($"text", 1, 8), 40)).as("text"))
+    val corpus = docs.withColumn("label", lit(1.0))
+      .unionByName(corrupted.withColumn("label", lit(0.0)))
+      .withColumn("feat", QualityClassifier.features($"text"))
+    val w = QualityClassifier.trainLogReg(
+      corpus.filter($"doc_id" % 3 =!= 0), "feat", "label",
+      dim = 6, iters = 50, lr = 2.0)
+    assert(w.length == 6 && w.forall(x => !x.isNaN && !x.isInfinite))
+    val acc = QualityClassifier.accuracy(
+      corpus.filter($"doc_id" % 3 === 0), "feat", "label", w)
+    assert(acc >= 0.9, s"holdout accuracy $acc")
+    // probability scores stay in (0,1) and rank clean above corrupted
+    val m = corpus.select($"label",
+        QualityClassifier.score($"feat", w).as("p"))
+      .groupBy($"label").agg(avg($"p").as("p"), min($"p").as("lo"), max($"p").as("hi"))
+      .as[(Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1.0)._2 > m(0.0)._2, s"mean score ordering: $m")
+    assert(m.values.forall(r => r._3 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("checkRowRules: one pass, null counts as violation") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "c"))
       .toDF("v", "s")
