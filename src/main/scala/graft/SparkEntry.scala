@@ -880,6 +880,15 @@ object SparkEntry {
     // by the poly-fingerprint kernel mod dim — the fixed-width sparse
     // feature map a downstream trainer consumes; poly hash (not
     // xxhash) so the DuckDB oracle can mirror it exactly --
+    // -- DSIR importance resampling: rank raw docs by target-likeness
+    // (hashed unigram+bigram distribution match vs source src0). Fully
+    // deterministic -> exact oracle replay. --
+    "q_o13_dsir" -> ((s, d) =>
+      graft.ext.Sampling.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0", buckets = 64, alpha = 0.5)
+        .select(col("id").as("doc_id"), col("w"))
+        .orderBy(col("w").desc, col("doc_id")).limit(50)),
+
     "q_x13_feature_hash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -2812,6 +2821,29 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_o13_dsir" ->
+      """WITH g0 AS (SELECT doc_id, source = 'src0' AS tgt,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         gr AS (SELECT doc_id, tgt, unnest(list_concat(t,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g
+           FROM g0),
+         bu AS (SELECT doc_id, tgt,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(g, ''), c -> CAST(ord(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 2147483647) % 64 AS b
+           FROM gr),
+         cnt AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                        sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+                 FROM bu GROUP BY b),
+         tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+         ra AS (SELECT b, round(
+                  ln((ct + 0.5) / (tt + 0.5 * 64))
+                  - ln((cr + 0.5) / (tr + 0.5 * 64)), 6) AS logr
+                FROM cnt, tot)
+         SELECT doc_id, round(sum(logr), 4) AS w
+         FROM bu JOIN ra USING (b) WHERE NOT tgt
+         GROUP BY doc_id ORDER BY w DESC, doc_id LIMIT 50""",
     "q_x13_feature_hash" ->
       """WITH toks AS (SELECT doc_id,
            unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok

@@ -113,6 +113,44 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"), hashed-n-gram
+    * variant: score every raw-corpus document by how target-like its
+    * token distribution is.
+    *
+    * Unigrams + bigrams hash into `buckets` cells (polynomial
+    * fingerprint — SQL-replayable, same kernel as q_x13); the target
+    * and raw sides each induce an add-α-smoothed bucket distribution;
+    * a document's log-importance is Σ_grams log(p_target(b)/p_raw(b)).
+    * Deterministic — selection is top-N by weight, not the paper's
+    * Gumbel draw, so runs replay exactly (the seeded-noise variant is
+    * one extra fingerprint column if ever needed).
+    *
+    * Scale shape: one gram explode (map-side), one `buckets`-row
+    * aggregation, then a broadcast join of the tiny bucket-ratio table
+    * back onto the gram stream and a per-doc sum — no shuffle touches
+    * anything wider than (doc, gram), and the ratio table is O(buckets).
+    * Returns (id, w) for every raw doc with ≥ 1 gram. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val grams = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(concat(TextAnalysis.tokens(col(textCol)),
+          TextAnalysis.shingles(col(textCol), 2))).as("g"))
+      .withColumn("b",
+        pmod(graft.functions.TextStats.fingerprint(col("g")), lit(buckets.toLong)))
+    val counts = grams.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val ratios = counts.crossJoin(tot).select(col("b"),
+      round(log((col("ct") + alpha) / (col("tt") + alpha * buckets)) -
+        log((col("cr") + alpha) / (col("tr") + alpha * buckets)), 6).as("logr"))
+    grams.filter(!col("tgt"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id")).agg(round(sum(col("logr")), 4).as("w"))
+  }
+
   /** Per-domain document cap — the over-represented-host guard every
     * web-corpus build runs (keep at most `cap` documents per
     * registrable domain). Selection is deterministic but unbiased:

@@ -105,6 +105,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("dsirWeights ranks target-like raw docs above unlike ones") {
+    // target speaks vocab A; raw docs 10-12 speak A, 20-22 speak B
+    val a = "alpha beta gamma delta alpha beta"
+    val b = "omega psi chi phi omega psi"
+    val df = (
+      (1L to 5L).map(i => (i, a, true)) ++
+      (10L to 12L).map(i => (i, a, false)) ++
+      (20L to 22L).map(i => (i, b, false))
+    ).toDF("id", "text", "tgt")
+    val w = Sampling.dsirWeights(df, "id", "text", $"tgt", buckets = 32)
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == Set(10L, 11L, 12L, 20L, 21L, 22L)) // raw docs only
+    val aScores = Seq(10L, 11L, 12L).map(w)
+    val bScores = Seq(20L, 21L, 22L).map(w)
+    assert(aScores.min > bScores.max,
+      s"target-like $aScores should beat unlike $bScores")
+    // identical text -> identical weight (pure function of content)
+    assert(aScores.distinct.size == 1 && bScores.distinct.size == 1)
+  }
+
   test("packingManifest sums doc counts and token mass per bin") {
     val m = Packing.packingManifest(docs.select($"doc_id", $"source", $"n_chars"),
       "source", "doc_id", "n_chars", budget = 8192L)
