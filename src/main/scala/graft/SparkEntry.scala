@@ -1050,6 +1050,16 @@ object SparkEntry {
       // (stored-table semantics, like hasKeyword)
       Dedup.dropNearDups(plantedDocs(s, d), "doc_id", minhashPairs(s, d))
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_d11_keep_best" -> ((s, d) => { // preference-based DROP face:
+      // keep the LONGEST member per near-dup component (the planted
+      // 'duplicate marker ' copies are longer than their originals, so
+      // the copy survives — proving the policy differs from q_d7's
+      // min-id canonical choice); pairs shared with q_d2/q_d7
+      val docs = plantedDocs(s, d)
+        .withColumn("len", length(col("text")).cast("long"))
+      Dedup.keepBestNearDup(docs, "doc_id", minhashPairs(s, d), "len")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_d6_embed_dup_lsh" -> ((s, d) => // scale path for q_d5: LSH-bucketed
       // candidates + exact-cosine verify; same oracle as the brute force
       Dedup.embeddingDupPairsLsh(
@@ -2988,6 +2998,39 @@ object SparkEntry {
          SELECT doc_id FROM base
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
          ORDER BY doc_id""",
+    "q_d11_keep_best" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, 'duplicate marker ' || text
+                  FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM t WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         a.n AS n1, b.n AS n2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM cand
+               WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM p
+                   UNION SELECT id2, id1 FROM p),
+         reach AS (SELECT DISTINCT a AS id, a AS lbl FROM edges
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+         lab AS (SELECT b.doc_id, length(b.text) AS pref,
+                        coalesce(c.rep, b.doc_id) AS grp
+                 FROM base b LEFT JOIN comp c ON b.doc_id = c.id),
+         best AS (SELECT doc_id, row_number() OVER
+                    (PARTITION BY grp ORDER BY pref DESC, doc_id) AS rn
+                  FROM lab)
+         SELECT doc_id FROM best WHERE rn = 1 ORDER BY doc_id""",
     "q_d6_embed_dup_lsh" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -248,6 +248,27 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Preference-based dedup DROP face: per near-dup component keep the
+    * member with the HIGHEST `prefCol` (ties → lowest id) instead of
+    * [[dropNearDups]]'s canonical min-id — "keep the best-quality
+    * duplicate", the policy production corpus builds actually run
+    * (longest text, highest quality score, newest crawl).
+    *
+    * Same component resolution as [[dropNearDups]]; the per-component
+    * argmax routes through the native bounded-heap TopKPerKey (k=1) —
+    * one shuffle on the component label, no sort, no window. Singletons
+    * (ids in no pair) form their own component and always survive. */
+  def keepBestNearDup(docs: DataFrame, idCol: String, pairs: DataFrame,
+      prefCol: String): DataFrame = {
+    val comp = resolveDupGroups(pairs)
+      .select(col("id").as("__cid"), col("rep").as("__rep"))
+    val labeled = docs.join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("__grp", coalesce(col("__rep"), col(idCol)))
+    graft.plans.TopK.topKPerKey(labeled, Seq(col("__grp")),
+        Seq(col(prefCol).desc, col(idCol).asc), 1)
+      .drop("__cid", "__rep", "__grp")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit b of the signature is

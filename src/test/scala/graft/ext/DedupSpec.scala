@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
     assert(again == keptIds)
   }
 
+  test("keepBestNearDup keeps the highest-preference member per component") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "b", 99L), (3L, "c", 50L), // component {1,2,3}
+      (7L, "d", 1L),                                  // singleton
+      (10L, "e", 5L), (11L, "f", 5L)                  // pref tie -> min id
+    ).toDF("id", "text", "pref")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.9))
+      .toDF("id1", "id2", "sim")
+    val kept = Dedup.keepBestNearDup(docs, "id", pairs, "pref")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L, 10L)) // max pref wins; singleton kept; tie -> min id
+    // schema passes through unchanged
+    assert(Dedup.keepBestNearDup(docs, "id", pairs, "pref").columns.toSeq ==
+      Seq("id", "text", "pref"))
+  }
+
   test("resolveDupGroups: min-label propagation over chained pairs") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: components
     // {1,2,3,4} rep 1 and {10,11} rep 10 — the chain needs >1
