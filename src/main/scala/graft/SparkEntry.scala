@@ -836,9 +836,11 @@ object SparkEntry {
       val corpus = docs.withColumn("label", lit(1.0))
         .unionByName(corrupted.withColumn("label", lit(0.0)))
         .withColumn("feat", graft.ext.QualityClassifier.features(col("text")))
+      // bounded driver-side sample training (PQ-codebook precedent);
+      // the distributed full-batch face trainLogReg is spec-covered
       val w = DerivedCache.any(s, s"qclf:$d") {
-        graft.ext.QualityClassifier.trainLogReg(
-          corpus.filter(col("doc_id") % 3 =!= 0), "feat", "label",
+        graft.ext.QualityClassifier.trainLogRegSampled(
+          corpus.filter(col("doc_id") % 3 =!= 0), "feat", "label", "doc_id",
           dim = 6, iters = 50, lr = 2.0)
       }
       val correct = (graft.ext.QualityClassifier.margin(col("feat"), w) >= 0) ===

@@ -80,6 +80,47 @@ object QualityClassifier {
     } finally data.unpersist()
   }
 
+  /** Train on a BOUNDED driver-side sample — the production shape
+    * (PQ-codebook precedent: tiny models converge on a sample; 50
+    * distributed gradient jobs for a 6-weight model is a job storm).
+    * The sample is content-hash-ordered on `idCol` (layout-independent,
+    * plans as TakeOrderedAndProject — no global sort) and capped at
+    * `maxTrain` rows (≤ maxTrain·dim doubles, a few MB); GD then runs
+    * locally with zero further jobs. Same update rule as
+    * [[trainLogReg]]; identical results whenever the corpus fits the
+    * cap. */
+  def trainLogRegSampled(df: DataFrame, featCol: String, labelCol: String,
+      idCol: String, dim: Int, maxTrain: Int = 16384, iters: Int = 50,
+      lr: Double = 2.0): Array[Double] = {
+    require(dim >= 1 && iters >= 1 && maxTrain >= 1)
+    val rows = df.select(col(featCol).as("x"), col(labelCol).cast("double").as("y"),
+        xxhash64(col(idCol).cast("string")).as("__h"))
+      .orderBy(col("__h"), col("x").cast("string")).limit(maxTrain)
+      .select(col("x"), col("y")).collect()
+    require(rows.nonEmpty, "empty training set")
+    val xs = rows.map(_.getSeq[Double](0).toArray)
+    val ys = rows.map(_.getDouble(1))
+    val n = xs.length.toDouble
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val g = Array.fill(dim)(0.0)
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += w(j) * x(j); j += 1 }
+        val err = 1.0 / (1.0 + math.exp(-dot)) - ys(i)
+        j = 0
+        while (j < dim) { g(j) += err * x(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < dim) { w(j) -= lr / n * g(j); j += 1 }
+    }
+    w
+  }
+
   /** Holdout accuracy of weights on a labeled frame — one job. */
   def accuracy(df: DataFrame, featCol: String, labelCol: String,
       w: Array[Double]): Double = {

@@ -23,6 +23,18 @@ class QualitySpec extends SparkSpec {
     val acc = QualityClassifier.accuracy(
       corpus.filter($"doc_id" % 3 === 0), "feat", "label", w)
     assert(acc >= 0.9, s"holdout accuracy $acc")
+    // the bounded-sample local trainer reaches the same quality (and
+    // is deterministic: content-hash-ordered sample, sequential folds)
+    val ws = QualityClassifier.trainLogRegSampled(
+      corpus.filter($"doc_id" % 3 =!= 0), "feat", "label", "doc_id",
+      dim = 6, iters = 50, lr = 2.0)
+    val accS = QualityClassifier.accuracy(
+      corpus.filter($"doc_id" % 3 === 0), "feat", "label", ws)
+    assert(accS >= 0.9, s"sampled-trainer holdout accuracy $accS")
+    val ws2 = QualityClassifier.trainLogRegSampled(
+      corpus.filter($"doc_id" % 3 =!= 0), "feat", "label", "doc_id",
+      dim = 6, iters = 50, lr = 2.0)
+    assert(ws.sameElements(ws2))
     // probability scores stay in (0,1) and rank clean above corrupted
     val m = corpus.select($"label",
         QualityClassifier.score($"feat", w).as("p"))
