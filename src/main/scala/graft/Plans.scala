@@ -29,7 +29,9 @@ object Plans {
       "q_z1_zorder_scan", "q_ep2_report", "q_a13_cms", "q_j10_bloom_join",
       "q_g6_scd2", "q_n5_pq_ann", "q_f16_fuzzy_join", "q_x16_bigram_lm",
       "q_a19_hll_merge", "q_d9_prefix_jaccard", "q_j11_dpp",
-      "q_x17_chunks", "q_j12_cogroup")
+      "q_x17_chunks", "q_j12_cogroup",
+      "q_x20_pack_sequences", "q_x21_domain_cap", "q_o13_dsir",
+      "q_n6_rrf_fusion", "q_d11_keep_best")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // Execute THIS QueryExecution (toRdd) — a derived count() or a
