@@ -1658,6 +1658,19 @@ object SparkEntry {
           total = 100L)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
+    // -- temperature mixture: quotas DERIVED from corpus composition
+    // (p_s ∝ n_s^0.5, the multilingual up-sample-the-tail rule).
+    // src0/src1 are doubled via shifted-id copies so the corpus is
+    // actually skewed and the α-flattening is observable. --
+    "q_o14_temperature_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val boost = docs.filter(col("source").isin("src0", "src1"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"))
+      graft.ext.Sampling.temperatureMixture(docs.unionByName(boost),
+          "source", "doc_id", alpha = 0.5, total = 200L)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- TOKEN-budget mixture: per-source quotas in tokens, not rows
     // (real curricula budget tokens; docs are size-skewed). src0's
     // quota exceeds its corpus total at sf0.01 → the exhausted-source
@@ -3289,6 +3302,20 @@ object SparkEntry {
          WHERE (source = 'src0' AND rn <= 40) OR (source = 'src1' AND rn <= 30)
             OR (source = 'src2' AND rn <= 20) OR (source = 'src3' AND rn <= 10)
          ORDER BY doc_id""",
+    "q_o14_temperature_mixture" ->
+      """WITH base AS (SELECT doc_id, source FROM documents
+                      UNION ALL
+                      SELECT doc_id + 1000000, source FROM documents
+                      WHERE source IN ('src0', 'src1')),
+         cnt AS (SELECT source, count(*) AS n FROM base GROUP BY source),
+         z AS (SELECT sum(pow(n, 0.5)) AS z FROM cnt),
+         q AS (SELECT source, round(pow(n, 0.5) / z * 200) AS quota
+               FROM cnt, z),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               FROM base)
+         SELECT doc_id, source FROM r JOIN q USING (source)
+         WHERE rn <= quota ORDER BY doc_id""",
     "q_o12_token_mixture" ->
       """WITH c AS (SELECT doc_id, source, n_chars,
            coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id

@@ -113,6 +113,31 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Temperature-weighted mixture (Conneau & Lample 2019 / mT5's
+    * `p_s ∝ n_s^α`): the source weights are DERIVED from corpus
+    * composition rather than hand-set — each source's share of the
+    * `total`-row budget is its document count raised to `alpha`,
+    * normalized. α = 1 reproduces natural proportions; α → 0
+    * flattens toward uniform, up-sampling tail sources — the standard
+    * low-resource re-balancing rule. Selection within a source is the
+    * deterministic [[mixture]] prefix (quota per source, `orderCol`
+    * order), so the whole operator replays exactly in SQL.
+    *
+    * Scale shape: one count aggregation over sources (tiny result,
+    * collected — source cardinality is small by construction), then
+    * the same single window as [[mixture]]. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, orderCol: String,
+      alpha: Double, total: Long): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0: $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val weights = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, alpha) / z
+    }
+    mixture(df, sourceCol, orderCol, weights, total)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"), hashed-n-gram
     * variant: score every raw-corpus document by how target-like its

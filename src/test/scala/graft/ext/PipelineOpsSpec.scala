@@ -105,6 +105,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("temperatureMixture: α=1 natural shares, α=0 uniform, α=0.5 between") {
+    // skewed corpus: big=80, mid=16, tail=4
+    val df = ((1L to 80L).map(i => (i, "big")) ++
+      (101L to 116L).map(i => (i, "mid")) ++
+      (201L to 204L).map(i => (i, "tail"))).toDF("id", "source")
+    def shares(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMixture(df, "source", "id", alpha, total = 50L)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+    val nat = shares(1.0)   // quotas 40/8/2
+    assert(nat == Map("big" -> 40L, "mid" -> 8L, "tail" -> 2L), nat.toString)
+    val uni = shares(0.0)   // 3 sources, uniform: round(50/3)=17 (tail capped at 4)
+    assert(uni("big") == 17L && uni("mid") == 16L && uni("tail") == 4L, uni.toString)
+    val mid = shares(0.5)   // √80:√16:√4 ≈ 8.94:4:2 → 30/13/7 (tail capped)
+    assert(mid("big") < nat("big") && mid("big") > uni("big"), mid.toString)
+    assert(mid("tail") == 4L) // tail fully taken once up-sampled past its size
+  }
+
   test("dsirWeights ranks target-like raw docs above unlike ones") {
     // target speaks vocab A; raw docs 10-12 speak A, 20-22 speak B
     val a = "alpha beta gamma delta alpha beta"
