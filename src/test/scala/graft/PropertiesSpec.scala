@@ -121,4 +121,34 @@ object PropertiesSpec extends Properties("graft") {
       .select(graft.ext.TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
     out == texts.map(ref)
   }
+
+  // random per-shard documents with 0..9 tokens each
+  private val shardDocsGen: Gen[List[(String, Long, List[String])]] = for {
+    nShards <- Gen.choose(1, 3)
+    docs <- Gen.listOfN(8, for {
+      sh <- Gen.choose(0, nShards - 1).map(i => s"s$i")
+      len <- Gen.choose(0, 9)
+      toks <- Gen.listOfN(len, Gen.choose(0, 99).map(_.toString))
+    } yield (sh, toks))
+  } yield docs.zipWithIndex.map { case ((sh, ts), i) => (sh, i.toLong, ts) }
+
+  property("packSequences reassembles exactly the concatenated stream") =
+    forAll(shardDocsGen, Gen.choose(1, 7)) { (docs, seqLen) =>
+      val df = docs.toDF("shard", "ord", "ids")
+      val out = graft.ext.Packing.packSequences(df, "shard", "ord", "ids", seqLen)
+        .select(col("shard"), col("seq_id"), col("ids"))
+        .as[(String, Long, Seq[String])].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.groupBy(_._1).forall { case (sh, ds) =>
+        val stream = ds.sortBy(_._2).flatMap(_._3)
+        val expect = stream.grouped(seqLen).toSeq
+        val got = out.getOrElse(sh, Array.empty[(String, Long, Seq[String])])
+          .map(_._3).toSeq
+        // exact reassembly: contiguous windows of seqLen, ids 0..n-1,
+        // last window ragged, token order preserved across documents
+        got == expect &&
+          out.getOrElse(sh, Array.empty[(String, Long, Seq[String])])
+            .map(_._2).toSeq == expect.indices.map(_.toLong)
+      }
+    }
 }
