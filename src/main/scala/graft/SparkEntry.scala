@@ -822,6 +822,19 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x23_strip_html" -> ((s, d) => // HTML→text cleaning: planted
+      // markup (tags, script block, entities) around each document's
+      // text must strip back to clean prose — exact oracle with the
+      // identical RE2 patterns
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.ext.TextAnalysis.stripHtml(concat(
+            lit("<html><head><style type=\"text/css\">p{color:red}</style></head>"),
+            lit("<body><p class=\"main\">"), col("text"),
+            lit("</p><script>var x = 1 < 2;</script>"),
+            lit("<div>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot; &#39;q&#39; &amp;lt;</div></body></html>")))
+            .as("clean"))
+        .orderBy(col("doc_id"))),
+
     "q_x22_quality_classifier" -> ((s, d) => { // trained quality filter:
       // logistic regression by full-batch GD over planted labels
       // (clean docs = 1, repetition-corrupted copies = 0). Learned
@@ -2984,6 +2997,29 @@ object SparkEntry {
     "q_x22_quality_classifier" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
          FROM documents WHERE doc_id % 3 = 0""",
+    "q_x23_strip_html" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><style type="text/css">p{color:red}</style></head>'
+           || '<body><p class="main">' || text
+           || '</p><script>var x = 1 < 2;</script>'
+           || '<div>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot; &#39;q&#39; &amp;lt;</div></body></html>'
+             AS t
+           FROM documents),
+         s1 AS (SELECT doc_id,
+           regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           FROM h),
+         s2 AS (SELECT doc_id,
+           regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+           FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+           FROM s2),
+         s4 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+           FROM s3)
+         SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+         FROM s4 ORDER BY doc_id""",
     "q_d7_drop_dups" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id, text FROM documents

@@ -110,6 +110,30 @@ object TextAnalysis {
     (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenOk * 0.2)
   }
 
+  /** HTML-to-text strip — the first cleaning pass of any web-corpus
+    * build: drop script/style blocks (non-greedy, case-insensitive,
+    * dotall), drop remaining tags, unescape the common entities
+    * (specific entities first, `&amp;` LAST so `&amp;lt;` correctly
+    * yields the literal `&lt;`), collapse whitespace. Pure
+    * regexp_replace chain — codegen'd, linear per row, and every
+    * pattern is RE2-compatible (no backreferences), so the identical
+    * regexes run in the SQL oracle. Not a full HTML5 parser by design:
+    * tag soup beyond this (comments, CDATA, nested same-tag blocks)
+    * is the documented boundary, matching what C4-style pipelines
+    * actually run. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to)) // literal replace on both engines
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** PII redaction patterns — the pre-training scrub pass (emails,
     * IPv4 addresses, phone-shaped digit runs). Deliberately simple
     * RE2-compatible patterns so the same regex runs in any engine;

@@ -7,6 +7,21 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stripHtml: blocks, tags, entity order, whitespace collapse") {
+    def strip(s: String): String = Seq(s).toDF("t")
+      .select(TextAnalysis.stripHtml($"t")).as[String].head()
+    assert(strip("<p>Hello <b>world</b></p>") == "Hello world")
+    // script/style bodies vanish even with a '<' inside
+    assert(strip("a<script>if (1 < 2) x();</script>b<style>p{}</style>c") == "a b c")
+    // case-insensitive, attributes, multi-line block
+    assert(strip("x<SCRIPT type=\"a\">\nvar y;\n</SCRIPT>z") == "x z")
+    // entity order: &amp;lt; is the LITERAL string "&lt;", not "<"
+    assert(strip("Tom &amp; Jerry &amp;lt; &lt;3 &quot;q&quot; &#39;a&#39;&nbsp;end")
+      == "Tom & Jerry &lt; <3 \"q\" 'a' end")
+    assert(strip("  a \t\n b  ") == "a b")
+    assert(strip("") == "")
+  }
+
   test("tokens and counts") {
     val out = Seq("  the quick  brown  ", "", "one").toDF("t")
       .select(TextAnalysis.tokenCount($"t").as("n")).as[Long].collect().toSeq
