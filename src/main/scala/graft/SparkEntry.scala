@@ -454,6 +454,24 @@ object SparkEntry {
       }
       Staging.readShards(s, out).orderBy(col("doc_id"))
     }),
+    "q_s_manifest" -> ((s, d) => { // export-integrity manifest: write
+      // seeded shuffled shards, read them back, and emit per-shard
+      // (n_rows, order-independent fingerprint checksum). The oracle
+      // re-derives every value from the SOURCE table alone (shard
+      // assignment + checksum replay), so a green row proves the full
+      // write→read path lost/duplicated/corrupted nothing.
+      val out = DerivedCache.any(s, s"manifestShards:$d") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+        Staging.writeShuffledShards(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          dir + "/docs", "doc_id", seed = 42L, numShards = 8)
+        dir + "/docs"
+      }
+      Staging.shardManifest(Staging.readShards(s, out), "shard",
+          Seq("doc_id", "text"))
+        .select(col("shard").cast("long").as("shard"), col("n_rows"), col("checksum"))
+        .orderBy(col("shard"))
+    }),
     "q_s_orc_roundtrip" -> ((s, d) => { // ORC source/sink round-trip
       val out = DerivedCache.any(s, s"orc:$d") {
         val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
@@ -2439,6 +2457,22 @@ object SparkEntry {
          WHERE n_chars >= 100 ORDER BY doc_id""",
     "q_s_shards_roundtrip" ->
       """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
+    "q_s_manifest" ->
+      """WITH f AS (SELECT doc_id, text,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(
+               concat(CAST(doc_id AS VARCHAR), ':42'), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) % 8 AS shard,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(
+               concat(CAST(doc_id AS VARCHAR), '|', text), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+           FROM documents)
+         SELECT shard, count(*) AS n_rows,
+                CAST(sum(rfp) % 2147483647 AS BIGINT) AS checksum
+         FROM f GROUP BY shard ORDER BY shard""",
     "q_p8_validity_filter" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE text IS NOT NULL AND length(trim(text)) >= 100

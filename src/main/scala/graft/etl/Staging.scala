@@ -141,6 +141,28 @@ object Staging {
       .parquet(path)
   }
 
+  /** Per-shard integrity manifest — (shard, n_rows, checksum) for a
+    * sharded export, where `checksum` is the ORDER-INDEPENDENT sum of
+    * per-row polynomial fingerprints over `contentCols`, mod 2^31-1.
+    * This is the artifact a 100 TB export ships alongside the data so
+    * any consumer (or a later re-run) can re-derive shard integrity
+    * without trusting file counts: commutative combine ⇒ the check
+    * never depends on read order or file split, and the fingerprint
+    * recurrence replays in any engine (same kernel as q_o10's shuffle
+    * key). The sum accumulates in decimal(38,0) — Spark's long sum
+    * would wrap at corpus scale while SQL engines promote to wide
+    * integers, so decimal keeps the two sides bit-identical. */
+  def shardManifest(shards: DataFrame, shardCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must not be empty")
+    val rowFp = graft.functions.TextStats.fingerprint(
+      concat_ws("|", contentCols.map(c => col(c).cast("string")): _*))
+    shards.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(rowFp.cast("decimal(38,0)")), lit(2147483647L))
+          .cast("long").as("checksum"))
+  }
+
   /** Schema-evolution read: one logical table whose parquet
     * generations were written with different (compatible) schemas —
     * the standard long-lived-pipeline situation where a column was

@@ -58,6 +58,28 @@ class EtlSpec extends SparkSpec {
     assert(kept != Set(1L, 2L, 3L, 5L, 6L), s"kept=$kept")
   }
 
+  test("shardManifest: order-independent, corruption-sensitive") {
+    val df = Seq((0, 1L, "alpha"), (0, 2L, "beta"), (1, 3L, "gamma"))
+      .toDF("shard", "id", "text")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Staging.shardManifest(d, "shard", Seq("id", "text"))
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = m(df)
+    assert(base.map(r => (r._1, r._2)) == Seq((0, 2L), (1, 1L)))
+    // row order within a shard doesn't matter (commutative combine)
+    val reordered = Seq((0, 2L, "beta"), (1, 3L, "gamma"), (0, 1L, "alpha"))
+      .toDF("shard", "id", "text")
+    assert(m(reordered) == base)
+    // a single changed character changes that shard's checksum only
+    val corrupted = Seq((0, 1L, "alphA"), (0, 2L, "beta"), (1, 3L, "gamma"))
+      .toDF("shard", "id", "text")
+    val c = m(corrupted)
+    assert(c.head._3 != base.head._3 && c(1) == base(1))
+    // a dropped row changes count and checksum
+    val dropped = m(df.filter($"id" =!= 2L))
+    assert(dropped.head._2 == 1L && dropped.head._3 != base.head._3)
+  }
+
   test("CSV staging round-trips multi-line quoted content") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val df = Seq(
