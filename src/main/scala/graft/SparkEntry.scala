@@ -440,6 +440,20 @@ object SparkEntry {
             "doc_id LONG, text STRING, lang STRING, source STRING"))
         .orderBy(col("doc_id"))
     }),
+    "q_s_jsonl_gz_roundtrip" -> ((s, d) => { // gzip JSONL round-trip:
+      // the compressed-crawl-dump ingest face (codec transparency;
+      // non-splittable caveat documented at the writer)
+      val out = DerivedCache.any(s, s"jsonlgz:$d") {
+        val dir = java.nio.file.Files.createTempDirectory("graft_jsonlgz").toString
+        Staging.writeJsonlGz(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source")), dir + "/docs")
+        dir + "/docs"
+      }
+      Staging.readJsonl(s, out,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, source STRING"))
+        .orderBy(col("doc_id"))
+    }),
     "q_s_shards_roundtrip" -> ((s, d) => { // sharded training-data
       // writer round-trip: range-partitioned key-ordered shards with a
       // per-file row cap, read back — identity vs the source table
@@ -2452,6 +2466,8 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
     "q_s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+    "q_s_jsonl_gz_roundtrip" ->
+      """SELECT doc_id, text, source FROM documents ORDER BY doc_id""",
     "q_s_orc_roundtrip" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE n_chars >= 100 ORDER BY doc_id""",

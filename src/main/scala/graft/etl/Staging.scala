@@ -81,6 +81,16 @@ object Staging {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Gzip-compressed JSONL faces — the shape crawl dumps actually
+    * arrive in (CommonCrawl WET/WARC derivatives are .gz line-JSON).
+    * Spark's codec layer makes read transparent (any mix of .gz and
+    * plain files in one directory scans fine); the caveat that matters
+    * at 100 TB: gzip is NOT splittable, so one .gz file = one task —
+    * exports must keep files at a sane size (the writer's partition
+    * count is the parallelism floor for every future reader). */
+  def writeJsonlGz(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
   /** ORC staging faces — second columnar format beside Parquet, for
     * interop with ORC-based warehouses. Same pushdown/pruning story
     * via the native ORC reader. */
