@@ -829,6 +829,17 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text", terms)
         .orderBy(col("doc_id"))
     }),
+    "q_n7_hard_negatives" -> ((s, d) => { // contrastive-pair mining:
+      // top-5 most-similar non-positive items per query (positives =
+      // vec_id+100, a deterministic labeling) — exact oracle
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+      val positives = queries.select(col("vec_id").as("query_id"),
+        (col("vec_id") + 100L).as("pos_id"))
+      graft.ext.Similarity.hardNegatives(e, queries, positives,
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_n6_rrf_fusion" -> ((s, d) => { // hybrid retrieval: BM25 lexical
       // top-100 + cosine semantic top-100 (query = vec 0) fused by
       // reciprocal rank — both legs and the fusion replay exactly in
@@ -3172,6 +3183,20 @@ object SparkEntry {
          SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
          FROM fo WHERE rn = 1
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_n7_hard_negatives" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                    FROM e c JOIN q ON c.vec_id <> q.vec_id
+                    WHERE c.vec_id <> q.vec_id + 100),
+         ranked AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                    FROM scored)
+         SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -46,6 +46,29 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training-pair constructor
+    * (DPR / Karpukhin et al. 2020 shape): for each query, the k most
+    * similar corpus items that are NOT its labeled positives. These
+    * near-miss negatives are what retrieval fine-tuning actually
+    * trains on; random negatives are too easy.
+    *
+    * `positives` carries (query_id, pos_id). Exclusion is a left-anti
+    * join BEFORE ranking, so every query gets exactly k negatives
+    * (when the corpus has them) regardless of its positive count.
+    * Same scale shape as [[bruteForceTopK]]: broadcast query set, one
+    * corpus pass, native bounded-heap top-k — swap the scored source
+    * for the IVF/LSH candidate stream when the corpus is 100 TB. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .join(positives.select(col("query_id"), col("pos_id").as("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) — the standard
     * hybrid-retrieval combiner: each input list (id, score) is ranked
     * by (score desc, id), and an id's fused score is

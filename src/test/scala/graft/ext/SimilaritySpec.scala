@@ -109,6 +109,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rm >= 0.8, s"multi-probe recall $rm")
   }
 
+  test("hardNegatives excludes positives and self, still yields k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter($"vec_id" < 3)
+    // label each query's true nearest neighbor as its positive
+    val nn = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"cand_id".as("pos_id"))
+    val neg = Similarity.hardNegatives(e, queries, nn, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id", $"rank").as[(Long, Long, Int)].collect()
+    assert(neg.length == 15) // 3 queries x 5 negatives
+    val neighbors = nn.as[(Long, Long)].collect().toSet
+    assert(neg.forall { case (q, c, _) => !neighbors((q, c)) && q != c })
+    // negatives are the top-k of the remainder: rank-1 negative equals
+    // the brute-force rank-2 overall
+    val bf2 = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 2)
+      .filter($"rank" === 2).select($"query_id", $"cand_id")
+      .as[(Long, Long)].collect().toSet
+    assert(neg.filter(_._3 == 1).map(r => (r._1, r._2)).toSet == bf2)
+  }
+
   test("rrfFuse: rank math, asymmetric membership, deterministic ties") {
     // list A ranks: x(1), y(2), z(3); list B ranks: y(1), x(2) — z absent
     val a = Seq(("x", 0.9), ("y", 0.8), ("z", 0.7)).toDF("id", "score")
