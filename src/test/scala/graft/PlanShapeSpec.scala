@@ -228,6 +228,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("word_shingles"), s"fused shingle kernel missing:\n$plan")
   }
 
+  test("domain cap routes through TopKPerKey: no per-domain sort, no window") {
+    val plan = executedFinal(SparkEntry.queries("q_x21_domain_cap")(spark, sf0001))
+    assert(plan.contains("TopKPerKey"), s"native top-k missing:\n$plan")
+    assert(!plan.contains("Window"), s"domain cap planned a window:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in domain cap plan:\n$plan")
+  }
+
+  test("packSequences: prefix-sum window + piece explode + one reassembly agg") {
+    val plan = executedFinal(SparkEntry.queries("q_x20_pack_sequences")(spark, sf0001))
+    assert(plan.contains("Window"), s"offset window missing:\n$plan")
+    assert(plan.contains("Generate"), s"piece explode missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pack plan:\n$plan")
+    // exchanges: shard window + (shard,seq) agg + output sort — never more
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"pack plan has $exchanges exchanges:\n$plan")
+  }
+
+  test("DSIR: bucket-ratio table joins broadcast, gram stream never sort-merges") {
+    val plan = executedFinal(SparkEntry.queries("q_o13_dsir")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"gram stream sort-merged:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in DSIR plan:\n$plan")
+  }
+
   test("histogram buckets aggregate before the tiny cumulative window") {
     val q = SparkEntry.queries("q_a17_histogram")(spark, sf0001)
     val plan = executedFinal(q)
