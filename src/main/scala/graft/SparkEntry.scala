@@ -698,6 +698,20 @@ object SparkEntry {
         .orderBy(col("walk_id"), col("step"))
     }),
 
+    "q_g16_walk_pairs" -> ((s, d) => { // DeepWalk corpus construction:
+      // skip-gram (center, context) counts over the deterministic
+      // walks — the training input for graph embeddings; exact oracle
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("b"))
+        .distinct()
+      val e = hk.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(hk.select(col("b").as("src"), col("a").as("dst")))
+      GraphQueries.skipGramPairs(
+          GraphQueries.deterministicWalks(e, walkLen = 4), window = 2)
+        .orderBy(col("center"), col("context"))
+    }),
+
     // -- inverted postings export (keyword -> ordered link list) --
     "q_g9_postings" -> ((s, d) =>
       hasKeyword(s, d).groupBy(col("dst").as("keyword"))
@@ -2653,6 +2667,12 @@ object SparkEntry {
          UNION ALL
          SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
          FROM lineitem WHERE l_orderkey % 100 = 0""", walkLen = 4),
+    "q_g16_walk_pairs" -> graft.query.GraphQueries.skipGramOracleSql(
+      """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         UNION ALL
+         SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
+         FROM lineitem WHERE l_orderkey % 100 = 0""", walkLen = 4, window = 2),
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),

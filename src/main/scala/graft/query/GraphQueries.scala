@@ -402,6 +402,35 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Skip-gram training pairs from walks (DeepWalk / node2vec corpus
+    * construction, Perozzi et al. 2014): each walk is a "sentence";
+    * emit (center, context) co-occurrence counts for positions within
+    * `window` steps of each other. The walk_id equi-join touches at
+    * most walkLen+1 rows per key, so pair expansion is bounded per
+    * walk — one shuffle on walk_id, one aggregation on the pair. The
+    * output (center, context, n) table IS the word2vec-style training
+    * input for graph embeddings. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = walks.select(col("walk_id"), col("step").as("ci"), col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("xi"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("xi") =!= col("ci") && abs(col("xi") - col("ci")) <= window)
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle for [[skipGramPairs]] over [[deterministicWalks]]: wraps
+    * the unrolled walk replay in the pair expansion. */
+  def skipGramOracleSql(edgeCte: String, walkLen: Int, window: Int): String = {
+    val walks = walksOracleSql(edgeCte, walkLen)
+    s"""WITH wk AS ($walks)
+       SELECT center, context, count(*) AS n FROM (
+         SELECT a.node AS center, b.node AS context
+         FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+         WHERE a.step <> b.step AND abs(a.step - b.step) <= $window)
+       GROUP BY center, context ORDER BY center, context"""
+  }
+
   /** Weighted single-source shortest paths by FIXED-ROUND Bellman-Ford
     * relaxation (the weighted complement of the hop-BFS in
     * [[graft.graphx.GraphOps.shortestPathsByOrigId]]): each round

@@ -152,6 +152,28 @@ class GraphQueriesSpec extends SparkSpec {
       .filter($"count" > 3).count() == 0)
   }
 
+  test("skipGramPairs: windowed co-occurrence counts per walk") {
+    // one hand-built walk a,b,c,d (steps 0..3), window 2
+    val walk = Seq(("w", 0L, "a"), ("w", 1L, "b"), ("w", 2L, "c"), ("w", 3L, "d"))
+      .toDF("walk_id", "step", "node")
+    val pairs = GraphQueries.skipGramPairs(walk, window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a sees b (d1) and c (d2), not d (d3)
+    assert(pairs(("a", "b")) == 1L && pairs(("a", "c")) == 1L)
+    assert(!pairs.contains(("a", "d")))
+    // symmetric, every ordered in-window pair present exactly once
+    assert(pairs == pairs.map { case ((x, y), n) => (y, x) -> n })
+    assert(pairs.values.sum == 10L) // 2*(3 d1) + 2*(2 d2)
+    // two walks with repeated co-occurrence aggregate counts
+    val two = walk.unionByName(
+      Seq(("v", 0L, "a"), ("v", 1L, "b")).toDF("walk_id", "step", "node"))
+    val agg = GraphQueries.skipGramPairs(two, window = 2)
+      .filter($"center" === "a" && $"context" === "b")
+      .as[(String, String, Long)].head()
+    assert(agg._3 == 2L)
+  }
+
   test("bellmanFord: weighted distance beats fewer-hop path; fixed rounds honored") {
     // a->b costs 10 direct, but 2 via c — weighted SSSP must find 2
     val e = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L))
