@@ -961,6 +961,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("w"))
         .orderBy(col("w").desc, col("doc_id")).limit(50)),
 
+    // -- length-bucketed batching: power-of-two length bands, fixed
+    // batch size within band, per-row padding waste — exact oracle --
+    "q_x24_length_batches" -> ((s, d) =>
+      graft.ext.Packing.lengthBucketedBatches(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", batchSize = 16)
+        .select(col("doc_id"), col("bucket"), col("batch_id"), col("pad_cost"))
+        .orderBy(col("doc_id"))),
+
     "q_x13_feature_hash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
@@ -2940,6 +2949,19 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_x24_length_batches" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+           CAST(floor(log2(greatest(CAST(n_chars AS DOUBLE), 1.0))) AS BIGINT)
+             AS bucket
+           FROM documents),
+         r AS (SELECT doc_id, n_chars, bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+             // 16 AS BIGINT) AS batch_id
+           FROM b)
+         SELECT doc_id, bucket, batch_id,
+                CAST(max(n_chars) OVER (PARTITION BY bucket, batch_id)
+                  - n_chars AS BIGINT) AS pad_cost
+         FROM r ORDER BY doc_id""",
     "q_o13_dsir" ->
       """WITH g0 AS (SELECT doc_id, source = 'src0' AS tgt,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

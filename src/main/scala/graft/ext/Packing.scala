@@ -45,6 +45,35 @@ object Packing {
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
 
+  /** Length-bucketed batch assignment — the padding-efficiency
+    * batching a fine-tuning dataloader runs when sequences are NOT
+    * packed: group examples of similar token length, batch within the
+    * group, and per-batch padding cost collapses (pad-to-longest
+    * inside a batch of near-equal lengths wastes ~nothing, vs up to
+    * maxLen-1 per row under random batching).
+    *
+    * Bucket = floor(log2(tokens)) (power-of-two length bands);
+    * batch = consecutive `batchSize` rows within the bucket in
+    * deterministic `orderCol` order. One row_number window per
+    * bucket — the same single-shuffle shape as [[packByBudget]].
+    * Returns the input plus (bucket, batch_id, pad_cost) where
+    * pad_cost is that row's padding waste to its batch max. */
+  def lengthBucketedBatches(df: DataFrame, orderCol: String,
+      tokenCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val bucket = floor(log2(greatest(col(tokenCol).cast("double"), lit(1.0))))
+      .cast("long")
+    val wRank = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+    val withBatch = df.withColumn("__bucket", bucket)
+      .withColumn("batch_id",
+        ((row_number().over(wRank) - 1) / batchSize).cast("long"))
+    val wBatch = Window.partitionBy(col("__bucket"), col("batch_id"))
+    withBatch
+      .withColumn("pad_cost",
+        (max(col(tokenCol)).over(wBatch) - col(tokenCol)).cast("long"))
+      .withColumnRenamed("__bucket", "bucket")
+  }
+
   /** Concatenate-then-chunk sequence construction — the actual packed
     * context windows a dataloader reads, not just the manifest: per
     * shard, documents' token arrays are concatenated in `orderCol`

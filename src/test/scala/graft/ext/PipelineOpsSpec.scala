@@ -105,6 +105,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("lengthBucketedBatches: log2 bands, fixed batch size, pad cost vs batch max") {
+    val df = Seq((1L, 10L), (2L, 12L), (3L, 15L), (4L, 100L), (5L, 9L))
+      .toDF("id", "toks")
+    val out = Packing.lengthBucketedBatches(df, "id", "toks", batchSize = 2)
+      .select($"id", $"bucket", $"batch_id", $"pad_cost")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 9..15 -> bucket 3; 100 -> bucket 6
+    assert(Seq(1L, 2L, 3L, 5L).forall(out(_)._2 == 3L) && out(4L)._2 == 6L)
+    // bucket 3 in id order: (1,2) batch 0, (3,5) batch 1
+    assert(out(1L)._3 == 0L && out(2L)._3 == 0L)
+    assert(out(3L)._3 == 1L && out(5L)._3 == 1L)
+    // pad cost to the batch max: batch0 max 12 -> costs 2,0; batch1 max 15 -> 0,6
+    assert(out(1L)._4 == 2L && out(2L)._4 == 0L)
+    assert(out(3L)._4 == 0L && out(5L)._4 == 6L)
+    assert(out(4L)._4 == 0L) // singleton batch pads nothing
+    // bucketed batching strictly beats naive id-ordered batching
+    // ((1,2),(3,4),(5) pad-to-max) on total padding for this input
+    val naivePad = (12L - 10L) + (100L - 15L)
+    assert(out.values.map(_._4).sum < naivePad)
+  }
+
   test("temperatureMixture: α=1 natural shares, α=0 uniform, α=0.5 between") {
     // skewed corpus: big=80, mid=16, tail=4
     val df = ((1L to 80L).map(i => (i, "big")) ++
