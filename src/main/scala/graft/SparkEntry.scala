@@ -1829,7 +1829,9 @@ object SparkEntry {
         TextAnalysis.tokenIds(col("text"), vocab).as("ids"))
       graft.ext.Packing.packSequences(ids, "source", "doc_id", "ids", 256)
         .select(col("shard").as("source"), col("seq_id"), col("n_docs"),
-          col("n_toks"), array_join(col("ids"), " ").as("ids_str"))
+          col("n_toks"), array_join(col("ids"), " ").as("ids_str"),
+          array_join(transform(col("doc_starts"), x => x.cast("string")), " ")
+            .as("starts_str"))
         .orderBy(col("source"), col("seq_id"))
     }),
 
@@ -3563,7 +3565,7 @@ object SparkEntry {
          p AS (SELECT source, ids, strt, len,
              unnest(range(strt // 256, (strt + len - 1) // 256 + 1)) AS seq_id
            FROM o WHERE len > 0),
-         pieces AS (SELECT source, seq_id,
+         pieces AS (SELECT source, seq_id, strt,
              greatest(strt, seq_id * 256) AS piece_start,
              ids[(greatest(strt, seq_id * 256) - strt + 1):
                  (least(strt + len, (seq_id + 1) * 256) - strt)] AS piece
@@ -3573,7 +3575,11 @@ object SparkEntry {
                 CAST(len(flatten(list(piece ORDER BY piece_start))) AS BIGINT)
                   AS n_toks,
                 array_to_string(flatten(list(piece ORDER BY piece_start)), ' ')
-                  AS ids_str
+                  AS ids_str,
+                coalesce(array_to_string(list_transform(
+                  list(piece_start - seq_id * 256 + 1 ORDER BY piece_start)
+                    FILTER (WHERE piece_start = strt),
+                  x -> CAST(x AS VARCHAR)), ' '), '') AS starts_str
          FROM pieces GROUP BY source, seq_id ORDER BY source, seq_id""",
     "q_t5_sliding" ->
       """SELECT CAST(floor(epoch_us(ts) / 900000000) * 900 - k * 900 AS BIGINT)

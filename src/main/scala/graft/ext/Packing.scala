@@ -92,8 +92,12 @@ object Packing {
     * provided shards are sized so one shard's window partition fits an
     * executor (same contract as [[packByBudget]]).
     *
-    * Output: (shard, seq_id, n_docs, ids, n_toks) where `ids` is the
-    * packed token array and `seq_id` is 0-based per shard. */
+    * Output: (shard, seq_id, n_docs, ids, doc_starts, n_toks) where
+    * `ids` is the packed token array, `doc_starts` the 1-based
+    * within-sequence positions where a NEW document begins (what the
+    * dataloader needs to reset attention across packed documents — a
+    * document continuing from the previous sequence contributes no
+    * start), and `seq_id` is 0-based per shard. */
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
       idsCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
@@ -118,13 +122,19 @@ object Packing {
       .withColumn("lo", greatest(col("start"), col("seq_id") * L))
       .withColumn("hi", least(col("start") + col("len"), (col("seq_id") + lit(1L)) * L))
       .select(col("shard"), col("seq_id"), col("lo").as("piece_start"),
+        (col("lo") === col("start")).as("is_doc_start"),
         slice(col("ids"), (col("lo") - col("start") + lit(1L)).cast("int"),
           (col("hi") - col("lo")).cast("int")).as("piece"))
     pieces.groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
-        flatten(transform(
-          array_sort(collect_list(struct(col("piece_start"), col("piece")))),
-          p => p.getField("piece"))).as("ids"))
+        array_sort(collect_list(struct(col("piece_start"),
+          col("is_doc_start"), col("piece")))).as("__ps"))
+      .select(col("shard"), col("seq_id"), col("n_docs"),
+        flatten(transform(col("__ps"), p => p.getField("piece"))).as("ids"),
+        transform(
+          filter(col("__ps"), p => p.getField("is_doc_start")),
+          p => p.getField("piece_start") - col("seq_id") * L + lit(1L))
+          .as("doc_starts"))
       .withColumn("n_toks", size(col("ids")).cast("long"))
   }
 }

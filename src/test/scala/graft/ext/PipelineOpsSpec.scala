@@ -88,6 +88,17 @@ class PipelineOpsSpec extends SparkSpec {
     // shard b: one short sequence; the empty doc contributed nothing
     assert(out(("b", 0L)) == ((1L, Seq("x"))))
     assert(out.size == 6)
+    // doc-start boundaries: within-sequence 1-based positions of NEW
+    // docs only — continuation pieces contribute no start
+    val starts = Packing.packSequences(df, "shard", "ord", "ids", seqLen = 4)
+      .select($"shard", $"seq_id", $"doc_starts")
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(starts(("a", 0L)) == Seq(1L, 4L)) // doc1 at pos 1, doc2 at pos 4
+    assert(starts(("a", 1L)) == Seq())       // doc2 interior: no new doc
+    assert(starts(("a", 2L)) == Seq(2L))     // doc3 starts at global 9 -> pos 2
+    assert(starts(("a", 3L)) == Seq() && starts(("a", 4L)) == Seq())
+    assert(starts(("b", 0L)) == Seq(1L))
   }
 
   test("packSequences conserves the corpus token stream at sf0.001") {
