@@ -712,6 +712,24 @@ object SparkEntry {
         .orderBy(col("center"), col("context"))
     }),
 
+    "q_g17_negative_samples" -> ((s, d) => { // word2vec noise draws:
+      // k deterministic unigram^0.75 negatives per walk skip-gram
+      // pair — integer mass + fingerprint draws, exact oracle
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("b"))
+        .distinct()
+      val e = hk.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(hk.select(col("b").as("src"), col("a").as("dst")))
+      val pairs = GraphQueries.skipGramPairs(
+          GraphQueries.deterministicWalks(e, walkLen = 4), window = 2)
+        .select(col("center"), col("context"))
+      GraphQueries.negativeSamples(pairs, "center", "context", k = 3)
+        .select(col("center"), col("context"), col("j").cast("long").as("j"),
+          col("neg"))
+        .orderBy(col("center"), col("context"), col("j"))
+    }),
+
     // -- inverted postings export (keyword -> ordered link list) --
     "q_g9_postings" -> ((s, d) =>
       hasKeyword(s, d).groupBy(col("dst").as("keyword"))
@@ -2678,6 +2696,13 @@ object SparkEntry {
          UNION ALL
          SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
          FROM lineitem WHERE l_orderkey % 100 = 0""", walkLen = 4),
+    "q_g17_negative_samples" -> graft.query.GraphQueries.negativeSamplesOracleSql(
+      """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         UNION ALL
+         SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
+         FROM lineitem WHERE l_orderkey % 100 = 0""",
+      walkLen = 4, window = 2, k = 3),
     "q_g16_walk_pairs" -> graft.query.GraphQueries.skipGramOracleSql(
       """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
          FROM lineitem WHERE l_orderkey % 100 = 0

@@ -419,6 +419,57 @@ object GraphQueries {
       .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n"))
   }
 
+  /** Deterministic negative sampling for skip-gram training — the
+    * word2vec noise draw (Mikolov et al. 2013): k negatives per
+    * (center, context) pair, drawn from the unigram^power context
+    * distribution. Everything is integer arithmetic so a SQL oracle
+    * replays it bit-for-bit: node mass = round(count^power · 1000),
+    * the draw is the polynomial fingerprint of (center:context:j) mod
+    * total mass, and the drawn node is the owner of the cumulative-
+    * mass interval containing the draw.
+    *
+    * Scale shape: the cumulative table is vocab-sized (bounded by
+    * construction); interval lookup is a BANDED equi-join — intervals
+    * explode to ~mass/bandWidth ≈ 2 bands each, draws compute one band
+    * — never a nested-loop range join, no driver collect anywhere
+    * (total mass and band width ride along as 1-row broadcast
+    * scalars). Negatives may collide with the pair's own nodes,
+    * matching the reference algorithm (word2vec does not exclude). */
+  def negativeSamples(pairs: DataFrame, centerCol: String,
+      contextCol: String, k: Int, power: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val dist = pairs.groupBy(col(contextCol).as("node"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass",
+        round(pow(col("cnt").cast("double"), power) * 1000).cast("long"))
+      .filter(col("mass") > 0)
+    val w = Window.orderBy(col("node"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dist
+      .withColumn("lo", coalesce(sum(col("mass")).over(w), lit(0L)))
+      .withColumn("hi", col("lo") + col("mass"))
+    val tot = cum.agg(max(col("hi")).as("m"), count(lit(1)).as("v"))
+    val banded = cum.crossJoin(tot)
+      .withColumn("bw", greatest(expr("m div v"), lit(1L)))
+      .select(col("node"), col("lo"), col("hi"), col("m"), col("bw"),
+        explode(sequence(expr("lo div bw"), expr("(hi - 1) div bw"))).as("band"))
+    val draws = pairs
+      .select(col(centerCol).as("center"), col(contextCol).as("context"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .crossJoin(tot)
+      .withColumn("bw", greatest(expr("m div v"), lit(1L)))
+      .withColumn("draw", pmod(graft.functions.TextStats.fingerprint(
+        concat(col("center"), lit(":"), col("context"), lit(":"), col("j"))),
+        col("m")))
+      .withColumn("band", expr("draw div bw"))
+      .select(col("center"), col("context"), col("j"), col("draw"), col("band"))
+    draws.join(banded.select(col("node"), col("lo"), col("hi"), col("band")),
+        Seq("band"))
+      .filter(col("draw") >= col("lo") && col("draw") < col("hi"))
+      .select(col("center"), col("context"), col("j"), col("node").as("neg"))
+  }
+
   /** Oracle for [[skipGramPairs]] over [[deterministicWalks]]: wraps
     * the unrolled walk replay in the pair expansion. */
   def skipGramOracleSql(edgeCte: String, walkLen: Int, window: Int): String = {
@@ -429,6 +480,43 @@ object GraphQueries {
          FROM wk a JOIN wk b ON a.walk_id = b.walk_id
          WHERE a.step <> b.step AND abs(a.step - b.step) <= $window)
        GROUP BY center, context ORDER BY center, context"""
+  }
+
+  /** Oracle for [[negativeSamples]] over [[skipGramPairs]] walk
+    * pairs: replays the mass table, cumulative intervals and
+    * fingerprint draws; interval lookup is a plain range predicate
+    * (fine at oracle scale — the banding is a Spark-side scale
+    * device, not a semantic). */
+  def negativeSamplesOracleSql(edgeCte: String, walkLen: Int,
+      window: Int, k: Int): String = {
+    def fp(s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647)"""
+    val walks = walksOracleSql(edgeCte, walkLen)
+    s"""WITH wk AS ($walks),
+       pr AS (SELECT DISTINCT a.node AS center, b.node AS context
+              FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+              WHERE a.step <> b.step AND abs(a.step - b.step) <= $window),
+       ms AS (SELECT node, CAST(round(pow(cnt, 0.75) * 1000) AS BIGINT) AS mass
+              FROM (SELECT context AS node, count(*) AS cnt
+                    FROM pr GROUP BY context)
+              WHERE round(pow(cnt, 0.75) * 1000) > 0),
+       cum AS (SELECT node, mass,
+                 CAST(coalesce(sum(mass) OVER (ORDER BY node
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS lo
+               FROM ms),
+       tot AS (SELECT CAST(max(lo + mass) AS BIGINT) AS m FROM cum),
+       dr AS (SELECT center, context, j,
+                ${fp("center || ':' || context || ':' || CAST(j AS VARCHAR)")}
+                  % m AS draw
+              FROM pr
+              CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS j) js
+              CROSS JOIN tot)
+       SELECT d.center, d.context, CAST(d.j AS BIGINT) AS j, c.node AS neg
+       FROM dr d JOIN cum c ON d.draw >= c.lo AND d.draw < c.lo + c.mass
+       ORDER BY center, context, j"""
   }
 
   /** Weighted single-source shortest paths by FIXED-ROUND Bellman-Ford

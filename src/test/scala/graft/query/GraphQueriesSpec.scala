@@ -174,6 +174,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(agg._3 == 2L)
   }
 
+  test("negativeSamples: k per pair, deterministic, frequency-biased draws") {
+    // contexts: "hot" appears in 20 pairs, "cold" in 1 — mass^0.75
+    // makes hot ~9.5x likelier per draw
+    val pairs = ((1 to 20).map(i => (s"c$i", "hot")) :+ (("c0", "cold")))
+      .toDF("center", "context")
+    val neg = GraphQueries.negativeSamples(pairs, "center", "context", k = 4)
+      .as[(String, String, Int, String)].collect()
+    assert(neg.length == 21 * 4) // exactly k draws per pair
+    val byDraw = neg.groupBy(r => (r._1, r._2, r._3))
+    assert(byDraw.forall(_._2.length == 1)) // each draw resolves uniquely
+    val negCounts = neg.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(negCounts.keySet.subsetOf(Set("hot", "cold")))
+    assert(negCounts("hot") > negCounts.getOrElse("cold", 0) * 3,
+      s"frequency bias missing: $negCounts")
+    // deterministic across runs
+    val again = GraphQueries.negativeSamples(pairs, "center", "context", k = 4)
+      .as[(String, String, Int, String)].collect()
+    assert(neg.sortBy(r => (r._1, r._2, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
+
   test("bellmanFord: weighted distance beats fewer-hop path; fixed rounds honored") {
     // a->b costs 10 direct, but 2 via c — weighted SSSP must find 2
     val e = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 1L))
