@@ -979,6 +979,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("w"))
         .orderBy(col("w").desc, col("doc_id")).limit(50)),
 
+    // -- T5 span-corruption mask spans: fingerprint-seeded, one span
+    // per 20-token block (non-overlapping by construction) — exact --
+    "q_x25_corruption_spans" -> ((s, d) =>
+      graft.ext.TextAnalysis.corruptionSpans(
+          Tables.documents(s, d), "doc_id", "text", blockSize = 20)
+        .orderBy(col("doc_id"), col("span_id"))),
+
     // -- length-bucketed batching: power-of-two length bands, fixed
     // batch size within band, per-row padding waste — exact oracle --
     "q_x24_length_batches" -> ((s, d) =>
@@ -2976,6 +2983,30 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_x25_corruption_spans" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT doc_id, n, unnest(range(0, (n - 1) // 20 + 1)) AS blk
+           FROM t WHERE n > 0),
+         s AS (SELECT doc_id, blk,
+             least(CAST(20 AS BIGINT), n - blk * 20) AS blen,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(concat(CAST(doc_id AS VARCHAR),
+                 ':', CAST(blk AS VARCHAR), ':L'), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 2147483647) % 3 + 1 AS rawlen,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(concat(CAST(doc_id AS VARCHAR),
+                 ':', CAST(blk AS VARCHAR), ':S'), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 2147483647) AS fps
+           FROM b)
+         SELECT doc_id, blk AS span_id,
+                blk * 20 + fps % (blen - least(rawlen, blen) + 1) AS start,
+                least(rawlen, blen) AS len
+         FROM s ORDER BY doc_id, span_id""",
     "q_x24_length_batches" ->
       """WITH b AS (SELECT doc_id, n_chars,
            CAST(floor(log2(greatest(CAST(n_chars AS DOUBLE), 1.0))) AS BIGINT)

@@ -110,6 +110,38 @@ object TextAnalysis {
     (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenOk * 0.2)
   }
 
+  /** Deterministic span-corruption mask generation — the T5/UL2
+    * denoising objective's data-prep step (Raffel et al. 2020): mark
+    * token spans to mask, leaving the model to reconstruct them.
+    * Token positions partition into blocks of `blockSize`; each block
+    * contributes exactly one span whose length (1..3) and offset are
+    * fingerprint-seeded — so spans never overlap BY CONSTRUCTION (no
+    * sequential overlap-resolution state), expected noise density is
+    * E[len]/blockSize (2/20 = 10% at defaults), and the whole
+    * construction is integer arithmetic a SQL oracle replays exactly.
+    * One map-side explode per doc; no shuffle.
+    *
+    * Output: (doc_id, span_id, start, len) with 0-based token
+    * `start`; docs shorter than one token yield no spans. */
+  def corruptionSpans(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 20): DataFrame = {
+    require(blockSize >= 2, s"blockSize must be >= 2: $blockSize")
+    val fpL = graft.functions.TextStats.fingerprint(
+      concat(col(idCol).cast("string"), lit(":"), col("blk"), lit(":L")))
+    val fpS = graft.functions.TextStats.fingerprint(
+      concat(col(idCol).cast("string"), lit(":"), col("blk"), lit(":S")))
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("n"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $blockSize"))).as("blk"))
+      .withColumn("blen", least(lit(blockSize.toLong),
+        col("n") - col("blk") * blockSize))
+      .withColumn("len", least(lit(1L) + pmod(fpL, lit(3L)), col("blen")))
+      .withColumn("start", col("blk") * blockSize +
+        pmod(fpS, col("blen") - col("len") + 1))
+      .select(col(idCol), col("blk").as("span_id"), col("start"), col("len"))
+  }
+
   /** HTML-to-text strip — the first cleaning pass of any web-corpus
     * build: drop script/style blocks (non-greedy, case-insensitive,
     * dotall), drop remaining tags, unescape the common entities

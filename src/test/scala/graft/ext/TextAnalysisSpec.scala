@@ -7,6 +7,36 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corruptionSpans: one span per block, in-bounds, non-overlapping, deterministic") {
+    // 45 tokens -> blocks of 20: [0,20), [20,40), [40,45)
+    val text = (1 to 45).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text), (8L, ""), (9L, "solo")).toDF("id", "text")
+    val spans = TextAnalysis.corruptionSpans(df, "id", "text", blockSize = 20)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // empty doc yields nothing; 1-token doc yields one len-1 span at 0
+    assert(!spans.exists(_._1 == 8L))
+    assert(spans.filter(_._1 == 9L).toSeq == Seq((9L, 0L, 0L, 1L)))
+    val d7 = spans.filter(_._1 == 7L)
+    assert(d7.length == 3) // exactly one span per block
+    d7.foreach { case (_, blk, start, len) =>
+      assert(len >= 1 && len <= 3)
+      val blockLo = blk * 20
+      val blockHi = math.min(blockLo + 20, 45)
+      assert(start >= blockLo && start + len <= blockHi,
+        s"span ($start,$len) escapes block [$blockLo,$blockHi)")
+    }
+    // block partitioning => spans can never overlap
+    val sorted = d7.sortBy(_._3)
+    assert(sorted.sliding(2).forall {
+      case Array(a, b) => a._3 + a._4 <= b._3
+      case _ => true
+    })
+    // deterministic
+    val again = TextAnalysis.corruptionSpans(df, "id", "text", blockSize = 20)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq == spans.toSeq)
+  }
+
   test("stripHtml: blocks, tags, entity order, whitespace collapse") {
     def strip(s: String): String = Seq(s).toDF("t")
       .select(TextAnalysis.stripHtml($"t")).as[String].head()
