@@ -712,6 +712,15 @@ object SparkEntry {
         .orderBy(col("center"), col("context"))
     }),
 
+    "q_g18_link_prediction" -> ((s, d) => { // common-neighbor +
+      // Adamic-Adar features for non-adjacent 2-hop pairs — exact
+      val e = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      GraphQueries.linkPredictionScores(e)
+        .orderBy(col("a"), col("b"))
+    }),
     "q_g17_negative_samples" -> ((s, d) => { // word2vec noise draws:
       // k deterministic unigram^0.75 negatives per walk skip-gram
       // pair — integer mass + fingerprint draws, exact oracle
@@ -2703,6 +2712,21 @@ object SparkEntry {
          UNION ALL
          SELECT 'part:' || l_partkey, 'supplier:' || l_suppkey
          FROM lineitem WHERE l_orderkey % 100 = 0""", walkLen = 4),
+    "q_g18_link_prediction" ->
+      """WITH e0 AS (SELECT DISTINCT 'supplier:' || l_suppkey AS src,
+                            'part:' || l_partkey AS dst
+                     FROM lineitem WHERE l_orderkey % 100 = 0),
+         sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src AS z, count(*) AS deg FROM sym GROUP BY src),
+         p AS (SELECT s1.src AS a, s1.dst AS z, s2.dst AS b
+               FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+               WHERE s1.src < s2.dst),
+         sc AS (SELECT a, b, count(*) AS common,
+                  round(sum(CAST(1.0 AS DOUBLE) / ln(deg)), 4) AS adamic_adar
+                FROM p JOIN deg USING (z) GROUP BY a, b)
+         SELECT a, b, common, adamic_adar FROM sc
+         WHERE NOT EXISTS (SELECT 1 FROM sym WHERE src = a AND dst = b)
+         ORDER BY a, b""",
     "q_g17_negative_samples" -> graft.query.GraphQueries.negativeSamplesOracleSql(
       """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
          FROM lineitem WHERE l_orderkey % 100 = 0

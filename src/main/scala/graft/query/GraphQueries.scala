@@ -402,6 +402,36 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Link-prediction features (Liben-Nowell & Kleinberg 2003): for
+    * every non-adjacent 2-hop node pair, the common-neighbor count
+    * and Adamic–Adar score Σ_z 1/ln(deg(z)) over shared neighbors z.
+    * The standard candidate-generation + feature step of a
+    * link-prediction pipeline.
+    *
+    * Relational shape: symmetrize → one self-join through the shared
+    * neighbor (the 2-path enumeration — a hash equi-join on z, the
+    * same shape as the flagship interconnect), aggregate per pair,
+    * anti-join existing edges. Degree table rides along broadcast.
+    * Skewed hub neighbors fan out quadratically by nature of the
+    * measure; at 100 TB cap or sample hub adjacency first (the
+    * heavy-hitter-split precedent in graphx/GraphOps). */
+  def linkPredictionScores(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val paths = sym.select(col("src").as("a"), col("dst").as("z"))
+      .join(sym.select(col("src").as("z"), col("dst").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    val scored = paths.join(broadcast(deg), Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg").cast("double"))), 4).as("adamic_adar"))
+      .filter(col("common") >= minCommon)
+    scored.join(sym.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+  }
+
   /** Skip-gram training pairs from walks (DeepWalk / node2vec corpus
     * construction, Perozzi et al. 2014): each walk is a "sentence";
     * emit (center, context) co-occurrence counts for positions within

@@ -174,6 +174,28 @@ class GraphQueriesSpec extends SparkSpec {
     assert(agg._3 == 2L)
   }
 
+  test("linkPredictionScores: common neighbors + Adamic-Adar, adjacents excluded") {
+    // square a-b-c-d-a: diagonals (a,c) and (b,d) share 2 neighbors;
+    // every adjacent pair must be excluded from candidates
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val out = GraphQueries.linkPredictionScores(e)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // all four nodes have degree 2 -> AA = 2 / ln(2)
+    val aa = BigDecimal(2.0 / math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Map(("a", "c") -> ((2L, aa)), ("b", "d") -> ((2L, aa))), out.toString)
+    // star: leaves share the hub; AA discounts by hub degree ln(3)
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    val s = GraphQueries.linkPredictionScores(star)
+      .as[(String, String, Long, Double)].collect()
+    assert(s.length == 3 && s.forall(_._3 == 1L))
+    val aaHub = BigDecimal(1.0 / math.log(3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s.forall(_._4 == aaHub))
+  }
+
   test("negativeSamples: k per pair, deterministic, frequency-biased draws") {
     // contexts: "hot" appears in 20 pairs, "cold" in 1 — mass^0.75
     // makes hot ~9.5x likelier per draw
