@@ -988,6 +988,13 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("w"))
         .orderBy(col("w").desc, col("doc_id")).limit(50)),
 
+    // -- PMI collocations: top-100 unordered within-3 token pairs by
+    // pointwise mutual information (word2phrase shape) — exact --
+    "q_x26_pmi" -> ((s, d) =>
+      graft.ext.TextAnalysis.pmiPairs(Tables.documents(s, d),
+          "doc_id", "text", window = 3, minCount = 5L)
+        .orderBy(col("pmi").desc, col("x"), col("y")).limit(100)),
+
     // -- T5 span-corruption mask spans: fingerprint-seeded, one span
     // per 20-token block (non-overlapping by construction) — exact --
     "q_x25_corruption_spans" -> ((s, d) =>
@@ -3007,6 +3014,28 @@ object SparkEntry {
              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_x26_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(t) AS tok,
+                        generate_subscripts(t, 1) AS p
+                 FROM toks),
+         pr AS (SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+                FROM pos a JOIN pos b
+                  ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p <= 3),
+         cxy AS (SELECT x, y, count(*) AS cxy FROM pr GROUP BY x, y),
+         marg AS (SELECT t, count(*) AS ct FROM (
+                    SELECT x AS t FROM pr UNION ALL SELECT y FROM pr)
+                  GROUP BY t),
+         tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS tp FROM cxy)
+         SELECT x, y, cxy,
+                round(ln(4.0 * tp * cxy / (mx.ct * my.ct)), 4) AS pmi
+         FROM cxy JOIN marg mx ON cxy.x = mx.t
+                  JOIN marg my ON cxy.y = my.t
+                  CROSS JOIN tot
+         WHERE cxy >= 5
+         ORDER BY pmi DESC, x, y LIMIT 100""",
     "q_x25_corruption_spans" ->
       """WITH t AS (SELECT doc_id,
            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

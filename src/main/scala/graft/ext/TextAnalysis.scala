@@ -110,6 +110,41 @@ object TextAnalysis {
     (lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordLenOk * 0.2)
   }
 
+  /** PMI co-occurrence scoring (Church & Hanks 1990) — collocation
+    * extraction, the classic phrase-mining pass (word2phrase runs
+    * exactly this to merge "new york" before embedding training).
+    * Unordered token pairs within `window` positions; with T total
+    * pair occurrences, c_x a token's participation count and c_xy the
+    * pair count, PMI = ln(4·T·c_xy / (c_x·c_y)) (p(x) = c_x/2T).
+    *
+    * Shape: posexplode → per-doc position-band self-join (equi on the
+    * doc key, band filter — the skip-gram shape), two hash
+    * aggregations; the marginal table is vocab-sized and broadcast.
+    * `minCount` prunes the noise tail before the join. */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val toks = docs.select(col(idCol).as("did"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.did") === col("b.did") && col("b.pos") > col("a.pos") &&
+        col("b.pos") - col("a.pos") <= window)
+      .select(least(col("a.tok"), col("b.tok")).as("x"),
+        greatest(col("a.tok"), col("b.tok")).as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val marg = pairs.select(col("x").as("t"))
+      .unionByName(pairs.select(col("y").as("t")))
+      .groupBy(col("t")).agg(count(lit(1)).as("ct"))
+    val tot = cxy.agg(sum(col("cxy")).as("tp"))
+    cxy.filter(col("cxy") >= minCount)
+      .join(broadcast(marg.select(col("t").as("x"), col("ct").as("cx"))), Seq("x"))
+      .join(broadcast(marg.select(col("t").as("y"), col("ct").as("cy"))), Seq("y"))
+      .crossJoin(tot)
+      .select(col("x"), col("y"), col("cxy"),
+        round(log(lit(4.0) * col("tp") * col("cxy") /
+          (col("cx") * col("cy"))), 4).as("pmi"))
+  }
+
   /** Deterministic span-corruption mask generation — the T5/UL2
     * denoising objective's data-prep step (Raffel et al. 2020): mark
     * token spans to mask, leaving the model to reconstruct them.

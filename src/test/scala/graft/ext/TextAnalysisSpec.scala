@@ -7,6 +7,40 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pmiPairs matches a reference implementation; dilution lowers PMI") {
+    // (new, york) always together; big/apple co-occur in only half
+    // their appearances — diluted association
+    val texts =
+      (1 to 10).map(i => s"new york u$i v$i") ++
+      (1 to 5).map(_ => "big apple") ++
+      (1 to 5).map(i => s"big j$i") ++ (1 to 5).map(i => s"apple k$i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "id", "text", window = 3, minCount = 5L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // reference implementation: same window rule, same formula
+    val allPairs = texts.flatMap { t =>
+      val w = t.split("\\s+").toSeq
+      for { i <- w.indices; j <- (i + 1) until math.min(i + 4, w.length) }
+        yield if (w(i) <= w(j)) (w(i), w(j)) else (w(j), w(i))
+    }
+    val tTot = allPairs.size.toDouble
+    val cxy = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val marg = allPairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = cxy.filter(_._2 >= 5L).map { case (p, n) =>
+      p -> ((n, BigDecimal(math.log(4.0 * tTot * n / (marg(p._1).toDouble * marg(p._2))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out == expect, s"spark=$out\nref=$expect")
+    // (big, apple) outranks (new, york): both are perfect collocates
+    // given their frequency, but big/apple live in 2-token docs (tiny
+    // marginals), so PMI — association relative to chance — is higher
+    assert(out(("apple", "big"))._2 > out(("new", "york"))._2)
+    assert(out.values.forall(_._1 >= 5L)) // minCount honored
+  }
+
   test("corruptionSpans: one span per block, in-bounds, non-overlapping, deterministic") {
     // 45 tokens -> blocks of 20: [0,20), [20,40), [40,45)
     val text = (1 to 45).map(i => s"t$i").mkString(" ")
