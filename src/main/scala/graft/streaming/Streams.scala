@@ -254,6 +254,42 @@ object Streams {
         .start()
   }
 
+  /** Incremental export-integrity manifest — the streaming face of
+    * [[graft.etl.Staging.shardManifest]]. The checksum is a
+    * COMMUTATIVE sum of row fingerprints mod 2^31-1, so maintaining
+    * it per batch is exact algebra, not approximation:
+    * `checksum' = (checksum + batch_sum) mod M`, `n' = n + batch_n` —
+    * each micro-batch touches only its own rows, never the history.
+    * This is how a continuously-ingesting export keeps a verifiable
+    * manifest without re-reading 100 TB per batch. Exposed as
+    * `applyManifestBatch` for batch-driven tests; [[manifestSink]]
+    * wires it to foreachBatch. */
+  final class IncrementalManifest(shardCol: String, contentCols: Seq[String]) {
+    import org.apache.spark.sql.functions._
+    private val M = 2147483647L
+    @volatile private var state: Map[Long, (Long, Long)] = Map.empty
+
+    /** (shard -> (n_rows, checksum)) so far. */
+    def manifest: Map[Long, (Long, Long)] = state
+
+    def applyBatch(batch: DataFrame): Unit = {
+      val delta = graft.etl.Staging.shardManifest(batch, shardCol, contentCols)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      state = delta.foldLeft(state) { case (m, (sh, (n, c))) =>
+        val (n0, c0) = m.getOrElse(sh, (0L, 0L))
+        m.updated(sh, (n0 + n, (c0 + c) % M))
+      }
+    }
+
+    def sink(stream: DataFrame)(checkpointDir: String)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch((batch: DataFrame, _: Long) => applyBatch(batch))
+        .start()
+  }
+
   /** Micro-batch upsert sink: the streaming face of GraphStore.merge —
     * each batch is merged into the store with last-writer-wins
     * (reference add_link loop becomes foreachBatch). */

@@ -225,6 +225,24 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("incremental manifest: batch-accumulated checksums equal the one-shot manifest") {
+    val rows = (1L to 40L).map(i => (i % 4, i, s"text$i"))
+    val (b1, b2, b3) = (rows.take(10), rows.slice(10, 25), rows.drop(25))
+    val inc = new Streams.IncrementalManifest("shard", Seq("id", "text"))
+    Seq(b1, b2, b3).foreach { b =>
+      inc.applyBatch(b.toDF("shard", "id", "text"))
+    }
+    val oneShot = graft.etl.Staging.shardManifest(
+        rows.toDF("shard", "id", "text"), "shard", Seq("id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(inc.manifest == oneShot, s"${inc.manifest} vs $oneShot")
+    // batch order doesn't matter (commutative combine)
+    val inc2 = new Streams.IncrementalManifest("shard", Seq("id", "text"))
+    Seq(b3, b1, b2).foreach(b => inc2.applyBatch(b.toDF("shard", "id", "text")))
+    assert(inc2.manifest == oneShot)
+  }
+
   test("stream-static enrich: micro-batches join the broadcast dimension map-side") {
     val dim = Seq((1L, "Tech"), (2L, "Science")).toDF("cat_id", "category")
     val in = MemoryStream[(Long, Long)](spark)
