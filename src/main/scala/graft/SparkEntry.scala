@@ -1172,6 +1172,17 @@ object SparkEntry {
       // (stored-table semantics, like hasKeyword)
       Dedup.dropNearDups(plantedDocs(s, d), "doc_id", minhashPairs(s, d))
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_o15_leakage_safe_split" -> ((s, d) => { // train/val/test split
+      // assigned per near-dup COMPONENT (planted dup clusters must
+      // land whole in one split — the eval-contamination guard);
+      // pairs shared with q_d2/q_d7. Exact oracle via recursive CC.
+      graft.ext.Sampling.leakageSafeSplit(
+          plantedDocs(s, d).select(col("doc_id")), "doc_id",
+          minhashPairs(s, d),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = 42L)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "q_d11_keep_best" -> ((s, d) => { // preference-based DROP face:
       // keep the LONGEST member per near-dup component (the planted
       // 'duplicate marker ' copies are longer than their originals, so
@@ -3263,6 +3274,44 @@ object SparkEntry {
          SELECT doc_id FROM base
          WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
          ORDER BY doc_id""",
+    "q_o15_leakage_safe_split" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, 'duplicate marker ' || text
+                  FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM t WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         a.n AS n1, b.n AS n2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM cand
+               WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM p
+                   UNION SELECT id2, id1 FROM p),
+         reach AS (SELECT DISTINCT a AS id, a AS lbl FROM edges
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+         asg AS (SELECT b.doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(
+                 concat(CAST(coalesce(c.rep, b.doc_id) AS VARCHAR), ':42'), ''),
+                 ch -> CAST(ord(ch) AS BIGINT))),
+               (x, y) -> (x * 31 + y) % 2147483647) % 100 AS draw
+           FROM base b LEFT JOIN comp c ON b.doc_id = c.id)
+         SELECT doc_id,
+                CASE WHEN draw < 80 THEN 'train'
+                     WHEN draw < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM asg ORDER BY doc_id""",
     "q_d11_keep_best" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id, text FROM documents

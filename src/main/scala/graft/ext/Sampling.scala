@@ -113,6 +113,35 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Leakage-safe train/val/test split: assignment is by NEAR-DUP
+    * COMPONENT, not by document — the split-contamination guard every
+    * careful corpus build needs (a near-duplicate pair straddling
+    * train and test silently inflates eval; per-doc hashing cannot
+    * prevent it). Each document inherits its component
+    * representative's draw: fingerprint(rep:seed) mod 100 against
+    * cumulative percentage thresholds, so singletons behave exactly
+    * like a per-doc seeded split and whole dup-clusters move
+    * together. One resolveDupGroups pass + a broadcast-scale map-side
+    * assignment; deterministic and SQL-replayable. `splits` maps name
+    * → percentage (must sum to 100). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100: $splits")
+    val comp = Dedup.resolveDupGroups(pairs)
+      .select(col("id").as("__cid"), col("rep").as("__rep"))
+    val rep = coalesce(col("__rep"), col(idCol))
+    val draw = pmod(graft.functions.TextStats.fingerprint(
+      concat(rep.cast("string"), lit(s":$seed"))), lit(100L))
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.zip(cuts).foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), acc) => when(draw < hi, lit(name)).otherwise(acc)
+    }
+    docs.join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("split", assign)
+      .drop("__cid", "__rep")
+  }
+
   /** Temperature-weighted mixture (Conneau & Lample 2019 / mT5's
     * `p_s ∝ n_s^α`): the source weights are DERIVED from corpus
     * composition rather than hand-set — each source's share of the

@@ -116,6 +116,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("leakageSafeSplit: dup components never straddle splits; shares near 80/10/10") {
+    import org.apache.spark.sql.functions.col
+    // 300 docs; ids 0-99 pair up into 50 two-doc components
+    val d = (0L until 300L).toDF("id")
+    val pairs = (0L until 100L by 2L).map(i => (i, i + 1, 0.9))
+      .toDF("id1", "id2", "sim")
+    val out = Sampling.leakageSafeSplit(d, "id", pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = 7L)
+    val m = out.select(col("id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    // paired ids always co-assigned
+    (0L until 100L by 2L).foreach(i => assert(m(i) == m(i + 1), s"pair $i split"))
+    // rough share sanity on the 300-doc corpus
+    val shares = m.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares("train") > 180 && shares("val") > 5 && shares("test") > 5, shares.toString)
+    // deterministic; different seed reshuffles at least one doc
+    val again = Sampling.leakageSafeSplit(d, "id", pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = 7L)
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(again == m)
+    val other = Sampling.leakageSafeSplit(d, "id", pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = 8L)
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(other != m)
+  }
+
   test("lengthBucketedBatches: log2 bands, fixed batch size, pad cost vs batch max") {
     val df = Seq((1L, 10L), (2L, 12L), (3L, 15L), (4L, 100L), (5L, 9L))
       .toDF("id", "toks")
