@@ -426,6 +426,29 @@ object SparkEntry {
         .orderBy(col("n").desc, col("key"))
     }),
 
+    "q_a22_kmv" -> ((s, d) => {
+      // KMV bottom-k distinct sketch: per-flag sketches over orderkey
+      // hashes, plus an "ALL" row built by MERGING the per-flag
+      // sketches (not from raw data) — equality with the oracle's
+      // direct computation proves the merge property. The poly-
+      // fingerprint hash makes the estimator itself replayable, so
+      // this is an EXACT oracle on a sketch (vs q_a19/q_a13 bounds).
+      val k = 128
+      val li = Tables.lineitem(s, d)
+      val base = li.select(col("l_returnflag").as("grp"),
+        graft.ext.Sketches.kmvHash(col("l_orderkey")).as("h"))
+      val sk = graft.ext.Sketches.kmvSketch(li, "l_returnflag", "l_orderkey", k)
+        .localCheckpoint(true) // feeds both the estimate and the merge
+      val est = graft.ext.Sketches.kmvEstimate(
+        sk.unionByName(graft.ext.Sketches.kmvMerge(sk, k)), k)
+      val exacts = base.unionByName(base.withColumn("grp", lit("ALL")))
+        .groupBy(col("grp")).agg(count_distinct(col("h")).as("exact"))
+      est.join(exacts, "grp")
+        .select(col("grp"), col("est"), col("exact"),
+          round(abs(col("est") - col("exact")) / col("exact"), 4).as("rel_err"))
+        .orderBy(col("grp"))
+    }),
+
     "q_s_jsonl_roundtrip" -> ((s, d) => { // JSONL source/sink: write the
       // documents table as JSON-lines, read it back with an explicit
       // schema — identity vs the original proves the staging faces
@@ -768,6 +791,21 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), round(col("v"), 4).as("v"),
           round(col("zscore"), 4).as("zscore"))
         .orderBy(col("event_id"))
+    }),
+
+    "q_p14_winsorize" -> ((s, d) => {
+      // per-source winsorization of document lengths: exact-percentile
+      // clip band (rounded 4 dp both engines before comparing, so clip
+      // decisions agree bit-for-bit), per-group counts of clipped rows
+      // and the winsorized sum
+      val w = graft.ext.Profiling.winsorize(
+        Tables.documents(s, d), "n_chars", "source", 0.05, 0.95)
+      w.groupBy(col("source")).agg(
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(sum(col("v_wins")), 2).as("sum_wins"))
+        .orderBy(col("source"))
     }),
 
     // -- GraphX triangle counting over the keyword-projection graph --
@@ -2552,6 +2590,32 @@ object SparkEntry {
       """SELECT l_suppkey AS key, count(*) AS n,
                 TRUE AS no_undercount, TRUE AS within_eps
          FROM lineitem GROUP BY 1 ORDER BY n DESC, key LIMIT 20""",
+    "q_a22_kmv" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(CAST(l_orderkey AS VARCHAR), ''),
+                c -> CAST(ord(c) AS BIGINT))),
+              (a, b) -> (a * 31 + b) % 2147483647)
+            * 48271 + 11) % 2147483647 AS h
+           FROM lineitem),
+         ha AS (SELECT grp, h FROM h UNION ALL SELECT 'ALL' AS grp, h FROM h),
+         dh AS (SELECT DISTINCT grp, h FROM ha),
+         rk AS (SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM dh),
+         agg AS (SELECT grp,
+             count(*) FILTER (WHERE rn <= 128) AS n_sk,
+             max(h) FILTER (WHERE rn <= 128) AS kth,
+             count(*) AS exact
+           FROM rk GROUP BY grp),
+         e AS (SELECT grp,
+             CASE WHEN n_sk < 128 THEN CAST(n_sk AS DOUBLE)
+                  ELSE round(127 * CAST(2147483647 AS DOUBLE) / kth, 4)
+             END AS est,
+             CAST(exact AS BIGINT) AS exact
+           FROM agg)
+         SELECT grp, est, exact, round(abs(est - exact) / exact, 4) AS rel_err
+         FROM e ORDER BY grp""",
     "q_s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
     "q_s_jsonl_gz_roundtrip" ->
@@ -2789,6 +2853,19 @@ object SparkEntry {
                 round((v - mu) / sd, 4) AS zscore
          FROM w WHERE sd > 0 AND abs((v - mu) / sd) > 3
          ORDER BY event_id""",
+    "q_p14_winsorize" ->
+      """WITH b AS (SELECT source,
+             round(quantile_cont(n_chars, 0.05), 4) AS lo,
+             round(quantile_cont(n_chars, 0.95), 4) AS hi
+           FROM documents GROUP BY source)
+         SELECT d.source AS source, b.lo, b.hi,
+           CAST(count(*) FILTER (WHERE d.n_chars < b.lo) AS BIGINT) AS n_lo,
+           CAST(count(*) FILTER (WHERE d.n_chars > b.hi) AS BIGINT) AS n_hi,
+           round(sum(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)), 2)
+             AS sum_wins
+         FROM documents d JOIN b USING (source)
+         GROUP BY d.source, b.lo, b.hi
+         ORDER BY d.source""",
     "q_gx_triangles" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
                      FROM lineitem WHERE l_orderkey % 100 = 0),

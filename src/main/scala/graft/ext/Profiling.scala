@@ -110,6 +110,32 @@ object Profiling {
     df.withColumn(valueCol, coalesce(col(valueCol), avg(col(valueCol)).over(w)))
   }
 
+  /** Per-group winsorization — the robust-statistics companion to
+    * [[outliersZ]]: instead of flagging extremes, clip them to the
+    * group's exact [pLo, pHi] percentile band (the standard
+    * heavy-tail repair for quality scores / lengths before they feed
+    * sampling weights, where one viral outlier would otherwise own
+    * the budget).
+    *
+    * Percentiles are EXACT (`percentile`, linear interpolation at
+    * rank p·(n−1) — the same definition DuckDB's `quantile_cont`
+    * uses, so the gate oracle is exact), rounded to 4 dp before
+    * comparing so both engines make identical clip decisions at the
+    * boundary. Scale shape: one partial-aggregating groupBy builds
+    * the per-group bounds table (|groups| rows — broadcast), then a
+    * map-side join + clip; no window, no per-group sort of the data
+    * rows. Appends `lo`, `hi`, `v_wins`. */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(pLo)), 4).as("lo"),
+      round(percentile(col(valueCol), lit(pHi)), 4).as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("v_wins",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the
     * group mean by more than `z` sample standard deviations, with the
     * score attached. Same single-shuffle window shape as

@@ -88,4 +88,43 @@ class QualitySpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(d == Map(1L -> "U"), d.toString) // 2: null == null ⇒ unchanged
   }
+
+  test("kmvSketch: merge of per-group sketches equals the direct union sketch") {
+    val k = 64
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val sk = Sketches.kmvSketch(li, "l_returnflag", "l_orderkey", k)
+    // every per-group sketch holds at most k hashes
+    assert(sk.groupBy("grp").count().filter($"count" > k).isEmpty)
+    val merged = Sketches.kmvMerge(sk, k).select("h")
+    val direct = Sketches.kmvSketch(
+      li.withColumn("one", lit("ALL")), "one", "l_orderkey", k).select("h")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("kmvEstimate: exact below k, within 30% when the sketch is full") {
+    val k = 64
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // small group: fewer distinct suppkeys than k in a tight filter
+    val small = li.filter($"l_suppkey" <= 5)
+    val exactSmall = small.select("l_suppkey").distinct().count().toDouble
+    val estSmall = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, "l_returnflag", "l_suppkey", 1000), 1000)
+    // not full -> every group's estimate is its exact distinct hash count
+    estSmall.collect().foreach(r => assert(r.getDouble(1) <= exactSmall))
+    val full = Sketches.kmvEstimate(
+      Sketches.kmvSketch(li.withColumn("g", lit("ALL")), "g", "l_orderkey", k), k)
+      .head().getDouble(1)
+    val exact = li.select("l_orderkey").distinct().count().toDouble
+    assert(math.abs(full - exact) / exact < 0.3, s"est $full vs exact $exact")
+  }
+
+  test("winsorize clamps to the band and leaves interior values untouched") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val w = Profiling.winsorize(docs, "n_chars", "source", 0.1, 0.9)
+    assert(w.filter($"v_wins" < $"lo" || $"v_wins" > $"hi").isEmpty)
+    assert(w.filter($"n_chars" >= $"lo" && $"n_chars" <= $"hi" &&
+      $"v_wins" =!= $"n_chars".cast("double")).isEmpty)
+    // something actually got clipped at a 10/90 band on 25-doc groups
+    assert(w.filter($"v_wins" =!= $"n_chars".cast("double")).count() > 0)
+  }
 }
