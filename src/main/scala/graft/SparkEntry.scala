@@ -944,6 +944,14 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x27_fluency_filter" -> ((s, d) => // CCNet-shaped per-language
+      // perplexity filter: keep each language's more-fluent half by
+      // exact rank-median cut over the bigram-LM score — exact oracle
+      graft.ext.TextAnalysis.fluencyMedianFilter(
+          Tables.documents(s, d), "doc_id", "text", "lang")
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang"))),
+
     "q_x23_strip_html" -> ((s, d) => // HTML→text cleaning: planted
       // markup (tags, script block, entities) around each document's
       // text must strip back to clean prose — exact oracle with the
@@ -1181,6 +1189,20 @@ object SparkEntry {
         .select(col("n_planted"),
           (col("n_hits") * 2 >= col("n_planted")).as("recall_ok"))
     }),
+    "q_d12_containment" -> ((s, d) => { // asymmetric containment join:
+      // planted 12-token "quotes" (contiguous slices, so their 3-gram
+      // sets are subsets of the source doc's) must be found contained
+      // at C>=0.9; the oracle is the all-pairs replay, so a green row
+      // proves the contained-side-only prefix blocking is lossless
+      val base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val quotes = base.select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(quotes), "doc_id", "text",
+          shingleN = 3, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_d9_prefix_jaccard" -> ((s, d) => // EXACT Jaccard>=0.5 self-join
       // via prefix filtering (PPJoin family): blocking on rare-first
       // prefix shingles only, verify on candidates only — the oracle
@@ -3054,6 +3076,37 @@ object SparkEntry {
                 round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf,
                 count(*) AS n_lists
          FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q_x27_fluency_filter" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bi AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+                      FROM t WHERE len(t) >= 2)),
+         uni AS (SELECT w1, count(*) AS cw
+                 FROM (SELECT unnest(t) AS w1 FROM t) GROUP BY w1),
+         v AS (SELECT count(*) AS v FROM uni),
+         bg AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln((cb + 1) * 1.0 / (cw + v))), 4) AS logprob
+                FROM bi JOIN bg USING (w1, w2) JOIN uni USING (w1), v
+                GROUP BY doc_id),
+         sl AS (SELECT sc.doc_id, sc.logprob, d.lang
+                FROM sc JOIN documents d USING (doc_id)),
+         rk AS (SELECT lang, doc_id, logprob,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY logprob DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM sl),
+         cut AS (SELECT lang, logprob AS cut FROM rk WHERE rn = (n + 1) // 2)
+         SELECT sl.lang AS lang, CAST(count(*) AS BIGINT) AS n_total,
+                CAST(count(*) FILTER (WHERE sl.logprob >= c.cut) AS BIGINT)
+                  AS n_kept,
+                min(c.cut) AS cut
+         FROM sl JOIN cut c USING (lang)
+         GROUP BY sl.lang ORDER BY lang""",
     "q_x16_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
@@ -3248,6 +3301,24 @@ object SparkEntry {
          WHERE doc_id % 10 = 0
            AND len(list_filter(string_split_regex(trim(text), '\s+'),
                                x -> x <> '')) >= 3""",
+    "q_d12_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         corpus AS (SELECT doc_id, t FROM toks
+                    UNION ALL
+                    SELECT doc_id + 10000, t[1:12] FROM toks),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM corpus WHERE len(t) >= 3),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 4)
+               AS containment
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         SELECT id_a, id_b, containment FROM pairs
+         WHERE containment >= 0.9 ORDER BY id_a, id_b""",
     "q_d9_prefix_jaccard" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
            UNION ALL

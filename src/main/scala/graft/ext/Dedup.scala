@@ -195,6 +195,58 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Asymmetric containment self-join: directed pairs (a, b) with
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ t over n-gram shingle sets — the
+    * subset/quote detector symmetric Jaccard structurally misses
+    * (a 50-token passage quoted inside a 5000-token page has
+    * J ≈ 0.01 but C = 1.0; this is how a pipeline finds documents
+    * that are mostly recycled from a larger one).
+    *
+    * Prefix principle, containment variant of [[prefixJaccardPairs]]:
+    * C ≥ t forces |Sa ∩ Sb| ≥ ceil(t·|Sa|), so if no common shingle
+    * sat in a's first |Sa| − ceil(t·|Sa|) + 1 rare-first slots they
+    * would all have to fit in the remaining ceil(t·|Sa|) − 1 —
+    * contradiction. Only the CONTAINED side can block on a prefix;
+    * the containing side posts ALL its df ≥ 2 shingles (b may hold a
+    * anywhere, no b-side prefix bound exists — this is inherent to
+    * the asymmetric predicate, not a shortcut). Length prune:
+    * |Sb| ≥ ceil(t·|Sa|). Exact containment verifies on candidate id
+    * pairs only. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint(true) // feeds prefix, posting and both verify joins
+    val ex = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val prefixA = ranked
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1 &&
+        col("df") >= 2)
+      .select(col("id").as("id_a"), col("s"), col("sz").as("n_a"))
+    val postB = ex.join(dfreq.filter(col("df") >= 2).select("s"), Seq("s"))
+      .select(col("id").as("id_b"), col("s"), col("sz").as("n_b"))
+    val cand = prefixA.join(postB,
+        prefixA("s") === postB("s") && col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          col("n_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Resolve near-dup pairs into components with a canonical (min-id)
     * representative: iterative min-label propagation over the pair
     * graph, pure DataFrame joins (each iteration one shuffle; dup

@@ -376,4 +376,42 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
+
+  /** Per-group fluency-median filter — the CCNet-shaped perplexity
+    * pass (Wenzek et al. LREC'20): score every document with the
+    * corpus [[bigramLm]], then keep the more-fluent half of EACH
+    * group (per-language cuts, so a low-resource language isn't
+    * judged by the dominant one's distribution). The cut is the exact
+    * rank-median: the logprob value at position ceil(n/2) in
+    * descending order — a deterministic order statistic the oracle
+    * replays bit-for-bit (ties share the value, so tie order can't
+    * change it). Documents with no bigram are excluded from both
+    * numerator and denominator.
+    *
+    * Returns one row per group: (grp, n_total, n_kept, cut).
+    *
+    * Scale shape: scoring is [[bigramLm]]'s two distributed count
+    * tables; the median is two window passes partitioned on the group
+    * key over the (already small) scored projection. At 100 TB with
+    * few giant language groups, swap the exact rank-median for
+    * `approx_percentile` (or the KMV sample) — the exact form is the
+    * oracle-checkable face. */
+  def fluencyMedianFilter(docs: DataFrame, idCol: String, textCol: String,
+      grpCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLm(docs, idCol, textCol).filter(col("n_bigrams") > 0)
+    val scored = lm.join(
+      docs.select(col(idCol).as("doc_id"), col(grpCol).as("grp")), Seq("doc_id"))
+    val ranked = scored.select(col("grp"), col("doc_id"), col("logprob"),
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("logprob").desc, col("doc_id"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("grp"))).as("n"))
+    val cuts = ranked.filter(col("rn") === floor((col("n") + 1) / lit(2.0)))
+      .select(col("grp"), col("logprob").as("cut"))
+    scored.join(broadcast(cuts), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("logprob") >= col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("cut")).as("cut"))
+  }
 }

@@ -220,4 +220,29 @@ class DedupSpec extends SparkSpec {
       .map(i => (i, i + 1000000)).toSet
     assert(expected.subsetOf(pairs))
   }
+
+  test("containmentPairs: quotes contained at 1.0, asymmetric, lossless blocking") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "e f g h i j k l m"), // contiguous slice of 1 → C(2→1) = 1.0
+      (3L, "t s r q p o n m l k j i h g f"), // reversed order: different shingles
+      (4L, "a b c d e f g h i j k l m n o p q r s t") // exact dup of 1
+    ).toDF("id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "id", "text",
+        shingleN = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((2L, 1L, 1.0)) && pairs.contains((2L, 4L, 1.0)))
+    assert(pairs.contains((1L, 4L, 1.0)) && pairs.contains((4L, 1L, 1.0)))
+    // asymmetry: the big doc is NOT contained in its quote
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    // prefix blocking is lossless vs the brute-force all-pairs replay
+    val sets = corpus.select($"id",
+      array_distinct(TextAnalysis.shingles($"text", 3)).as("sh"))
+    val brute = sets.as("a").join(sets.as("b"), $"a.id" =!= $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        round(size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size($"a.sh"), 4).as("c"))
+      .filter($"c" >= 0.9).as[(Long, Long, Double)].collect().toSet
+    assert(pairs == brute, s"${pairs.size} vs brute ${brute.size}")
+  }
 }

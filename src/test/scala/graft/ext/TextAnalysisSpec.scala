@@ -205,4 +205,19 @@ class TextAnalysisSpec extends SparkSpec {
     // the corpus-likeliest doc (repeating the dominant bigram) wins
     assert(out(1)._3 > d1 && d1 > out(3)._3)
   }
+
+  test("fluencyMedianFilter: per-group rank-median cut keeps the fluent half") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextAnalysis.fluencyMedianFilter(docs, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (g, n, kept, cut) =>
+      assert(kept >= (n + 1) / 2 && kept <= n, s"$g: kept $kept of $n")
+      assert(cut < 0.0, s"$g: add-one smoothed logprob must be negative, got $cut")
+    }
+    // denominator counts exactly the docs with >= 1 bigram per group
+    val exp = docs.filter(size(TextAnalysis.tokens($"text")) >= 2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == exp)
+  }
 }
