@@ -1853,6 +1853,13 @@ object SparkEntry {
     // (p_s ∝ n_s^0.5, the multilingual up-sample-the-tail rule).
     // src0/src1 are doubled via shifted-id copies so the corpus is
     // actually skewed and the α-flattening is observable. --
+    "q_o16_curriculum" -> ((s, d) => // competence-based curriculum:
+      // difficulty stage by exact corpus quartiles of n_chars,
+      // seeded fingerprint order within stage — exact oracle
+      graft.ext.Sampling.curriculumSchedule(
+          Tables.documents(s, d), "doc_id", "n_chars", nStages = 4, seed = "c1")
+        .orderBy(col("stage"), col("ord"), col("doc_id"))),
+
     "q_o14_temperature_mixture" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val boost = docs.filter(col("source").isin("src0", "src1"))
@@ -3763,6 +3770,20 @@ object SparkEntry {
          WHERE (source = 'src0' AND rn <= 40) OR (source = 'src1' AND rn <= 30)
             OR (source = 'src2' AND rn <= 20) OR (source = 'src3' AND rn <= 10)
          ORDER BY doc_id""",
+    "q_o16_curriculum" ->
+      """WITH th AS (SELECT list_transform(
+             quantile_cont(n_chars, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST((CASE WHEN n_chars > t[1] THEN 1 ELSE 0 END) +
+                (CASE WHEN n_chars > t[2] THEN 1 ELSE 0 END) +
+                (CASE WHEN n_chars > t[3] THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(doc_id AS VARCHAR) || ':c1', ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS ord
+         FROM documents, th
+         ORDER BY stage, ord, doc_id""",
     "q_o14_temperature_mixture" ->
       """WITH base AS (SELECT doc_id, source FROM documents
                       UNION ALL

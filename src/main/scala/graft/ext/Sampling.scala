@@ -205,6 +205,38 @@ object Sampling {
       .groupBy(col("id")).agg(round(sum(col("logr")), 4).as("w"))
   }
 
+  /** Competence-based curriculum schedule (Platanios et al.
+    * NAACL'19 shape): assign every row a difficulty STAGE (which
+    * training phase first sees it) by exact corpus quantiles of
+    * `difficultyCol`, and a seeded pseudo-random ORDER within the
+    * stage (the fingerprint permutation — the q_o10 shuffle-shards
+    * kernel), so the dataloader reads easy→hard but unbiased within
+    * each band. stage ∈ [0, nStages): the count of stage quantile
+    * thresholds strictly below the row's difficulty (thresholds
+    * rounded 4 dp on both engines so boundary rows agree).
+    *
+    * Scale shape: one aggregation computes the nStages−1 thresholds
+    * (a 1-row broadcast), then a map-side projection — no window, no
+    * sort here; the writer sorts by (stage, ord) exactly like
+    * [[graft.etl.Staging.writeShuffledShards]] orders by fingerprint.
+    * At 100 TB swap the exact `percentile` for `approx_percentile`;
+    * the exact form is the oracle-checkable face. */
+  def curriculumSchedule(df: DataFrame, idCol: String, difficultyCol: String,
+      nStages: Int, seed: String): DataFrame = {
+    require(nStages >= 2, s"nStages must be >= 2: $nStages")
+    val ps = (1 until nStages).map(_.toDouble / nStages)
+    val th = df.agg(transform(
+      percentile(col(difficultyCol), array(ps.map(lit): _*)),
+      x => round(x, 4)).as("__th"))
+    val stage = (1 until nStages).map(i =>
+        when(col(difficultyCol) > element_at(col("__th"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(th))
+      .select(col(idCol), stage.as("stage"),
+        graft.functions.TextStats.fingerprint(
+          concat(col(idCol).cast("string"), lit(":" + seed))).as("ord"))
+  }
+
   /** Per-domain document cap — the over-represented-host guard every
     * web-corpus build runs (keep at most `cap` documents per
     * registrable domain). Selection is deterministic but unbiased:

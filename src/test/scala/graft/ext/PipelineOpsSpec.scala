@@ -389,4 +389,28 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got == 4, s"one event must open 4 sliding windows, got $got")
     } finally q.stop()
   }
+
+  test("curriculumSchedule: quartile stages near-balanced, deterministic, " +
+      "stage monotone in difficulty") {
+    val out = Sampling.curriculumSchedule(docs, "doc_id", "n_chars", 4, "s1")
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+    val byStage = out.groupBy("stage").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byStage.keySet == Set(0L, 1L, 2L, 3L), byStage.toString)
+    val n = docs.count()
+    byStage.values.foreach(c => assert(c >= n / 8 && c <= n / 2, byStage.toString))
+    // monotone: every stage-k row is no harder than every stage-(k+1) row
+    val maxPerStage = out.groupBy("stage").agg(max("n_chars"), min("n_chars"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    maxPerStage.sliding(2).foreach { case Array((_, mx, _), (_, _, mn)) =>
+      assert(mx <= mn, maxPerStage.mkString(","))
+    case _ => }
+    // seeded: same seed reproduces, different seed permutes
+    val again = Sampling.curriculumSchedule(docs, "doc_id", "n_chars", 4, "s1")
+    assert(out.select("doc_id", "stage", "ord")
+      .exceptAll(again.select("doc_id", "stage", "ord")).isEmpty)
+    val other = Sampling.curriculumSchedule(docs, "doc_id", "n_chars", 4, "s2")
+    assert(other.select("doc_id", "ord")
+      .exceptAll(out.select("doc_id", "ord")).count() > 0)
+  }
 }
