@@ -710,6 +710,22 @@ object SparkEntry {
 
     // -- deterministic random walks (graph-embedding corpus; the
     // fingerprint-seeded step choice lets DuckDB replay every hop) --
+    "q_g19_node2vec" -> ((s, d) => { // second-order biased walks over
+      // the supplier-projection graph (non-bipartite, so all three
+      // bias branches — return / in-N(prev) / out — actually fire);
+      // generated unrolled oracle replays every draw bit-for-bit
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val pr = hk.as("a").join(hk.as("b"),
+          col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .select(concat(lit("s"), col("a.s").cast("string")).as("src"),
+          concat(lit("s"), col("b.s").cast("string")).as("dst")).distinct()
+      val e = pr.unionByName(
+        pr.select(col("dst").as("src"), col("src").as("dst")))
+      GraphQueries.node2vecWalks(e, walkLen = 4)
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     "q_g13_walks" -> ((s, d) => {
       val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
         .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("a"),
@@ -2817,6 +2833,20 @@ object SparkEntry {
            FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)""",
       "(SELECT 'supplier:' || min(l_suppkey) FROM lineitem WHERE l_orderkey % 100 = 0)",
       rounds = 6),
+    "q_g19_node2vec" -> graft.query.GraphQueries.node2vecOracleSql(
+      """SELECT 's' || a.s AS src, 's' || b.s AS dst
+         FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) a
+         JOIN (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) b
+           ON a.p = b.p AND a.s < b.s
+         UNION ALL
+         SELECT 's' || b.s, 's' || a.s
+         FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) a
+         JOIN (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) b
+           ON a.p = b.p AND a.s < b.s""", walkLen = 4),
     "q_g13_walks" -> graft.query.GraphQueries.walksOracleSql(
       """SELECT 'supplier:' || l_suppkey AS src, 'part:' || l_partkey AS dst
          FROM lineitem WHERE l_orderkey % 100 = 0

@@ -432,6 +432,119 @@ object GraphQueries {
       Seq("a", "b"), "left_anti")
   }
 
+  /** Deterministic node2vec walks (Grover & Leskovec KDD'16) — the
+    * SECOND-ORDER biased extension of [[deterministicWalks]]: the
+    * next-hop distribution depends on (prev, cur), weighting each
+    * neighbor `next` of `cur` by wRet if next = prev (the 1/p return
+    * bias), wIn if next ∈ N(prev) (distance-1, the BFS-ish bias) and
+    * wOut otherwise (the 1/q DFS-ish bias); integer weights so the
+    * draw is an exact cumulative-interval lookup the oracle replays
+    * bit-for-bit (fingerprint(walk_id:step) mod total-mass — the
+    * q_g17 banded-mass convention). Step 1 has no prev and draws
+    * uniformly, exactly like the first-order walk.
+    *
+    * Scale shape: per step, one equi-join fans each walk out to its
+    * current node's neighbors, one LEFT equi-join on (prev, next)
+    * against the distinct edge set computes the distance flag (never
+    * a neighborhood broadcast — N(prev) membership IS an edge-exists
+    * probe), and one walk_id-partitioned running-sum window sizes the
+    * cumulative intervals (candidate rows per walk = deg(cur), so the
+    * window partitions are adjacency-bounded). State per walk is one
+    * row; walks shard freely across executors. Symmetrize edges first
+    * (undirected semantics, dead-end-free on connected graphs). */
+  def node2vecWalks(edges: DataFrame, walkLen: Int,
+      wRet: Int = 1, wIn: Int = 2, wOut: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walkLen >= 2, s"walkLen $walkLen: below 2 use deterministicWalks")
+    val ed = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val nbr = ed.select(col("src"), col("dst"),
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .as("r"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .localCheckpoint(true)
+    val starts = ed.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+    var out = starts.withColumn("step", lit(0L))
+    val pick1 = graft.functions.TextStats.fingerprint(
+      concat(col("walk_id"), lit(":1")))
+    var cur = starts.join(nbr, starts("node") === nbr("src") &&
+        nbr("r") === pick1 % nbr("deg"))
+      .select(col("walk_id"), starts("node").as("prev"), col("dst").as("node"))
+      .localCheckpoint(true)
+    out = out.unionByName(
+      cur.select(col("walk_id"), col("node")).withColumn("step", lit(1L)))
+    var i = 2
+    while (i <= walkLen) {
+      val pick = graft.functions.TextStats.fingerprint(
+        concat(col("walk_id"), lit(":" + i)))
+      val cand = cur.join(nbr, cur("node") === nbr("src"))
+        .select(col("walk_id"), col("prev"), cur("node").as("node"),
+          col("dst"), col("r"))
+        .join(ed.select(col("src").as("__ps"), col("dst").as("__pd")),
+          col("prev") === col("__ps") && col("dst") === col("__pd"), "left")
+        .withColumn("wt",
+          when(col("dst") === col("prev"), lit(wRet.toLong))
+            .when(col("__ps").isNotNull, lit(wIn.toLong))
+            .otherwise(lit(wOut.toLong)))
+      val scanned = cand
+        .withColumn("cum", sum(col("wt")).over(
+          Window.partitionBy(col("walk_id")).orderBy(col("r"))))
+        .withColumn("tot", sum(col("wt")).over(
+          Window.partitionBy(col("walk_id"))))
+      cur = scanned.filter(pick % col("tot") >= col("cum") - col("wt") &&
+          pick % col("tot") < col("cum"))
+        .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(
+        cur.select(col("walk_id"), col("node")).withColumn("step", lit(i.toLong)))
+      i += 1
+    }
+    out.select(col("walk_id"), col("step"), col("node"))
+  }
+
+  /** Unrolled DuckDB oracle for [[node2vecWalks]] — the
+    * [[walksOracleSql]] pattern extended with the per-step candidate
+    * weighting and cumulative-interval pick. */
+  def node2vecOracleSql(edgeCte: String, walkLen: Int,
+      wRet: Int = 1, wIn: Int = 2, wOut: Int = 4): String = {
+    def fp(s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647)"""
+    val sb = new StringBuilder(
+      s"""WITH e AS ($edgeCte),
+         ed AS (SELECT DISTINCT src, dst FROM e),
+         nbr AS (SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+                   count(*) OVER (PARTITION BY src) AS deg
+                 FROM ed),
+         w0 AS (SELECT src AS walk_id, src AS node
+                FROM (SELECT DISTINCT src FROM ed)),
+         w1 AS (SELECT w.walk_id, w.node AS prev, n.dst AS node FROM w0 w
+                JOIN nbr n ON n.src = w.node
+                AND n.r = ${fp("w.walk_id || ':1'")} % n.deg)""")
+    for (i <- 2 to walkLen)
+      sb.append(s""",
+         c$i AS (SELECT w.walk_id, w.node, n.dst, n.r,
+                   CASE WHEN n.dst = w.prev THEN $wRet
+                        WHEN ex.src IS NOT NULL THEN $wIn
+                        ELSE $wOut END AS wt
+                 FROM w${i - 1} w JOIN nbr n ON n.src = w.node
+                 LEFT JOIN ed ex ON ex.src = w.prev AND ex.dst = n.dst),
+         s$i AS (SELECT walk_id, node, dst, wt,
+                   sum(wt) OVER (PARTITION BY walk_id ORDER BY r) AS cum,
+                   sum(wt) OVER (PARTITION BY walk_id) AS tot
+                 FROM c$i),
+         w$i AS (SELECT walk_id, node AS prev, dst AS node FROM s$i
+                 WHERE ${fp(s"walk_id || ':$i'")} % tot >= cum - wt
+                   AND ${fp(s"walk_id || ':$i'")} % tot < cum)""")
+    sb.append(" SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0")
+    for (i <- 1 to walkLen)
+      sb.append(s" UNION ALL SELECT walk_id, CAST($i AS BIGINT) AS step, node FROM w$i")
+    sb.append(" ORDER BY walk_id, step")
+    sb.toString
+  }
+
   /** Skip-gram training pairs from walks (DeepWalk / node2vec corpus
     * construction, Perozzi et al. 2014): each walk is a "sentence";
     * emit (center, context) co-occurrence counts for positions within

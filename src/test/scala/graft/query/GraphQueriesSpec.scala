@@ -258,4 +258,41 @@ class GraphQueriesSpec extends SparkSpec {
     val fixed = GraphQueries.kCorePeel(e, k = 30, rounds = 20)
     assert(fix.exceptAll(fixed).count() == 0 && fixed.exceptAll(fix).count() == 0)
   }
+
+  test("node2vecWalks: valid walks, deterministic, return-bias steers backtracking") {
+    // K4 minus one edge, symmetrized: non-bipartite, every node deg >= 2
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val walks = GraphQueries.node2vecWalks(sym, walkLen = 4)
+      .orderBy("walk_id", "step").as[(String, Long, String)].collect().toSeq
+    // full length from every start, and every hop is a real edge
+    assert(walks.count(_._2 == 0L) == 4 && walks.size == 4 * 5)
+    val edgeSet = (base ++ base.map(_.swap)).toSet
+    walks.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(u, v) => assert(edgeSet.contains((u, v)), s"$u->$v not an edge")
+        case _ =>
+      }
+    }
+    // deterministic across runs
+    val again = GraphQueries.node2vecWalks(sym, walkLen = 4)
+      .orderBy("walk_id", "step").as[(String, Long, String)].collect().toSeq
+    assert(walks == again)
+    // second-order dependence: an overwhelming return weight makes
+    // nearly every step >= 2 backtrack to the node two steps back
+    def backtrackFrac(wRet: Int): Double = {
+      val ws = GraphQueries.node2vecWalks(sym, walkLen = 4, wRet = wRet)
+        .as[(String, Long, String)].collect()
+        .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq).toSeq
+      val (bt, tot) = ws.foldLeft((0, 0)) { case ((b, t), w) =>
+        val hops = w.sliding(3).filter(_.size == 3).toSeq
+        (b + hops.count(h => h(0) == h(2)), t + hops.size)
+      }
+      bt.toDouble / tot
+    }
+    val biased = backtrackFrac(1000000)
+    val unbiased = backtrackFrac(1)
+    assert(biased > 0.9, s"biased backtrack fraction $biased")
+    assert(unbiased < biased, s"unbiased $unbiased !< biased $biased")
+  }
 }
