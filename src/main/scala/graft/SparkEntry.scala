@@ -960,6 +960,20 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x28_gopher_rules" -> ((s, d) => { // Gopher rule-based quality
+      // pre-filter: planted symbol-noise (%7) and long-word (%11)
+      // corruption must fail the alpha-fraction / mean-word-length
+      // rules while clean docs pass — exact oracle on all stats
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" 123 $$$ ### 456 @@@ 789 %%% 000 &&& 111")))
+        .when(col("doc_id") % 11 === 0, concat(col("text"),
+          lit(" pneumonoultramicroscopicsilicovolcanoconiosis")))
+        .otherwise(col("text")).as("text"))
+      graft.ext.TextAnalysis.gopherQuality(aug, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_x27_fluency_filter" -> ((s, d) => // CCNet-shaped per-language
       // perplexity filter: keep each language's more-fluent half by
       // exact rank-median cut over the bigram-LM score — exact oracle
@@ -3113,6 +3127,30 @@ object SparkEntry {
                 round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf,
                 count(*) AS n_lists
          FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q_x28_gopher_rules" ->
+      """WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                  THEN text || ' 123 $$$ ### 456 @@@ 789 %%% 000 &&& 111'
+                WHEN doc_id % 11 = 0
+                  THEN text || ' pneumonoultramicroscopicsilicovolcanoconiosis'
+                ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM aug),
+         st AS (SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             round(CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / len(t), 4) AS mean_wl,
+             round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS DOUBLE) / len(t), 4) AS frac_alpha,
+             CAST(len(list_intersect(list_distinct(t),
+               ['the', 'a', 'and', 'of', 'to'])) AS BIGINT) AS n_stop
+           FROM t WHERE len(t) > 0)
+         SELECT doc_id, n_words, mean_wl, frac_alpha, n_stop,
+           (n_words BETWEEN 10 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+             AND (frac_alpha >= 0.8) AND (n_stop >= 2) AS passes
+         FROM st ORDER BY doc_id""",
     "q_x27_fluency_filter" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -377,6 +377,40 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    * the rule-based pre-filter most pretraining corpora run before
+    * any model-based scoring): per document, word count, mean word
+    * length (= non-whitespace chars / words, identical to the
+    * sum-of-token-lengths mean for whitespace tokenization), the
+    * fraction of words containing a letter, and the count of DISTINCT
+    * stop words present; `passes` ANDs the four threshold rules.
+    * All stats are pure Column expressions over one tokens() pass —
+    * no UDF, no shuffle, map-side only; ratios round to 4 dp on both
+    * engines so threshold comparisons agree exactly. Empty documents
+    * are dropped (no denominators). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 10L, maxWords: Long = 100000L,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopWords: Int = 2,
+      stopWords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val t = tokens(col(textCol))
+    val nw = size(t).cast("long")
+    val meanWl = round(
+      length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nw, 4)
+    val fracAlpha = round(
+      size(filter(t, x => x.rlike("[a-z]"))).cast("double") / nw, 4)
+    val nStop = size(array_intersect(array_distinct(t),
+      array(stopWords.map(lit): _*))).cast("long")
+    docs.filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol), nw.as("n_words"), meanWl.as("mean_wl"),
+        fracAlpha.as("frac_alpha"), nStop.as("n_stop"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_wl").between(minWordLen, maxWordLen) &&
+        col("frac_alpha") >= minAlphaFrac &&
+        col("n_stop") >= minStopWords)
+  }
+
   /** Per-group fluency-median filter — the CCNet-shaped perplexity
     * pass (Wenzek et al. LREC'20): score every document with the
     * corpus [[bigramLm]], then keep the more-fluent half of EACH

@@ -206,6 +206,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 > d1 && d1 > out(3)._3)
   }
 
+  test("gopherQuality: each rule fails for its own reason, clean docs pass") {
+    val longWord = Array.fill(10)("pneumonoultramicroscopicsilicovolcanoconiosis")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "the quick brown fox and a dog run to the barn of hay today"),
+      (2L, "the a of to and 111 222 $$$ ### @@@ %%% &&& 000 999 888 777"),
+      (3L, "the a " + longWord),
+      (4L, "short text here")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("passes"))                 // clean
+    assert(!out(1).getAs[Boolean]("passes"))                // frac_alpha 5/16
+    assert(out(1).getAs[Double]("frac_alpha") < 0.8)
+    assert(!out(2).getAs[Boolean]("passes"))                // mean_wl >> 10
+    assert(out(2).getAs[Double]("mean_wl") > 10.0)
+    assert(out(2).getAs[Double]("frac_alpha") == 1.0)       // fails ONLY wl
+    assert(!out(3).getAs[Boolean]("passes"))                // word count < 10
+    assert(out(3).getAs[Long]("n_words") == 3L)
+  }
+
   test("fluencyMedianFilter: per-group rank-median cut keeps the fluent half") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val out = TextAnalysis.fluencyMedianFilter(docs, "doc_id", "text", "lang")
