@@ -809,6 +809,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_p15_mad_outliers" -> ((s, d) => {
+      // robust modified z-score (median/MAD, Iglewicz-Hoaglin): the
+      // q_p12 planted spikes again, but screened by statistics the
+      // spikes themselves can't drag — exact rank-median oracle
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        (col("value") * when(col("event_id") % 101 === 0, 50.0).otherwise(1.0))
+          .as("v"))
+      graft.ext.Profiling.outliersMad(ev, "v", "event_type", cutoff = 3.5)
+        .select(col("event_id"), col("event_type"), round(col("v"), 4).as("v"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+          col("mad_z"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_p14_winsorize" -> ((s, d) => {
       // per-source winsorization of document lengths: exact-percentile
       // clip band (rounded 4 dp both engines before comparing, so clip
@@ -2925,6 +2939,28 @@ object SparkEntry {
          SELECT event_id, event_type, round(v, 4) AS v,
                 round((v - mu) / sd, 4) AS zscore
          FROM w WHERE sd > 0 AND abs((v - mu) / sd) > 3
+         ORDER BY event_id""",
+    "q_p15_mad_outliers" ->
+      """WITH t AS (SELECT event_id, event_type,
+             value * (CASE WHEN event_id % 101 = 0 THEN 50 ELSE 1 END) AS v
+           FROM events),
+         r1 AS (SELECT event_type, v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n FROM t),
+         med AS (SELECT event_type, v AS med FROM r1 WHERE rn = (n + 1) // 2),
+         wm AS (SELECT t.event_id, t.event_type, t.v, m.med,
+                  abs(t.v - m.med) AS dev
+                FROM t JOIN med m USING (event_type)),
+         r2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n FROM wm),
+         mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         SELECT w.event_id, w.event_type, round(w.v, 4) AS v,
+                round(w.med, 4) AS med, round(d.mad, 4) AS mad,
+                round(CAST(0.6745 AS DOUBLE) * (w.v - w.med) / d.mad, 4) AS mad_z
+         FROM wm w JOIN mad d USING (event_type)
+         WHERE d.mad > 0
+           AND abs(round(CAST(0.6745 AS DOUBLE) * (w.v - w.med) / d.mad, 4)) > 3.5
          ORDER BY event_id""",
     "q_p14_winsorize" ->
       """WITH b AS (SELECT source,

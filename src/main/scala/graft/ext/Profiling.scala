@@ -136,6 +136,42 @@ object Profiling {
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
 
+  /** Per-group MAD outliers — the ROBUST sibling of [[outliersZ]]
+    * (Iglewicz & Hoaglin's modified z-score, 0.6745·(v−med)/MAD,
+    * cutoff 3.5): mean/stddev move with the outliers they're hunting,
+    * the median and median-absolute-deviation don't, which is why
+    * heavy-tailed telemetry and quality scores are screened this way.
+    * Medians are exact rank order statistics (value at position
+    * ceil(n/2) ascending — the deterministic convention the oracle
+    * replays; ties share the value so tie order is irrelevant), not
+    * interpolated, so even-sized groups agree across engines.
+    * Zero-MAD groups (over half the values identical) yield no
+    * outliers, same guard shape as [[outliersZ]].
+    *
+    * Scale shape: two window passes partitioned on the group key
+    * (value median, then deviation median) + broadcast joins back —
+    * no driver statistics, no sort beyond the windows' own. */
+  def outliersMad(df: DataFrame, valueCol: String, groupCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankMedian(in: DataFrame, vCol: String, out: String): DataFrame =
+      in.select(col(groupCol), col(vCol),
+          row_number().over(Window.partitionBy(col(groupCol))
+            .orderBy(col(vCol))).as("__rn"),
+          count(lit(1)).over(Window.partitionBy(col(groupCol))).as("__n"))
+        .filter(col("__rn") === floor((col("__n") + 1) / lit(2.0)))
+        .select(col(groupCol), col(vCol).as(out))
+    val med = rankMedian(df, valueCol, "med")
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = rankMedian(withMed, "__dev", "mad")
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("mad_z",
+        round(lit(0.6745) * (col(valueCol) - col("med")) / col("mad"), 4))
+      .filter(col("mad") > 0 && abs(col("mad_z")) > cutoff)
+      .drop("__dev")
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the
     * group mean by more than `z` sample standard deviations, with the
     * score attached. Same single-shuffle window shape as

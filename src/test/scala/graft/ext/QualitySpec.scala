@@ -118,6 +118,22 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(full - exact) / exact < 0.3, s"est $full vs exact $exact")
   }
 
+  test("outliersMad catches what stddev-based z-scores miss, zero-MAD guarded") {
+    val vals = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 100.0, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val mad = Profiling.outliersMad(df, "v", "grp", cutoff = 3.5)
+      .select("v").as[Double].collect().toSet
+    assert(mad == Set(100.0, 10.0), s"MAD flagged $mad")
+    // the 100 inflates the stddev enough that classic z misses BOTH
+    val z = Profiling.outliersZ(df, "v", "grp", z = 3.0).count()
+    assert(z == 0L, s"z-score flagged $z rows")
+    // constant group: MAD = 0, guard yields no outliers (no div-by-zero)
+    val const = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0))
+      .toDF("id", "grp", "v")
+    assert(Profiling.outliersMad(const, "v", "grp").isEmpty)
+  }
+
   test("winsorize clamps to the band and leaves interior values untouched") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val w = Profiling.winsorize(docs, "n_chars", "source", 0.1, 0.9)
