@@ -710,6 +710,20 @@ object SparkEntry {
 
     // -- deterministic random walks (graph-embedding corpus; the
     // fingerprint-seeded step choice lets DuckDB replay every hop) --
+    "q_g20_mis" -> ((s, d) => { // Luby's maximal independent set:
+      // per-round fingerprint priorities, strict-min winners over the
+      // supplier-projection graph; unrolled generated oracle replays
+      // every round (the k-core / walks precedent)
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      val pr = hk.as("a").join(hk.as("b"),
+          col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+        .select(concat(lit("s"), col("a.s").cast("string")).as("src"),
+          concat(lit("s"), col("b.s").cast("string")).as("dst")).distinct()
+      GraphQueries.maximalIndependentSet(pr, rounds = 6)
+        .orderBy(col("node"))
+    }),
+
     "q_g19_node2vec" -> ((s, d) => { // second-order biased walks over
       // the supplier-projection graph (non-bipartite, so all three
       // bias branches — return / in-N(prev) / out — actually fire);
@@ -2861,6 +2875,13 @@ object SparkEntry {
            FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)""",
       "(SELECT 'supplier:' || min(l_suppkey) FROM lineitem WHERE l_orderkey % 100 = 0)",
       rounds = 6),
+    "q_g20_mis" -> graft.query.GraphQueries.misOracleSql(
+      """SELECT 's' || a.s AS src, 's' || b.s AS dst
+         FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) a
+         JOIN (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+               FROM lineitem WHERE l_orderkey % 100 = 0) b
+           ON a.p = b.p AND a.s < b.s""", rounds = 6),
     "q_g19_node2vec" -> graft.query.GraphQueries.node2vecOracleSql(
       """SELECT 's' || a.s AS src, 's' || b.s AS dst
          FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p

@@ -717,6 +717,91 @@ object GraphQueries {
   /** The unrolled DuckDB oracle for [[kCorePeel]]: the same fixed
     * number of peel rounds as a WITH chain over an edge CTE named
     * `e0`. Generated, not hand-written — rounds is a parameter. */
+  /** Luby's maximal independent set (Luby '86), deterministic face:
+    * per round r, an undecided vertex joins the MIS iff its priority
+    * fingerprint(v:r) is STRICTLY below every undecided neighbor's;
+    * winners and their neighbors leave the undecided set. Strict
+    * comparison makes priority collisions safe (neither side enters,
+    * both engines agree) at the cost of the colliding pair waiting a
+    * round — determinism needs no tie-break. Per-round re-hashing is
+    * exactly Luby's re-randomization, so the O(log n) expected-rounds
+    * bound carries over.
+    *
+    * Scale shape per round: one groupBy computes each vertex's
+    * neighbor-priority minimum (map-side partial min), one broadcast-
+    * free join marks winners, one semi/anti pair shrinks the frontier;
+    * iteration state is `localCheckpoint`ed like the CC-star loop.
+    * MIS is the classic symmetry-breaking primitive distributed
+    * schedulers and graph-coloring passes build on.
+    *
+    * @return (node, round) for every MIS member, round = join round
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var und = sym.select(col("src").as("v")).distinct().localCheckpoint(true)
+    var e = sym
+    var out: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      def p(c: org.apache.spark.sql.Column) =
+        graft.functions.TextStats.fingerprint(concat(c, lit(":" + r)))
+      val nbrMin = e.groupBy(col("src").as("v")).agg(min(p(col("dst"))).as("mn"))
+      val winners = und.join(nbrMin, Seq("v"), "left")
+        .filter(col("mn").isNull || p(col("v")) < col("mn"))
+        .select(col("v")).localCheckpoint(true)
+      val w = winners.withColumn("round", lit(r.toLong))
+      out = if (out == null) w else out.unionByName(w)
+      val removed = winners
+        .unionByName(e.join(winners.select(col("v").as("src")), Seq("src"))
+          .select(col("dst").as("v")))
+        .distinct()
+      und = und.join(removed, Seq("v"), "left_anti").localCheckpoint(true)
+      e = e.join(und.select(col("v").as("src")), Seq("src"))
+        .join(und.select(col("v").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      r += 1
+    }
+    out.select(col("v").as("node"), col("round"))
+  }
+
+  /** Unrolled DuckDB oracle for [[maximalIndependentSet]]. */
+  def misOracleSql(edgeCte: String, rounds: Int): String = {
+    def fp(s: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($s, ''), c -> CAST(ord(c) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 2147483647)"""
+    // every per-round CTE is MATERIALIZED: each references the prior
+    // round 2-3 times, and inlining would expand the plan (and the
+    // base-table scan count) exponentially in `rounds`
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+         ee0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+                 (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+         und0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM ee0)""")
+    for (r <- 1 to rounds)
+      sb.append(s""",
+         nm$r AS MATERIALIZED (SELECT src AS v, min(${fp(s"dst || ':$r'")}) AS mn
+                  FROM ee${r - 1} GROUP BY src),
+         w$r AS MATERIALIZED (SELECT u.v
+                 FROM und${r - 1} u LEFT JOIN nm$r n ON n.v = u.v
+                 WHERE n.v IS NULL OR ${fp(s"u.v || ':$r'")} < n.mn),
+         rm$r AS MATERIALIZED (SELECT v FROM w$r
+                  UNION
+                  SELECT e.dst FROM ee${r - 1} e JOIN w$r w ON e.src = w.v),
+         und$r AS MATERIALIZED (SELECT v FROM und${r - 1}
+                  EXCEPT SELECT v FROM rm$r),
+         ee$r AS MATERIALIZED (SELECT e.src, e.dst FROM ee${r - 1} e
+                  JOIN und$r a ON e.src = a.v JOIN und$r b ON e.dst = b.v)""")
+    sb.append((1 to rounds)
+      .map(r => s" SELECT v AS node, CAST($r AS BIGINT) AS round FROM w$r")
+      .mkString("", " UNION ALL", ""))
+    sb.append(" ORDER BY node")
+    sb.toString
+  }
+
   def kCoreOracleSql(edgeCte: String, k: Int, rounds: Int): String = {
     val sb = new StringBuilder(s"WITH e0 AS ($edgeCte)")
     def degSql(r: Int) =

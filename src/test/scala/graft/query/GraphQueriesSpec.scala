@@ -259,6 +259,28 @@ class GraphQueriesSpec extends SparkSpec {
     assert(fix.exceptAll(fixed).count() == 0 && fixed.exceptAll(fix).count() == 0)
   }
 
+  test("maximalIndependentSet: independent, maximal after convergence, deterministic") {
+    // path + triangle + isolated-ish tail: mixed degrees
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "d"), ("f", "g"))
+    val e = base.toDF("src", "dst")
+    val mis = GraphQueries.maximalIndependentSet(e, rounds = 10)
+      .as[(String, Long)].collect().map(_._1).toSet
+    val sym = (base ++ base.map(_.swap)).toSet
+    // independence: no edge joins two MIS members
+    assert(!sym.exists { case (u, v) => mis.contains(u) && mis.contains(v) })
+    // maximality: every non-member has a member neighbor
+    val verts = sym.map(_._1)
+    (verts -- mis).foreach { v =>
+      assert(sym.exists { case (u, w) => u == v && mis.contains(w) },
+        s"$v has no MIS neighbor")
+    }
+    // deterministic
+    val again = GraphQueries.maximalIndependentSet(e, rounds = 10)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(mis == again)
+  }
+
   test("node2vecWalks: valid walks, deterministic, return-bias steers backtracking") {
     // K4 minus one edge, symmetrized: non-bipartite, every node deg >= 2
     val base = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
