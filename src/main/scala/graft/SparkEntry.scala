@@ -1344,6 +1344,18 @@ object SparkEntry {
     }),
 
     // -- similarity search (driver extension §7) --
+    "q_v3_matryoshka_funnel" -> ((s, d) => { // MRL funnel retrieval:
+      // 16-dim-prefix first pass keeps k*4 candidates, full 64-dim
+      // exact rescore — both stages deterministic, oracle replays the
+      // entire funnel including which candidates survive stage 1
+      val e = Tables.embeddings(s, d)
+      Similarity.funnelTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dimPrefix = 16, k = 5)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_n1_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
@@ -3677,6 +3689,27 @@ object SparkEntry {
          ranked AS (SELECT *, row_number() OVER
                       (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
                     FROM scored)
+         SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_v3_matryoshka_funnel" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS tv
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         ts AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  round(list_cosine_similarity(q.tv, c.tv), 6) AS tcos
+                FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         tc AS (SELECT query_id, cand_id FROM
+                  (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY tcos DESC, cand_id) AS rn FROM ts)
+                WHERE rn <= 20),
+         rs AS (SELECT t.query_id, t.cand_id,
+                  round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                FROM tc t JOIN e c ON c.vec_id = t.cand_id
+                JOIN q ON q.vec_id = t.query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS rank FROM rs)
          SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_n1_cosine_topk" ->

@@ -34,6 +34,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Matryoshka funnel retrieval (Kusupati et al. NeurIPS'22 — MRL
+    * embeddings are trained so every prefix is itself an embedding):
+    * stage 1 scores only the first `dimPrefix` dimensions (dim/d_p×
+    * cheaper per candidate — at 100 TB the corpus can even be STORED
+    * as the prefix, an automatic dim/d_p compression), keeps
+    * k·oversample candidates through the native TopKPerKey heap;
+    * stage 2 rescores just those with exact full-dimension cosine.
+    * Both stages are deterministic (scores rounded to 6 dp before
+    * ranking, ties on candidate id), so the gate oracle replays the
+    * whole funnel exactly — including which candidates survive the
+    * truncated pass. */
+  def funnelTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dimPrefix: Int, k: Int, oversample: Int = 4): DataFrame = {
+    require(dimPrefix >= 1 && k >= 1 && oversample >= 1)
+    val c = corpus.select(col(idCol).as("cand_id"),
+      slice(col(vecCol), 1, dimPrefix).as("tv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, dimPrefix).as("qtv"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("tcos", round(VectorFunctions.cosine(col("qtv"), col("tv")), 6))
+    val cands = graft.plans.TopK.topKPerKey(scored,
+        Seq(col("query_id")), Seq(col("tcos").desc, col("cand_id")), k * oversample)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")),
+        Seq("cand_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_v"))), Seq("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"),
+        col("cand_v")), 6))
+    rankTopK(rescored, k)
+  }
+
   /** Shared tail of the top-k searches: the native bounded-heap
     * TopKPerKey operator (no per-partition sort), then row_number
     * over the surviving ≤ k rows per query for the rank column. */

@@ -219,4 +219,30 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 == s2)
     assert(s1 != s3)
   }
+
+  test("funnelTopK: full-prefix funnel is exactly brute force; " +
+      "truncated prefix keeps recall") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id", "cos", "rank")
+    val full = Similarity.funnelTopK(e, q, "vec_id", "embedding",
+        dimPrefix = 64, k = 5)
+      .select("query_id", "cand_id", "cos", "rank")
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // these embeddings are NOT MRL-trained (synthetic, variance spread
+    // over all 64 dims), so the 16-dim prefix is a worst case for the
+    // funnel; oversample is the recall knob — it must climb with it
+    def recallAt(oversample: Int): Double = {
+      val trunc = Similarity.funnelTopK(e, q, "vec_id", "embedding",
+          dimPrefix = 16, k = 5, oversample = oversample)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      val truth = brute.select("query_id", "cand_id")
+        .as[(Long, Long)].collect().toSet
+      (trunc & truth).size.toDouble / truth.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    assert(r16 >= r4 && r16 >= 0.5, s"funnel recall@5: x4 $r4, x16 $r16")
+  }
 }
