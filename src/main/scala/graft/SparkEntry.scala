@@ -1344,6 +1344,18 @@ object SparkEntry {
     }),
 
     // -- similarity search (driver extension §7) --
+    "q_n8_sq_ann" -> ((s, d) => { // SQ8 scalar-quantized retrieval:
+      // per-dim 8-bit grid, asymmetric scoring (full query vs
+      // dequantized corpus) — EXACT oracle replaying the whole
+      // quantize/dequantize/score chain, not a recall bound
+      val e = Tables.embeddings(s, d)
+      Similarity.sqTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_v3_matryoshka_funnel" -> ((s, d) => { // MRL funnel retrieval:
       // 16-dim-prefix first pass keeps k*4 candidates, full 64-dim
       // exact rescore — both stages deterministic, oracle replays the
@@ -3689,6 +3701,39 @@ object SparkEntry {
          ranked AS (SELECT *, row_number() OVER
                       (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
                     FROM scored)
+         SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_n8_sq_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         unnest(embedding) AS x FROM e),
+         rng AS (SELECT i, CAST(min(x) AS DOUBLE) AS lo,
+                        CAST(max(x) AS DOUBLE) AS hi
+                 FROM dims GROUP BY i),
+         ra AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+                FROM rng),
+         codes AS (SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN r.hi[i] > r.lo[i]
+                 THEN CAST(floor(((CAST(embedding[i] AS DOUBLE) - r.lo[i])
+                        * CAST(255.0 AS DOUBLE)) / (r.hi[i] - r.lo[i])
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 ELSE 0 END) AS codes
+           FROM e, ra r),
+         deq AS (SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(CAST(r.lo[i] + (CAST(c.codes[i] AS DOUBLE)
+                 * (r.hi[i] - r.lo[i])) / CAST(255.0 AS DOUBLE) AS FLOAT)
+                 AS DOUBLE)) AS dv
+           FROM codes c, ra r),
+         q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM e WHERE vec_id < 10),
+         sc AS (SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+                  round(list_cosine_similarity(q.v, d.dv), 6) AS cos
+                FROM deq d JOIN q ON d.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, cand_id) AS rank FROM sc)
          SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_v3_matryoshka_funnel" ->

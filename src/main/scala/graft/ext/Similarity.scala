@@ -34,6 +34,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-dimension quantization range for [[sqTopK]]: min/max of each
+    * dimension over the corpus — one aggregation job, 2·dim floats to
+    * the driver (the bounded-smalls convention: PQ codebooks, IVF
+    * centroids). Returned as doubles (float→double is exact, so the
+    * oracle recomputes identical values). */
+  def trainSqRange(corpus: DataFrame, vecCol: String, dim: Int)
+      : (Seq[Double], Seq[Double]) = {
+    val row = corpus.agg(
+      array((1 to dim).map(i => min(element_at(col(vecCol), i))): _*).as("lo"),
+      array((1 to dim).map(i => max(element_at(col(vecCol), i))): _*).as("hi"))
+      .head()
+    (row.getSeq[Float](0).map(_.toDouble), row.getSeq[Float](1).map(_.toDouble))
+  }
+
+  /** SQ8 scalar-quantized ANN — the simplest vector-compression path
+    * (faiss ScalarQuantizer convention): each dimension maps to an
+    * 8-bit code on a per-dim [lo, hi] grid (4× smaller than float32,
+    * no training beyond min/max), candidates score ASYMMETRICALLY —
+    * full-precision query against dequantized corpus. Unlike the PQ
+    * gate (bounds), this one is EXACTLY oracle-replayable: the
+    * quantize→dequantize arithmetic is fixed-order double math with
+    * an explicit floor(x + 0.5) (no round-mode ambiguity), dequantized
+    * values round to FLOAT (IEEE nearest-even in both engines), and
+    * the scoring reuses the kernel/list_cosine_similarity pair every
+    * exact gate already hash-matches.
+    *
+    * Scale shape: encode is map-side; at 100 TB the corpus is STORED
+    * as codes (the 4× read-volume cut is the point) and the ranking
+    * tail is the native TopKPerKey heap. Constant dimensions encode
+    * to 0 and dequantize to lo exactly. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int): DataFrame = {
+    val (lo, hi) = trainSqRange(corpus, vecCol, dim)
+    val loC = typedLit(lo)
+    val hiC = typedLit(hi)
+    def l(i: Column) = element_at(loC, i + 1)
+    def h(i: Column) = element_at(hiC, i + 1)
+    val codes = transform(col(vecCol), (x, i) =>
+      when(h(i) > l(i),
+        floor(((x.cast("double") - l(i)) * lit(255.0)) / (h(i) - l(i)) + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(0L)))
+    val deq = transform(codes, (c, i) =>
+      (l(i) + (c.cast("double") * (h(i) - l(i))) / lit(255.0)).cast("float"))
+    val c = corpus.select(col(idCol).as("cand_id"), deq.as("dv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("dv")), 6))
+    rankTopK(scored, k)
+  }
+
   /** Matryoshka funnel retrieval (Kusupati et al. NeurIPS'22 — MRL
     * embeddings are trained so every prefix is itself an embedding):
     * stage 1 scores only the first `dimPrefix` dimensions (dim/d_p×

@@ -220,6 +220,20 @@ class SimilaritySpec extends SparkSpec {
     assert(s1 != s3)
   }
 
+  test("sqTopK: 8-bit quantized retrieval stays close to brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(e, q, "vec_id", "embedding", dim = 64, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (sq & truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"SQ8 recall@5 $recall")
+    // the quantization grid is sane: range training covers the corpus
+    val (lo, hi) = Similarity.trainSqRange(e, "embedding", 64)
+    assert(lo.size == 64 && hi.size == 64 && lo.zip(hi).forall(p => p._1 <= p._2))
+  }
+
   test("funnelTopK: full-prefix funnel is exactly brute force; " +
       "truncated prefix keeps recall") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
