@@ -823,6 +823,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_p16_psi_drift" -> ((s, d) => { // population stability index:
+      // planted shift (half the short docs dropped) against the
+      // reference decile bins — the production drift monitor; exact
+      // oracle including the Laplace-smoothed per-bin contributions
+      val docs = Tables.documents(s, d)
+      val cur = docs.filter(!(col("n_chars") < 150 && col("doc_id") % 2 === 0))
+      graft.ext.Profiling.psiDrift(docs, cur, "n_chars", nBins = 10)
+        .orderBy(col("bin"))
+    }),
+
     "q_p15_mad_outliers" -> ((s, d) => {
       // robust modified z-score (median/MAD, Iglewicz-Hoaglin): the
       // q_p12 planted spikes again, but screened by statistics the
@@ -2985,6 +2995,52 @@ object SparkEntry {
                 round((v - mu) / sd, 4) AS zscore
          FROM w WHERE sd > 0 AND abs((v - mu) / sd) > 3
          ORDER BY event_id""",
+    "q_p16_psi_drift" ->
+      """WITH cuts AS (SELECT list_transform(
+             quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             x -> round(x, 4)) AS t
+           FROM documents),
+         refb AS (SELECT (CASE WHEN n_chars > t[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[3] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[4] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[5] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[6] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[7] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[8] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[9] THEN 1 ELSE 0 END) AS bin
+           FROM documents, cuts),
+         curb AS (SELECT (CASE WHEN n_chars > t[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[3] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[4] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[5] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[6] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[7] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[8] THEN 1 ELSE 0 END)
+             + (CASE WHEN n_chars > t[9] THEN 1 ELSE 0 END) AS bin
+           FROM documents, cuts
+           WHERE NOT (n_chars < 150 AND doc_id % 2 = 0)),
+         rc AS (SELECT bin, count(*) AS n_ref FROM refb GROUP BY bin),
+         cc AS (SELECT bin, count(*) AS n_cur FROM curb GROUP BY bin),
+         bins AS (SELECT unnest(range(0, 10)) AS bin),
+         j AS (SELECT b.bin, coalesce(rc.n_ref, 0) AS n_ref,
+                      coalesce(cc.n_cur, 0) AS n_cur
+               FROM bins b LEFT JOIN rc ON rc.bin = b.bin
+               LEFT JOIN cc ON cc.bin = b.bin),
+         tt AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+         c AS (SELECT bin, n_ref, n_cur,
+                 round(((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                     - (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)))
+                   * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                     / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6)
+                   AS psi_contrib
+               FROM j, tt),
+         t2 AS (SELECT round(sum(psi_contrib), 6) AS psi_total FROM c)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+                CAST(n_cur AS BIGINT) AS n_cur, psi_contrib, psi_total
+         FROM c, t2 ORDER BY bin""",
     "q_p15_mad_outliers" ->
       """WITH t AS (SELECT event_id, event_type,
              value * (CASE WHEN event_id % 101 = 0 THEN 50 ELSE 1 END) AS v

@@ -136,6 +136,57 @@ object Profiling {
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
 
+  /** Population-stability-index drift report — the standard
+    * production monitor for "did this week's corpus shift against the
+    * reference?" (credit-scoring lineage; PSI = Σ (p−q)·ln(p/q) over
+    * reference-quantile bins; rule of thumb: < 0.1 stable, > 0.25
+    * investigate). Bin edges are the REFERENCE corpus's exact
+    * quantiles (rounded 4 dp so both engines bin identically);
+    * both sides get +1/bin Laplace smoothing so empty bins
+    * contribute a finite, deterministic penalty instead of ±∞.
+    *
+    * Returns one row per bin: (bin, n_ref, n_cur, psi_contrib,
+    * psi_total) — the total repeated per row via a 1-row broadcast
+    * (the scalar-combine convention).
+    *
+    * Scale shape: one aggregation for the edges (broadcast), one
+    * map-side bin projection + hash count per corpus — two scans,
+    * no window over data rows, no driver loop. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = ref.agg(transform(
+      percentile(col(valueCol), array(ps.map(lit): _*)),
+      x => round(x, 4)).as("__t"))
+    val bin = (1 until nBins).map(i =>
+        when(col(valueCol) > element_at(col("__t"), i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def binCounts(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(cuts)).select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val allBins = cuts.select(explode(sequence(lit(0L), lit((nBins - 1).toLong)))
+      .as("bin"))
+    val joined = allBins
+      .join(binCounts(ref, "n_ref"), Seq("bin"), "left")
+      .join(binCounts(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val contrib = joined.crossJoin(broadcast(tot))
+      .withColumn("__p", (col("n_ref") + 1).cast("double") /
+        (col("__tr") + nBins))
+      .withColumn("__q", (col("n_cur") + 1).cast("double") /
+        (col("__tc") + nBins))
+      .withColumn("psi_contrib",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 6))
+    val total = contrib.agg(round(sum(col("psi_contrib")), 6).as("psi_total"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_contrib"),
+        col("psi_total"))
+  }
+
   /** Per-group MAD outliers — the ROBUST sibling of [[outliersZ]]
     * (Iglewicz & Hoaglin's modified z-score, 0.6745·(v−med)/MAD,
     * cutoff 3.5): mean/stddev move with the outliers they're hunting,

@@ -118,6 +118,18 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(full - exact) / exact < 0.3, s"est $full vs exact $exact")
   }
 
+  test("psiDrift: zero on identical corpora, detects a planted shift") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val same = Profiling.psiDrift(docs, docs, "n_chars", nBins = 10)
+    // p == q in every bin -> every contribution is exactly 0
+    assert(same.filter($"psi_contrib" =!= 0.0).isEmpty)
+    assert(same.count() == 10)
+    val shifted = docs.filter(!($"n_chars" < 150 && $"doc_id" % 2 === 0))
+    val psi = Profiling.psiDrift(docs, shifted, "n_chars", nBins = 10)
+      .select("psi_total").as[Double].head()
+    assert(psi > 0.02, s"psi_total $psi did not register the shift")
+  }
+
   test("outliersMad catches what stddev-based z-scores miss, zero-MAD guarded") {
     val vals = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 100.0, 10.0)
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
