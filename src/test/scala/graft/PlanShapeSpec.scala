@@ -262,4 +262,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(readSchema.contains("l_extendedprice") && !readSchema.contains("l_partkey"),
       s"scan not pruned to the histogram column: $readSchema")
   }
+
+  test("KMV sketch: bottom-k via TopKPerKey after partial-agg dedup, no window") {
+    val plan = executedFinal(graft.ext.Sketches.kmvSketch(
+      Tables.lineitem(spark, sf0001), "l_returnflag", "l_orderkey", 32))
+    assert(plan.contains("TopKPerKey"), s"native top-k missing:\n$plan")
+    assert(!plan.contains("Window"), s"KMV planned a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"dedup not a hash agg:\n$plan")
+  }
+
+  test("SQ8 + funnel retrieval: TopKPerKey ranking, broadcast query side, no UDF") {
+    for (name <- Seq("q_n8_sq_ann", "q_v3_matryoshka_funnel")) {
+      val plan = executedFinal(SparkEntry.queries(name)(spark, sf0001))
+      assert(plan.contains("TopKPerKey"), s"$name: native top-k missing:\n$plan")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: query side not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name: sort-merge join:\n$plan")
+      assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
+    }
+  }
+
+  test("containment join: equi-join candidates, never a cartesian family") {
+    val plan = executedFinal(SparkEntry.queries("q_d12_containment")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in containment:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in containment:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in containment plan:\n$plan")
+  }
+
+  test("curriculum schedule: threshold broadcast + map-side projection, no window") {
+    val plan = executedFinal(SparkEntry.queries("q_o16_curriculum")(spark, sf0001))
+    assert(!plan.contains("Window"), s"curriculum planned a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"curriculum sort-merged:\n$plan")
+  }
 }
