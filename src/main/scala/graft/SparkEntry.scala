@@ -998,6 +998,19 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x29_zipf" -> ((s, d) => // Zipf rank-frequency fit over the
+      // unigram vocabulary — the corpus-health slope; exact oracle
+      // replaying the least-squares arithmetic
+      graft.ext.TextAnalysis.zipfFit(Tables.documents(s, d), "text")),
+
+    "q_x30_langid_confusion" -> ((s, d) => // langid evaluation face:
+      // confusion counts of the q_x1 heuristic against the labeled
+      // lang column — exact oracle reusing the q_x1 replay
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     "q_x28_gopher_rules" -> ((s, d) => { // Gopher rule-based quality
       // pre-filter: planted symbol-noise (%7) and long-word (%11)
       // corruption must fail the alpha-fraction / mean-word-length
@@ -3264,6 +3277,43 @@ object SparkEntry {
                 round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf,
                 count(*) AS n_lists
          FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q_x29_zipf" ->
+      """WITH f AS (SELECT tok, count(*) AS f FROM
+           (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x <> '')) AS tok FROM documents)
+           GROUP BY tok),
+         rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM f),
+         xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+                FROM rk),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy FROM xy),
+         sl AS (SELECT n, sx, sy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope0 FROM s)
+         SELECT CAST(n AS BIGINT) AS n_vocab, round(slope0, 4) AS slope,
+                round((sy - slope0 * sx) / n, 4) AS intercept
+         FROM sl""",
+    "q_x30_langid_confusion" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['el','los','y','es','un','una','que'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['的','是','在','了','和','有','我'], x))) AS h_zh
+           FROM t),
+         p AS (SELECT doc_id,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+           FROM h)
+         SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM documents d JOIN p USING (doc_id)
+         GROUP BY d.lang, p.lang_pred ORDER BY lang, lang_pred""",
     "q_x28_gopher_rules" ->
       """WITH aug AS (SELECT doc_id,
            CASE WHEN doc_id % 7 = 0

@@ -377,6 +377,37 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
+    * language follows freq ∝ rank^s with s ≈ −1; a slope far from −1
+    * flags template spam, boilerplate floods or tokenizer damage):
+    * least-squares fit of ln(freq) on ln(rank) over the unigram
+    * vocabulary. One distributed count aggregation; the rank window
+    * and the regression run over VOCABULARY-sized data (the q_a17
+    * documented-small precedent — a vocabulary is millions of rows at
+    * web scale, never corpus-sized).
+    *
+    * @return one row: (n_vocab, slope, intercept), 4 dp
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    val xy = ranked.select(log(col("r").cast("double")).as("x"),
+      log(col("f").cast("double")).as("y"))
+    val agg = xy.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    agg.withColumn("slope0",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("n_vocab"),
+        round(col("slope0"), 4).as("slope"),
+        round((col("sy") - col("slope0") * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
     * the rule-based pre-filter most pretraining corpora run before
     * any model-based scoring): per document, word count, mean word

@@ -206,6 +206,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 > d1 && d1 > out(3)._3)
   }
 
+  test("zipfFit recovers slope -1 on an exactly Zipfian corpus") {
+    // token w_r appears floor(1000/r) times -> ln f = ln 1000 - ln r
+    val text = (1 to 20).flatMap(r => Seq.fill(1000 / r)(s"w${('a' + r).toChar}"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, "text").head()
+    assert(row.getLong(0) == 20L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+  }
+
   test("gopherQuality: each rule fails for its own reason, clean docs pass") {
     val longWord = Array.fill(10)("pneumonoultramicroscopicsilicovolcanoconiosis")
       .mkString(" ")
