@@ -879,6 +879,26 @@ object SparkEntry {
     // with history kept — changed keys get their open row closed at
     // the update ts plus a new open row; identical updates are no-ops
     // (idempotence is the spec's property); closed rows never join --
+    "q_t15_scd2_lookup" -> ((s, d) => { // per-row point-in-time lookup
+      // against the SCD-2 history: probes at ts=500 (pre-update) and
+      // ts=1500 (post-update) must see the matching version — hash
+      // equi-join on the key, validity band as residual; exact oracle
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      val hist0 = cust.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val upd = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") +
+          when(col("c_custkey") % 14 === 0, 0.0).otherwise(100.0), 2))
+        .withColumn("ts", lit(1000L))
+      val hist = GraphStore.scd2Apply(hist0, upd, Seq("c_custkey"), "ts")
+      val facts = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), explode(array(lit(500L), lit(1500L))).as("ts"))
+      GraphStore.scd2Lookup(facts, hist, Seq("c_custkey"), "ts")
+        .select(col("c_custkey"), col("ts"), col("c_acctbal"), col("valid_from"))
+        .orderBy(col("c_custkey"), col("ts"))
+    }),
+
     "q_g6_scd2" -> ((s, d) => {
       val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("c_acctbal"))
@@ -3106,6 +3126,28 @@ object SparkEntry {
                  GROUP BY id)
          SELECT v.id, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles
          FROM verts v LEFT JOIN cnt USING (id) ORDER BY id""",
+    "q_t15_scd2_lookup" ->
+      """WITH cust AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+                       FROM customer),
+         changed AS (SELECT c_custkey FROM cust
+                     WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0),
+         hist AS (
+           SELECT c.c_custkey, c.c_acctbal, CAST(0 AS BIGINT) AS valid_from,
+                  CASE WHEN ch.c_custkey IS NOT NULL
+                       THEN CAST(1000 AS BIGINT) ELSE NULL END AS valid_to
+           FROM cust c LEFT JOIN changed ch USING (c_custkey)
+           UNION ALL
+           SELECT c.c_custkey, round(c.c_acctbal + 100.0, 2),
+                  CAST(1000 AS BIGINT), NULL
+           FROM cust c JOIN changed USING (c_custkey)),
+         facts AS (SELECT c_custkey,
+                     unnest([CAST(500 AS BIGINT), CAST(1500 AS BIGINT)]) AS ts
+                   FROM cust WHERE c_custkey % 3 = 0)
+         SELECT f.c_custkey, f.ts, h.c_acctbal, h.valid_from
+         FROM facts f JOIN hist h ON h.c_custkey = f.c_custkey
+           AND h.valid_from <= f.ts
+           AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+         ORDER BY 1, 2""",
     "q_g6_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
                        FROM customer),

@@ -304,6 +304,31 @@ object GraphStore {
     history.filter(col("valid_from") <= tsUs &&
       (col("valid_to").isNull || col("valid_to") > tsUs))
 
+  /** Per-row point-in-time lookup against an SCD-2 history — the
+    * warehouse temporal-join pattern [[scd2AsOf]] can't express (each
+    * fact row carries its OWN event time): left-join each fact to the
+    * version whose [valid_from, valid_to) interval contains its
+    * `tsCol`. The SCD-2 non-overlap invariant guarantees at most one
+    * match per fact, so the join never fans out.
+    *
+    * Scale shape: a hash EQUI-join on the business key with the
+    * validity band as a residual filter — never a range join; the key
+    * carries all the selectivity and Spark plans the standard
+    * broadcast/shuffled hash join. Facts with no valid version (too
+    * early, unknown key) keep null history columns. */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    val f = facts.alias("__f")
+    val h = history.alias("__h")
+    val cond = keys.map(k => col(s"__f.$k") === col(s"__h.$k")).reduce(_ && _) &&
+      col("__h.valid_from") <= col(s"__f.$tsCol") &&
+      (col("__h.valid_to").isNull || col(s"__f.$tsCol") < col("__h.valid_to"))
+    val hCols = history.columns.filterNot(keys.contains)
+      .map(c => col(s"__h.$c"))
+    f.join(h, cond, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++ hCols: _*)
+  }
+
   /** Last-writer-wins keyed upsert as a pure DataFrame transform (the
     * testable core of [[GraphStore.merge]]). `existing` gets batch seq
     * 0; `incoming` rows are ranked by their position so that a later

@@ -121,6 +121,27 @@ class GraphStoreSpec extends SparkSpec {
       .as[(String, Int, Long, Option[Long])].collect().toSeq == rows)
   }
 
+  test("scd2Lookup: each fact sees exactly the version valid at its own ts") {
+    val hist = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val upd = Seq(("a", 10)).toDF("k", "v").withColumn("ts", lit(100L))
+    val h = GraphStore.scd2Apply(hist, upd, Seq("k"), "ts")
+    val facts = Seq(("a", 50L), ("a", 100L), ("a", 150L), ("b", 50L),
+      ("z", 50L)).toDF("k", "ts")
+    val out = GraphStore.scd2Lookup(facts, h, Seq("k"), "ts")
+      .select($"k", $"ts", $"v").as[(String, Long, Option[Int])]
+      .collect().toSet
+    assert(out == Set(
+      ("a", 50L, Some(1)),    // before the update
+      ("a", 100L, Some(10)),  // valid_from inclusive
+      ("a", 150L, Some(10)),  // after
+      ("b", 50L, Some(2)),    // untouched key
+      ("z", 50L, None)))      // unknown key: left join keeps the fact
+    // SCD-2 non-overlap => the lookup never fans a fact out
+    assert(out.size == facts.count())
+  }
+
   test("detachDelete removes edges where the deleted node is the dst too") {
     val root = java.nio.file.Files.createTempDirectory("graftstore2").toString
     val store = new GraphStore(spark, root)
