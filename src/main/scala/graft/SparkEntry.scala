@@ -2514,6 +2514,28 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- weekly cohort retention matrix: cohort = Monday of each
+    // user's first event week; a cell (cohort_week, weeks_since)
+    // counts distinct cohort users active in that later week.
+    // Activity is deduped to (user, week) BEFORE the cohort join, so
+    // the join and the matrix aggregate are bounded by users ×
+    // active-weeks, never raw events --
+    "q_t14_retention" -> ((s, d) =>
+      graft.ext.TimeSeries.cohortRetention(
+          Tables.events(s, d), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("weeks_since"))),
+
+    // -- first/last-touch conversion attribution: one window pass
+    // over the per-user stream (ties on event_id, the q_t10 order
+    // contract) tags every purchase with the earliest and the most
+    // recent preceding non-purchase touch; the per-type credit
+    // tables are event-type-vocabulary-sized, so the tail of the
+    // plan stays broadcast-sized at any corpus scale --
+    "q_t16_attribution" -> ((s, d) =>
+      graft.ext.TimeSeries.touchAttribution(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", "purchase")
+        .orderBy(col("touch_type"))),
+
     // -- distributed BPE training (15 merges on the word-frequency
     // dict). The merge LOOP is iterative argmax — not SQL-replayable —
     // so the gate pins what IS deterministic: the first merge (one
@@ -4843,6 +4865,38 @@ object SparkEntry {
          SELECT purchase_id, count(*) AS n_prior_views
          FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
          GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_t14_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+         c AS (SELECT u, min(w) AS cw FROM wk GROUP BY u)
+         SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS weeks_since,
+                count(*) AS users
+         FROM wk JOIN c USING (u)
+         GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""",
+    "q_t16_attribution" ->
+      """WITH e AS (SELECT event_type AS t,
+             first_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+             last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+           FROM events),
+         p AS (SELECT coalesce(ft, '(none)') AS ft,
+                      coalesce(lt, '(none)') AS lt
+               FROM e WHERE t = 'purchase'),
+         f AS (SELECT ft AS touch_type, count(*) AS first_touch
+               FROM p GROUP BY ft),
+         l AS (SELECT lt AS touch_type, count(*) AS last_touch
+               FROM p GROUP BY lt)
+         SELECT touch_type,
+                coalesce(first_touch, CAST(0 AS BIGINT)) AS first_touch,
+                coalesce(last_touch, CAST(0 AS BIGINT)) AS last_touch
+         FROM f FULL OUTER JOIN l USING (touch_type)
+         ORDER BY touch_type""",
     "q_x18_bpe_encode" ->
       """SELECT CAST(sum(len(list_filter(
              string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT)

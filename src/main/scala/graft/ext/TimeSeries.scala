@@ -104,4 +104,63 @@ object TimeSeries {
         max_by(col("__v"), col("__ord")).as("close"),
         count(lit(1)).as("n"))
   }
+
+  /** Weekly cohort retention matrix: each user's cohort is the Monday
+    * of their first event week; a cell (cohort_week, weeks_since)
+    * counts the distinct cohort users active in that later week.
+    * Cohort weeks format as dates so both engines emit the same
+    * string.
+    *
+    * Two hash aggregates and one equi-join on the user key — the
+    * (user, week) activity table is deduped BEFORE the join, so the
+    * join input is bounded by users × active-weeks, not raw events,
+    * and the final matrix aggregate sees at most one row per (user,
+    * week). No window over the raw stream anywhere; every shuffle key
+    * (user, then cohort×week) is high-cardinality or tiny. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val wk = events.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .distinct()
+    val cohort = wk.groupBy(col("__u")).agg(min(col("__w")).as("__c"))
+    wk.join(cohort, "__u")
+      .groupBy(date_format(col("__c"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("__w"), col("__c")) / lit(7)).cast("long").as("weeks_since"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** First- and last-touch conversion attribution: every `convType`
+    * event is credited (a) to the user's earliest preceding
+    * non-conversion touch type and (b) to the most recent one, with
+    * `(none)` when no touch precedes it. Output per touch type:
+    * (touch_type, first_touch, last_touch) conversion counts.
+    *
+    * One window pass over the per-user stream (ties broken on the
+    * event id, same order contract as the transition matrix), then
+    * two tiny aggregates full-outer-joined on the touch type — the
+    * per-type credit tables are bounded by the event-type vocabulary,
+    * so the tail of the plan is broadcast-sized regardless of corpus
+    * scale. */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val conv = events
+      .select(col(typeCol).as("__t"),
+        first(touch, ignoreNulls = true).over(w).as("__ft"),
+        last(touch, ignoreNulls = true).over(w).as("__lt"))
+      .filter(col("__t") === convType)
+      .select(coalesce(col("__ft"), lit("(none)")).as("__ft"),
+        coalesce(col("__lt"), lit("(none)")).as("__lt"))
+    val byFirst = conv.groupBy(col("__ft").as("touch_type"))
+      .agg(count(lit(1)).as("first_touch"))
+    val byLast = conv.groupBy(col("__lt").as("touch_type"))
+      .agg(count(lit(1)).as("last_touch"))
+    byFirst.join(byLast, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+  }
 }

@@ -70,4 +70,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(0) == ((1L, 5.0, 9.0, 2.0, 2.0, 3L)), out(0).toString)
     assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
   }
+
+  test("cohortRetention counts distinct cohort users per weeks-since cell") {
+    // 2024-01-01 is a Monday. u1 joins week 0, active weeks 0 and 2;
+    // u2 joins week 0, active week 0 only (two events, deduped);
+    // u3 joins week 2 — a second cohort, never counted in the first.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-04 09:00:00")),
+      (3L, ts("2024-01-17 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.cohortRetention(ev, "user_id", "ts")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-15", 0L, 1L)), out.mkString(", "))
+  }
+
+  test("touchAttribution credits first vs last preceding touch, (none) when bare") {
+    // u1: view(1) → click(2) → purchase(3): first=view, last=click.
+    // u2: purchase with no preceding touch → (none); a view AFTER the
+    // purchase must not earn credit.
+    // u3: same-ts tie — event_id orders click(30) before view(31),
+    // so last touch at purchase(32) is the view.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "click"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 00:01:00"), 10L, "purchase"),
+      (2L, ts("2024-01-01 00:02:00"), 11L, "view"),
+      (3L, ts("2024-01-01 00:05:00"), 30L, "click"),
+      (3L, ts("2024-01-01 00:05:00"), 31L, "view"),
+      (3L, ts("2024-01-01 00:06:00"), 32L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.touchAttribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("(none)", 1L, 1L), ("click", 1L, 1L), ("view", 1L, 1L)),
+      out.mkString(", "))
+  }
 }
