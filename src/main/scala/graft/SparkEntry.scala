@@ -862,6 +862,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- per-source quantile normalization of document lengths onto
+    // the pooled corpus distribution (100-point exact-percentile
+    // grid, broadcast as one array row; within-group rank via
+    // cume_dist so ties agree across engines) — the cross-source
+    // feature equalizer --
+    "q_p17_quantile_normalize" -> ((s, d) =>
+      graft.ext.Profiling.quantileNormalize(
+          Tables.documents(s, d), "n_chars", "source")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("v_qnorm"))
+        .orderBy(col("doc_id"))),
+
     // -- GraphX triangle counting over the keyword-projection graph --
     "q_gx_triangles" -> ((s, d) => {
       // suppliers sharing a part (sparse l_orderkey%100 subgraph, the
@@ -3131,6 +3143,17 @@ object SparkEntry {
          FROM documents d JOIN b USING (source)
          GROUP BY d.source, b.lo, b.hi
          ORDER BY d.source""",
+    "q_p17_quantile_normalize" ->
+      """WITH g AS (SELECT list_transform(
+             quantile_cont(n_chars,
+               list_transform(range(1, 101), x -> x / 100.0)),
+             x -> round(x, 4)) AS gl FROM documents),
+         r AS (SELECT doc_id, source, n_chars,
+                 cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+               FROM documents)
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                gl[CAST(ceil(cd * 100) AS INT)] AS v_qnorm
+         FROM r, g ORDER BY doc_id""",
     "q_gx_triangles" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
                      FROM lineitem WHERE l_orderkey % 100 = 0),

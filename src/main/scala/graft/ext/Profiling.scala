@@ -136,6 +136,38 @@ object Profiling {
         least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
   }
 
+  /** Per-group quantile normalization onto the POOLED distribution —
+    * the cross-source feature equalizer (microarray lineage): a row's
+    * within-group rank quantile is mapped to the pooled corpus value
+    * at that same quantile, so every group ends up with an identical
+    * value distribution and per-source scoring biases cancel. The
+    * map goes through an `nBins`-point grid of exact pooled
+    * percentiles (rounded 4 dp so both engines agree bit-for-bit);
+    * the within-group quantile is cume_dist, so ties share a bucket
+    * and tie order is irrelevant.
+    *
+    * Scale shape: one aggregation builds the K-value grid (broadcast
+    * as a single array row), one window pass partitioned on the
+    * group key ranks the rows — no per-row join against a
+    * corpus-sized reference table, which is what makes this form
+    * survive a 100× scale-up where the naive as-of join against the
+    * full sorted pool would not. */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+      nBins: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val ps = (1 to nBins).map(_.toDouble / nBins)
+    val grid = df.agg(transform(
+      percentile(col(valueCol), array(ps.map(lit): _*)),
+      x => round(x, 4)).as("__g"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.withColumn("__cd", cume_dist().over(w))
+      .crossJoin(broadcast(grid))
+      .withColumn("v_qnorm",
+        element_at(col("__g"), ceil(col("__cd") * nBins).cast("int")))
+      .drop("__cd", "__g")
+  }
+
   /** Population-stability-index drift report — the standard
     * production monitor for "did this week's corpus shift against the
     * reference?" (credit-scoring lineage; PSI = Σ (p−q)·ln(p/q) over

@@ -155,4 +155,24 @@ class QualitySpec extends SparkSpec {
     // something actually got clipped at a 10/90 band on 25-doc groups
     assert(w.filter($"v_wins" =!= $"n_chars".cast("double")).count() > 0)
   }
+
+  test("quantileNormalize equalizes group distributions onto the pooled grid") {
+    // group a: values 1..10; group b: 101..110 — after normalization
+    // both groups must land on the SAME set of pooled grid values,
+    // order-preserving within each group
+    val df = ((1 to 10).map(v => (v.toLong, "a", v.toDouble)) ++
+        (1 to 10).map(v => (v.toLong + 10, "b", v + 100.0)))
+      .toDF("id", "grp", "v")
+    val out = Profiling.quantileNormalize(df, "v", "grp", nBins = 10)
+      .select($"id", $"grp", $"v", $"v_qnorm")
+      .as[(Long, String, Double, Double)].collect()
+    val a = out.filter(_._2 == "a").sortBy(_._3).map(_._4)
+    val b = out.filter(_._2 == "b").sortBy(_._3).map(_._4)
+    assert(a.toSeq == b.toSeq, s"a=${a.mkString(",")} b=${b.mkString(",")}")
+    assert(a.sorted.toSeq == a.toSeq, "normalization must preserve order")
+    // pooled 10-bin grid over the 20 values spans both groups' ranges
+    assert(a.head < 11.0 && a.last > 100.0, a.mkString(","))
+    // identical distributions after the map: same multiset per group
+    assert(a.toSet.size == 10, a.mkString(","))
+  }
 }
