@@ -1030,6 +1030,14 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x31_trigram_backoff" -> ((s, d) => // trigram stupid backoff
+      // (Brants et al.): counts trained on even doc_ids, odd doc_ids
+      // scored held-out so every backoff tier genuinely fires —
+      // c3/c2, else α·c(w2w3)/c(w2), else α²·(c(w3)+1)/(N+V)
+      graft.ext.TextAnalysis.trigramBackoff(Tables.documents(s, d),
+          "doc_id", "text", col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id"))),
+
     "q_x29_zipf" -> ((s, d) => // Zipf rank-frequency fit over the
       // unigram vocabulary — the corpus-health slope; exact oracle
       // replaying the least-squares arithmetic
@@ -3477,6 +3485,54 @@ object SparkEntry {
                 coalesce(sc.n_bigrams, 0) AS n_bigrams,
                 coalesce(sc.logprob, 0.0) AS logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
+    "q_x31_trigram_backoff" ->
+      """WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS tr,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         uni AS (SELECT w, count(*) AS c1
+                 FROM (SELECT unnest(t) AS w FROM t WHERE tr) GROUP BY w),
+         nv AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+         bi AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c2 FROM (
+                  SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS u
+                  FROM t WHERE tr AND len(t) >= 2) GROUP BY 1, 2),
+         tri AS (SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, count(*) AS c3
+                 FROM (
+                  SELECT unnest(list_transform(range(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) AS u
+                  FROM t WHERE tr AND len(t) >= 3) GROUP BY 1, 2, 3),
+         s AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1], w3 := t[i+2]))) AS u
+                  FROM t WHERE NOT tr AND len(t) >= 3)),
+         j AS (SELECT s.doc_id, tri.c3 AS c3, b12.c2 AS c2_12,
+                 b23.c2 AS c2_23, u2.c1 AS c1_2, u3.c1 AS c1_3
+               FROM s
+                 LEFT JOIN tri ON s.w1 = tri.w1 AND s.w2 = tri.w2 AND s.w3 = tri.w3
+                 LEFT JOIN bi b12 ON s.w1 = b12.w1 AND s.w2 = b12.w2
+                 LEFT JOIN bi b23 ON s.w2 = b23.w1 AND s.w3 = b23.w2
+                 LEFT JOIN uni u2 ON s.w2 = u2.w
+                 LEFT JOIN uni u3 ON s.w3 = u3.w),
+         sc AS (SELECT doc_id, count(*) AS n_trigrams,
+                  CAST(count(*) FILTER (WHERE c3 IS NOT NULL) AS BIGINT)
+                    AS n_tri_hits,
+                  CAST(count(*) FILTER (WHERE c3 IS NULL AND c2_23 IS NOT NULL)
+                    AS BIGINT) AS n_bi_hits,
+                  round(avg(ln(CASE
+                    WHEN c3 IS NOT NULL THEN c3 * 1.0 / c2_12
+                    WHEN c2_23 IS NOT NULL
+                      THEN CAST(0.4 AS DOUBLE) * c2_23 / c1_2
+                    ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                      * (coalesce(c1_3, 0) + 1) / (n + v) END)), 4) AS logprob
+                FROM j, nv GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(sc.n_trigrams, 0) AS n_trigrams,
+                coalesce(sc.n_tri_hits, 0) AS n_tri_hits,
+                coalesce(sc.n_bi_hits, 0) AS n_bi_hits,
+                coalesce(sc.logprob, 0.0) AS logprob
+         FROM (SELECT doc_id FROM t WHERE NOT tr) d
+         LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
     "q_x6_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -377,6 +377,74 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** Trigram stupid-backoff scoring (Brants et al. 2007 — the
+    * large-LM fluency scorer that needs no discounting math): a
+    * held-in split trains the count tables, the held-out split is
+    * scored per trigram as c3/c2 when the trigram was seen, else
+    * α·c(w2w3)/c(w2), else α²·(c(w3)+1)/(N+V) — so unseen
+    * continuations degrade smoothly instead of zeroing the document.
+    * Per held-out document: trigram count, how many scored at each
+    * backoff tier, and the mean log score (4 dp).
+    *
+    * Scale shape: the count tables are distributed hash aggregates
+    * (never driver-side), the score stream left-joins them on gram
+    * keys — all equi-joins that AQE can broadcast when a count table
+    * is small and shuffle when it is not; the only corpus-order
+    * dependence is within-document gram extraction, which is a pure
+    * map-side explode. */
+  def trigramBackoff(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, alpha: Double = 0.4): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), trainPred.as("__train"),
+      tokens(col(textCol)).as("t"))
+    def tris(src: DataFrame) = src.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"),
+          element_at(col("t"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+    val train = t.filter(col("__train"))
+    val uni = train.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(sum(col("c1")).as("__n"), count(lit(1)).as("__v"))
+    val bi = train.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val tri = tris(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val score = tris(t.filter(!col("__train")))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.withColumnRenamed("c2", "c2_12"), Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1_3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__s",
+        when(col("c3").isNotNull, col("c3").cast("double") / col("c2_12"))
+          .when(col("c2_23").isNotNull,
+            lit(alpha) * col("c2_23").cast("double") / col("c1_2"))
+          .otherwise(lit(alpha * alpha) *
+            (coalesce(col("c1_3"), lit(0L)) + 1).cast("double") /
+            (col("__n") + col("__v"))))
+    val perDoc = score.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_tri_hits"),
+      sum(when(col("c3").isNull && col("c2_23").isNotNull, 1L)
+        .otherwise(0L)).as("n_bi_hits"),
+      round(avg(log(col("__s"))), 4).as("logprob"))
+    t.filter(!col("__train")).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hits"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("n_bi_hits"), lit(0L)).as("n_bi_hits"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"))
+  }
+
   /** Zipf rank-frequency fit — the corpus-health diagnostic (natural
     * language follows freq ∝ rank^s with s ≈ −1; a slope far from −1
     * flags template spam, boilerplate floods or tokenizer damage):

@@ -251,4 +251,24 @@ class TextAnalysisSpec extends SparkSpec {
       .groupBy("lang").count().as[(String, Long)].collect().toMap
     assert(out.map(r => r._1 -> r._2).toMap == exp)
   }
+
+  test("trigramBackoff: each backoff tier scores its hand-computed value") {
+    // train doc 0: "a b c d" → tri {abc, bcd}, bi {ab, bc, cd},
+    // uni {a,b,c,d}, N=4, V=4
+    val docs = Seq(
+      (0L, "a b c d"),  // train
+      (1L, "a b c"),    // tier 1: c3(abc)/c2(ab) = 1.0 → ln = 0
+      (3L, "x b c"),    // tier 2: 0.4·c2(bc)/c1(b) = 0.4
+      (5L, "x y z"),    // tier 3: α²·(0+1)/(4+4) = 0.02
+      (7L, "a b")       // too short: zero trigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramBackoff(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 0L, 0.0),
+      (3L, 1L, 0L, 1L, -0.9163),  // ln 0.4
+      (5L, 1L, 0L, 0L, -3.912),   // ln 0.02
+      (7L, 0L, 0L, 0L, 0.0)), out.mkString(", "))
+  }
 }
