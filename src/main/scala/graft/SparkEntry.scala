@@ -691,6 +691,22 @@ object SparkEntry {
       GraphQueries.kCorePeel(edges, k = 30, rounds = 3).orderBy(col("node"))
     }),
 
+    // -- k-truss peel over the supplier co-purchase projection — the
+    // EDGE-cohesion sibling of q_g10's k-core (an edge survives only
+    // while it closes ≥ k−2 triangles in the surviving subgraph);
+    // fixed 2 rounds so the generated unrolled MATERIALIZED chain
+    // replays the identical peel, final support recounted on the
+    // induced subgraph --
+    "q_g21_ktruss" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.kTrussPeel(e, k = 4, rounds = 2)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // -- weighted SSSP: fixed-round Bellman-Ford relaxation (the
     // weighted complement of q_gx_sssp's hop-BFS; generated unrolled
     // oracle replays the identical rounds) --
@@ -3042,6 +3058,14 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g21_ktruss" -> graft.query.GraphQueries.kTrussOracleSql(
+      """SELECT DISTINCT a.sk AS src, b.sk AS dst
+         FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 50 = 0) a
+         JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+               FROM lineitem WHERE l_orderkey % 50 = 0) b
+           ON a.pk = b.pk AND a.sk < b.sk""",
+      k = 4, rounds = 2),
     "q_g9_postings" ->
       """WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
                      FROM lineitem)

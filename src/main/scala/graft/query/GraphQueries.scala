@@ -253,6 +253,65 @@ object GraphQueries {
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame =
     kCorePeel(edges, k, maxRounds, toFixpoint = true)
 
+  /** Per-edge triangle support over a canonical (src < dst) edge set:
+    * triangles are enumerated once as ordered triples a<b<c via two
+    * equi-joins, then each triangle credits its three edges. The id
+    * ordering is an orientation, so every triangle is counted exactly
+    * once (at scale the standard refinement is degree-ordering the
+    * orientation so high-degree hubs sit on the pointed end; the id
+    * orientation keeps the DuckDB replay trivial and is within a
+    * constant factor on the non-adversarial graphs gated here). */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(tri.select(col("a").as("src"), col("c").as("dst")))
+      .unionByName(tri.select(col("b").as("src"), col("c").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** k-truss peel, fixed rounds (cohesive-subgraph mining — the
+    * EDGE-grained sibling of [[kCorePeel]]: a k-truss keeps an edge
+    * only while it closes ≥ k−2 triangles inside the surviving
+    * subgraph, so it prunes barely-attached spokes that a degree
+    * k-core keeps): each round recounts per-edge triangle support on
+    * the induced subgraph and drops the weak edges — triangle-free
+    * edges drop immediately (support 0 < k−2). Exactly `rounds`
+    * rounds, mirrored by the generated unrolled
+    * [[kTrussOracleSql]] chain (the k-core / Bellman-Ford
+    * precedent); output is the surviving edge set with its support
+    * RECOUNTED on the final subgraph, so the gate pins the induced
+    * state, not a stale count.
+    *
+    * Scale shape: per round one self-join pair (triangle listing
+    * over the canonical orientation) + one hash aggregate + one
+    * equi-join — all shuffles on edge keys, no window, no driver
+    * state; `localCheckpoint` truncates the growing lineage exactly
+    * as the other relational-iteration operators do. */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      e = e.join(edgeSupport(e), Seq("src", "dst"))
+        .filter(col("sup") >= k - 2)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      r += 1
+    }
+    e.join(edgeSupport(e), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
   /** Connected components with ALTERNATING STAR rounds (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the pure-DataFrame 1000-executor path beside the GraphX Pregel
@@ -811,6 +870,38 @@ object GraphQueries {
       sb.append(s", e${r + 1} AS (SELECT e.src, e.dst FROM e$r e JOIN a$r x ON e.src = x.node JOIN a$r y ON e.dst = y.node)")
     }
     sb.append(s" SELECT node, CAST(deg AS BIGINT) AS deg FROM (${degSql(rounds)}) ORDER BY node")
+    sb.toString
+  }
+
+  /** The unrolled DuckDB oracle for [[kTrussPeel]]: `edgeCte` must
+    * yield canonical (src, dst) with src < dst. Every round's edge
+    * set is referenced three times by the triangle join and once by
+    * the peel, so each CTE is MATERIALIZED — without it the chain
+    * inlines exponentially in rounds (the q_g20 lesson). */
+  def kTrussOracleSql(edgeCte: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH e0 AS MATERIALIZED ($edgeCte)")
+    def triSql(r: Int) =
+      s"""SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM e$r e1 JOIN e$r e2 ON e2.src = e1.src AND e1.dst < e2.dst
+          JOIN e$r e3 ON e3.src = e1.dst AND e3.dst = e2.dst"""
+    def supSql(r: Int) =
+      s"""SELECT src, dst, count(*) AS sup FROM (
+            SELECT a AS src, b AS dst FROM t$r
+            UNION ALL SELECT a, c FROM t$r
+            UNION ALL SELECT b, c FROM t$r)
+          GROUP BY src, dst"""
+    for (r <- 0 to rounds) {
+      sb.append(s", t$r AS MATERIALIZED (${triSql(r)})")
+      if (r < rounds)
+        sb.append(s""", e${r + 1} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e$r e JOIN (${supSql(r)}) s
+          ON e.src = s.src AND e.dst = s.dst WHERE s.sup >= ${k - 2})""")
+    }
+    sb.append(s"""
+      SELECT e.src, e.dst, CAST(coalesce(s.sup, 0) AS BIGINT) AS sup
+      FROM e$rounds e LEFT JOIN (${supSql(rounds)}) s
+      ON e.src = s.src AND e.dst = s.dst
+      ORDER BY e.src, e.dst""")
     sb.toString
   }
 }

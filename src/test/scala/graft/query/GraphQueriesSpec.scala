@@ -124,6 +124,28 @@ class GraphQueriesSpec extends SparkSpec {
       Seq(("b", 1L), ("c", 2L), ("d", 1L)))
   }
 
+  test("kTrussPeel: K4 survives a 4-truss, attached triangles and chords peel") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + a pendant
+    // triangle {4,5,6} + a triangle {3,4,7} sharing K4's (3,4) edge +
+    // chord (1,5) closing {1,4,5} (gives (4,5) support 2 in round 1 —
+    // the CASCADE case: it only dies in round 2 after its triangles'
+    // other edges peel) + a genuinely triangle-free edge (1,8).
+    // 4-truss (support >= 2): exactly the K4, supports recounted = 2.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val extra = Seq((4L, 5L), (4L, 6L), (5L, 6L), (3L, 7L), (4L, 7L),
+      (1L, 5L), (1L, 8L))
+    // feed some edges reversed to exercise canonicalization
+    val e = (k4 ++ extra).map { case (a, b) if a % 2 == 0 => (b, a); case p => p }
+      .toDF("src", "dst")
+    val out = GraphQueries.kTrussPeel(e, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == k4.map { case (a, b) => (a, b, 2L) }, out.mkString(", "))
+    // k = 3 (support >= 1) keeps every triangle edge, drops only (1,8)
+    val t3 = GraphQueries.kTrussPeel(e, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
+  }
+
   test("deterministicWalks: fingerprint-seeded hops, full length on cycles, stop at sinks") {
     def fp(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
