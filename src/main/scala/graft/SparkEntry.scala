@@ -1447,6 +1447,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_v4_random_projection" -> ((s, d) => // deterministic JL sign
+      // projection 64→16 (Achlioptas sign matrix from an integer
+      // hash): fixed-order double fold, exact replay — the cheap
+      // map-side dimension cut in front of an ANN index
+      Similarity.signProject(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "vp")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("vp"), 4).as("vp"))
+        .orderBy(col("vec_id"), col("j"))),
+
     "q_n1_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
@@ -4009,6 +4019,28 @@ object SparkEntry {
                       ORDER BY cos DESC, cand_id) AS rank FROM sc)
          SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_v4_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         js AS (SELECT unnest(range(0, 16)) AS j),
+         h0s AS (SELECT j, list_transform(range(0, 64),
+                   k -> struct_pack(k := k,
+                     h0 := (j * 131 + k * 65537) % 94906249)) AS hl
+                 FROM js),
+         sg AS (SELECT j, list_transform(hl,
+                   s -> CASE WHEN
+                     (((s.h0 * s.h0 + j * 7919 + s.k) % 94906249)
+                      * ((s.h0 * s.h0 + j * 7919 + s.k) % 94906249)
+                      + 12345) % 94906249 % 2 = 0
+                     THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(-1.0 AS DOUBLE) END) AS sl
+                 FROM h0s)
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, len(v)), k -> v[k + 1] * sl[k + 1])),
+             (a, b) -> a + b) * CAST(0.25 AS DOUBLE), 4) AS vp
+         FROM e CROSS JOIN sg ORDER BY vec_id, j""",
     "q_v3_matryoshka_funnel" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

