@@ -878,6 +878,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- Benford first-digit conformance over extended prices: digit
+    // via integer cents + decimal-string length (never floating
+    // log10, whose boundary ulps bin differently per engine);
+    // χ² against N·log10(1+1/d) — the data-forensics screen --
+    "q_p18_benford" -> ((s, d) =>
+      graft.ext.Profiling.benfordReport(
+          Tables.lineitem(s, d), "l_extendedprice")
+        .orderBy(col("digit"))),
+
     // -- per-source quantile normalization of document lengths onto
     // the pooled corpus distribution (100-point exact-percentile
     // grid, broadcast as one array row; within-group rank via
@@ -3185,6 +3194,26 @@ object SparkEntry {
          FROM documents d JOIN b USING (source)
          GROUP BY d.source, b.lo, b.hi
          ORDER BY d.source""",
+    "q_p18_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+               FROM lineitem WHERE l_extendedprice > 0),
+         f AS (SELECT CAST(floor(p / power(10, len(CAST(p AS VARCHAR)) - 1))
+                 AS INT) AS digit FROM c),
+         cnt AS (SELECT digit, count(*) AS n FROM f GROUP BY digit),
+         grid AS (SELECT unnest(range(1, 10)) AS digit),
+         n9 AS (SELECT CAST(g.digit AS BIGINT) AS digit,
+                  coalesce(cnt.n, CAST(0 AS BIGINT)) AS n
+                FROM grid g LEFT JOIN cnt ON g.digit = cnt.digit),
+         t AS (SELECT sum(n) AS t FROM n9),
+         ctr AS (SELECT digit, n,
+                   t * (ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+                        / ln(CAST(10.0 AS DOUBLE))) AS e
+                 FROM n9, t),
+         ctr2 AS (SELECT digit, n, e,
+                    round((n - e) * (n - e) / e, 4) AS chi2_contrib FROM ctr),
+         tt AS (SELECT round(sum(chi2_contrib), 4) AS chi2_total FROM ctr2)
+         SELECT digit, n, round(e, 4) AS expected, chi2_contrib, chi2_total
+         FROM ctr2, tt ORDER BY digit""",
     "q_p17_quantile_normalize" ->
       """WITH g AS (SELECT list_transform(
              quantile_cont(n_chars,

@@ -219,6 +219,42 @@ object Profiling {
         col("psi_total"))
   }
 
+  /** Benford first-significant-digit conformance report — the
+    * data-forensics screen (fabricated or truncated numeric columns
+    * drift off the log distribution; Nigrini's audit standard): per
+    * digit 1–9 the observed count, the Benford-expected count
+    * N·log10(1+1/d), and the χ² contribution, plus the total χ²
+    * repeated per row (the 1-row-broadcast scalar-combine
+    * convention). The first digit is extracted through integer cents
+    * and the decimal-string length — never floating log10, whose
+    * boundary ulps (log10(1000) vs 2.999…) would bin differently per
+    * engine. One hash aggregate over a map-side digit projection; the
+    * 9-row tail is constant-sized at any corpus scale. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val fd = floor(cents.cast("double") /
+      pow(lit(10.0), (length(cents.cast("string")) - 1).cast("double")))
+      .cast("int")
+    val counts = df.filter(col(valueCol) > 0)
+      .select(fd.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val n9 = grid.join(counts, Seq("digit"), "left")
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val tot = n9.agg(sum(col("n")).as("__t"))
+    val contrib = n9.crossJoin(broadcast(tot))
+      .withColumn("__e", col("__t") *
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))))
+      .withColumn("chi2_contrib",
+        round((col("n") - col("__e")) * (col("n") - col("__e")) / col("__e"), 4))
+    val total = contrib.agg(round(sum(col("chi2_contrib")), 4).as("chi2_total"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"), round(col("__e"), 4).as("expected"),
+        col("chi2_contrib"), col("chi2_total"))
+  }
+
   /** Per-group MAD outliers — the ROBUST sibling of [[outliersZ]]
     * (Iglewicz & Hoaglin's modified z-score, 0.6745·(v−med)/MAD,
     * cutoff 3.5): mean/stddev move with the outliers they're hunting,

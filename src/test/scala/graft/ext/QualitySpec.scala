@@ -156,6 +156,25 @@ class QualitySpec extends SparkSpec {
     assert(w.filter($"v_wins" =!= $"n_chars".cast("double")).count() > 0)
   }
 
+  test("benfordReport: digit extraction exact, geometric conforms, uniform flunks") {
+    // digit comes from integer cents + string length, not log10
+    val probe = Seq((1L, 987.65), (2L, 12.34), (3L, 0.07)).toDF("id", "v")
+    val digs = Profiling.benfordReport(probe, "v")
+      .filter($"n" > 0).select($"digit", $"n")
+      .as[(Long, Long)].collect().toMap
+    assert(digs == Map(9L -> 1L, 1L -> 1L, 7L -> 1L), digs.toString)
+    // 1.05^i spans ~4 decades → near-Benford; 100+i covers digits 1-2
+    val geo = (0 until 200).map(i => (i.toLong, math.pow(1.05, i)))
+      .toDF("id", "v")
+    val unif = (0 until 200).map(i => (i.toLong, 100.0 + i)).toDF("id", "v")
+    def chi2(df: org.apache.spark.sql.DataFrame): Double =
+      Profiling.benfordReport(df, "v").select($"chi2_total")
+        .as[Double].head()
+    val (cg, cu) = (chi2(geo), chi2(unif))
+    assert(cg < cu / 5.0, s"geometric chi2 $cg vs uniform $cu")
+    assert(Profiling.benfordReport(geo, "v").count() == 9)
+  }
+
   test("quantileNormalize equalizes group distributions onto the pooled grid") {
     // group a: values 1..10; group b: 101..110 — after normalization
     // both groups must land on the SAME set of pooled grid values,
