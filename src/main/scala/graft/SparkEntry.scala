@@ -707,6 +707,24 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- landmark harmonic centrality: multi-source BFS from the 4
+    // smallest nodes in ONE iterated (landmark, node) frontier — L
+    // sources, one set of rounds/shuffles; harmonic sums accumulate
+    // as exact integers (2520/d), so no float-order dependence --
+    "q_g22_harmonic" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val lms = canon.select(col("src").as("node"))
+        .unionByName(canon.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(4)
+      GraphQueries.landmarkHarmonic(e, lms, rounds = 4).orderBy(col("node"))
+    }),
+
     // -- weighted SSSP: fixed-round Bellman-Ford relaxation (the
     // weighted complement of q_gx_sssp's hop-BFS; generated unrolled
     // oracle replays the identical rounds) --
@@ -3077,6 +3095,24 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g22_harmonic" -> graft.query.GraphQueries.landmarkHarmonicOracleSql(
+      """SELECT src, dst FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)
+         UNION ALL
+         SELECT dst AS src, src AS dst
+         FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)""",
+      """SELECT DISTINCT node FROM (SELECT src AS node FROM e
+           UNION ALL SELECT dst FROM e) ORDER BY node LIMIT 4""",
+      rounds = 4),
     "q_g21_ktruss" -> graft.query.GraphQueries.kTrussOracleSql(
       """SELECT DISTINCT a.sk AS src, b.sk AS dst
          FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

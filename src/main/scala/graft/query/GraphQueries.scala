@@ -873,6 +873,65 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Landmark-sample harmonic centrality (Eppstein–Wang style): run a
+    * MULTI-SOURCE unweighted BFS from every landmark in ONE iterated
+    * frontier keyed (landmark, node) — L sources cost L× the rows of
+    * one BFS but the SAME number of rounds and shuffles, which is the
+    * whole scale point: per round one equi-join on the edge table and
+    * one min-aggregate, identical to [[bellmanFord]] with w=1. Fixed
+    * `rounds` hops; per node the landmark-reach count and the
+    * harmonic sum Σ 1/d accumulated EXACTLY as Σ (2520/d) in integers
+    * (2520 = lcm(1..10), so any hop distance ≤ 10 divides it) —
+    * float summation order never enters, both engines agree
+    * bit-for-bit. `edges` is directed; pass a symmetrized list for
+    * undirected graphs. Landmarks: one column `node`. */
+  def landmarkHarmonic(edges: DataFrame, landmarks: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10]: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = landmarks.select(col("node").as("lm"), col("node"),
+      lit(0L).as("d"))
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("lm"), col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist.filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("2520 div d")).as("h2520"))
+      .select(col("node"), col("n_reached"), col("h2520"),
+        round(col("h2520") / lit(2520.0), 4).as("harmonic"))
+  }
+
+  /** The unrolled DuckDB oracle for [[landmarkHarmonic]]: `edgeCte`
+    * yields directed (src, dst), `landmarkCte` one column `node`. */
+  def landmarkHarmonicOracleSql(edgeCte: String, landmarkCte: String,
+      rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+          d0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS d
+                 FROM ($landmarkCte))""")
+    for (r <- 0 until rounds)
+      sb.append(s""", d${r + 1} AS MATERIALIZED (
+        SELECT lm, node, min(d) AS d FROM (
+          SELECT lm, node, d FROM d$r
+          UNION ALL
+          SELECT d$r.lm, e.dst, d$r.d + 1 FROM d$r JOIN e ON e.src = d$r.node)
+        GROUP BY lm, node)""")
+    sb.append(s"""
+      SELECT node, count(*) AS n_reached,
+             CAST(sum(2520 // d) AS BIGINT) AS h2520,
+             round(CAST(sum(2520 // d) AS BIGINT)
+               / CAST(2520.0 AS DOUBLE), 4) AS harmonic
+      FROM d$rounds WHERE d > 0 GROUP BY node ORDER BY node""")
+    sb.toString
+  }
+
   /** The unrolled DuckDB oracle for [[kTrussPeel]]: `edgeCte` must
     * yield canonical (src, dst) with src < dst. Every round's edge
     * set is referenced three times by the triangle join and once by

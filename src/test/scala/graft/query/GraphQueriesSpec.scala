@@ -146,6 +146,24 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
   }
 
+  test("landmarkHarmonic: exact integer harmonic sums on a path, hop cap honored") {
+    // undirected path a-b-c-d, landmarks {a, d}
+    val canon = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val e = canon.unionByName(canon.select($"dst".as("src"), $"src".as("dst")))
+    val lms = Seq("a", "d").toDF("node")
+    val out = GraphQueries.landmarkHarmonic(e, lms, rounds = 3)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // a: only d reaches it (dist 3) → 2520/3 = 840; b: 1 from a + 2
+    // from d → 2520 + 1260; symmetric for c and d
+    assert(out == Seq(
+      ("a", 1L, 840L, 0.3333), ("b", 2L, 3780L, 1.5),
+      ("c", 2L, 3780L, 1.5), ("d", 1L, 840L, 0.3333)), out.mkString(", "))
+    // with 2 rounds the far endpoints fall off (distance 3 > cap)
+    val capped = GraphQueries.landmarkHarmonic(e, lms, rounds = 2)
+      .as[(String, Long, Long, Double)].collect().map(_._1).sorted.toSeq
+    assert(capped == Seq("b", "c"), capped.mkString(", "))
+  }
+
   test("deterministicWalks: fingerprint-seeded hops, full length on cycles, stop at sinks") {
     def fp(s: String): Long =
       s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
