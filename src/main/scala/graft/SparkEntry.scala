@@ -1484,6 +1484,16 @@ object SparkEntry {
           round(col("vp"), 4).as("vp"))
         .orderBy(col("vec_id"), col("j"))),
 
+    "q_n9_mmr_rerank" -> ((s, d) => { // MMR diversity re-ranking
+      // (Carbonell-Goldstein): top-20 relevance candidates, greedy 5
+      // picks at λ=0.7 — every greedy draw deterministic (6 dp
+      // rounds, cand_id ties) and replayed by the unrolled oracle
+      val e = Tables.embeddings(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 6),
+          "vec_id", "embedding", m = 20, k = 5)
+        .orderBy(col("query_id"), col("pick_rank"))
+    }),
+
     "q_n1_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
@@ -4127,6 +4137,7 @@ object SparkEntry {
                       ORDER BY cos DESC, cand_id) AS rank FROM rs)
          SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_n9_mmr_rerank" -> Similarity.mmrOracleSql(nq = 6, m = 20, k = 5),
     "q_n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

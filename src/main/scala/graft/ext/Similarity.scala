@@ -169,6 +169,107 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98) — the diversity pass RAG retrieval runs after ANN:
+    * from each query's top-`m` relevance candidates, greedily keep
+    * `k`, each next pick maximizing λ·rel − (1−λ)·max-sim-to-picked,
+    * so near-duplicate passages stop crowding out coverage. Scores
+    * round to 6 dp and ties break on cand_id, making every greedy
+    * draw deterministic; k−1 relational rounds (per round: one
+    * equi-join candidates×picked + one max-aggregate + one
+    * bounded-heap argmax per query) replay verbatim as an unrolled
+    * CTE chain ([[mmrOracleSql]]).
+    *
+    * Scale shape: the expensive part is the candidate stream (one
+    * corpus pass, swap in the IVF/LSH stream at 100 TB); the greedy
+    * rounds touch only queries×m rows — candidate work is
+    * checkpointed once, never recomputed per round. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1: m=$m k=$k")
+    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, m)
+      .select(col("query_id"), col("cand_id"), col("cos").as("rel"), col("rank"))
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")),
+        Seq("cand_id"))
+      .localCheckpoint(true)
+    var selected = cands.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), col("cand_v"), col("rel"),
+        lit(1L).as("pick_rank"))
+    var remaining = cands.filter(col("rank") > 1)
+      .select(col("query_id"), col("cand_id"), col("cand_v"), col("rel"))
+    for (i <- 2 to k) {
+      val ms = remaining
+        .join(selected.select(col("query_id"), col("cand_v").as("sel_v")),
+          Seq("query_id"))
+        .withColumn("sim",
+          round(VectorFunctions.cosine(col("cand_v"), col("sel_v")), 6))
+        .groupBy(col("query_id"), col("cand_id")).agg(max(col("sim")).as("max_sim"))
+      val scored = remaining.join(ms, Seq("query_id", "cand_id"))
+        .withColumn("mmr", round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("max_sim"), 6))
+      val pick = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
+          Seq(col("mmr").desc, col("cand_id")), 1)
+        .select(col("query_id"), col("cand_id"), col("cand_v"), col("rel"),
+          lit(i.toLong).as("pick_rank"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("pick_rank"), col("cand_id"), col("rel"))
+  }
+
+  /** The unrolled DuckDB oracle for [[mmrRerank]] over the embeddings
+    * table with queries `vec_id < nq`, λ fixed at 0.7 (the 1−λ term
+    * is written as an IEEE double subtraction so both engines carry
+    * the same 0.30000000000000004). */
+  def mmrOracleSql(nq: Int, m: Int, k: Int): String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = s"(CAST(1.0 AS DOUBLE) - $lam)"
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          q AS (SELECT * FROM e WHERE vec_id < $nq),
+          sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   round(list_cosine_similarity(q.v, c.v), 6) AS rel, c.v AS cv
+                 FROM e c JOIN q ON c.vec_id <> q.vec_id),
+          cand AS MATERIALIZED (SELECT query_id, cand_id, rel, cv FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cand_id) AS rk FROM sc) WHERE rk <= $m),
+          s1 AS (SELECT query_id, cand_id, rel, cv,
+                   CAST(1 AS BIGINT) AS pick_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, cand_id) AS rk FROM cand) WHERE rk = 1),
+          r1 AS (SELECT c.* FROM cand c LEFT JOIN s1
+                 ON c.query_id = s1.query_id AND c.cand_id = s1.cand_id
+                 WHERE s1.cand_id IS NULL)""")
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb.append(s""", p$i AS MATERIALIZED (SELECT query_id, cand_id FROM (
+          SELECT r.query_id, r.cand_id, row_number() OVER (
+              PARTITION BY r.query_id
+              ORDER BY round($lam * r.rel - $oneMinus * ms.ms, 6) DESC,
+                r.cand_id) AS pk
+          FROM r$p r JOIN (
+            SELECT r2.query_id, r2.cand_id,
+              max(round(list_cosine_similarity(r2.cv, s.cv), 6)) AS ms
+            FROM r$p r2 JOIN s$p s ON r2.query_id = s.query_id
+            GROUP BY r2.query_id, r2.cand_id) ms
+          ON r.query_id = ms.query_id AND r.cand_id = ms.cand_id)
+        WHERE pk = 1)""")
+      sb.append(s""", s$i AS MATERIALIZED (SELECT * FROM s$p UNION ALL
+        SELECT c.query_id, c.cand_id, c.rel, c.cv, CAST($i AS BIGINT) AS pick_rank
+        FROM cand c JOIN p$i USING (query_id, cand_id))""")
+      sb.append(s""", r$i AS MATERIALIZED (SELECT r.* FROM r$p r
+        LEFT JOIN p$i p ON r.query_id = p.query_id AND r.cand_id = p.cand_id
+        WHERE p.cand_id IS NULL)""")
+    }
+    sb.append(s"""
+      SELECT query_id, pick_rank, cand_id, rel FROM s$k
+      ORDER BY query_id, pick_rank""")
+    sb.toString
+  }
+
   /** Hard-negative mining — the contrastive-training-pair constructor
     * (DPR / Karpukhin et al. 2020 shape): for each query, the k most
     * similar corpus items that are NOT its labeled positives. These

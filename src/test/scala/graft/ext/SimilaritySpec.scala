@@ -260,6 +260,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 >= r4 && r16 >= 0.5, s"funnel recall@5: x4 $r4, x16 $r16")
   }
 
+  test("mmrRerank: diversity skips the near-duplicate; lambda=1 is pure relevance") {
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // query
+      (1L, Array(0.99f, 0.14f, 0.0f, 0.0f)),  // top relevance
+      (2L, Array(0.99f, 0.141f, 0.0f, 0.0f)), // near-duplicate of 1
+      (3L, Array(0.8f, 0.0f, 0.6f, 0.0f)),    // relevant AND diverse
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))     // orthogonal, irrelevant
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 100L)
+    def picks(lam: Double): Seq[Long] =
+      Similarity.mmrRerank(vecs, q, "vec_id", "embedding",
+          m = 4, k = 3, lambda = lam)
+        .orderBy("pick_rank").as[(Long, Long, Long, Double)]
+        .collect().map(_._3).toSeq
+    // λ=0.5: 2's redundancy (sim≈1 to pick 1) buries it below even the
+    // orthogonal 4 — the greedy path is 1, 3 (diverse), 4
+    assert(picks(0.5) == Seq(1L, 3L, 4L), picks(0.5).mkString(", "))
+    // λ=1 disables the penalty: identical to relevance order
+    assert(picks(1.0) == Seq(1L, 2L, 3L), picks(1.0).mkString(", "))
+  }
+
   test("signProject: JL cosine preservation within ~1/sqrt(outDim), no checkerboard") {
     val e = Tables.embeddings(spark, sf0001).limit(100)
     def cosines(df: org.apache.spark.sql.DataFrame, vc: String): Map[(Long, Long), Double] =
