@@ -905,6 +905,15 @@ object SparkEntry {
           Tables.lineitem(s, d), "l_extendedprice")
         .orderBy(col("digit"))),
 
+    // -- Bayesian-bootstrap CI for the mean document length: B=40
+    // deterministic exponential weights per row (fingerprint →
+    // double-MINSTD → −ln u), weighted means accumulated in decimal
+    // so partition order never moves a replicate, exact percentiles
+    // over the replicate means — the bootstrap that distributes --
+    "q_p19_bootstrap_ci" -> ((s, d) =>
+      graft.ext.Profiling.bayesianBootstrapCi(
+        Tables.documents(s, d), "doc_id", "n_chars")),
+
     // -- per-source quantile normalization of document lengths onto
     // the pooled corpus distribution (100-point exact-percentile
     // grid, broadcast as one array row; within-group rank via
@@ -3240,6 +3249,30 @@ object SparkEntry {
          FROM documents d JOIN b USING (source)
          GROUP BY d.source, b.lo, b.hi
          ORDER BY d.source""",
+    "q_p19_bootstrap_ci" ->
+      """WITH reps AS (
+           SELECT b.b AS b, CAST(d.n_chars AS DOUBLE) AS x,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(
+                 CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)
+                   || ':17', ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, v) -> (a * 31 + v) % 2147483647) AS fp
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 40)) AS b) b),
+         wgt AS (SELECT b, x,
+           -ln((((fp * 48271) % 2147483647 * 48271) % 2147483647 + 1)
+               / CAST(2147483648.0 AS DOUBLE)) AS w
+           FROM reps),
+         ms AS (SELECT b,
+           CAST(sum(CAST(w * x AS DECIMAL(30,10))) AS DOUBLE)
+             / CAST(sum(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS m
+           FROM wgt GROUP BY b)
+         SELECT count(*) AS n_reps,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.5), 4) AS ci_mid,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi
+         FROM ms""",
     "q_p18_benford" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
                FROM lineitem WHERE l_extendedprice > 0),

@@ -219,6 +219,46 @@ object Profiling {
         col("psi_total"))
   }
 
+  /** Bayesian-bootstrap confidence interval for the corpus mean
+    * (Rubin '81) — the bootstrap that actually distributes: instead
+    * of materializing B resamples, every row carries B deterministic
+    * exponential weights (w = −ln u, the Dirichlet-weights limit) and
+    * each replicate is a weighted mean — one map-side explode ×B and
+    * one B-row aggregate, no sampling shuffle, which is why Poisson/
+    * Bayesian bootstrap is the standard form at corpus scale. The
+    * uniform u comes from the char-poly fingerprint of "id:b:seed"
+    * pushed through TWO MINSTD steps (the KMV lesson: short-string
+    * fingerprints never wrap the modulus, so raw values are tiny and
+    * the weights would all be huge without the finalizer). Weighted
+    * sums accumulate in DECIMAL(30,10), so partition order never
+    * perturbs a replicate mean and the oracle replays it exactly;
+    * the CI is exact percentiles over the B replicate means. */
+  def bayesianBootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 40, seed: Int = 17): DataFrame = {
+    require(b >= 4, s"need b >= 4 replicates: $b")
+    val M = 2147483647L
+    val reps = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("double").as("__x"))
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val fp = graft.functions.TextStats.fingerprint(
+      concat_ws(":", col("__id"), col("b"), lit(seed)))
+    val h2 = ((fp * lit(48271L)) % lit(M) * lit(48271L)) % lit(M)
+    val u = (h2 + 1).cast("double") / lit(2147483648.0)
+    val w = -log(u)
+    val means = reps
+      .select(col("b"), w.as("__w"), (w * col("__x")).as("__wx"))
+      .groupBy(col("b"))
+      .agg(sum(col("__wx").cast("decimal(30,10)")).as("__swx"),
+        sum(col("__w").cast("decimal(30,10)")).as("__sw"))
+      .select(col("b"),
+        (col("__swx").cast("double") / col("__sw").cast("double")).as("m"))
+    means.agg(count(lit(1)).as("n_reps"),
+      round(percentile(col("m"), lit(0.025)), 4).as("ci_lo"),
+      round(percentile(col("m"), lit(0.5)), 4).as("ci_mid"),
+      round(percentile(col("m"), lit(0.975)), 4).as("ci_hi"))
+  }
+
   /** Benford first-significant-digit conformance report — the
     * data-forensics screen (fabricated or truncated numeric columns
     * drift off the log distribution; Nigrini's audit standard): per

@@ -175,6 +175,25 @@ class QualitySpec extends SparkSpec {
     assert(Profiling.benfordReport(geo, "v").count() == 9)
   }
 
+  test("bayesianBootstrapCi: degenerate on constants, brackets the mean, deterministic") {
+    val const = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    val c = Profiling.bayesianBootstrapCi(const, "id", "v", b = 20)
+      .as[(Long, Double, Double, Double)].head()
+    assert(c == ((20L, 7.0, 7.0, 7.0)), c.toString)
+    // mixed data: ordered CI that brackets the true mean
+    val data = (1 to 200).map(i => (i.toLong, (i % 10).toDouble)).toDF("id", "v")
+    val (n, lo, mid, hi) = Profiling.bayesianBootstrapCi(data, "id", "v", b = 40)
+      .as[(Long, Double, Double, Double)].head()
+    assert(n == 40L)
+    assert(lo < mid && mid < hi, s"($lo, $mid, $hi)")
+    assert(lo < 4.5 && 4.5 < hi, s"true mean 4.5 outside ($lo, $hi)")
+    assert(hi - lo < 1.0, s"CI implausibly wide: ($lo, $hi)")
+    // deterministic replay
+    val again = Profiling.bayesianBootstrapCi(data, "id", "v", b = 40)
+      .as[(Long, Double, Double, Double)].head()
+    assert(again == ((n, lo, mid, hi)))
+  }
+
   test("quantileNormalize equalizes group distributions onto the pooled grid") {
     // group a: values 1..10; group b: 101..110 — after normalization
     // both groups must land on the SAME set of pooled grid values,
