@@ -2070,6 +2070,16 @@ object SparkEntry {
     // (p_s ∝ n_s^0.5, the multilingual up-sample-the-tail rule).
     // src0/src1 are doubled via shifted-id copies so the corpus is
     // actually skewed and the α-flattening is observable. --
+    "q_o17_preference_pairs" -> ((s, d) => // DPO preference-pair
+      // mining: per (source, lang) group the best-quality doc is
+      // `chosen`, the worst `rejected` — ONE string-composite
+      // max_by/min_by aggregate, no windows; zero-margin all-tied
+      // groups and singletons drop
+      graft.ext.Sampling.preferencePairs(Tables.documents(s, d),
+          "doc_id", Seq("source", "lang"),
+          graft.ext.TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("source"), col("lang"))),
+
     "q_o16_curriculum" -> ((s, d) => // competence-based curriculum:
       // difficulty stage by exact corpus quartiles of n_chars,
       // seeded fingerprint order within stage — exact oracle
@@ -4426,6 +4436,40 @@ object SparkEntry {
             OR (source = 'src2' AND cum < 4000)
             OR (source = 'src3' AND cum < 2000)
          ORDER BY doc_id""",
+    "q_o17_preference_pairs" ->
+      """WITH t AS (SELECT doc_id, source, lang, text,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, source, lang, text,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+               * 1.0 / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+               * 1.0 / len(toks) ELSE 0.0 END AS sr,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS awl
+           FROM t),
+         q AS (SELECT doc_id, source, lang,
+           round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+                 + least(sr * 4.0, 1.0) * 0.2
+                 + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+           FROM m),
+         agg AS (SELECT source, lang,
+           arg_max(doc_id, printf('%07.4f', quality)
+             || printf('%012d', 999999999999 - doc_id)) AS chosen_id,
+           max(quality) AS chosen_q,
+           arg_min(doc_id, printf('%07.4f', quality)
+             || printf('%012d', doc_id)) AS rejected_id,
+           min(quality) AS rejected_q
+           FROM q GROUP BY source, lang)
+         SELECT source, lang, chosen_id, chosen_q, rejected_id, rejected_q,
+                round(chosen_q - rejected_q, 4) AS margin
+         FROM agg WHERE chosen_id <> rejected_id
+         ORDER BY source, lang""",
     "q_o9_weighted_sample" ->
       """WITH t AS (SELECT doc_id, lang, text,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

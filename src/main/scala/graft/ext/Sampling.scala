@@ -260,4 +260,40 @@ object Sampling {
         Seq(col(domainCol)), Seq(col("__fp").asc, col(idCol).asc), cap)
       .drop("__fp")
   }
+
+  /** Preference-pair construction (the DPO / RLHF-reward data shape):
+    * per group, the best-scored item becomes `chosen` and the
+    * worst-scored `rejected`, with the score margin attached. Ties
+    * break to the smallest id on both ends, so an all-tied group
+    * collapses to chosen == rejected and is dropped with the
+    * singletons (a zero-margin pair teaches a preference model
+    * nothing). Scores round to 4 dp before ranking so both engines
+    * rank identically.
+    *
+    * ONE hash aggregate per group, no windows: best/worst are
+    * `max_by`/`min_by` over zero-padded "(score, id)" string
+    * composites (lexicographic = (score, tie) order — the OHLC
+    * convention; the best key inverts the id so the max still
+    * tie-breaks to the SMALLEST id). At 100 TB a window formulation
+    * would sort every group's rows; the map-side partial aggregate
+    * sends one candidate pair per group per task instead. Scores are
+    * assumed in [0, 10) (zero-padded width 7). */
+  def preferencePairs(df: DataFrame, idCol: String, groupCols: Seq[String],
+      score: Column): DataFrame = {
+    val q = round(score, 4)
+    val qs = format_string("%07.4f", q)
+    val bestKey = concat(qs, format_string("%012d",
+      lit(999999999999L) - col(idCol)))
+    val worstKey = concat(qs, format_string("%012d", col(idCol)))
+    df.select(groupCols.map(col) ++
+        Seq(col(idCol).as("__id"), q.as("__q"), bestKey.as("__bk"),
+          worstKey.as("__wk")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max_by(col("__id"), col("__bk")).as("chosen_id"),
+        max(col("__q")).as("chosen_q"),
+        min_by(col("__id"), col("__wk")).as("rejected_id"),
+        min(col("__q")).as("rejected_q"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 4))
+  }
 }

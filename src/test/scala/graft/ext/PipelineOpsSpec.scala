@@ -413,4 +413,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(other.select("doc_id", "ord")
       .exceptAll(out.select("doc_id", "ord")).count() > 0)
   }
+
+  test("preferencePairs: best/worst per group, ties to smallest id, degenerates drop") {
+    val df = Seq(
+      (1L, "g1", 0.9), (2L, "g1", 0.2), (3L, "g1", 0.5),    // normal
+      (10L, "g2", 0.7), (11L, "g2", 0.7),                   // all tied → drop
+      (20L, "g3", 0.4),                                     // singleton → drop
+      (30L, "g4", 0.8), (31L, "g4", 0.8), (32L, "g4", 0.1)  // top tie → chosen 30
+    ).toDF("id", "grp", "s")
+    val out = Sampling.preferencePairs(df, "id", Seq("grp"), col("s"))
+      .select($"grp", $"chosen_id", $"rejected_id", $"margin")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("g1", 1L, 2L, 0.7), ("g4", 30L, 32L, 0.7)),
+      out.mkString(", "))
+  }
 }
