@@ -2616,6 +2616,15 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- one-sided CUSUM changepoint screen per user over the hourly
+    // value series: recurrence folded over the same time-ordered list
+    // on both engines (q_t12 contract), μ from an in-order list fold,
+    // first threshold breach index or null --
+    "q_t17_cusum" -> ((s, d) =>
+      graft.ext.TimeSeries.cusum(Tables.events(s, d),
+          "user_id", "ts", "value", threshold = 5.0)
+        .orderBy(col("user_id"))),
+
     // -- weekly cohort retention matrix: cohort = Monday of each
     // user's first event week; a cell (cohort_week, weeks_since)
     // counts distinct cohort users active in that later week.
@@ -5153,6 +5162,31 @@ object SparkEntry {
          SELECT purchase_id, count(*) AS n_prior_views
          FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
          GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_t17_cusum" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                round(sum(value), 2) AS v
+           FROM events GROUP BY 1, 2),
+         wd AS (SELECT user_id, h, v,
+           sum(v) OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             / count(*) OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS mu
+           FROM hourly),
+         pp AS (SELECT user_id, h, mu,
+           sum(v - mu) OVER (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+           row_number() OVER (PARTITION BY user_id ORDER BY h) AS i
+           FROM wd),
+         ss AS (SELECT user_id, mu, i,
+           p - least(min(p) OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0.0 AS DOUBLE)) AS s
+           FROM pp)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+                round(min(mu), 4) AS mu, round(max(s), 4) AS max_cusum,
+                min(CASE WHEN s > CAST(5.0 AS DOUBLE) THEN i END) AS breach_idx
+         FROM ss GROUP BY user_id ORDER BY user_id""",
     "q_t14_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id AS u,
              CAST(date_trunc('week', ts) AS DATE) AS w FROM events),

@@ -105,6 +105,46 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** One-sided CUSUM changepoint screen over each key's hourly series
+    * (Page '54 — the classic drift detector): s_i = max(0, s_{i−1} +
+    * (v_i − μ)) accumulates only sustained upward departure from the
+    * key's own mean, so a level shift ramps the statistic linearly
+    * while stationary noise keeps resetting it. The recurrence is
+    * NOT folded — it is rewritten through the prefix-sum identity
+    * s_i = P_i − min(0, min_{j≤i} P_j) (P = running sum of v − μ), so
+    * the whole operator is three window passes over the sorted
+    * per-key partition: no collect_list, no per-key array in memory,
+    * and no struct-accumulator fold (DuckDB 1.0's list_reduce
+    * evaluates struct fields in-place — the accumulator's `s` is
+    * already overwritten when a second field reads it, measured on
+    * the 68-hour series — so a (s, max) fold pair is unreplayable
+    * there). Every window runs in ROWS order by hour, so both
+    * engines add the same doubles in the same order. Returns per
+    * key: hours, μ, max CUSUM, and the 1-based index of the first
+    * hour the statistic crossed `threshold` (null if never). */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(round(sum(col(valueCol)), 2).as("v"))
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+    val withS = hourly
+      .withColumn("mu", sum(col("v")).over(wAll) / count(lit(1)).over(wAll))
+      .withColumn("p", sum(col("v") - col("mu")).over(wRun))
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("s",
+        col("p") - least(min(col("p")).over(wRun), lit(0.0)))
+    withS.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_hours"),
+      round(min(col("mu")), 4).as("mu"),
+      round(max(col("s")), 4).as("max_cusum"),
+      min(when(col("s") > lit(threshold), col("i"))).as("breach_idx"))
+  }
+
   /** Weekly cohort retention matrix: each user's cohort is the Monday
     * of their first event week; a cell (cohort_week, weeks_since)
     * counts the distinct cohort users active in that later week.

@@ -71,6 +71,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
   }
 
+  test("cusum: level shift ramps the statistic and breaches; stationary stays flat") {
+    // user 1: hours 0-9 at 1.0, hours 10-19 at 3.0 → μ=2, second half
+    // ramps s by +1/hour: max 10, first s>5 at the 16th hour (1-based)
+    // user 2: constant 2.0 → s pinned at 0, no breach
+    val ev = (0 until 20).map { i =>
+      (1L, ts(f"2024-01-01 $i%02d:30:00"), if (i < 10) 1.0 else 3.0)
+    } ++ (0 until 6).map(i => (2L, ts(f"2024-01-01 $i%02d:30:00"), 2.0))
+    val out = TimeSeries.cusum(ev.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", threshold = 5.0)
+      .as[(Long, Long, Double, Double, Option[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 20L, 2.0, 10.0, Some(16L)),
+      (2L, 6L, 2.0, 0.0, None)), out.mkString(", "))
+  }
+
   test("cohortRetention counts distinct cohort users per weeks-since cell") {
     // 2024-01-01 is a Monday. u1 joins week 0, active weeks 0 and 2;
     // u2 joins week 0, active week 0 only (two events, deduped);
