@@ -1082,6 +1082,13 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x32_mattr" -> ((s, d) => // MATTR lexical diversity: mean
+      // distinct-fraction over 10-token sliding windows, integer sums
+      // with ONE final division — the length-independent TTR screen
+      graft.ext.TextAnalysis.mattr(Tables.documents(s, d),
+          "doc_id", "text", w = 10)
+        .orderBy(col("doc_id"))),
+
     "q_x31_trigram_backoff" -> ((s, d) => // trigram stupid backoff
       // (Brants et al.): counts trained on even doc_ids, odd doc_ids
       // scored held-out so every backoff tier genuinely fires —
@@ -3647,6 +3654,23 @@ object SparkEntry {
                 coalesce(sc.logprob, 0.0) AS logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q_x32_mattr" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, t
+               FROM t WHERE len(t) >= 1),
+         r AS (SELECT doc_id, n,
+           CASE WHEN n >= 10 THEN n - 9 ELSE CAST(1 AS BIGINT) END AS nw,
+           CASE WHEN n >= 10 THEN
+             CAST(list_sum(list_transform(range(1, CAST(n - 8 AS INT)),
+               i -> len(list_distinct(t[i:i+9])))) AS BIGINT)
+           ELSE CAST(len(list_distinct(t)) AS BIGINT) END AS sd,
+           CASE WHEN n >= 10 THEN 10 * (n - 9) ELSE n END AS denom
+           FROM m)
+         SELECT doc_id, n AS n_tokens, nw AS n_windows,
+                round(CAST(sd AS DOUBLE) / denom, 4) AS mattr
+         FROM r ORDER BY doc_id""",
     "q_x31_trigram_backoff" ->
       """WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS tr,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

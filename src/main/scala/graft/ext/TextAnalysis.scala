@@ -377,6 +377,38 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** MATTR lexical diversity (Covington & McFall 2010 — the
+    * length-independent type–token ratio; raw TTR shrinks with
+    * document length, so corpus filters use the moving average):
+    * mean distinct-fraction over every `w`-token sliding window,
+    * computed as Σ distinct_i / (w · windows) so the only division
+    * happens once on exact integer sums — no float accumulation to
+    * disagree on. Documents shorter than `w` fall back to plain TTR
+    * over the full token list; empty documents drop. Pure map-side
+    * HOF work (window count per row bounded by n), no shuffle at
+    * all — a template-spam screen that streams at any corpus size. */
+  def mattr(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    require(w >= 2, s"window must be >= 2: $w")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("nw",
+        when(col("n") >= w, col("n") - (w - 1)).otherwise(lit(1L)))
+      .withColumn("sd",
+        when(col("n") >= w,
+          aggregate(
+            transform(sequence(lit(1), (col("n") - (w - 1)).cast("int")),
+              i => size(array_distinct(slice(col("t"), i, lit(w)))).cast("long")),
+            lit(0L), (a, x) => a + x))
+        .otherwise(size(array_distinct(col("t"))).cast("long")))
+      .withColumn("denom",
+        when(col("n") >= w, lit(w.toLong) * col("nw")).otherwise(col("n")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("nw").as("n_windows"),
+        round(col("sd").cast("double") / col("denom"), 4).as("mattr"))
+  }
+
   /** Trigram stupid-backoff scoring (Brants et al. 2007 — the
     * large-LM fluency scorer that needs no discounting math): a
     * held-in split trains the count tables, the held-out split is

@@ -252,6 +252,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == exp)
   }
 
+  test("mattr: sliding-window TTR hand-computed, short docs fall back, spam sinks") {
+    def round4(d: Double) = math.round(d * 10000).toDouble / 10000
+    val docs = Seq(
+      // n=5 < w=4? use w=3: windows (a b a)=2, (b a b)=2, (a b c)=3
+      (1L, "a b a b c"),
+      (2L, "x y"),          // short: TTR = 2/2 = 1.0
+      (3L, "z z z z z z")   // spam: every window 1/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mattr(docs, "doc_id", "text", w = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, round4((2 + 2 + 3) / 9.0)),
+      (2L, 2L, 1L, 1.0),
+      (3L, 6L, 4L, round4(4 / 12.0))), out.mkString(", "))
+  }
+
   test("trigramBackoff: each backoff tier scores its hand-computed value") {
     // train doc 0: "a b c d" → tri {abc, bcd}, bi {ab, bc, cd},
     // uni {a,b,c,d}, N=4, V=4
