@@ -2077,6 +2077,15 @@ object SparkEntry {
     // (p_s ∝ n_s^0.5, the multilingual up-sample-the-tail rule).
     // src0/src1 are doubled via shifted-id copies so the corpus is
     // actually skewed and the α-flattening is observable. --
+    "q_o18_skyline" -> ((s, d) => // 2-D Pareto skyline of (quality,
+      // length): the multi-objective selection frontier — monotone-
+      // chain rewrite (agg + one window over distinct scores) gated
+      // against the INDEPENDENT NOT-EXISTS dominance oracle
+      graft.ext.Sampling.skyline2d(Tables.documents(s, d),
+          round(graft.ext.TextAnalysis.qualityScore(col("text")), 4),
+          col("n_chars").cast("long"))
+        .orderBy(col("x"))),
+
     "q_o17_preference_pairs" -> ((s, d) => // DPO preference-pair
       // mining: per (source, lang) group the best-quality doc is
       // `chosen`, the worst `rejected` — ONE string-composite
@@ -4469,6 +4478,34 @@ object SparkEntry {
             OR (source = 'src2' AND cum < 4000)
             OR (source = 'src3' AND cum < 2000)
          ORDER BY doc_id""",
+    "q_o18_skyline" ->
+      """WITH t AS (SELECT doc_id, n_chars, text,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (SELECT doc_id, n_chars, text,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+               * 1.0 / length(text) ELSE 0.0 END AS pr,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+               * 1.0 / len(toks) ELSE 0.0 END AS sr,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS awl
+           FROM t),
+         q AS (SELECT doc_id, n_chars,
+           round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+                 + least(sr * 4.0, 1.0) * 0.2
+                 + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS quality
+           FROM m),
+         best AS (SELECT quality AS x, max(CAST(n_chars AS BIGINT)) AS y
+                  FROM q GROUP BY quality)
+         SELECT x, y FROM best b
+         WHERE NOT EXISTS (SELECT 1 FROM best o
+           WHERE o.x >= b.x AND o.y >= b.y AND (o.x > b.x OR o.y > b.y))
+         ORDER BY x""",
     "q_o17_preference_pairs" ->
       """WITH t AS (SELECT doc_id, source, lang, text,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

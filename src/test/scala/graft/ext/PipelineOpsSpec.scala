@@ -414,6 +414,20 @@ class PipelineOpsSpec extends SparkSpec {
       .exceptAll(out.select("doc_id", "ord")).count() > 0)
   }
 
+  test("skyline2d: monotone chain equals NOT-EXISTS dominance, dominated points drop") {
+    val pts = Seq((1.0, 10L), (2.0, 9L), (2.0, 11L), (3.0, 5L), (1.0, 12L),
+      (3.0, 5L), (2.5, 4L)).toDF("q", "len")
+    val out = Sampling.skyline2d(pts, $"q", $"len")
+      .as[(Double, Long)].collect().sortBy(_._1).toSeq
+    // (2.5, 4) is dominated by (3, 5); per-x bests form the chain
+    assert(out == Seq((1.0, 12L), (2.0, 11L), (3.0, 5L)), out.mkString(", "))
+    // brute-force dominance check: nothing in the skyline is dominated
+    val all = pts.as[(Double, Long)].collect()
+    for ((x, y) <- out)
+      assert(!all.exists { case (ox, oy) =>
+        ox >= x && oy >= y && (ox > x || oy > y) }, s"($x, $y) dominated")
+  }
+
   test("preferencePairs: best/worst per group, ties to smallest id, degenerates drop") {
     val df = Seq(
       (1L, "g1", 0.9), (2L, "g1", 0.2), (3L, "g1", 0.5),    // normal
