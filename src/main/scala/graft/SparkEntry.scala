@@ -707,6 +707,18 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- local clustering coefficients, pure-DataFrame face: one
+    // canonical triangle listing credits three vertices per triple;
+    // cc = 2·tri/(deg·(deg−1)) — the neighborhood-density screen --
+    "q_g23_clustering" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.clusteringCoefficients(e).orderBy(col("node"))
+    }),
+
     // -- landmark harmonic centrality: multi-source BFS from the 4
     // smallest nodes in ONE iterated (landmark, node) frontier — L
     // sources, one set of rounds/shuffles; harmonic sums accumulate
@@ -3149,6 +3161,30 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g23_clustering" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+               FROM e e1 JOIN e e2 ON e2.src = e1.src AND e1.dst < e2.dst
+               JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         tv AS (SELECT node, count(*) AS tri FROM (
+                  SELECT a AS node FROM t
+                  UNION ALL SELECT b FROM t
+                  UNION ALL SELECT c FROM t) GROUP BY node),
+         dg AS (SELECT node, count(*) AS deg FROM (
+                  SELECT src AS node FROM e
+                  UNION ALL SELECT dst FROM e) GROUP BY node)
+         SELECT dg.node, dg.deg,
+                coalesce(tv.tri, CAST(0 AS BIGINT)) AS tri,
+                CASE WHEN dg.deg >= 2 THEN
+                  round(CAST(2.0 AS DOUBLE) * coalesce(tv.tri, 0)
+                    / (dg.deg * (dg.deg - 1)), 4)
+                ELSE 0.0 END AS cc
+         FROM dg LEFT JOIN tv USING (node) ORDER BY node""",
     "q_g22_harmonic" -> graft.query.GraphQueries.landmarkHarmonicOracleSql(
       """SELECT src, dst FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

@@ -873,6 +873,40 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Per-vertex local clustering coefficient, pure DataFrame face
+    * (the GraphX triangle gate's relational sibling): triangles
+    * enumerated ONCE over the canonical orientation (the
+    * [[edgeSupport]] join shape), each triple credits its three
+    * vertices, and cc = 2·tri / (deg·(deg−1)) with deg < 2 pinned to
+    * 0. Two hash aggregates + one join after the triangle listing —
+    * no vertex-program runtime, shuffles only on node/edge keys. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val triPerV = tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(triPerV, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 4))
+          .otherwise(lit(0.0)).as("cc"))
+  }
+
   /** Landmark-sample harmonic centrality (Eppstein–Wang style): run a
     * MULTI-SOURCE unweighted BFS from every landmark in ONE iterated
     * frontier keyed (landmark, node) — L sources cost L× the rows of

@@ -146,6 +146,19 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
   }
 
+  test("clusteringCoefficients: K4 is fully clustered, pendant dilutes its anchor") {
+    // K4 on {1,2,3,4} (+ reversed-edge noise) with a pendant node 5 on 4
+    val e = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (5L, 4L)).toDF("src", "dst")
+    val out = GraphQueries.clusteringCoefficients(e)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 3L, 3L, 1.0),
+      (4L, 4L, 3L, 0.5),   // deg 4, still only the 3 K4 triangles
+      (5L, 1L, 0L, 0.0)),  // pendant: deg < 2 pins cc to 0
+      out.mkString(", "))
+  }
+
   test("landmarkHarmonic: exact integer harmonic sums on a path, hop cap honored") {
     // undirected path a-b-c-d, landmarks {a, d}
     val canon = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
