@@ -296,4 +296,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"curriculum planned a window:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"curriculum sort-merged:\n$plan")
   }
+
+  test("preference pairs: one hash aggregate, no window, no UDF") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_o17_preference_pairs")(spark, sf0001))
+    assert(!plan.contains("Window"), s"pairs planned a window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"pairs missing the aggregate:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in pairs plan:\n$plan")
+  }
+
+  test("cusum: window cascade only, no collect_list aggregate of the series") {
+    val plan = executedFinal(SparkEntry.queries("q_t17_cusum")(spark, sf0001))
+    assert(plan.contains("Window"), s"cusum lost its windows:\n$plan")
+    assert(!plan.contains("collect_list"), s"cusum buffers per-key arrays:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in cusum plan:\n$plan")
+  }
+
+  test("quantile normalize: percentile grid broadcast, never sort-merged") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_p17_quantile_normalize")(spark, sf0001))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"grid side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in plan:\n$plan")
+  }
+
+  test("bootstrap CI: pure aggregate chain — no join, no window, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_p19_bootstrap_ci")(spark, sf0001))
+    assert(!plan.contains("Join"), s"bootstrap planned a join:\n$plan")
+    assert(!plan.contains("Window"), s"bootstrap planned a window:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in bootstrap plan:\n$plan")
+  }
+
+  test("MATTR and JL projection are map-side: no join, no window before the sort") {
+    for (name <- Seq("q_x32_mattr", "q_v4_random_projection")) {
+      val plan = executedFinal(SparkEntry.queries(name)(spark, sf0001))
+      assert(!plan.contains("Join"), s"$name: planned a join:\n$plan")
+      assert(!plan.contains("Window"), s"$name: planned a window:\n$plan")
+      assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
+    }
+  }
+
+  test("skyline: aggregate + one window over distinct scores, no self-join") {
+    val plan = executedFinal(SparkEntry.queries("q_o18_skyline")(spark, sf0001))
+    assert(!plan.contains("Join"), s"skyline planned the O(n^2) join:\n$plan")
+    assert(plan.contains("Window"), s"skyline lost the chain window:\n$plan")
+  }
 }
