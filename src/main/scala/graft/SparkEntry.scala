@@ -1094,6 +1094,13 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x33_ngram_novelty" -> ((s, d) => // 13-gram novelty: fraction
+      // of each doc's distinct grams first seen (by doc_id order) in
+      // that doc — the marginal-contribution / redundancy-growth score
+      graft.ext.TextAnalysis.ngramNovelty(Tables.documents(s, d),
+          "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))),
+
     "q_x32_mattr" -> ((s, d) => // MATTR lexical diversity: mean
       // distinct-fraction over 10-token sliding windows, integer sums
       // with ONE final division — the length-independent TTR screen
@@ -3698,6 +3705,26 @@ object SparkEntry {
                 coalesce(sc.n_bigrams, 0) AS n_bigrams,
                 coalesce(sc.logprob, 0.0) AS logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
+    "q_x33_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 11),
+             i -> array_to_string(t[i:i+12], ' ')))) AS g
+           FROM toks WHERE len(t) >= 13),
+         f AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g),
+         sc AS (SELECT sh.doc_id, count(*) AS n_grams,
+                  CAST(count(*) FILTER (WHERE f.fd = sh.doc_id) AS BIGINT)
+                    AS n_novel
+                FROM sh JOIN f USING (g) GROUP BY sh.doc_id)
+         SELECT d.doc_id,
+                coalesce(sc.n_grams, 0) AS n_grams,
+                coalesce(sc.n_novel, 0) AS n_novel,
+                coalesce(round(sc.n_novel * 1.0 / sc.n_grams, 4), 0.0)
+                  AS novelty
+         FROM documents d LEFT JOIN sc USING (doc_id)
          ORDER BY d.doc_id""",
     "q_x32_mattr" ->
       """WITH t AS (SELECT doc_id,

@@ -377,6 +377,34 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** Per-document n-gram novelty — the marginal-contribution score
+    * (what fraction of this document's distinct n-grams has their
+    * corpus-wide FIRST occurrence here, taking doc_id as ingest
+    * order): a redundancy-growth curve falls out of sorting by it,
+    * and documents near zero are pure re-statements of earlier data
+    * (the "diminishing returns" measurement of the dedup papers,
+    * grams attributed to their earliest holder instead of dropped).
+    * One fused-shingle explode + per-gram min aggregate + one
+    * equi-join back — shuffles only on gram keys, the q_c1 scale
+    * shape. Documents shorter than n score 0 over 0 grams. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    val scored = sh.join(first, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(round(col("n_novel").cast("double") / col("n_grams"), 4),
+          lit(0.0)).as("novelty"))
+  }
+
   /** MATTR lexical diversity (Covington & McFall 2010 — the
     * length-independent type–token ratio; raw TTR shrinks with
     * document length, so corpus filters use the moving average):

@@ -252,6 +252,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == exp)
   }
 
+  test("ngramNovelty: first holder keeps the gram, copies score zero, short docs empty") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both novel
+      (2L, "a b c d"),   // exact copy: 0 novel
+      (3L, "a b c x"),   // "a b c" seen, "b c x" novel → 0.5
+      (4L, "y z")        // too short: 0 grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5), (4L, 0L, 0L, 0.0)), out.mkString(", "))
+  }
+
   test("mattr: sliding-window TTR hand-computed, short docs fall back, spam sinks") {
     def round4(d: Double) = math.round(d * 10000).toDouble / 10000
     val docs = Seq(
