@@ -2096,6 +2096,16 @@ object SparkEntry {
     // (p_s ∝ n_s^0.5, the multilingual up-sample-the-tail rule).
     // src0/src1 are doubled via shifted-id copies so the corpus is
     // actually skewed and the α-flattening is observable. --
+    "q_o19_apportion" -> ((s, d) => // largest-remainder apportionment
+      // of a 100k-token budget across sources by token mass — pure
+      // integer arithmetic (remainders compared as B·w mod W), so
+      // Σ alloc == budget exactly on both engines
+      graft.ext.Sampling.apportionBudget(Tables.documents(s, d),
+          "source",
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"),
+          budget = 100000L)
+        .orderBy(col("source"))),
+
     "q_o18_skyline" -> ((s, d) => // 2-D Pareto skyline of (quality,
       // length): the multi-objective selection frontier — monotone-
       // chain rewrite (agg + one window over distinct scores) gated
@@ -4541,6 +4551,25 @@ object SparkEntry {
             OR (source = 'src2' AND cum < 4000)
             OR (source = 'src3' AND cum < 2000)
          ORDER BY doc_id""",
+    "q_o19_apportion" ->
+      """WITH t AS (SELECT source,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         w AS (SELECT source, CAST(sum(n) AS BIGINT) AS w
+               FROM t GROUP BY source),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+         q AS (SELECT source, w,
+                 CAST((100000 * w) // tw AS BIGINT) AS base,
+                 CAST((100000 * w) % tw AS BIGINT) AS rem
+               FROM w, tot),
+         sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM q),
+         r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM q)
+         SELECT source, w, base, rem,
+                CAST(base + CASE WHEN rk <= 100000 - sb THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+         FROM r, sb ORDER BY source""",
     "q_o18_skyline" ->
       """WITH t AS (SELECT doc_id, n_chars, text,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

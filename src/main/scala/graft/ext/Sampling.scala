@@ -261,6 +261,34 @@ object Sampling {
       .drop("__fp")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a global token
+    * budget across sources — the mixing-recipe calculator: each
+    * source's quota is budget·wᵢ/W, floors are granted outright, and
+    * the leftover seats go to the largest fractional remainders
+    * (ties to the lexicographically first source). EVERYTHING is
+    * integer arithmetic — the remainder comparison uses
+    * (budget·wᵢ) mod W directly, so no float ever enters and both
+    * engines agree exactly; Σ alloc == budget by construction. The
+    * ranking window runs over one row per source (the q_a17
+    * documented-small convention). */
+  def apportionBudget(df: DataFrame, keyCol: String, weight: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val w = df.groupBy(col(keyCol)).agg(sum(weight).as("w"))
+    val tot = w.agg(sum(col("w")).as("tw"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * w) div tw"))
+      .withColumn("rem", (lit(budget) * col("w")) % col("tw"))
+    val sb = q.agg(sum(col("base")).as("sb"))
+    q.crossJoin(broadcast(sb))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col(keyCol))))
+      .select(col(keyCol), col("w"), col("base"), col("rem"),
+        (col("base") + when(col("rk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
   /** 2-D Pareto skyline (the multi-objective data-selection
     * operator: "no other document is at least as good on BOTH axes
     * and strictly better on one"). Spark has no skyline operator;

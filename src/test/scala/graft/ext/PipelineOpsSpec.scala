@@ -414,6 +414,25 @@ class PipelineOpsSpec extends SparkSpec {
       .exceptAll(out.select("doc_id", "ord")).count() > 0)
   }
 
+  test("apportionBudget: floors + largest remainders, sums exactly to budget") {
+    // exact quotas: no leftover to distribute
+    val a = Seq(("a", 3L), ("b", 3L), ("c", 4L)).toDF("src", "n")
+    val outA = Sampling.apportionBudget(a, "src", col("n"), 10L)
+      .select($"src", $"alloc").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(outA == Seq(("a", 3L), ("b", 3L), ("c", 4L)), outA.mkString(", "))
+    // equal thirds: one leftover seat, remainder tie breaks to "a"
+    val b = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("src", "n")
+    val outB = Sampling.apportionBudget(b, "src", col("n"), 10L)
+      .select($"src", $"alloc").as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(outB == Seq(("a", 4L), ("b", 3L), ("c", 3L)), outB.mkString(", "))
+    // skewed: allocations track proportions and the total is exact
+    val c = Seq(("a", 970L), ("b", 20L), ("c", 10L)).toDF("src", "n")
+    val outC = Sampling.apportionBudget(c, "src", col("n"), 1000L)
+      .select($"src", $"alloc").as[(String, Long)].collect()
+    assert(outC.map(_._2).sum == 1000L)
+    assert(outC.toMap == Map("a" -> 970L, "b" -> 20L, "c" -> 10L))
+  }
+
   test("skyline2d: monotone chain equals NOT-EXISTS dominance, dominated points drop") {
     val pts = Seq((1.0, 10L), (2.0, 9L), (2.0, 11L), (3.0, 5L), (1.0, 12L),
       (3.0, 5L), (2.5, 4L)).toDF("q", "len")
