@@ -1094,6 +1094,13 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x34_rake" -> ((s, d) => // RAKE keyphrases: stopword-free runs
+      // scored by Σ degree/freq of their words, top-3 per doc via the
+      // native bounded heap — the unsupervised keyword baseline
+      graft.ext.TextAnalysis.rakePhrases(Tables.documents(s, d),
+          "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("phrase"))),
+
     "q_x33_ngram_novelty" -> ((s, d) => // 13-gram novelty: fraction
       // of each doc's distinct grams first seen (by doc_id order) in
       // that doc — the marginal-contribution / redundancy-growth score
@@ -3716,6 +3723,38 @@ object SparkEntry {
                 coalesce(sc.logprob, 0.0) AS logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q_x34_rake" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT doc_id, u.i AS pos, u.w AS w FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+             i -> struct_pack(i := i, w := t[i]))) AS u FROM toks)),
+         seg AS (SELECT doc_id, pos, w,
+           list_contains(['the','a','and','of','to','is','in'], w) AS stop,
+           sum(CASE WHEN list_contains(['the','a','and','of','to','is','in'], w)
+               THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM tok),
+         sw AS (SELECT doc_id, seg, pos, w FROM seg WHERE NOT stop),
+         phr AS (SELECT doc_id, seg, count(*) AS plen,
+           array_to_string(list(w ORDER BY pos), ' ') AS phrase
+           FROM sw GROUP BY doc_id, seg),
+         wr AS (SELECT sw.doc_id, sw.w, sw.seg, p.plen
+                FROM sw JOIN phr p USING (doc_id, seg)),
+         ws AS (SELECT doc_id, w, count(*) AS freq,
+                  CAST(sum(plen) AS BIGINT) AS deg
+                FROM wr GROUP BY doc_id, w),
+         ps AS (SELECT wr.doc_id, wr.seg,
+                  round(sum(ws.deg * 1.0 / ws.freq), 4) AS score
+                FROM wr JOIN ws ON wr.doc_id = ws.doc_id AND wr.w = ws.w
+                GROUP BY wr.doc_id, wr.seg),
+         ranked AS (SELECT ps.doc_id, p.phrase, ps.score,
+           row_number() OVER (PARTITION BY ps.doc_id
+             ORDER BY ps.score DESC, p.phrase) AS rk
+           FROM ps JOIN phr p USING (doc_id, seg))
+         SELECT doc_id, phrase, score FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, score DESC, phrase""",
     "q_x33_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

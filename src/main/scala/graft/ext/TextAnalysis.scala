@@ -377,6 +377,52 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010 — the unsupervised
+    * keyphrase baseline): candidate phrases are maximal stopword-free
+    * token runs; each word scores degree/freq (degree = Σ length of
+    * phrases it occurs in, freq = occurrence count) and a phrase
+    * scores the sum of its words' scores — co-occurring words in
+    * long runs outrank isolated frequent ones. Top-`topK` phrases
+    * per document, ties to the lexicographically first phrase.
+    *
+    * Scale shape: one posexplode + one per-document running-sum
+    * window assigns segment ids (the q_t10 window class), then
+    * everything is hash aggregates and equi-joins on (doc, seg) /
+    * (doc, word) keys; ranking is the native bounded-heap TopKPerKey,
+    * not a per-doc sort. */
+  def rakePhrases(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "and", "of", "to", "is", "in")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sw = tok.withColumn("stop", col("w").isin(stops: _*))
+      .withColumn("seg",
+        sum(when(col("stop"), 1L).otherwise(0L)).over(wSeg))
+      .filter(!col("stop"))
+    val phr = sw.groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    val wordRows = sw.select(col("doc_id"), col("seg"), col("w"))
+      .join(phr.select(col("doc_id"), col("seg"), col("plen")),
+        Seq("doc_id", "seg"))
+    val wordStats = wordRows.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = wordRows.join(wordStats, Seq("doc_id", "w"))
+      .withColumn("ws", col("deg").cast("double") / col("freq"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(round(sum(col("ws")), 4).as("score"))
+      .join(phr.select(col("doc_id"), col("seg"), col("phrase")),
+        Seq("doc_id", "seg"))
+    graft.plans.TopK.topKPerKey(scored, Seq(col("doc_id")),
+        Seq(col("score").desc, col("phrase").asc), topK)
+      .select(col("doc_id"), col("phrase"), col("score"))
+  }
+
   /** Per-document n-gram novelty — the marginal-contribution score
     * (what fraction of this document's distinct n-grams has their
     * corpus-wide FIRST occurrence here, taking doc_id as ingest

@@ -252,6 +252,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == exp)
   }
 
+  test("rakePhrases: hand-computed degree/freq scores, co-occurrence beats isolation") {
+    // stops {of, is}: phrases "deep learning", "deep networks", "fun"
+    // deg/freq: deep 4/2, learning 2/1, networks 2/1, fun 1/1
+    val docs = Seq((1L, "deep learning of deep networks is fun"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakePhrases(docs, "doc_id", "text", topK = 3)
+      .as[(Long, String, Double)].collect()
+      .sortBy(r => (-r._3, r._2)).toSeq
+    assert(out == Seq(
+      (1L, "deep learning", 4.0), (1L, "deep networks", 4.0),
+      (1L, "fun", 1.0)), out.mkString(", "))
+    // topK truncates deterministically: k=1 keeps the lexicographic tie-winner
+    val top1 = TextAnalysis.rakePhrases(docs, "doc_id", "text", topK = 1)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(top1 == Seq((1L, "deep learning", 4.0)), top1.mkString(", "))
+  }
+
   test("ngramNovelty: first holder keeps the gram, copies score zero, short docs empty") {
     val docs = Seq(
       (1L, "a b c d"),   // grams (n=3): "a b c", "b c d" — both novel
