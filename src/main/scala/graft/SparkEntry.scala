@@ -869,6 +869,14 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_p20_ks_test" -> ((s, d) => { // exact two-sample KS statistic
+      // on the q_p16 planted shift: integer cross-multiplied CDF
+      // comparison, one division at the end — the bin-free drift test
+      val docs = Tables.documents(s, d)
+      val cur = docs.filter(!(col("n_chars") < 150 && col("doc_id") % 2 === 0))
+      graft.ext.Profiling.ksTest(docs, cur, "n_chars")
+    }),
+
     "q_p16_psi_drift" -> ((s, d) => { // population stability index:
       // planted shift (half the short docs dropped) against the
       // reference decile bins — the production drift monitor; exact
@@ -3344,6 +3352,31 @@ object SparkEntry {
          FROM documents d JOIN b USING (source)
          GROUP BY d.source, b.lo, b.hi
          ORDER BY d.source""",
+    "q_p20_ks_test" ->
+      """WITH pv AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS g FROM documents
+           UNION ALL
+           SELECT CAST(n_chars AS DOUBLE) AS v, 2 AS g FROM documents
+           WHERE NOT (n_chars < 150 AND doc_id % 2 = 0)),
+         perv AS (SELECT v,
+             CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS k1,
+             CAST(count(*) FILTER (WHERE g = 2) AS BIGINT) AS k2
+           FROM pv GROUP BY v),
+         tot AS (SELECT CAST(sum(k1) AS BIGINT) AS n1,
+                        CAST(sum(k2) AS BIGINT) AS n2 FROM perv),
+         run AS (SELECT n1, n2,
+             abs(CAST(sum(k1) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS HUGEINT) * n2
+               - CAST(sum(k2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS HUGEINT) * n1) AS dnum
+           FROM perv, tot),
+         agg AS (SELECT min(n1) AS n1, min(n2) AS n2, max(dnum) AS dn FROM run)
+         SELECT n1, n2,
+                round(CAST(dn AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d
+         FROM agg""",
     "q_p19_bootstrap_ci" ->
       """WITH reps AS (
            SELECT b.b AS b, CAST(d.n_chars AS DOUBLE) AS x,

@@ -219,6 +219,37 @@ object Profiling {
         col("psi_total"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * test PSI (q_p16) approximates with bins, computed EXACTLY:
+    * D = max over values of |F₁(v) − F₂(v)|. The comparison runs on
+    * cross-multiplied integer counts (|c₁·n₂ − c₂·n₁|, DECIMAL(38,0)
+    * so 10¹³-row samples cannot overflow), so the max is found on
+    * exact integers and only the final D divides — both engines agree
+    * bit-for-bit. One hash aggregate to per-value counts, one ordered
+    * window over DISTINCT values (the a18/equidepth sort class), one
+    * scalar combine. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pv = a.select(col(valueCol).cast("double").as("v"))
+      .withColumn("g", lit(1))
+      .unionByName(b.select(col(valueCol).cast("double").as("v"))
+        .withColumn("g", lit(2)))
+    val perV = pv.groupBy(col("v")).agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("k1"),
+      sum(when(col("g") === 2, 1L).otherwise(0L)).as("k2"))
+    val tot = perV.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val dn = perV.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(sum(col("k1")).over(w).cast("decimal(38,0)") * col("n2") -
+          sum(col("k2")).over(w).cast("decimal(38,0)") * col("n1")).as("dnum"))
+      .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        max(col("dnum")).as("dn"))
+    dn.select(col("n1"), col("n2"),
+      round(col("dn").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks_d"))
+  }
+
   /** Bayesian-bootstrap confidence interval for the corpus mean
     * (Rubin '81) — the bootstrap that actually distributes: instead
     * of materializing B resamples, every row carries B deterministic

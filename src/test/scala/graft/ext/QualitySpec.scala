@@ -175,6 +175,18 @@ class QualitySpec extends SparkSpec {
     assert(Profiling.benfordReport(geo, "v").count() == 9)
   }
 
+  test("ksTest: identical samples give D=0, disjoint give D=1, shift hand-computed") {
+    val a = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val same = Profiling.ksTest(a, a, "v")
+      .as[(Long, Long, Double)].head()
+    assert(same == ((100L, 100L, 0.0)), same.toString)
+    val b = (1 to 100).map(i => (i.toLong, i + 1000.0)).toDF("id", "v")
+    assert(Profiling.ksTest(a, b, "v").as[(Long, Long, Double)].head()._3 == 1.0)
+    // half-shifted: b' = a shifted by 50 → D = 0.5 exactly
+    val c = (1 to 100).map(i => (i.toLong, i + 50.0)).toDF("id", "v")
+    assert(Profiling.ksTest(a, c, "v").as[(Long, Long, Double)].head()._3 == 0.5)
+  }
+
   test("bayesianBootstrapCi: degenerate on constants, brackets the mean, deterministic") {
     val const = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
     val c = Profiling.bayesianBootstrapCi(const, "id", "v", b = 20)
