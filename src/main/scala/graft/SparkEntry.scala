@@ -707,6 +707,15 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- butterfly counting over the supplier-part bipartite graph:
+    // a supplier pair sharing k parts closes C(k,2) 2×2 bicliques —
+    // the bipartite cohesion metric; all-integer C(k,2) --
+    "q_g24_butterflies" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("left"), col("l_partkey").as("right"))
+      GraphQueries.butterflyCounts(hk).orderBy(col("node"))
+    }),
+
     // -- local clustering coefficients, pure-DataFrame face: one
     // canonical triangle listing credits three vertices per triple;
     // cc = 2·tri/(deg·(deg−1)) — the neighborhood-density screen --
@@ -3193,6 +3202,20 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g24_butterflies" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS lft, l_partkey AS rgt
+                    FROM lineitem WHERE l_orderkey % 50 = 0),
+         pairs AS (SELECT a.lft AS s1, b.lft AS s2, count(*) AS co
+                   FROM e a JOIN e b
+                     ON a.rgt = b.rgt AND a.lft < b.lft
+                   GROUP BY a.lft, b.lft),
+         contrib AS (SELECT s1, s2, CAST(co * (co - 1) // 2 AS BIGINT) AS bf
+                     FROM pairs)
+         SELECT node, count(*) AS n_partners,
+                CAST(sum(bf) AS BIGINT) AS butterflies
+         FROM (SELECT s1 AS node, bf FROM contrib
+               UNION ALL SELECT s2, bf FROM contrib)
+         GROUP BY node ORDER BY node""",
     "q_g23_clustering" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

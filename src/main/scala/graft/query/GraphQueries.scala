@@ -873,6 +873,30 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Butterfly (2×2-biclique) counting over a bipartite edge set —
+    * the bipartite cohesion metric (triangles cannot exist in a
+    * bipartite graph, so butterfly density is what community/spam
+    * detection uses there): a supplier pair sharing k parts closes
+    * C(k,2) butterflies. One pair-count aggregate over the
+    * per-part grouping (the co-occurrence join shape; hot right-side
+    * keys are the documented q_g12 skew case) and one per-vertex
+    * roll-up — C(k,2) stays in integers via (k·(k−1)) div 2.
+    * Input columns: (left, right). Returns per left-vertex:
+    * (node, n_partners, butterflies). */
+  def butterflyCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+      .localCheckpoint(true)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.right") === col("b.right") && col("a.left") < col("b.left"))
+      .groupBy(col("a.left").as("s1"), col("b.left").as("s2"))
+      .agg(count(lit(1)).as("co"))
+    val contrib = pairs.withColumn("bf", expr("co * (co - 1) div 2"))
+    contrib.select(col("s1").as("node"), col("bf"))
+      .unionByName(contrib.select(col("s2").as("node"), col("bf")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_partners"), sum(col("bf")).as("butterflies"))
+  }
+
   /** Per-vertex local clustering coefficient, pure DataFrame face
     * (the GraphX triangle gate's relational sibling): triangles
     * enumerated ONCE over the canonical orientation (the

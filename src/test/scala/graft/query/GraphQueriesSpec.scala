@@ -146,6 +146,24 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
   }
 
+  test("butterflyCounts: C(shared,2) per pair, rolled up per vertex") {
+    // s1,s2 share parts {p1,p2,p3} → C(3,2)=3 butterflies;
+    // s1,s3 share {p1,p2} → 1; s2,s3 share {p1,p2} → 1;
+    // s4 shares only p9 with nobody → absent
+    val e = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (2L, 102L), (2L, 103L),
+      (3L, 101L), (3L, 102L),
+      (4L, 999L)).toDF("left", "right")
+    val out = GraphQueries.butterflyCounts(e)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 4L),   // partners {2,3}: 3 + 1
+      (2L, 2L, 4L),
+      (3L, 2L, 2L)),  // partners {1,2}: 1 + 1
+      out.mkString(", "))
+  }
+
   test("clusteringCoefficients: K4 is fully clustered, pendant dilutes its anchor") {
     // K4 on {1,2,3,4} (+ reversed-edge noise) with a pendant node 5 on 4
     val e = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
