@@ -1539,8 +1539,10 @@ object SparkEntry {
       // map-side dimension cut in front of an ANN index
       Similarity.signProject(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "vp")))
+        // + 0.0 canonicalizes IEEE -0.0 (DuckDB keeps the sign of a
+        // rounded tiny negative, Spark does not — found at sf0.001)
         .select(col("vec_id"), col("j").cast("long").as("j"),
-          round(col("vp"), 4).as("vp"))
+          (round(col("vp"), 4) + lit(0.0)).as("vp"))
         .orderBy(col("vec_id"), col("j"))),
 
     "q_n9_mmr_rerank" -> ((s, d) => { // MMR diversity re-ranking
@@ -4367,7 +4369,8 @@ object SparkEntry {
          SELECT vec_id, CAST(j AS BIGINT) AS j,
            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(range(0, len(v)), k -> v[k + 1] * sl[k + 1])),
-             (a, b) -> a + b) * CAST(0.25 AS DOUBLE), 4) AS vp
+             (a, b) -> a + b) * CAST(0.25 AS DOUBLE), 4)
+             + CAST(0.0 AS DOUBLE) AS vp
          FROM e CROSS JOIN sg ORDER BY vec_id, j""",
     "q_v3_matryoshka_funnel" ->
       """WITH e AS (SELECT vec_id,
