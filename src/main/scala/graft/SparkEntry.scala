@@ -878,6 +878,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_p21_gini" -> ((s, d) => // Gini concentration of token mass
+      // across sources — integer Lorenz arithmetic, one division;
+      // the corpus-balance diagnostic
+      graft.ext.Profiling.giniConcentration(Tables.documents(s, d),
+        "source",
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"))),
+
     "q_p20_ks_test" -> ((s, d) => { // exact two-sample KS statistic
       // on the q_p16 planted shift: integer cross-multiplied CDF
       // comparison, one division at the end — the bin-free drift test
@@ -2687,6 +2694,15 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- interval-union active time per user: each event opens a
+    // 10-minute window, overlapping windows merge into islands
+    // (running-max-end detection), total covered µs is exact
+    // integer — the true-active-time metric --
+    "q_t18_interval_union" -> ((s, d) =>
+      graft.ext.TimeSeries.intervalUnion(Tables.events(s, d),
+          "user_id", "ts", durUs = 600000000L)
+        .orderBy(col("user_id"))),
+
     // -- one-sided CUSUM changepoint screen per user over the hourly
     // value series: recurrence folded over the same time-ordered list
     // on both engines (q_t12 contract), μ from an in-order list fold,
@@ -3377,6 +3393,23 @@ object SparkEntry {
          FROM documents d JOIN b USING (source)
          GROUP BY d.source, b.lo, b.hi
          ORDER BY d.source""",
+    "q_p21_gini" ->
+      """WITH t AS (SELECT source,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         w AS (SELECT source, CAST(sum(n) AS BIGINT) AS w
+               FROM t GROUP BY source),
+         r AS (SELECT source, w,
+                 CAST(row_number() OVER (ORDER BY w ASC, source ASC)
+                   AS BIGINT) AS rk
+               FROM w),
+         agg AS (SELECT count(*) AS n, sum(w) AS tw, sum(rk * w) AS rw
+                 FROM r)
+         SELECT n AS n_groups, CAST(tw AS BIGINT) AS total_w,
+                round(CAST(2 * rw - (n + 1) * tw AS DOUBLE)
+                  / CAST(n * tw AS DOUBLE), 6) AS gini
+         FROM agg""",
     "q_p20_ks_test" ->
       """WITH pv AS (
            SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS g FROM documents
@@ -5413,6 +5446,27 @@ object SparkEntry {
          SELECT purchase_id, count(*) AS n_prior_views
          FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
          GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_t18_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                epoch_us(ts) + 600000000 AS e FROM events),
+         isl AS (SELECT user_id, s, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         flg AS (SELECT user_id, s, e,
+           CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+           FROM isl),
+         grp AS (SELECT user_id, s, e,
+           sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM flg),
+         per AS (SELECT user_id, isl, count(*) AS n_iv,
+                   min(s) AS i_s, max(e) AS i_e
+                 FROM grp GROUP BY user_id, isl)
+         SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+                count(*) AS n_islands,
+                CAST(sum(i_e - i_s) AS BIGINT) AS union_us
+         FROM per GROUP BY user_id ORDER BY user_id""",
     "q_t17_cusum" ->
       """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
                 round(sum(value), 2) AS v

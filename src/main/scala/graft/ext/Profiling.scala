@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling operators (driver extension, SURVEY §7 module 6):
@@ -217,6 +217,31 @@ object Profiling {
     contrib.crossJoin(broadcast(total))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_contrib"),
         col("psi_total"))
+  }
+
+  /** Gini concentration of a weight across groups — the corpus-
+    * balance diagnostic (is 90% of the token mass in 2 domains?):
+    * G = (2·Σ rank·wᵣ − (n+1)·W) / (n·W) over ascending-weight
+    * ranks, the exact rank formulation of the Lorenz-curve area.
+    * Numerator and denominator stay in DECIMAL(38,0)/HUGEINT
+    * integers until ONE final double division (rank·w products at
+    * 10⁶ domains × 10¹⁴ tokens overflow int64 — hence decimal), so
+    * both engines agree exactly. The ranking window runs over one
+    * row per group (q_a17 documented-small). */
+  def giniConcentration(df: DataFrame, keyCol: String,
+      weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.groupBy(col(keyCol)).agg(sum(weight).as("w"))
+    val ranked = w.withColumn("rk",
+      row_number().over(Window.orderBy(col("w").asc, col(keyCol).asc))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("w").cast("decimal(38,0)")).as("tw"),
+        sum((col("rk") * col("w")).cast("decimal(38,0)")).as("rw"))
+      .select(col("n").as("n_groups"),
+        col("tw").cast("long").as("total_w"),
+        round((col("rw") * 2 - (col("n") + 1) * col("tw")).cast("double")
+          / (col("n") * col("tw")).cast("double"), 6).as("gini"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift

@@ -145,6 +145,39 @@ object TimeSeries {
       min(when(col("s") > lit(threshold), col("i"))).as("breach_idx"))
   }
 
+  /** Interval-union length per key (gaps-and-islands): each event
+    * opens a fixed-duration interval; overlapping/touching intervals
+    * merge into islands and the key's total covered time is the sum
+    * of island lengths — the "true active time" metric a naive
+    * count·duration overstates wherever events overlap. Islands are
+    * detected with the classic running-max-end window (an interval
+    * starts a new island iff its start exceeds every prior end), so
+    * the whole operator is two window passes + two hash aggregates in
+    * EXACT epoch-microsecond integers — no floats, no fold, and
+    * shuffles only on the key. */
+  def intervalUnion(events: DataFrame, keyCol: String, tsCol: String,
+      durUs: Long): DataFrame = {
+    require(durUs >= 1, s"duration must be >= 1 us: $durUs")
+    val iv = events.select(col(keyCol), unix_micros(col(tsCol)).as("s"))
+      .withColumn("e", col("s") + durUs)
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val isl = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("nw")).over(wRun))
+    isl.groupBy(col(keyCol), col("isl"))
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("i_s"),
+        max(col("e")).as("i_e"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s")).as("union_us"))
+  }
+
   /** Weekly cohort retention matrix: each user's cohort is the Monday
     * of their first event week; a cell (cohort_week, weeks_since)
     * counts the distinct cohort users active in that later week.

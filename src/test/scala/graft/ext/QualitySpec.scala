@@ -175,6 +175,20 @@ class QualitySpec extends SparkSpec {
     assert(Profiling.benfordReport(geo, "v").count() == 9)
   }
 
+  test("giniConcentration: 0 for equal shares, (n-1)/n for total concentration") {
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("g", "n")
+    val g0 = Profiling.giniConcentration(eq, "g", col("n"))
+      .as[(Long, Long, Double)].head()
+    assert(g0 == ((4L, 20L, 0.0)), g0.toString)
+    val one = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 10L)).toDF("g", "n")
+    assert(Profiling.giniConcentration(one, "g", col("n"))
+      .as[(Long, Long, Double)].head()._3 == 0.75)
+    // hand case: weights 1 and 3 → G = 0.25
+    val two = Seq(("a", 1L), ("b", 3L)).toDF("g", "n")
+    assert(Profiling.giniConcentration(two, "g", col("n"))
+      .as[(Long, Long, Double)].head()._3 == 0.25)
+  }
+
   test("ksTest: identical samples give D=0, disjoint give D=1, shift hand-computed") {
     val a = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val same = Profiling.ksTest(a, a, "v")

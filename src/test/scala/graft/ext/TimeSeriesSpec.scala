@@ -71,6 +71,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
   }
 
+  test("intervalUnion: overlaps merge, touching merges, gaps split islands") {
+    // u1: 0min, 5min (overlap), 30min (gap) → islands [0,15) and [30,40)
+    // u2: 0min and exactly 10min → touching intervals merge: [0,20)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:05:00")),
+      (1L, ts("2024-01-01 00:30:00")),
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:10:00"))
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.intervalUnion(ev, "user_id", "ts", 600000000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 25L * 60 * 1000000),
+      (2L, 2L, 1L, 20L * 60 * 1000000)), out.mkString(", "))
+  }
+
   test("cusum: level shift ramps the statistic and breaches; stationary stays flat") {
     // user 1: hours 0-9 at 1.0, hours 10-19 at 3.0 → μ=2, second half
     // ramps s by +1/hour: max 10, first s>5 at the 16th hour (1-based)
