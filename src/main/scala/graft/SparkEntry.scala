@@ -707,6 +707,25 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- time-respecting reachability over shipdate-stamped edges:
+    // an edge is traversable only at-or-after arrival (earliest-
+    // arrival relaxation, fixed 4 rounds, generated unrolled oracle)
+    // — static reachability overstates actual information flow --
+    "q_g25_temporal_reach" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(concat(lit("supplier:"), col("l_suppkey").cast("string")).as("su"),
+          concat(lit("part:"), col("l_partkey").cast("string")).as("pa"),
+          datediff(col("l_shipdate"), to_date(lit("1970-01-01"))).as("t"))
+        .distinct()
+      val e = hk.select(col("su").as("src"), col("pa").as("dst"), col("t"))
+        .unionByName(hk.select(col("pa").as("src"), col("su").as("dst"), col("t")))
+      val srcId = "supplier:" + Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .agg(min(col("l_suppkey"))).head().getLong(0)
+      GraphQueries.temporalReachability(e, srcId, startT = 0L, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // -- butterfly counting over the supplier-part bipartite graph:
     // a supplier pair sharing k parts closes C(k,2) 2×2 bicliques —
     // the bipartite cohesion metric; all-integer C(k,2) --
@@ -3220,6 +3239,20 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g25_temporal_reach" ->
+      graft.query.GraphQueries.temporalReachabilityOracleSql(
+        """SELECT 'supplier:' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'part:' || CAST(l_partkey AS VARCHAR) AS dst,
+                  date_diff('day', DATE '1970-01-01', l_shipdate) AS t
+           FROM lineitem WHERE l_orderkey % 50 = 0
+           UNION
+           SELECT 'part:' || CAST(l_partkey AS VARCHAR) AS src,
+                  'supplier:' || CAST(l_suppkey AS VARCHAR) AS dst,
+                  date_diff('day', DATE '1970-01-01', l_shipdate) AS t
+           FROM lineitem WHERE l_orderkey % 50 = 0""",
+        """(SELECT 'supplier:' || CAST(min(l_suppkey) AS VARCHAR)
+            FROM lineitem WHERE l_orderkey % 50 = 0)""",
+        startT = 0L, rounds = 4),
     "q_g24_butterflies" ->
       """WITH e AS (SELECT DISTINCT l_suppkey AS lft, l_partkey AS rgt
                     FROM lineitem WHERE l_orderkey % 50 = 0),

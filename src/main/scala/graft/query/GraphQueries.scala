@@ -873,6 +873,58 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Time-respecting reachability (temporal graph — an edge is
+    * traversable only at-or-after you arrive, so static reachability
+    * overstates what information flow/contagion can actually do):
+    * earliest-arrival relaxation arrive(v) = min over edges (u,v,t)
+    * with t ≥ arrive(u) of t, iterated a fixed number of rounds —
+    * the [[bellmanFord]] shape with the temporal guard as a join
+    * residual, replayed verbatim by the generated unrolled chain.
+    * Edge columns: (src, dst, t) with integral t; the source enters
+    * at `startT`. Returns (node, arrive_t) for reached nodes. */
+  def temporalReachability(edges: DataFrame, source: String, startT: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      .localCheckpoint(true)
+    var arr = e.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(source, startT)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var r = 0
+    while (r < rounds) {
+      val relaxed = arr.join(e, arr("node") === e("src") && e("t") >= arr("a"))
+        .select(col("dst").as("node"), col("t").as("a"))
+      arr = arr.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("a")).as("a"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    arr.select(col("node"), col("a").as("arrive_t"))
+  }
+
+  /** The unrolled DuckDB oracle for [[temporalReachability]]:
+    * `edgeCte` yields (src, dst, t). */
+  def temporalReachabilityOracleSql(edgeCte: String, sourceSql: String,
+      startT: Long, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+          a0 AS (SELECT $sourceSql AS node, CAST($startT AS BIGINT) AS a)""")
+    for (r <- 0 until rounds)
+      sb.append(s""", a${r + 1} AS MATERIALIZED (
+        SELECT node, min(a) AS a FROM (
+          SELECT node, a FROM a$r
+          UNION ALL
+          SELECT e.dst, CAST(e.t AS BIGINT)
+          FROM a$r JOIN e ON e.src = a$r.node AND e.t >= a$r.a)
+        GROUP BY node)""")
+    sb.append(s" SELECT node, a AS arrive_t FROM a$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** Butterfly (2×2-biclique) counting over a bipartite edge set —
     * the bipartite cohesion metric (triangles cannot exist in a
     * bipartite graph, so butterfly density is what community/spam

@@ -146,6 +146,16 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
   }
 
+  test("temporalReachability: stale edges are not traversable, earliest arrival wins") {
+    // a→b at t=5 (also a slower t=10 copy), b→c at t=3 (BEFORE arrival
+    // at b — static reachability would claim c), b→d at t=7
+    val e = Seq(("a", "b", 5L), ("a", "b", 10L), ("b", "c", 3L),
+      ("b", "d", 7L)).toDF("src", "dst", "t")
+    val out = GraphQueries.temporalReachability(e, "a", 0L, rounds = 3)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 0L), ("b", 5L), ("d", 7L)), out.mkString(", "))
+  }
+
   test("butterflyCounts: C(shared,2) per pair, rolled up per vertex") {
     // s1,s2 share parts {p1,p2,p3} → C(3,2)=3 butterflies;
     // s1,s3 share {p1,p2} → 1; s2,s3 share {p1,p2} → 1;
