@@ -2713,6 +2713,15 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
+    // -- seasonal decomposition of the corpus hourly series: integer-
+    // cents sliding trend (engines disagree on float window-agg
+    // order; integers are associative), decimal seasonal means,
+    // complete-frame hours only --
+    "q_t19_seasonal" -> ((s, d) =>
+      graft.ext.TimeSeries.seasonalDecompose(Tables.events(s, d),
+          "ts", "value")
+        .orderBy(col("h"))),
+
     // -- interval-union active time per user: each event opens a
     // 10-minute window, overlapping windows merge into islands
     // (running-max-end detection), total covered µs is exact
@@ -5479,6 +5488,32 @@ object SparkEntry {
          SELECT purchase_id, count(*) AS n_prior_views
          FROM p JOIN v ON lus <= rus AND lus > rus - 1800000000
          GROUP BY purchase_id ORDER BY purchase_id""",
+    "q_t19_seasonal" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS vc
+           FROM events GROUP BY 1),
+         framed AS (SELECT h, vc,
+           sum(vc) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+             AND 12 FOLLOWING) AS fs,
+           count(*) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+             AND 12 FOLLOWING) AS fn
+           FROM hourly),
+         d AS (SELECT h, fs, CAST(vc AS DOUBLE) / 100.0 AS v,
+                 CAST(vc AS DOUBLE) / 100.0
+                   - CAST(fs AS DOUBLE) / (100.0 * 24) AS detr,
+                 CAST(hour(h) AS BIGINT) AS hod
+               FROM framed WHERE fn = 24),
+         se AS (SELECT hod,
+                  CAST(sum(CAST(detr AS DECIMAL(30,10))) AS DOUBLE)
+                    / count(*) AS seasonal
+                FROM d GROUP BY hod)
+         SELECT strftime(d.h, '%Y-%m-%d %H:%M:%S') AS h, d.hod, d.v,
+                CAST((d.fs * 10000 + 1200) // 2400 AS DOUBLE) / 10000.0
+                  AS trend,
+                round(se.seasonal + CAST(1e-9 AS DOUBLE), 4) AS seasonal,
+                round(d.detr - se.seasonal + CAST(1e-9 AS DOUBLE), 4)
+                  AS residual
+         FROM d JOIN se USING (hod) ORDER BY h""",
     "q_t18_interval_union" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
                 epoch_us(ts) + 600000000 AS e FROM events),

@@ -145,6 +145,54 @@ object TimeSeries {
       min(when(col("s") > lit(threshold), col("i"))).as("breach_idx"))
   }
 
+  /** Seasonal-naive decomposition of the corpus-wide hourly series:
+    * value = trend (centered 24-hour moving average) + seasonal
+    * (per hour-of-day mean of the detrended series) + residual — the
+    * pre-model seasonality screen. The sliding-frame sum runs over
+    * INTEGER CENTS, deliberately: engines disagree on float window
+    * aggregation order (DuckDB segment-trees sliding frames, Spark
+    * rescans them), but integer addition is associative so the trend
+    * is exact; the seasonal means accumulate in DECIMAL(30,10) (the
+    * bootstrap convention), and every remaining op is elementwise.
+    * Only hours with a complete 24-row frame decompose. Windows run
+    * over the GLOBAL hourly series — one row per hour, bounded by
+    * the time span, the q_a17 documented-small class. */
+  def seasonalDecompose(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("h"))
+      .agg(round(sum(col(valueCol)), 2).as("v0"))
+      .select(col("h"), round(col("v0") * 100).cast("long").as("vc"))
+    val wFrame = Window.orderBy(col("h")).rowsBetween(-11, 12)
+    val framed = hourly
+      .withColumn("fs", sum(col("vc")).over(wFrame))
+      .withColumn("fn", count(lit(1)).over(wFrame))
+      .filter(col("fn") === 24)
+      .withColumn("v", col("vc").cast("double") / 100.0)
+      .withColumn("trend", col("fs").cast("double") / (100.0 * 24))
+      .withColumn("detr", col("v") - col("trend"))
+      .withColumn("hod", hour(col("h")).cast("long"))
+    val seasonal = framed.groupBy(col("hod"))
+      .agg((sum(col("detr").cast("decimal(30,10)")).cast("double")
+        / count(lit(1))).as("seasonal"))
+    framed.join(broadcast(seasonal), Seq("hod"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("hod"), col("v"),
+        // trend = fs/2400 lands EXACTLY on .00005 grid points
+        // (integer numerator, smooth denominator), where Spark's
+        // decimal HALF_UP and DuckDB's binary round() disagree —
+        // so round it in integers: (fs·10⁴ + 1200) div 2400
+        (expr("(fs * 10000 + 1200) div 2400").cast("double") / 10000.0)
+          .as("trend"),
+        // seasonal/residual are cent-grid differences that can land
+        // EXACTLY on .00005 — where Spark's decimal HALF_UP and
+        // DuckDB's binary round() disagree; both engines hold
+        // bit-identical doubles here, so a shared 1e-9 bump resolves
+        // every tie the same way and moves nothing else
+        round(col("seasonal") + lit(1e-9), 4).as("seasonal"),
+        round(col("detr") - col("seasonal") + lit(1e-9), 4).as("residual"))
+  }
+
   /** Interval-union length per key (gaps-and-islands): each event
     * opens a fixed-duration interval; overlapping/touching intervals
     * merge into islands and the key's total covered time is the sum

@@ -71,6 +71,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
   }
 
+  test("seasonalDecompose: pure daily pattern splits into flat trend + exact seasonal") {
+    // 72 hourly points: v = 50 ± 12 by hour-of-day parity; the ±12
+    // pattern sums to zero over any 24-hour window, so trend = 50,
+    // seasonal = ±12, residual = 0 on every complete-frame hour
+    val ev = (0 until 72).map { i =>
+      val day = i / 24; val hod = i % 24
+      (1L, ts(f"2024-01-0${day + 1}%d $hod%02d:30:00"),
+        50.0 + (if (hod % 2 == 0) 12.0 else -12.0))
+    }.toDF("user_id", "ts", "value")
+    val out = TimeSeries.seasonalDecompose(ev, "ts", "value")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    // complete frames exist at positions 11..59 of the 72-hour series
+    assert(out.length == 49, s"expected 49 complete-frame hours, got ${out.length}")
+    for ((h, hod, v, trend, seasonal, residual) <- out) {
+      assert(trend == 50.0, s"$h trend $trend")
+      assert(seasonal == (if (hod % 2 == 0) 12.0 else -12.0), s"$h seasonal $seasonal")
+      assert(residual == 0.0, s"$h residual $residual")
+      assert(v == 50.0 + seasonal)
+    }
+  }
+
   test("intervalUnion: overlaps merge, touching merges, gaps split islands") {
     // u1: 0min, 5min (overlap), 30min (gap) → islands [0,15) and [30,40)
     // u2: 0min and exactly 10min → touching intervals merge: [0,20)
