@@ -1101,6 +1101,24 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text", terms)
         .orderBy(col("doc_id"))
     }),
+    "q_n10_filtered_ann" -> ((s, d) => { // metadata-filtered retrieval:
+      // the lang predicate prunes the corpus BEFORE scoring (pre-
+      // filter), so every query gets its k best matches FROM THE
+      // FILTERED SET — post-filtering a global top-k silently loses
+      // results (the spec measures that loss); predicate arrives via
+      // an equi-join on the documents metadata table
+      val e = Tables.embeddings(s, d)
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val corpus = e.join(meta, Seq("vec_id"))
+        .filter(col("lang") === "en").select(col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, e.filter(col("vec_id") < 6),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_n7_hard_negatives" -> ((s, d) => { // contrastive-pair mining:
       // top-5 most-similar non-positive items per query (positives =
       // vec_id+100, a deterministic labeling) — exact oracle
@@ -4469,6 +4487,21 @@ object SparkEntry {
          SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_n9_mmr_rerank" -> Similarity.mmrOracleSql(nq = 6, m = 20, k = 5),
+    "q_n10_filtered_ann" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT e.* FROM e JOIN documents d ON e.vec_id = d.doc_id
+               WHERE d.lang = 'en'),
+         q AS (SELECT * FROM e WHERE vec_id < 6),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                    FROM c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+                    FROM scored)
+         SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -260,6 +260,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 >= r4 && r16 >= 0.5, s"funnel recall@5: x4 $r4, x16 $r16")
   }
 
+  test("pre-filter retrieval returns k from the filtered set; post-filter loses rows") {
+    val e = Tables.embeddings(spark, sf0001)
+    val meta = Tables.documents(spark, sf0001)
+      .select($"doc_id".as("vec_id"), $"lang")
+    val en = e.join(meta, Seq("vec_id")).filter($"lang" === "en")
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 6)
+    val pre = Similarity.bruteForceTopK(en, q, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    // every pre-filter result IS from the filtered set, 5 per query
+    val enIds = en.select($"vec_id").as[Long].collect().toSet
+    assert(pre.forall(p => enIds.contains(p._2)))
+    assert(pre.groupBy(_._1).forall(_._2.size == 5))
+    // post-filter: global top-5 intersected with the predicate — a
+    // strict subset (queries whose global top-5 is not all-English
+    // come up short); the measured loss is the point of pre-filtering
+    val post = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .filter(p => enIds.contains(p._2)).toSet
+    assert(post.subsetOf(pre), "post-filter found something pre-filter missed")
+    assert(post.size < pre.size, "post-filter lost nothing — predicate vacuous?")
+  }
+
   test("mmrRerank: diversity skips the near-duplicate; lambda=1 is pure relevance") {
     val vecs = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // query
