@@ -1155,6 +1155,20 @@ object SparkEntry {
       graft.ext.TextAnalysis.bigramLm(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    "q_x35_heaps" -> ((s, d) => // Heaps'-law vocab growth V=K·N^β at
+      // ten ingest-order checkpoints (tokens binned by first-
+      // occurrence decile, ONE aggregate) — zipf's corpus-health twin
+      graft.ext.TextAnalysis.heapsFit(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy(col("decile"))),
+
+    "q_t20_burstiness" -> ((s, d) => // Goh-Barabási burstiness of
+      // inter-event gaps per user: integer Σd/Σd² in decimal, one
+      // sqrt — the bot/organic temporal fingerprint
+      graft.ext.TimeSeries.burstiness(Tables.events(s, d),
+          "user_id", "ts", "event_id")
+        .orderBy(col("user_id"))),
+
     "q_x34_rake" -> ((s, d) => // RAKE keyphrases: stopword-free runs
       // scored by Σ degree/freq of their words, top-3 per doc via the
       // native bounded heap — the unsupervised keyword baseline
@@ -3874,6 +3888,57 @@ object SparkEntry {
                 coalesce(sc.logprob, 0.0) AS logprob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q_x35_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+         tok AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         tb AS (SELECT CAST((doc_id * 10) // mx AS INT) AS bkt, tok
+                FROM tok, mx),
+         mass AS (SELECT bkt, count(*) AS m FROM tb GROUP BY bkt),
+         vocab AS (SELECT bkt, count(*) AS v FROM (
+                     SELECT tok, min(bkt) AS bkt FROM tb GROUP BY tok)
+                   GROUP BY bkt),
+         pts AS (SELECT CAST(mass.bkt AS BIGINT) AS decile,
+           CAST(sum(m) OVER (ORDER BY mass.bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_cum,
+           CAST(sum(coalesce(v, 0)) OVER (ORDER BY mass.bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS v_cum
+           FROM mass LEFT JOIN vocab ON mass.bkt = vocab.bkt),
+         xy AS (SELECT decile, n_cum, v_cum,
+                  ln(CAST(n_cum AS DOUBLE)) AS x,
+                  ln(CAST(v_cum AS DOUBLE)) AS y FROM pts),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+                      sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+               FROM xy),
+         f2 AS (SELECT n, sx, sy,
+                  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta0 FROM s)
+         SELECT xy.decile, xy.n_cum, xy.v_cum,
+                round(beta0, 4) AS beta,
+                round(exp((sy - beta0 * sx) / n), 4) AS k
+         FROM xy, f2 ORDER BY decile""",
+    "q_t20_burstiness" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts), 1)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS d
+           FROM events),
+         agg AS (SELECT user_id, count(*) AS n_gaps,
+                   sum(CAST(d AS HUGEINT)) AS sd,
+                   sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sd2
+                 FROM g WHERE d IS NOT NULL GROUP BY user_id
+                 HAVING count(*) >= 2),
+         st AS (SELECT user_id, n_gaps,
+                  CAST(sd AS DOUBLE) / n_gaps AS mu,
+                  sqrt(CAST(n_gaps * sd2 - sd * sd AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * (n_gaps - 1))) AS sigma
+                FROM agg)
+         SELECT user_id, n_gaps, round(mu, 2) AS mean_gap_us,
+                round((sigma - mu) / (sigma + mu), 4) AS burstiness
+         FROM st ORDER BY user_id""",
     "q_x34_rake" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

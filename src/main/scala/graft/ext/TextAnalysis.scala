@@ -377,6 +377,50 @@ object TextAnalysis {
         coalesce(col("logprob"), lit(0.0)).as("logprob"))
   }
 
+  /** Heaps'-law vocabulary growth (V(N) = K·N^β, β ≈ 0.5 for natural
+    * text — the companion corpus-health diagnostic to [[zipfFit]]: a
+    * β near 1 means the corpus keeps inventing tokens, template spam
+    * or tokenizer damage; β near 0 means it has stopped saying
+    * anything new): token mass and DISTINCT vocabulary accumulated at
+    * ten ingest-order checkpoints (each token binned by the decile of
+    * its FIRST-occurrence doc_id — one aggregate, no per-checkpoint
+    * rescans), then the log–log least-squares slope. Counts stay
+    * integer through the cumulative window (ten rows,
+    * documented-small); only the final regression runs in doubles
+    * (zipfFit arithmetic, 4 dp). Returns one row per decile with
+    * (beta, k) repeated via the scalar-combine convention. */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = docs.agg((max(col(idCol)) + 1).as("__mx"))
+    val tok = docs.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bkt", expr("__id * 10 div __mx").cast("int"))
+    val mass = tok.groupBy(col("bkt")).agg(count(lit(1)).as("m"))
+    val vocab = tok.groupBy(col("tok")).agg(min(col("bkt")).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("v"))
+    val w = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = mass.join(vocab, Seq("bkt"), "left")
+      .select(col("bkt").cast("long").as("decile"),
+        sum(col("m")).over(w).as("n_cum"),
+        sum(coalesce(col("v"), lit(0L))).over(w).as("v_cum"))
+    val xy = pts.select(col("decile"), col("n_cum"), col("v_cum"),
+      log(col("n_cum").cast("double")).as("x"),
+      log(col("v_cum").cast("double")).as("y"))
+    val fit = xy.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("beta0",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(round(col("beta0"), 4).as("beta"),
+        round(exp((col("sy") - col("beta0") * col("sx")) / col("n")), 4)
+          .as("k"))
+    xy.select(col("decile"), col("n_cum"), col("v_cum"))
+      .crossJoin(broadcast(fit))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010 — the unsupervised
     * keyphrase baseline): candidate phrases are maximal stopword-free
     * token runs; each word scores degree/freq (degree = Σ length of

@@ -252,6 +252,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == exp)
   }
 
+  test("heapsFit: all-new tokens fit beta=1, frozen vocabulary fits beta=0") {
+    // every doc introduces 5 fresh tokens → V(N) = N exactly
+    val fresh = (0L until 10L).map(i =>
+      (i, (1 to 5).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(fresh, "doc_id", "text")
+      .select($"decile", $"n_cum", $"v_cum", $"beta", $"k")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(f.length == 10)
+    assert(f.forall(r => r._2 == r._3), "V(N) must equal N for all-new tokens")
+    assert(f.head._4 == 1.0 && f.head._5 == 1.0, s"beta/k = ${f.head}")
+    // every doc repeats the same 5 tokens → V constant → beta = 0, K = 5
+    val frozen = (0L until 10L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val z = TextAnalysis.heapsFit(frozen, "doc_id", "text")
+      .select($"beta", $"k").as[(Double, Double)].head()
+    assert(z == ((0.0, 5.0)), z.toString)
+  }
+
   test("rakePhrases: hand-computed degree/freq scores, co-occurrence beats isolation") {
     // stops {of, is}: phrases "deep learning", "deep networks", "fun"
     // deg/freq: deep 4/2, learning 2/1, networks 2/1, fun 1/1

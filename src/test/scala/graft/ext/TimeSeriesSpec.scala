@@ -71,6 +71,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0, 3.0, 1.0, 3.0, 2L)), out(1).toString)
   }
 
+  test("burstiness: periodic is -1, heavy-tailed gaps are positive, short keys drop") {
+    val periodic = (0 until 10).map(i =>
+      (1L, ts(f"2024-01-01 00:${i * 5}%02d:00"), i.toLong))
+    val bursty = Seq(0, 1, 2, 3, 1000).zipWithIndex.map { case (m, i) =>
+      (2L, ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), 100L + i)
+    }
+    val short = Seq((3L, ts("2024-01-01 00:00:00"), 900L),
+      (3L, ts("2024-01-01 01:00:00"), 901L))  // 1 gap: dropped
+    val ev = (periodic ++ bursty ++ short).toDF("user_id", "ts", "event_id")
+    val out = TimeSeries.burstiness(ev, "user_id", "ts", "event_id")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L), out.mkString(", "))
+    assert(out(0)._4 == -1.0, s"periodic burstiness ${out(0)._4}")
+    assert(out(1)._4 > 0.3, s"bursty burstiness ${out(1)._4}")
+  }
+
   test("seasonalDecompose: pure daily pattern splits into flat trend + exact seasonal") {
     // 72 hourly points: v = 50 ± 12 by hour-of-day parity; the ±12
     // pattern sums to zero over any 24-hour window, so trend = 50,
