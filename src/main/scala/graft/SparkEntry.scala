@@ -707,6 +707,18 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- degree assortativity of the supplier projection: Pearson of
+    // endpoint degrees over symmetrized edges, integer sums in
+    // decimal — hub-to-hub vs hub-to-leaf wiring in one number --
+    "q_g26_assortativity" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.degreeAssortativity(e)
+    }),
+
     // -- time-respecting reachability over shipdate-stamped edges:
     // an edge is traversable only at-or-after arrival (earliest-
     // arrival relaxation, fixed 4 rounds, generated unrolled oracle)
@@ -3280,6 +3292,34 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g26_assortativity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         b AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         p AS (SELECT dx.deg AS dx, dy.deg AS dy
+               FROM b JOIN deg dx ON b.src = dx.node
+               JOIN deg dy ON b.dst = dy.node),
+         s AS (SELECT count(*) AS m,
+                 sum(CAST(dx AS HUGEINT)) AS sx,
+                 sum(CAST(dy AS HUGEINT)) AS sy,
+                 sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+                 sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+                 sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+               FROM p)
+         SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+                CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                  THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 4)
+                END AS r
+         FROM s""",
     "q_g25_temporal_reach" ->
       graft.query.GraphQueries.temporalReachabilityOracleSql(
         """SELECT 'supplier:' || CAST(l_suppkey AS VARCHAR) AS src,

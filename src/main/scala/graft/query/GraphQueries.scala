@@ -873,6 +873,45 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Degree assortativity (Newman 2002) — does the graph wire
+    * hub-to-hub (r > 0, social shape) or hub-to-leaf (r < 0,
+    * infrastructure/web shape)? Pearson correlation of endpoint
+    * degrees over the undirected edge list, with each canonical edge
+    * contributing BOTH orientations (the standard symmetrization —
+    * without it the canonical id-ordering biases the correlation).
+    * All five correlation sums accumulate as exact integers in
+    * DECIMAL(38,0)/HUGEINT (degree products at hub scale overflow
+    * int64), so both engines reach identical doubles before the one
+    * sqrt. Returns (n_edges, r) — r null for degree-regular graphs
+    * (zero variance). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val pairs = both
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val s = pairs.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)"))
+        .as("sxy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dx").cast("decimal(38,0)"))
+        .as("sxx"),
+      sum(col("dy").cast("decimal(38,0)") * col("dy").cast("decimal(38,0)"))
+        .as("syy"))
+    val varx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    s.select(expr("m div 2").as("n_edges"),
+      when(varx > 0 && vary > 0,
+        round(num / (sqrt(varx) * sqrt(vary)), 4)).as("r"))
+  }
+
   /** Time-respecting reachability (temporal graph — an edge is
     * traversable only at-or-after you arrive, so static reachability
     * overstates what information flow/contagion can actually do):

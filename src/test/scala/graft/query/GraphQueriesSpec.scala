@@ -146,6 +146,19 @@ class GraphQueriesSpec extends SparkSpec {
     assert(t3 == (k4 ++ extra.init).toSet, t3.toString)
   }
 
+  test("degreeAssortativity: star is maximally disassortative, symmetrization matters") {
+    // star 1-{2,3,4,5}: every edge joins deg 4 to deg 1 → r = -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    val rs = GraphQueries.degreeAssortativity(star)
+      .as[(Long, Double)].head()
+    assert(rs == ((4L, -1.0)), rs.toString)
+    // two disjoint edges: all degrees 1 → zero variance → r null
+    val reg = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val rr = GraphQueries.degreeAssortativity(reg)
+      .select($"r").as[Option[Double]].head()
+    assert(rr.isEmpty, s"degree-regular graph must yield null r, got $rr")
+  }
+
   test("temporalReachability: stale edges are not traversable, earliest arrival wins") {
     // a→b at t=5 (also a slower t=10 copy), b→c at t=3 (BEFORE arrival
     // at b — static reachability would claim c), b→d at t=7
