@@ -707,6 +707,30 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // -- HITS hubs/authorities over the directed supplier→part
+    // graph, 2 all-integer path-count rounds (no per-round
+    // normalization — one divide-by-max at the end), unrolled
+    // oracle — the mutual-reinforcement ranking raw degree misses --
+    "q_g27_hits" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + 10000000L).as("dst")).distinct()
+      GraphQueries.hitsScores(e, rounds = 2).orderBy(col("node"))
+    }),
+
+    // -- rich-club coefficient sweep k=1..8 on the supplier
+    // projection: edge density among nodes of degree > k, one
+    // broadcast k-sweep over the canonical edge list — do hubs wire
+    // to each other or only to leaves? --
+    "q_g28_richclub" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.richClub(e, maxK = 8).orderBy(col("k"))
+    }),
+
     // -- degree assortativity of the supplier projection: Pearson of
     // endpoint degrees over symmetrized edges, integer sums in
     // decimal — hub-to-hub vs hub-to-leaf wiring in one number --
@@ -3292,6 +3316,35 @@ object SparkEntry {
     "q_g10_kcore" -> graft.query.GraphQueries.kCoreOracleSql(
       "SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst FROM lineitem",
       k = 30, rounds = 3),
+    "q_g27_hits" -> graft.query.GraphQueries.hitsOracleSql(
+      """SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+         FROM lineitem WHERE l_orderkey % 50 = 0""", rounds = 2),
+    "q_g28_richclub" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+         nk AS (SELECT k, count(*) AS n_nodes FROM deg, ks
+                WHERE deg > k GROUP BY k),
+         ek AS (SELECT k, count(*) AS n_edges
+                FROM e JOIN deg dx ON e.src = dx.node
+                JOIN deg dy ON e.dst = dy.node, ks
+                WHERE least(dx.deg, dy.deg) > k GROUP BY k)
+         SELECT CAST(ks.k AS BIGINT) AS k,
+                CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+                CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+                CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
+                  round(2.0 * coalesce(ek.n_edges, 0)
+                    / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1)), 6)
+                END AS phi
+         FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+         ORDER BY k""",
     "q_g26_assortativity" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

@@ -1112,4 +1112,125 @@ object GraphQueries {
       ORDER BY e.src, e.dst""")
     sb.toString
   }
+
+  /** HITS hubs-and-authorities (Kleinberg '99) over a directed edge
+    * set, fixed-round and ALL-INTEGER: per-round normalization (the
+    * textbook L2 step) would force order-dependent double sums, but
+    * the un-normalized iterate after r rounds is a path COUNT —
+    * h_r(u) counts alternating forward/backward walks — so every
+    * partial sum stays an exact integer in DECIMAL(38,0)/HUGEINT and
+    * both engines divide once by the max at the very end (integers
+    * stay < 2^53 for the gated graphs, so the doubles agree
+    * bit-for-bit; keep `rounds` small — values grow like deg^2r).
+    * Reference ranks pages by raw degree only
+    * (dockerapp/app/main.py:331 link counts); this is the
+    * link-structure ranking a graph store grows into. Returns
+    * (node, hub, auth) for every node, 6-dp normalized scores. */
+  def hitsScores(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var h = nodes.select(col("node"), lit(1).cast("decimal(38,0)").as("h"))
+    var a = nodes.select(col("node"), lit(0).cast("decimal(38,0)").as("a"))
+    for (_ <- 1 to rounds) {
+      a = nodes.join(
+          e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("v")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0)).cast("decimal(38,0)").as("a"))
+        .localCheckpoint(true)
+      h = nodes.join(
+          e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("v")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0)).cast("decimal(38,0)").as("h"))
+        .localCheckpoint(true)
+    }
+    val mx = h.agg(max(col("h")).as("mh")).crossJoin(a.agg(max(col("a")).as("ma")))
+    h.join(a, Seq("node")).crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("mh") > 0,
+          round(col("h").cast("double") / col("mh").cast("double"), 6)).as("hub"),
+        when(col("ma") > 0,
+          round(col("a").cast("double") / col("ma").cast("double"), 6)).as("auth"))
+  }
+
+  /** Unrolled DuckDB replay of [[hitsScores]]: HUGEINT path-count
+    * iterates via left-joined per-round aggregates, one final
+    * divide-by-max. */
+  def hitsOracleSql(edgeCte: String, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED (SELECT src, dst FROM ($edgeCte)
+            WHERE src <> dst),
+          nodes AS MATERIALIZED (SELECT src AS node FROM e
+            UNION SELECT dst FROM e),
+          h0 AS (SELECT node, CAST(1 AS HUGEINT) AS h FROM nodes)""")
+    for (r <- 1 to rounds) {
+      sb.append(s""", a$r AS MATERIALIZED (
+        SELECT n.node, CAST(coalesce(s.v, 0) AS HUGEINT) AS a
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(h.h) AS v
+          FROM e JOIN h${r - 1} h ON e.src = h.node GROUP BY e.dst) s
+        USING (node))""")
+      sb.append(s""", h$r AS MATERIALIZED (
+        SELECT n.node, CAST(coalesce(s.v, 0) AS HUGEINT) AS h
+        FROM nodes n LEFT JOIN (
+          SELECT e.src AS node, sum(a.a) AS v
+          FROM e JOIN a$r a ON e.dst = a.node GROUP BY e.src) s
+        USING (node))""")
+    }
+    sb.append(s"""
+      SELECT h.node,
+        CASE WHEN (SELECT max(h) FROM h$rounds) > 0 THEN
+          round(CAST(h.h AS DOUBLE)
+            / CAST((SELECT max(h) FROM h$rounds) AS DOUBLE), 6) END AS hub,
+        CASE WHEN (SELECT max(a) FROM a$rounds) > 0 THEN
+          round(CAST(a.a AS DOUBLE)
+            / CAST((SELECT max(a) FROM a$rounds) AS DOUBLE), 6) END AS auth
+      FROM h$rounds h JOIN a$rounds a ON h.node = a.node
+      ORDER BY h.node""")
+    sb.toString
+  }
+
+  /** Rich-club coefficient (Colizza et al. '06): for each degree
+    * threshold k, the edge density φ(k) = 2·E_k / (N_k·(N_k−1))
+    * among the nodes of degree > k — do the hubs form their own
+    * densely-wired club (φ rising with k) or merely fan out to
+    * leaves? Degrees and subgraph edge counts are exact integers;
+    * the k-sweep is a broadcast of `maxK` threshold rows against the
+    * canonical edge list (one scan, no per-k recomputation), so the
+    * shape scales as one join + two grouped counts regardless of
+    * maxK. Returns (k, n_nodes, n_edges, phi), φ null when the club
+    * has fewer than two members. */
+  def richClub(edges: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1)
+    val spark = edges.sparkSession
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ks = spark.range(1, maxK + 1).select(col("id").as("k"))
+    val nk = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val ek = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .crossJoin(broadcast(ks))
+      .filter(least(col("dx"), col("dy")) > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi",
+        when(col("n_nodes") >= 2,
+          round(lit(2.0) * col("n_edges").cast("double") /
+            (col("n_nodes").cast("double") * (col("n_nodes") - 1).cast("double")),
+            6)))
+  }
 }
