@@ -933,6 +933,46 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // -- Clauset-MLE power-law exponent of the per-customer order
+    // count distribution (tail x ≥ 2): 9-dp-rounded logs summed in
+    // decimal so the fold is partition-order-free — how heavy is
+    // the activity tail? --
+    "q_p22_powerlaw" -> ((s, d) =>
+      graft.ext.Profiling.powerlawFit(
+        Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("x")),
+        "x", xmin = 2L)),
+
+    // -- ROC-AUC of price as a predictor of the 'R' return flag:
+    // tie-corrected Mann-Whitney rank-sum, all-integer until one
+    // division — the ranking-quality gate for any scorer --
+    "q_p23_roc_auc" -> ((s, d) =>
+      graft.ext.Profiling.rocAuc(Tables.lineitem(s, d),
+        "l_extendedprice", col("l_returnflag") === "R")),
+
+    // -- Pearson χ² independence of order priority × status:
+    // per-cell integer numerators, 9-dp-rounded terms summed in
+    // decimal — did the label mix shift across a category? --
+    "q_p24_chi_square" -> ((s, d) =>
+      graft.ext.Profiling.chiSquare(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus")),
+
+    // -- Spearman ρ of quantity vs extended price: doubled
+    // tie-averaged ranks stay integers, then the assortativity
+    // five-sum decimal Pearson — monotone association without
+    // chasing outliers --
+    "q_p25_spearman" -> ((s, d) =>
+      graft.ext.Profiling.spearman(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice")),
+
+    // -- quantity-weighted median extended price per return flag:
+    // smallest value whose doubled cumulative weight reaches the
+    // group total, all-decimal — the robust weighted center --
+    "q_p26_weighted_median" -> ((s, d) =>
+      graft.ext.Profiling.weightedMedian(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy(col("l_returnflag"))),
+
     "q_p21_gini" -> ((s, d) => // Gini concentration of token mass
       // across sources — integer Lorenz arithmetic, one division;
       // the corpus-balance diagnostic
@@ -3577,6 +3617,98 @@ object SparkEntry {
                 round(CAST(2 * rw - (n + 1) * tw AS DOUBLE)
                   / CAST(n * tw AS DOUBLE), 6) AS gini
          FROM agg""",
+    "q_p22_powerlaw" ->
+      """WITH c AS (SELECT count(*) AS x FROM orders GROUP BY o_custkey),
+         t AS (SELECT CAST(x AS DOUBLE) AS x FROM c WHERE x >= 2),
+         s AS (SELECT count(*) AS n_tail,
+                 sum(CAST(round(ln(x / 1.5), 9) AS DECIMAL(38,12))) AS sl
+               FROM t)
+         SELECT CAST(n_tail AS BIGINT) AS n_tail,
+                CASE WHEN sl > 0 THEN
+                  round(1.0 + CAST(n_tail AS DOUBLE) / CAST(sl AS DOUBLE), 6)
+                END AS alpha,
+                CAST(2 AS BIGINT) AS xmin
+         FROM s""",
+    "q_p23_roc_auc" ->
+      """WITH p AS (SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+              FROM lineitem),
+         g AS (SELECT s, count(*) AS kt, sum(y) AS kp FROM p GROUP BY s),
+         r AS (SELECT kt, kp,
+                 2 * (sum(kt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - kt)
+                   + kt + 1 AS r2
+               FROM g),
+         a AS (SELECT sum(kp) AS np, sum(kt - kp) AS nn,
+                 sum(CAST(kp AS HUGEINT) * CAST(r2 AS HUGEINT)) AS sr2
+               FROM r)
+         SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+                CASE WHEN np > 0 AND nn > 0 THEN
+                  round((CAST(sr2 AS DOUBLE)
+                      - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1))
+                    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+                END AS auc
+         FROM a""",
+    "q_p24_chi_square" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                  CAST(o_orderstatus AS VARCHAR) AS b, count(*) AS obs
+           FROM orders GROUP BY 1, 2),
+         rt AS (SELECT a, sum(obs) AS rt FROM cells GROUP BY a),
+         ct AS (SELECT b, sum(obs) AS ct FROM cells GROUP BY b),
+         nn AS (SELECT sum(obs) AS n, count(DISTINCT a) AS nr,
+                  count(DISTINCT b) AS nc FROM cells),
+         terms AS (SELECT nn.n, nn.nr, nn.nc,
+             CAST(round(
+               CAST((CAST(nn.n AS HUGEINT) * obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                  * (CAST(nn.n AS HUGEINT) * obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                 AS DOUBLE)
+               / CAST(CAST(rt.rt AS HUGEINT) * ct.ct * nn.n AS DOUBLE), 9)
+               AS DECIMAL(38,12)) AS term
+           FROM cells JOIN rt USING (a) JOIN ct USING (b), nn)
+         SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat,
+                CAST(nc AS BIGINT) AS n_cols_cat,
+                CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+         FROM terms GROUP BY n, nr, nc""",
+    "q_p25_spearman" ->
+      """WITH d AS MATERIALIZED (SELECT CAST(l_quantity AS DOUBLE) AS vx,
+                CAST(l_extendedprice AS DOUBLE) AS vy FROM lineitem),
+         rx AS (SELECT v, 2 * (sum(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - k) + k + 1 AS r2
+                FROM (SELECT vx AS v, count(*) AS k FROM d GROUP BY vx)),
+         ry AS (SELECT v, 2 * (sum(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - k) + k + 1 AS r2
+                FROM (SELECT vy AS v, count(*) AS k FROM d GROUP BY vy)),
+         rws AS (SELECT rx.r2 AS rxv, ry.r2 AS ryv
+                 FROM d JOIN rx ON d.vx = rx.v JOIN ry ON d.vy = ry.v),
+         s AS (SELECT count(*) AS m,
+                 sum(CAST(rxv AS HUGEINT)) AS sx,
+                 sum(CAST(ryv AS HUGEINT)) AS sy,
+                 sum(CAST(rxv AS HUGEINT) * CAST(ryv AS HUGEINT)) AS sxy,
+                 sum(CAST(rxv AS HUGEINT) * CAST(rxv AS HUGEINT)) AS sxx,
+                 sum(CAST(ryv AS HUGEINT) * CAST(ryv AS HUGEINT)) AS syy
+               FROM rws)
+         SELECT CAST(m AS BIGINT) AS n,
+                CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+                  round(CAST(m * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                END AS rho
+         FROM s""",
+    "q_p26_weighted_median" ->
+      """WITH perv AS (SELECT l_returnflag AS g,
+                CAST(l_extendedprice AS DOUBLE) AS v,
+                sum(CAST(l_quantity AS DECIMAL(38,6))) AS kw
+              FROM lineitem GROUP BY 1, 2),
+         w AS (SELECT g, v, kw,
+                 sum(kw) OVER (PARTITION BY g) AS totw,
+                 sum(kw) OVER (PARTITION BY g ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cumw
+               FROM perv)
+         SELECT g AS l_returnflag, CAST(min(totw) AS DOUBLE) AS tot_w,
+                min(v) AS w_median
+         FROM w WHERE cumw * 2 >= totw GROUP BY g
+         ORDER BY l_returnflag""",
     "q_p20_ks_test" ->
       """WITH pv AS (
            SELECT CAST(n_chars AS DOUBLE) AS v, 1 AS g FROM documents

@@ -401,4 +401,156 @@ object Profiling {
       .filter(col("__sd") > 0 && abs(col("zscore")) > z)
       .drop("__mu", "__sd")
   }
+
+  /** Discrete power-law exponent by the Clauset–Shalizi–Newman MLE:
+    * α = 1 + n / Σ ln(x_i / (xmin − ½)) over the tail x ≥ xmin — the
+    * heavy-tail diagnostic for degree/frequency/length distributions
+    * (is this corpus Zipf-shaped, and how steep?). A plain double sum
+    * of logs is partition-order-dependent, so each ln is rounded to
+    * 9 dp and accumulated in DECIMAL(38,12) — exact, order-free, and
+    * replayed digit-for-digit by the oracle (the q_p19 decimal-sum
+    * discipline). One filter + one aggregate; scales as a scan.
+    * Returns (n_tail, alpha, xmin). */
+  def powerlawFit(df: DataFrame, valueCol: String, xmin: Long): DataFrame = {
+    require(xmin >= 1)
+    val v = df.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x") >= xmin)
+    v.agg(count(lit(1)).as("n_tail"),
+        sum(round(log(col("x") / (lit(xmin.toDouble) - 0.5)), 9)
+          .cast("decimal(38,12)")).as("__s"))
+      .select(col("n_tail"),
+        when(col("__s") > 0,
+          round(lit(1.0) + col("n_tail").cast("double") /
+            col("__s").cast("double"), 6)).as("alpha"),
+        lit(xmin).as("xmin"))
+  }
+
+  /** ROC-AUC of a score column against a boolean label, computed as
+    * the tie-corrected Mann-Whitney U — the ranking-quality number a
+    * quality-classifier gate reports. Everything stays integer until
+    * the final division: per distinct score keep (k_pos, k_tot), a
+    * cumulative-count window gives each tie-group's doubled average
+    * rank 2·r̄ = 2·cum_before + k_tot + 1, and 2U = Σ k_pos·2r̄ −
+    * n_pos·(n_pos+1) accumulates in DECIMAL(38,0) — AUC = 2U / (2·
+    * n_pos·n_neg) is one exact-integer division. One groupBy plus a
+    * single-partition window over DISTINCT SCORES (bounded by score
+    * cardinality, not row count — the q_p20 CDF shape). Returns
+    * (n_pos, n_neg, auc). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perS = df.select(col(scoreCol).cast("double").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s")).agg(count(lit(1)).as("kt"), sum(col("y")).as("kp"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perS.withColumn("cum", sum(col("kt")).over(w))
+      .select(col("kt"), col("kp"),
+        (lit(2) * (col("cum") - col("kt")) + col("kt") + 1)
+          .cast("decimal(38,0)").as("r2"))
+    ranked.agg(
+        sum(col("kp")).as("np"),
+        sum(col("kt") - col("kp")).as("nn"),
+        sum(col("kp").cast("decimal(38,0)") * col("r2")).as("sr2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("sr2").cast("double") -
+              col("np").cast("double") * (col("np").cast("double") + 1)) /
+            (lit(2.0) * col("np").cast("double") * col("nn").cast("double")),
+            6)).as("auc"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns
+    * — the "did the label distribution shift across sources?" gate.
+    * Each cell's contribution (N·obs − rt·ct)² / (rt·ct·N) is
+    * computed per cell (integer numerator in DECIMAL(38,0), one
+    * division), rounded to 9 dp, and summed in DECIMAL(38,12) so the
+    * total is partition-order-free and oracle-exact. Contingency
+    * cells via one groupBy; margins via two broadcast-size
+    * re-aggregations of the cells (no second scan of the input).
+    * Returns (n, n_rows_cat, n_cols_cat, dof, chi2). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("obs")).localCheckpoint(true)
+    val rt = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("nr"), countDistinct(col("b")).as("nc"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val terms = cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("nr"), col("nc"),
+        round(((dec(col("n")) * dec(col("obs")) - dec(col("rt")) * dec(col("ct"))) *
+            (dec(col("n")) * dec(col("obs")) - dec(col("rt")) * dec(col("ct"))))
+            .cast("double") /
+          (dec(col("rt")) * dec(col("ct")) * dec(col("n"))).cast("double"), 9)
+          .cast("decimal(38,12)").as("term"))
+    terms.groupBy(col("n"), col("nr"), col("nc"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .select(col("n"), col("nr").as("n_rows_cat"), col("nc").as("n_cols_cat"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2"))
+  }
+
+  /** Spearman rank correlation ρ between two numeric columns with
+    * tie-averaged ranks — the monotone-association screen that
+    * ignores outliers Pearson would chase. Doubled average ranks
+    * (2·cum_before + k + 1, integers even at half-rank ties) come
+    * from one cumulative window per column over DISTINCT VALUES and
+    * join back to rows; ρ is then Pearson on integer doubled ranks
+    * with the [[graft.query.GraphQueries.degreeAssortativity]]
+    * DECIMAL(38,0) five-sum discipline — exact until the final
+    * sqrt/divide. Returns (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranks(c: String) = {
+      val perV = df.select(col(c).cast("double").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("k"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perV.withColumn("cum", sum(col("k")).over(w))
+        .select(col("v"), (lit(2) * (col("cum") - col("k")) + col("k") + 1).as("r2"))
+    }
+    val rows = df.select(col(xCol).cast("double").as("vx"),
+        col(yCol).cast("double").as("vy"))
+      .join(ranks(xCol).select(col("v").as("vx"), col("r2").as("rx")), Seq("vx"))
+      .join(ranks(yCol).select(col("v").as("vy"), col("r2").as("ry")), Seq("vy"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s = rows.agg(count(lit(1)).as("m"),
+      sum(dec(col("rx"))).as("sx"), sum(dec(col("ry"))).as("sy"),
+      sum(dec(col("rx")) * dec(col("ry"))).as("sxy"),
+      sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+      sum(dec(col("ry")) * dec(col("ry"))).as("syy"))
+    val varx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    s.select(col("m").as("n"),
+      when(varx > 0 && vary > 0,
+        round(num / (sqrt(varx) * sqrt(vary)), 6)).as("rho"))
+  }
+
+  /** Per-group weighted median: the smallest value whose cumulative
+    * weight reaches half the group total (2·cumw ≥ totw, all-integer
+    * once weights are cast to DECIMAL — no interpolation, so the
+    * answer is always an observed value and the oracle replays it
+    * exactly). One groupBy collapse per (group, value), one
+    * per-group cumulative window, one min — the robust center for
+    * skewed weighted data (token-weighted doc length, spend-weighted
+    * price). Returns (group, tot_w, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("decimal(38,6)").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("kw"))
+    val wg = Window.partitionBy(col("g"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV.withColumn("totw", sum(col("kw")).over(wg))
+      .withColumn("cumw", sum(col("kw")).over(wc))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("g").as(groupCol))
+      .agg(min(col("totw")).cast("double").as("tot_w"),
+        min(col("v")).as("w_median"))
+  }
 }
