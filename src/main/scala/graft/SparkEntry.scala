@@ -1238,6 +1238,47 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy(col("decile"))),
 
+    // -- autocorrelation of the daily event-count series at lags
+    // 1..7: the n²-multiplied all-integer estimator (five decimal
+    // sums per lag, one division) — the seasonality/memory screen --
+    "q_t21_acf" -> ((s, d) =>
+      graft.ext.TimeSeries.autocorrelation(Tables.events(s, d), "ts",
+        maxLag = 7).orderBy(col("lag"))),
+
+    // -- rendezvous-hash sharding of the document corpus: per-shard
+    // counts at N=8 plus how many keys an N=9 regrow would move —
+    // the minimal-movement property modulo hashing lacks, proven on
+    // the oracle-replayable char-poly fingerprint --
+    "q_o20_rendezvous" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val s8 = graft.ext.Sampling.rendezvousShard(docs, "doc_id", 8)
+      val s9 = graft.ext.Sampling.rendezvousShard(docs, "doc_id", 9)
+        .withColumnRenamed("shard", "shard9")
+      s8.join(s9, Seq("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard9"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy(col("shard"))
+    }),
+
+    // -- Flesch reading ease per document: vowel-run syllables,
+    // [.!?]-run sentences, three codegen regex counts, no shuffle —
+    // the readability band selector of a curation pipeline --
+    "q_x36_flesch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id")) ++
+          graft.ext.TextAnalysis.fleschParts(col("text")): _*)
+        .orderBy(col("doc_id"))),
+
+    // -- embedding isotropy diagnostics: mean pairwise cosine via
+    // ‖Σv̂‖²−Σ‖v̂ᵢ‖² (two linear aggregates, NO n² pair join),
+    // 6-dp decimal components so every sum is exact — the cone-
+    // collapse health check cosine retrieval depends on --
+    "q_v5_isotropy" -> ((s, d) =>
+      graft.ext.Similarity.isotropy(Tables.embeddings(s, d),
+        "vec_id", "embedding")),
+
     "q_t20_burstiness" -> ((s, d) => // Goh-Barabási burstiness of
       // inter-event gaps per user: integer Σd/Σd² in decimal, one
       // sqrt — the bot/organic temporal fingerprint
@@ -4145,6 +4186,87 @@ object SparkEntry {
                 round(beta0, 4) AS beta,
                 round(exp((sy - beta0 * sx) / n), 4) AS k
          FROM xy, f2 ORDER BY decile""",
+    "q_t21_acf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+              FROM events GROUP BY 1),
+         idx AS (SELECT row_number() OVER (ORDER BY dt) AS i, x FROM daily),
+         tot AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+                 FROM idx),
+         ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+         p AS (SELECT k, count(*) AS m,
+                 sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+                 sum(CAST(a.x AS HUGEINT)) AS sa,
+                 sum(CAST(b.x AS HUGEINT)) AS sb
+               FROM idx a JOIN ks ON true JOIN idx b ON b.i = a.i + ks.k
+               GROUP BY k)
+         SELECT CAST(k AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+                CASE WHEN n * (n * q - s * s) > 0 THEN
+                  round(CAST(n * n * sxy - n * s * (sa + sb) + m * s * s
+                      AS DOUBLE)
+                    / CAST(n * (n * q - s * s) AS DOUBLE), 6)
+                END AS r
+         FROM p, tot ORDER BY lag""",
+    "q_o20_rendezvous" ->
+      s"""WITH a AS (SELECT doc_id,
+            ${graft.ext.Sampling.rendezvousShardOracleExpr(
+              "CAST(doc_id AS VARCHAR)", 8)} AS shard,
+            ${graft.ext.Sampling.rendezvousShardOracleExpr(
+              "CAST(doc_id AS VARCHAR)", 9)} AS shard9
+          FROM documents)
+         SELECT CAST(shard AS BIGINT) AS shard,
+                count(*) AS n_docs,
+                CAST(sum(CASE WHEN shard <> shard9 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved
+         FROM a GROUP BY shard ORDER BY shard""",
+    "q_x36_flesch" ->
+      """WITH c AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words > 0 THEN
+                  round(206.835
+                    - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(n_words AS DOUBLE)), 4)
+                END AS flesch
+         FROM c ORDER BY doc_id""",
+    "q_v5_isotropy" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n1 AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+           FROM e),
+         b AS MATERIALIZED (SELECT vec_id, v, nrm FROM n1 WHERE nrm > 0),
+         comp AS MATERIALIZED (SELECT vec_id, u.j AS j,
+             CAST(round(u.x * (1.0 / nrm), 6) AS DECIMAL(16,6)) AS r
+           FROM (SELECT vec_id, nrm,
+                   unnest(list_transform(range(1, len(v) + 1),
+                     i -> struct_pack(j := i, x := v[i]))) AS u
+                 FROM b)),
+         perdim AS (SELECT j, CAST(sum(r) AS DECIMAL(16,6)) AS sj
+                    FROM comp GROUP BY j),
+         ss AS (SELECT sum(sj * sj) AS ss2 FROM perdim),
+         dg AS (SELECT sum(r * r) AS dg FROM comp),
+         nr AS (SELECT count(*) AS n,
+                  sum(CAST(round(nrm, 6) AS DECIMAL(16,6))) AS sn
+                FROM b)
+         SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(sn AS DOUBLE) / n, 6) AS avg_norm,
+                round(sqrt(CAST(ss2 AS DOUBLE)) / n, 6) AS mean_vec_norm,
+                CASE WHEN n > 1 THEN
+                  round(CAST(ss2 - dg AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1)), 6) + 0.0
+                END AS avg_cos
+         FROM nr, ss, dg""",
     "q_t20_burstiness" ->
       """WITH g AS (SELECT user_id, epoch_us(ts) AS us,
              epoch_us(ts) - lag(epoch_us(ts), 1)

@@ -351,4 +351,51 @@ object Sampling {
       .filter(col("chosen_id") =!= col("rejected_id"))
       .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 4))
   }
+
+  /** Rendezvous (highest-random-weight) sharding: a row goes to the
+    * shard s ∈ [0, nShards) maximizing fingerprint(id ":" s) — the
+    * consistent-hash assignment whose defining property is minimal
+    * movement: growing nShards by one relocates only ~1/(n+1) of the
+    * keys (modulo hashing moves almost all of them). Weights come
+    * from the oracle-replayable char-poly fingerprint pushed through
+    * TWO SQUARINGS mod p — the fingerprint alone is AFFINE in the
+    * shard suffix (fp_s = fp_0 + s mod p, so the argmax would always
+    * pick the largest shard id; the q_v4/JL weak-hash lesson), and
+    * squaring twice scrambles that order while every intermediate
+    * stays < 2⁶² in int64. The argmax is ONE max aggregate over the
+    * key·shard fan-out by packing (w, shard) into w·16+shard
+    * (w < 2³¹, so the packed key fits int64 and orders
+    * lexicographically — ties, if the mix ever collides within a
+    * row's candidate set, still resolve identically in both
+    * engines). Map-side fan-out ×nShards, one combine-enabled
+    * aggregate: no data-size shuffle at any scale. Requires
+    * nShards ≤ 16 (the packing base). Returns (id, shard). */
+  def rendezvousShard(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 16, "packing base caps shards at 16")
+    val spark = df.sparkSession
+    val p = lit(2147483647L)
+    val ss = spark.range(0, nShards).select(col("id").as("__s"))
+    df.select(col(idCol)).crossJoin(broadcast(ss))
+      .withColumn("__fp", graft.functions.TextStats.fingerprint(
+        concat(col(idCol).cast("string"), lit(":"), col("__s").cast("string"))))
+      .withColumn("__w1", pmod(col("__fp") * col("__fp"), p))
+      .withColumn("__w2", pmod(col("__w1") * col("__w1"), p))
+      .groupBy(col(idCol))
+      .agg(max(col("__w2") * 16 + col("__s")).as("__k"))
+      .select(col(idCol), pmod(col("__k"), lit(16L)).as("shard"))
+  }
+
+  /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
+    * id expression: same char-poly fold, same double squaring mod p,
+    * same w·16+s packing. */
+  def rendezvousShardOracleExpr(idSql: String, nShards: Int): String =
+    s"""(SELECT max(((f.w * f.w % 2147483647) * (f.w * f.w % 2147483647)
+             % 2147483647) * 16 + f.s)
+        FROM (SELECT t.s, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split($idSql || ':' || CAST(t.s AS VARCHAR), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS w
+           FROM (SELECT unnest(generate_series(0, ${nShards - 1})) AS s) t) f)
+        % 16"""
 }

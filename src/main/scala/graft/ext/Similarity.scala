@@ -556,4 +556,47 @@ object Similarity {
       .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
     rankTopK(scored, k)
   }
+
+  /** Embedding-space isotropy diagnostics (Ethayarajh '19 made this
+    * the standard health check: contextual embedding spaces collapse
+    * into a narrow cone, and anisotropy silently breaks cosine
+    * retrieval). Three numbers over the L2-normalized corpus:
+    * mean original norm, ‖mean normalized vector‖ (≈0 when
+    * isotropic, →1 when cone-collapsed), and the mean pairwise
+    * cosine WITHOUT the O(n²) pair join — Σ_{i≠j} v̂ᵢ·v̂ⱼ =
+    * ‖Σv̂‖² − Σ‖v̂ᵢ‖², two linear aggregates. Normalized components
+    * are rounded to 6 dp and cast DECIMAL(16,6) first, so every sum
+    * (per-dimension, per-vector diagonal, norm total) is exact and
+    * partition-order-free, and the DECIMAL(16,6)² products stay
+    * inside DECIMAL(38,12) — the oracle replays all of it including
+    * the sequential-fold norms (q_v1 kernel discipline). One
+    * posexplode scan + two grouped aggregates; no shuffle grows with
+    * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  def isotropy(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val nrmExpr = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        nrmExpr.as("nrm"))
+      .filter(col("nrm") > 0).localCheckpoint(true)
+    val comp = base
+      .select(col("id"), col("nrm"), posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("id"), col("j"),
+        round(col("x").cast("double") * (lit(1.0) / col("nrm")), 6)
+          .cast("decimal(16,6)").as("r"))
+    val perDim = comp.groupBy(col("j"))
+      .agg(sum(col("r")).cast("decimal(16,6)").as("sj"))
+    val ss = perDim.agg(sum(col("sj") * col("sj")).as("ss2"))
+    val dg = comp.agg(sum(col("r") * col("r")).as("dg"))
+    val nr = base.agg(count(lit(1)).as("n"),
+      sum(round(col("nrm"), 6).cast("decimal(16,6)")).as("sn"))
+    nr.crossJoin(ss).crossJoin(dg)
+      .select(col("n"),
+        round(col("sn").cast("double") / col("n"), 6).as("avg_norm"),
+        round(sqrt(col("ss2").cast("double")) / col("n"), 6)
+          .as("mean_vec_norm"),
+        // + 0.0 canonicalizes IEEE -0.0 (the q_v4 lesson)
+        when(col("n") > 1,
+          round((col("ss2") - col("dg")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")), 6)
+            + lit(0.0)).as("avg_cos"))
+  }
 }

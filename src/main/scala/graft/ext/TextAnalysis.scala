@@ -697,4 +697,28 @@ object TextAnalysis {
         sum(when(col("logprob") >= col("cut"), 1L).otherwise(0L)).as("n_kept"),
         min(col("cut")).as("cut"))
   }
+
+  /** Flesch reading-ease score (Flesch '48) with the standard
+    * regex-countable proxies: words = whitespace tokens, sentences =
+    * maximal [.!?] runs (floored at 1), syllables = maximal vowel
+    * runs [aeiouy]+ of the lowercased text (the classic
+    * vowel-cluster heuristic — hyphenation dictionaries don't
+    * distribute, this does). 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    * null for wordless docs. Three codegen regex counts per row, no
+    * shuffle — the readability band selector of a corpus-quality
+    * pipeline (gating on grade band is a standard curation filter).
+    * Returns columns (n_words, n_sentences, n_syllables, flesch). */
+  def fleschParts(text: Column): Seq[Column] = {
+    val w = nTokens(text)
+    val s = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+      .cast("long"), lit(1L))
+    val syl = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val flesch = when(w > 0,
+      round(lit(206.835)
+        - lit(1.015) * (w.cast("double") / s.cast("double"))
+        - lit(84.6) * (syl.cast("double") / w.cast("double")), 4))
+    Seq(w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"),
+      flesch.as("flesch"))
+  }
 }

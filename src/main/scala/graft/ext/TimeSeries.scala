@@ -319,4 +319,48 @@ object TimeSeries {
         coalesce(col("first_touch"), lit(0L)).as("first_touch"),
         coalesce(col("last_touch"), lit(0L)).as("last_touch"))
   }
+
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..maxLag — the seasonality/memory screen run before any
+    * forecasting or drift model. The textbook estimator subtracts
+    * the series mean, which would drag every sum through
+    * order-dependent doubles; multiplying through by n² instead
+    * keeps ALL of it integer:
+    *   r_k = (n²·Σx_t·x_{t+k} − n·S·(A_k+B_k) + m_k·S²)
+    *         / (n·(n·Q − S²))
+    * with S=Σx, Q=Σx², m_k pairs at lag k, A_k/B_k the pair-wise
+    * endpoint sums — five DECIMAL(38,0) aggregates per lag, one
+    * double division at the end (the assortativity discipline). The
+    * lag sweep is a broadcast of maxLag rows joined against the
+    * indexed series (bounded by the day span — the documented-small
+    * series class). Returns (lag, n_pairs, r). */
+  def autocorrelation(events: DataFrame, tsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val spark = events.sparkSession
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy(col("dt"))))
+      .select(col("i"), col("x")).localCheckpoint(true)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val tot = idx.agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("s"),
+      sum(dec(col("x")) * dec(col("x"))).as("q"))
+    val ks = spark.range(1, maxLag + 1).select(col("id").as("k"))
+    val pairs = idx.as("a").crossJoin(broadcast(ks))
+      .join(idx.as("b"), col("b.i") === col("a.i") + col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("a.x")) * dec(col("b.x"))).as("sxy"),
+        sum(dec(col("a.x"))).as("sa"),
+        sum(dec(col("b.x"))).as("sb"))
+    val num = (dec(col("n")) * dec(col("n")) * col("sxy")
+      - dec(col("n")) * col("s") * (col("sa") + col("sb"))
+      + dec(col("m")) * col("s") * col("s")).cast("double")
+    val den = (dec(col("n")) * (dec(col("n")) * col("q") - col("s") * col("s")))
+      .cast("double")
+    pairs.crossJoin(broadcast(tot))
+      .select(col("k").as("lag"), col("m").as("n_pairs"),
+        when(den > 0, round(num / den, 6)).as("r"))
+  }
 }
