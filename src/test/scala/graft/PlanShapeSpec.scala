@@ -344,4 +344,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"skyline planned the O(n^2) join:\n$plan")
     assert(plan.contains("Window"), s"skyline lost the chain window:\n$plan")
   }
+
+  test("ROC-AUC and Spearman: rank machinery stays codegen, no UDF") {
+    for (name <- Seq("q_p23_roc_auc", "q_p25_spearman")) {
+      val plan = executedFinal(SparkEntry.queries(name)(spark, sf0001))
+      assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$name: lost the aggregate:\n$plan")
+    }
+  }
+
+  test("Flesch is pure map-side: no join, no window, regex in codegen") {
+    val plan = executedFinal(SparkEntry.queries("q_x36_flesch")(spark, sf0001))
+    assert(!plan.contains("Join"), s"flesch planned a join:\n$plan")
+    assert(!plan.contains("Window"), s"flesch planned a window:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in flesch plan:\n$plan")
+  }
+
+  test("isotropy: linear aggregates only — the n^2 pair join must not exist") {
+    val plan = executedFinal(SparkEntry.queries("q_v5_isotropy")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), s"pairwise join crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in isotropy:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in isotropy plan:\n$plan")
+  }
+
+  test("rendezvous sharding: shard fan-out is broadcast, argmax is one aggregate") {
+    val plan = executedFinal(SparkEntry.queries("q_o20_rendezvous")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastExchange"),
+      s"shard list not broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"), s"argmax lost its aggregate:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in rendezvous plan:\n$plan")
+  }
+
+  test("ACF and rich-club: the sweep side is broadcast, never sort-merged with itself") {
+    for (name <- Seq("q_t21_acf", "q_g28_richclub")) {
+      val plan = executedFinal(SparkEntry.queries(name)(spark, sf0001))
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: sweep side not broadcast:\n$plan")
+      assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
+    }
+  }
 }
