@@ -1245,6 +1245,64 @@ object SparkEntry {
       graft.ext.TimeSeries.autocorrelation(Tables.events(s, d), "ts",
         maxLag = 7).orderBy(col("lag"))),
 
+    // -- lagged cross-correlation click→purchase at lags −7..+7:
+    // calendar-aligned pairs, per-lag exact five-sum Pearson — does
+    // one series lead the other? --
+    "q_t22_ccf" -> ((s, d) =>
+      graft.ext.TimeSeries.crossCorrelation(Tables.events(s, d), "ts",
+        "event_type", "click", "purchase", maxLag = 7).orderBy(col("lag"))),
+
+    // -- per-returnflag OLS of price on quantity: integer-cents
+    // five-sum regression, slope/intercept/R² as deterministic
+    // doubles on exact sums — the trend-fit workhorse --
+    "q_p27_ols" -> ((s, d) =>
+      graft.ext.Profiling.olsTrend(Tables.lineitem(s, d), "l_returnflag",
+          col("l_quantity"), col("l_extendedprice"), xScale = 0, yScale = 2)
+        .orderBy(col("l_returnflag"))),
+
+    // -- Kruskal–Wallis H of doc length across all 20 sources:
+    // global tie-averaged integer ranks, per-group rank sums, one
+    // closing division — the multi-group rank test --
+    "q_p28_kruskal" -> ((s, d) =>
+      graft.ext.Profiling.kruskalWallis(Tables.documents(s, d),
+        "source", "n_chars")),
+
+    // -- Theil–Sen robust trend of the daily order-count series:
+    // lower-median of ~2.9M pairwise slopes (exact double divisions
+    // of integers, element-selection median) — the outlier-proof
+    // slope --
+    "q_p29_theil_sen" -> ((s, d) =>
+      graft.ext.Profiling.theilSen(
+        Tables.orders(s, d).groupBy(col("o_orderdate"))
+          .agg(count(lit(1)).as("y"))
+          .select(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .as("x"), col("y")),
+        "x", "y")),
+
+    // -- Newman modularity of the nation partition over the supplier
+    // co-purchase graph: per-community exact (nodes, intra, degsum)
+    // integers plus the q_term double — is the exogenous grouping a
+    // real community structure? --
+    "q_g29_modularity" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val mem = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("node"), col("s_nationkey").as("community"))
+      GraphQueries.modularity(e, mem).orderBy(col("community"))
+    }),
+
+    // -- weighted sampling without replacement (A-ES): priority =
+    // max of w integer fingerprint-uniforms (the beta trick — no
+    // ln/pow), top-200 by priority — deterministic, replayable,
+    // heavier docs proportionally more likely --
+    "q_o21_priority_sample" -> ((s, d) =>
+      graft.ext.Sampling.prioritySample(Tables.documents(s, d), "doc_id",
+        lit(1L) + least(floor(col("n_chars") / 200), lit(4L)),
+        k = 200, seed = 7L)),
+
     // -- rendezvous-hash sharding of the document corpus: per-shard
     // counts at N=8 plus how many keys an N=9 regrow would move —
     // the minimal-movement property modulo hashing lacks, proven on
@@ -4207,6 +4265,157 @@ object SparkEntry {
                     / CAST(n * (n * q - s * s) AS DOUBLE), 6)
                 END AS r
          FROM p, tot ORDER BY lag""",
+    "q_t22_ccf" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+              FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS y
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         ks AS (SELECT unnest(generate_series(-7, 7)) AS k),
+         p AS (SELECT k, count(*) AS m,
+                 sum(CAST(a.x AS HUGEINT)) AS sx,
+                 sum(CAST(b.y AS HUGEINT)) AS sy,
+                 sum(CAST(a.x AS HUGEINT) * CAST(b.y AS HUGEINT)) AS sxy,
+                 sum(CAST(a.x AS HUGEINT) * CAST(a.x AS HUGEINT)) AS sxx,
+                 sum(CAST(b.y AS HUGEINT) * CAST(b.y AS HUGEINT)) AS syy
+               FROM a JOIN ks ON true
+               JOIN b ON b.dt = a.dt + CAST(k AS INT)
+               GROUP BY k)
+         SELECT CAST(k AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+                CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                  THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                END AS r
+         FROM p ORDER BY lag""",
+    "q_p27_ols" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+           sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1, 0) AS HUGEINT)) AS sx,
+           sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS HUGEINT))
+             AS sy,
+           sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1, 0) AS HUGEINT)
+             * CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS HUGEINT))
+             AS sxy,
+           sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1, 0) AS HUGEINT)
+             * CAST(round(CAST(l_quantity AS DOUBLE) * 1, 0) AS HUGEINT)) AS sxx,
+           sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS HUGEINT)
+             * CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS HUGEINT))
+             AS syy
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, n,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+               FROM s)
+         SELECT l_returnflag, n,
+                CASE WHEN varx > 0 THEN round(num / varx * 0.01, 6) END AS slope,
+                CASE WHEN varx > 0 THEN
+                  round((syd / 100.0 - num / varx * 0.01 * sxd / 1.0)
+                    / CAST(n AS DOUBLE), 6) END AS intercept,
+                CASE WHEN varx > 0 AND vary > 0 THEN
+                  round(num * num / (varx * vary), 6) END AS r2
+         FROM c ORDER BY l_returnflag""",
+    "q_p28_kruskal" ->
+      """WITH r0 AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+              FROM documents),
+         perv AS (SELECT v, count(*) AS k FROM r0 GROUP BY v),
+         ranked AS (SELECT v,
+             2 * (sum(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - k)
+               + k + 1 AS r2, k
+           FROM perv),
+         ties AS (SELECT sum(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)
+               * CAST(k AS HUGEINT) - CAST(k AS HUGEINT)) AS tsum FROM ranked),
+         perg AS (SELECT g, count(*) AS ng, sum(CAST(r2 AS HUGEINT)) AS rg2
+               FROM r0 JOIN ranked USING (v) GROUP BY g),
+         terms AS (SELECT count(*) AS n_groups, sum(ng) AS n,
+               sum(CAST(round(CAST(rg2 * rg2 AS DOUBLE)
+                 / (4.0 * CAST(ng AS DOUBLE)), 9) AS DECIMAL(38,12))) AS srr
+             FROM perg)
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_groups AS BIGINT) AS n_groups,
+                CAST(n_groups - 1 AS BIGINT) AS dof,
+                CASE WHEN 1.0 - CAST(tsum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE)) > 0 THEN
+                  round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                      * CAST(srr AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1))
+                    / (1.0 - CAST(tsum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                END AS h
+         FROM terms, ties""",
+    "q_p29_theil_sen" ->
+      """WITH pts AS MATERIALIZED (SELECT
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS x,
+             count(*) AS y
+           FROM orders GROUP BY o_orderdate),
+         sl AS (SELECT CAST(b.y - a.y AS DOUBLE)
+                  / CAST(b.x - a.x AS DOUBLE) AS v
+                FROM pts a JOIN pts b ON b.x > a.x),
+         perv AS (SELECT v, count(*) AS k FROM sl GROUP BY v),
+         tot AS (SELECT sum(k) AS tot FROM perv),
+         med AS (SELECT min(v) AS slope, min(tot) AS n_pairs FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS cum, tot
+                  FROM perv, tot) WHERE cum * 2 >= tot),
+         resid AS (SELECT CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r
+                FROM pts, med),
+         perr AS (SELECT r AS v, count(*) AS k FROM resid GROUP BY r),
+         tot2 AS (SELECT sum(k) AS t2 FROM perr),
+         medb AS (SELECT min(v) AS intercept FROM (
+                  SELECT v, sum(k) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS cum, t2
+                  FROM perr, tot2) WHERE cum * 2 >= t2)
+         SELECT (SELECT count(*) FROM pts) AS n_points,
+                CAST(n_pairs AS BIGINT) AS n_pairs, slope, intercept
+         FROM med, medb""",
+    "q_g29_modularity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         mem AS (SELECT s_suppkey AS node, s_nationkey AS community
+               FROM supplier),
+         m AS (SELECT count(*) AS m FROM e),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         perc AS (SELECT community, count(*) AS n_nodes, sum(deg) AS deg_sum
+               FROM deg JOIN mem USING (node) GROUP BY community),
+         intra AS (SELECT ma.community AS community, count(*) AS intra_edges
+               FROM e JOIN mem ma ON e.src = ma.node
+               JOIN mem mb ON e.dst = mb.node
+               WHERE ma.community = mb.community GROUP BY 1)
+         SELECT p.community, CAST(n_nodes AS BIGINT) AS n_nodes,
+                CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+                CAST(deg_sum AS BIGINT) AS deg_sum,
+                round(CAST(coalesce(intra_edges, 0) AS DOUBLE)
+                    / CAST(m AS DOUBLE)
+                  - (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                    * (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 9)
+                  AS q_term
+         FROM perc p LEFT JOIN intra USING (community), m
+         ORDER BY community""",
+    "q_o21_priority_sample" ->
+      """WITH w0 AS (SELECT doc_id,
+             least(greatest(1 + least(CAST(floor(n_chars / 200.0) AS BIGINT),
+               4), 1), 16) AS w
+           FROM documents),
+         reps AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS rep
+               FROM w0),
+         f AS (SELECT doc_id, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(rep AS VARCHAR) || ':7', ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS fp
+             FROM reps)
+         SELECT doc_id, w,
+                max(((fp * fp % 2147483647) * (fp * fp % 2147483647))
+                  % 2147483647) AS prio
+         FROM f GROUP BY doc_id, w
+         ORDER BY prio DESC, doc_id LIMIT 200""",
     "q_o20_rendezvous" ->
       s"""WITH a AS (SELECT doc_id,
             ${graft.ext.Sampling.rendezvousShardOracleExpr(

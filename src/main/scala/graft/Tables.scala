@@ -21,17 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy conf, then convert to a microsecond timestamp column —
-    * lossless for every whole-second bucketing the queries do. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which vanilla Spark
+    * rejects, [PARQUET_TYPE_ILLEGAL] — read as raw nanos via the
+    * legacy conf and convert) and plain TIMESTAMP(MICROS) without
+    * the UTC flag (which Spark reads as TIMESTAMP_NTZ). Normalize
+    * both to a session-TZ TimestampType column so every downstream
+    * face (windows, watermarks, to_date) sees one type; the session
+    * TZ is pinned to UTC, so NTZ→TZ is a pure relabel. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double
-    // mantissa precision, so float division is off by ±1us
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double
+        // mantissa precision, so float division is off by ±1us
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

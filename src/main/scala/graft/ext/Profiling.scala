@@ -528,6 +528,120 @@ object Profiling {
         round(num / (sqrt(varx) * sqrt(vary)), 6)).as("rho"))
   }
 
+  /** Per-group simple OLS y = a + b·x with exact integer-scaled sums:
+    * x and y are multiplied by 10^xScale / 10^yScale, rounded to
+    * DECIMAL(38,0), and the five Pearson sums accumulate exactly (the
+    * [[spearman]] / assortativity discipline) — slope, intercept and
+    * R² are then a handful of IEEE-deterministic double operations on
+    * exact integers, so the oracle replays them bit-for-bit. ONE
+    * groupBy over the input; no window, no join. The workhorse trend
+    * fit for per-segment drift dashboards. Returns (group, n, slope,
+    * intercept, r2), all rounded to 6 dp. */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: Column, yCol: Column,
+      xScale: Int = 0, yScale: Int = 2): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val xi = dec(round(xCol.cast("double") * math.pow(10, xScale).toLong, 0))
+    val yi = dec(round(yCol.cast("double") * math.pow(10, yScale).toLong, 0))
+    val s = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(xi).as("sx"), sum(yi).as("sy"),
+        sum(xi * yi).as("sxy"), sum(xi * xi).as("sxx"),
+        sum(yi * yi).as("syy"))
+    val n = dec(col("n"))
+    val varx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    // unit conversion back from the integer scales: slope carries
+    // 10^(xScale-yScale), intercept divides the raw sums by 10^scale
+    val slope = num / varx * math.pow(10, xScale - yScale)
+    val intercept = (col("sy").cast("double") / math.pow(10, yScale) -
+      slope * col("sx").cast("double") / math.pow(10, xScale)) /
+      col("n").cast("double")
+    s.select(col("g").as(groupCol), col("n"),
+      when(varx > 0, round(slope, 6)).as("slope"),
+      when(varx > 0, round(intercept, 6)).as("intercept"),
+      when(varx > 0 && vary > 0, round(num * num / (varx * vary), 6)).as("r2"))
+  }
+
+  /** Kruskal–Wallis H across ALL groups at once — the multi-group
+    * generalization of the rank tests ([[rocAuc]] is the two-group
+    * face): global tie-averaged doubled ranks from one cumulative
+    * window over DISTINCT VALUES, per-group rank sums, then
+    *   H = [ 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1) ] / C,
+    * with the tie divisor C = 1 − Σ(t³−t)/(n³−n). Per-group terms
+    * R_g²/(4·n_g) are rounded to 9 dp and summed in DECIMAL(38,12)
+    * (the chiSquare partition-order-free discipline); everything else
+    * is exact integers until the closing divisions. Returns
+    * (n, n_groups, dof, h) rounded to 6 dp. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+    val perV = rows.groupBy(col("v")).agg(count(lit(1)).as("k"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perV.withColumn("cum", sum(col("k")).over(w))
+      .select(col("v"),
+        (lit(2) * (col("cum") - col("k")) + col("k") + 1).as("r2"),
+        col("k"))
+    val ties = ranked.agg(sum(dec(col("k")) * dec(col("k")) * dec(col("k"))
+      - dec(col("k"))).as("tsum"))
+    val perG = rows.join(ranked.select(col("v"), col("r2")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(dec(col("r2"))).as("rg2"))
+    val terms = perG.agg(count(lit(1)).as("n_groups"),
+      sum(col("ng")).as("n"),
+      sum(round((col("rg2") * col("rg2")).cast("double") /
+          (lit(4.0) * col("ng").cast("double")), 9).cast("decimal(38,12)"))
+        .as("srr"))
+    val nD = col("n").cast("double")
+    val hUnc = lit(12.0) / (nD * (nD + 1)) * col("srr").cast("double") -
+      lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD)
+    terms.crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"), (col("n_groups") - 1).as("dof"),
+        when(corr > 0, round(hUnc / corr, 6)).as("h"))
+  }
+
+  /** Theil–Sen robust slope: the LOWER MEDIAN of all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i) over an indexed series, plus the matching
+    * median intercept y_i − slope·x_i. Pair slopes are single IEEE
+    * divisions of exact integers (bit-identical across engines), and
+    * both medians are ELEMENT SELECTIONS via the [[weightedMedian]]
+    * doubled-cumulative-count trick — no averaging, so the oracle
+    * replays the exact doubles. The O(n²) pair join is bounded by the
+    * SERIES length (a pre-aggregated daily/hourly axis — the
+    * documented-small class; ~2.4k days → ~2.9M pairs), never raw
+    * rows. Returns one row (n_points, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y")).localCheckpoint(true)
+    val slopes = pts.as("a").join(pts.as("b"), col("b.x") > col("a.x"))
+      .select(((col("b.y") - col("a.y")).cast("double") /
+        (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    def lowerMedian(in: DataFrame, c: String): DataFrame = {
+      val perV = in.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+      val tot = perV.agg(sum(col("k")).as("tot"))
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perV.withColumn("cum", sum(col("k")).over(wc))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("tot"))
+        .agg(min(col("v")).as(c), min(col("tot")).as("__n"))
+    }
+    val med = lowerMedian(slopes, "slope")
+    val resid = pts.crossJoin(broadcast(med.select(col("slope"))))
+      .select((col("y").cast("double") -
+        col("slope") * col("x").cast("double")).as("r"))
+    val medB = lowerMedian(resid, "r")
+    pts.agg(count(lit(1)).as("n_points"))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(medB.select(col("r").as("intercept"))))
+      .select(col("n_points"), col("__n").as("n_pairs"), col("slope"),
+        col("intercept"))
+  }
+
   /** Per-group weighted median: the smallest value whose cumulative
     * weight reaches half the group total (2·cumw ≥ totw, all-integer
     * once weights are cast to DECIMAL — no interpolation, so the

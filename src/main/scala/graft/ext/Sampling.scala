@@ -386,6 +386,39 @@ object Sampling {
       .select(col(idCol), pmod(col("__k"), lit(16L)).as("shard"))
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic and
+    * transcendental-free: the Efraimidis–Spirakis A-ES scheme keeps
+    * the k items with the largest priority u_i^(1/w_i) — and the max
+    * of w iid uniforms has exactly that distribution, so an item's
+    * priority is computed as the MAX over w_i integer fingerprints
+    * (no ln/pow whose last-ulp behavior could differ between
+    * engines; the same beta trick replays exactly in SQL). Each
+    * replica hashes (id, replica, seed) through the char-poly
+    * fingerprint and the [[rendezvousShard]] double-squaring mix;
+    * integer weights are clamped to [1, maxW] so the fan-out is
+    * bounded map-side work. One combine-enabled max aggregate plus a
+    * TakeOrderedAndProject top-k — no full sort, no shuffle of the
+    * text payload. Returns (id, w, prio) for the k winners, ordered
+    * (prio desc, id). */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: Long, maxW: Int = 16): DataFrame = {
+    require(k >= 1 && maxW >= 1)
+    val p = lit(2147483647L)
+    val w = least(greatest(weight.cast("long"), lit(1L)), lit(maxW.toLong))
+    df.select(col(idCol), w.as("w"))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1L), col("w"))).as("__rep"))
+      .withColumn("__fp", graft.functions.TextStats.fingerprint(
+        concat(col(idCol).cast("string"), lit(":"), col("__rep").cast("string"),
+          lit(s":$seed"))))
+      .withColumn("__u", pmod(pmod(col("__fp") * col("__fp"), p) *
+        pmod(col("__fp") * col("__fp"), p), p))
+      .groupBy(col(idCol), col("w"))
+      .agg(max(col("__u")).as("prio"))
+      .orderBy(col("prio").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
     * id expression: same char-poly fold, same double squaring mod p,
     * same w·16+s packing. */

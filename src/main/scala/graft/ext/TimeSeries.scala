@@ -363,4 +363,41 @@ object TimeSeries {
       .select(col("k").as("lag"), col("m").as("n_pairs"),
         when(den > 0, round(num / den, 6)).as("r"))
   }
+
+  /** Lagged cross-correlation between two daily event-count series —
+    * "does series A lead series B, and by how many days?": for each
+    * lag k ∈ [−maxLag, maxLag], Pearson r over the calendar-aligned
+    * pairs (x on day d, y on day d+k). Pair alignment is an equi-join
+    * on the shifted DATE (a missing day simply contributes no pair —
+    * no imputation), per-lag sums are the exact DECIMAL(38,0)
+    * five-sum Pearson on integer counts, and the lag sweep is one
+    * broadcast fan-out over the (2·maxLag+1)-row lag dim — the
+    * [[autocorrelation]] shape with two series and true per-lag
+    * normalization. Returns (lag, n_pairs, r) rounded 6 dp. */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val spark = events.sparkSession
+    def daily(t: String) = events.filter(col(typeCol) === t)
+      .groupBy(to_date(col(tsCol)).as("dt")).agg(count(lit(1)).as("x"))
+    val a = daily(typeA).localCheckpoint(true)
+    val b = daily(typeB)
+      .select(col("dt").as("bdt"), col("x").as("y")).localCheckpoint(true)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ks = spark.range(-maxLag.toLong, maxLag + 1L).select(col("id").as("k"))
+    val pairs = a.crossJoin(broadcast(ks))
+      .join(b, col("bdt") === date_add(col("dt"), col("k").cast("int")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val varx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vary = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    pairs.select(col("k").as("lag"), col("m").as("n_pairs"),
+      when(varx > 0 && vary > 0,
+        round(num / (sqrt(varx) * sqrt(vary)), 6)).as("r"))
+  }
 }

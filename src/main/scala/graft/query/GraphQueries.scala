@@ -912,6 +912,49 @@ object GraphQueries {
         round(num / (sqrt(varx) * sqrt(vary)), 4)).as("r"))
   }
 
+  /** Newman modularity of a GIVEN node partition over an undirected
+    * graph — the community-quality score for any clustering face
+    * (LPA, connected components, or an exogenous attribute):
+    *   Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+    * with e_c intra-community edges, d_c the community degree sum and
+    * m the edge count. Edges are canonicalized/deduped, degrees come
+    * from one union-ends aggregation, and each community row carries
+    * its exact integer (n_nodes, intra_edges, deg_sum) plus q_term =
+    * e_c/m − (d_c/2m)² as IEEE-deterministic double ops on those
+    * integers (rounded 9 dp) — the oracle replays every row exactly
+    * and Σ q_term is the headline Q. Membership columns: (node,
+    * community). Returns (community, n_nodes, intra_edges, deg_sum,
+    * q_term). Scale: two broadcast-or-shuffle equi-joins of edges
+    * against the membership dim plus hash aggregations — no window,
+    * no iteration (the partition is an input, not a fixpoint). */
+  def modularity(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val mem = membership.select(col("node"), col("community"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val perC = deg.join(mem, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = e
+      .join(mem.select(col("node").as("src"), col("community").as("ca")), Seq("src"))
+      .join(mem.select(col("node").as("dst"), col("community").as("cb")), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val mD = col("m").cast("double")
+    val dD = col("deg_sum").cast("double")
+    perC.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("intra_edges"), col("deg_sum"),
+        round(col("intra_edges").cast("double") / mD -
+          (dD / (lit(2.0) * mD)) * (dD / (lit(2.0) * mD)), 9).as("q_term"))
+  }
+
   /** Time-respecting reachability (temporal graph — an edge is
     * traversable only at-or-after you arrive, so static reachability
     * overstates what information flow/contagion can actually do):

@@ -326,7 +326,7 @@ object GraphStore {
     val hCols = history.columns.filterNot(keys.contains)
       .map(c => col(s"__h.$c"))
     f.join(h, cond, "left")
-      .select(facts.columns.map(c => col(s"__f.$c")) ++ hCols: _*)
+      .select((facts.columns.map(c => col(s"__f.$c")) ++ hCols).toIndexedSeq: _*)
   }
 
   /** Last-writer-wins keyed upsert as a pure DataFrame transform (the

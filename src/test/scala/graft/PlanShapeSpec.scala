@@ -384,4 +384,43 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
     }
   }
+
+  test("OLS and Kruskal–Wallis: pure aggregate/rank machinery, no UDF, no cartesian") {
+    for (name <- Seq("q_p27_ols", "q_p28_kruskal")) {
+      val plan = executedFinal(SparkEntry.queries(name)(spark, sf0001))
+      assert(!plan.contains("UDF"), s"$name: UDF in plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$name: lost the aggregate:\n$plan")
+    }
+    // OLS specifically is ONE groupBy — no join, no window anywhere
+    val ols = executedFinal(SparkEntry.queries("q_p27_ols")(spark, sf0001))
+    assert(!ols.contains("Join") && !ols.contains("Window"),
+      s"OLS must be a single aggregation pass:\n$ols")
+  }
+
+  test("priority sample: top-k plans as TakeOrderedAndProject, no full sort") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_o21_priority_sample")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its TakeOrdered plan:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort exchange in the top-k path:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in priority-sample plan:\n$plan")
+  }
+
+  test("cross-correlation: lag sweep broadcast, series aligned by hash join") {
+    val plan = executedFinal(SparkEntry.queries("q_t22_ccf")(spark, sf0001))
+    assert(plan.contains("BroadcastExchange"),
+      s"lag dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"calendar alignment fell to a cartesian:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in ccf plan:\n$plan")
+  }
+
+  test("modularity: membership joins stay equi, only the 1-row m combine is nested-loop") {
+    val plan = executedFinal(SparkEntry.queries("q_g29_modularity")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in modularity:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in modularity plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"lost the aggregates:\n$plan")
+  }
 }

@@ -1,0 +1,135 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Known-answer properties for the fifth round-6 wave: per-group OLS,
+  * Kruskal–Wallis, Theil–Sen, partition modularity, A-ES priority
+  * sampling and lagged cross-correlation. Each test pins semantics on
+  * a hand-computed case the corpus gates can't isolate. */
+class StatsWave2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("OLS recovers an exact line and nulls out a zero-variance group") {
+    // g1: y = 2x + 1 exactly; g2: constant x (undefined slope)
+    val df = Seq(("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+      ("g2", 4.0, 1.0), ("g2", 4.0, 9.0)).toDF("g", "x", "y")
+    val out = Profiling.olsTrend(df, "g", col("x"), col("y"),
+        xScale = 0, yScale = 2)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("g1") == ((3L, Some(2.0), Some(1.0), Some(1.0))),
+      s"exact line: ${out("g1")}")
+    assert(out("g2") == ((2L, None, None, None)),
+      s"zero x-variance must yield nulls: ${out("g2")}")
+  }
+
+  test("Kruskal–Wallis: hand case H=7.2, all-tied case is undefined") {
+    // ranks 1..9, R = (6, 15, 24): H = 12/90 * 279 - 30 = 7.2, no ties
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6),
+      ("c", 7), ("c", 8), ("c", 9)).toDF("g", "v")
+    val Array(r) = Profiling.kruskalWallis(df, "g", "v")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r == ((9L, 3L, 2L, Some(7.2))), r.toString)
+    // every value tied: the correction divisor hits 0 → null H
+    val tied = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
+    val Array(t) = Profiling.kruskalWallis(tied, "g", "v")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(t == ((4L, 2L, 1L, None)), t.toString)
+  }
+
+  test("Theil–Sen shrugs off the outlier OLS would chase") {
+    // 3 collinear points + 1 wild outlier: slope stays 1, intercept 0
+    val df = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 10L)).toDF("x", "y")
+    val Array(r) = Profiling.theilSen(df, "x", "y")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r == ((4L, 6L, 1.0, 0.0)), r.toString)
+  }
+
+  test("modularity: two triangles + one bridge, exact per-community terms") {
+    // m=7; each triangle community: intra=3, degsum=7 →
+    // q_term = 3/7 - (7/14)^2 = 0.25/1.4 = 0.178571429 (9 dp)
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("a", "d")).toDF("src", "dst")
+    val mem = Seq(("a", 1L), ("b", 1L), ("c", 1L),
+      ("d", 2L), ("e", 2L), ("f", 2L)).toDF("node", "community")
+    val out = graft.query.GraphQueries.modularity(e, mem)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val expect = math.rint((3.0 / 7 - 0.25) * 1e9) / 1e9
+    assert(out(1L) == ((3L, 3L, 7L, expect)), s"c1: ${out(1L)}")
+    assert(out(2L) == ((3L, 3L, 7L, expect)), s"c2: ${out(2L)}")
+    // headline Q for this split is positive (real community structure)
+    assert(out.values.map(_._4).sum > 0.35, out.toString)
+  }
+
+  test("modularity: community with zero intra edges reports 0, not null") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val mem = Seq(("a", 1L), ("b", 2L), ("c", 2L)).toDF("node", "community")
+    val out = graft.query.GraphQueries.modularity(e, mem)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L)._2 == 0L && out(1L)._1 == 1L, out.toString)
+  }
+
+  test("priority sample: deterministic, k-bounded, matches the kernel replay") {
+    val df = spark.range(1, 101).select(col("id").as("doc_id"))
+    val got = Sampling.prioritySample(df, "doc_id", lit(1L), k = 10, seed = 7L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 10 && got.forall(_._2 == 1L))
+    // replay: priority of a w=1 item is the double-squared mix of
+    // fingerprint("id:1:7") — recompute directly against the kernel
+    val p = 2147483647L
+    def prio(id: Long): Long = {
+      val fp = graft.functions.FingerprintKernel.fingerprint(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$id:1:7"))
+      val w1 = math.floorMod(fp * fp, p)
+      math.floorMod(w1 * w1, p)
+    }
+    val expect = (1L until 101L).map(i => (prio(i), i))
+      .sortBy { case (pr, id) => (-pr, id) }.take(10)
+      .map { case (pr, id) => (id, 1L, pr) }
+    assert(got.toSeq == expect, s"${got.toSeq} vs $expect")
+    // and a second run is bit-identical (pure function of the keys)
+    val again = Sampling.prioritySample(df, "doc_id", lit(1L), k = 10,
+      seed = 7L).as[(Long, Long, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("priority sample: weight-16 items dominate weight-1 items") {
+    // 1000 ids, even ids carry w=16, odd w=1: the max of 16 uniforms
+    // beats the max of 1 ~16/17 of the time, so a top-200 cut should
+    // be overwhelmingly even ids (exact count is deterministic)
+    val df = spark.range(1, 1001).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, 16L).otherwise(1L).as("w0"))
+    val got = Sampling.prioritySample(df, "doc_id", col("w0"), k = 200,
+      seed = 7L).as[(Long, Long, Long)].collect()
+    val heavy = got.count(_._2 == 16L)
+    assert(heavy > 160, s"expected w=16 dominance, got $heavy/200")
+    // weights clamp into [1, 16]
+    assert(got.forall(r => r._2 >= 1L && r._2 <= 16L))
+  }
+
+  test("cross-correlation spikes at the true lead-lag offset") {
+    // purchases replay clicks exactly 2 days later with varying daily
+    // counts: r(lag=+2) = 1; the series otherwise decorrelates
+    def ts(day: Int, i: Int) = new Timestamp(
+      day * 86400000L + i * 1000L)
+    val counts = Seq(5, 1, 9, 2, 7, 3, 8, 1, 6, 4)
+    val clicks = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (ts(d, i), "click")) }
+    val buys = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (ts(d + 2, i), "purchase")) }
+    val ev = (clicks ++ buys).toDF("ts", "event_type")
+    val out = TimeSeries.crossCorrelation(ev, "ts", "event_type",
+        "click", "purchase", maxLag = 3)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((10L, Some(1.0))), s"lag +2: ${out(2L)}")
+    assert(out(-2L)._2.forall(_ < 1.0), s"lag -2 must not be perfect: $out")
+    // pair counts shrink with |lag| exactly as the windows slide off
+    assert(out(3L)._1 == 9L && out(-3L)._1 == 5L, out.toString)
+  }
+}
