@@ -1252,6 +1252,41 @@ object SparkEntry {
       graft.ext.TimeSeries.crossCorrelation(Tables.events(s, d), "ts",
         "event_type", "click", "purchase", maxLag = 7).orderBy(col("lag"))),
 
+    // -- one exact Lloyd k-means round by cosine against the 8 seed
+    // vectors: argmax assignment as a single max-of-struct aggregate,
+    // per-cluster mean centroids — the distributed clustering step --
+    "q_v6_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ext.Similarity.kmeansAssignRound(e,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", outDims = 4)
+        .orderBy(col("cluster"), col("pos"))
+    }),
+
+    // -- reliability/calibration bins: cosine-to-probe confidence vs
+    // the embeddings label — per-decile (n, conf, obs, gap), the
+    // pre-thresholding sanity report for any scored corpus --
+    "q_p30_calibration" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("__probe"))
+      val scored = e.crossJoin(broadcast(probe))
+        .select(((round(graft.functions.VectorFunctions.cosine(
+            col("embedding"), col("__probe")), 6) + 1) / 2).as("s"),
+          col("label"))
+      graft.ext.Profiling.calibrationBins(scored, col("s"),
+        col("label") === 1, nBins = 10).orderBy(col("bin"))
+    }),
+
+    // -- rolling spike screen on the daily error-count series:
+    // all-integer above-the-neighborhood flag (no division in the
+    // predicate), ±3-day window — the ops anomaly face; factor=1
+    // because the 30-day synthetic series is near-flat (factor=2
+    // flags nothing at any sf) --
+    "q_t23_spike" -> ((s, d) =>
+      graft.ext.TimeSeries.rollingSpike(
+        Tables.events(s, d).filter(col("event_type") === "error"),
+        "ts", radius = 3, factor = 1).orderBy(col("dt"))),
+
     // -- per-returnflag OLS of price on quantity: integer-cents
     // five-sum regression, slope/intercept/R² as deterministic
     // doubles on exact sums — the trend-fit workhorse --
@@ -4287,6 +4322,62 @@ object SparkEntry {
                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
                 END AS r
          FROM p ORDER BY lag""",
+    "q_v6_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sd AS (SELECT vec_id AS seed, v AS sv FROM e WHERE vec_id < 8),
+         scored AS (SELECT e.vec_id, sd.seed,
+             round(list_cosine_similarity(e.v, sd.sv), 6) AS cos
+           FROM e CROSS JOIN sd),
+         best AS (SELECT vec_id, seed AS cluster FROM (
+             SELECT vec_id, seed, row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, seed) AS rn FROM scored)
+           WHERE rn = 1)
+         SELECT cluster, i AS pos,
+                round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) + 0.0 AS c,
+                count(*) AS n
+         FROM embeddings JOIN best USING (vec_id)
+         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+         GROUP BY 1, 2 ORDER BY cluster, pos""",
+    "q_p30_calibration" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         scored AS (SELECT
+             (round(list_cosine_similarity(e.v, probe.pv), 6) + 1) / 2 AS s,
+             CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+           FROM e CROSS JOIN probe),
+         binned AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+             CAST(round(s, 9) AS DECIMAL(38,12)) AS sterm, y
+           FROM scored),
+         agg AS (SELECT bin, count(*) AS n, sum(sterm) AS ssum,
+             sum(y) AS ypos
+           FROM binned GROUP BY bin)
+         SELECT bin, n,
+                round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+                round(CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs,
+                round(abs(round(CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  - round(CAST(ypos AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6)
+                  AS gap
+         FROM agg ORDER BY bin""",
+    "q_t23_spike" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         w AS (SELECT dt, x,
+             sum(x) OVER (ORDER BY dt
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sw,
+             count(*) OVER (ORDER BY dt
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+           FROM daily)
+         SELECT dt, x, CAST(sw - x AS BIGINT) AS neighbor_sum,
+                CAST(nw AS BIGINT) AS n_window,
+                CASE WHEN sw - x > 0 THEN
+                  round(CAST(x AS DOUBLE) * CAST(nw - 1 AS DOUBLE)
+                    / CAST(sw - x AS DOUBLE), 4) END AS ratio
+         FROM w WHERE nw > 1 AND x * (nw - 1) > 1 * (sw - x)
+         ORDER BY dt""",
     "q_p27_ols" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
            sum(CAST(round(CAST(l_quantity AS DOUBLE) * 1, 0) AS HUGEINT)) AS sx,

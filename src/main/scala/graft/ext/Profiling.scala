@@ -642,6 +642,36 @@ object Profiling {
         col("intercept"))
   }
 
+  /** Calibration / reliability bins for any [0,1] confidence score
+    * against a binary label — the "is the quality classifier's 0.9
+    * actually right 90% of the time?" report every scored-corpus
+    * pipeline needs before thresholding. Equal-width bins via
+    * floor(s·nBins) (clamped to the top bin); per bin the mean
+    * confidence accumulates 9-dp-rounded score terms in
+    * DECIMAL(38,12) (the chiSquare partition-order-free discipline)
+    * while the observed positive rate is exact integers — one
+    * division each at the end, and the |conf − obs| gap is computed
+    * on the ROUNDED pair so the oracle replays it verbatim. ONE
+    * groupBy, no window/join. Returns (bin, n, conf, obs, gap). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2)
+    val s = score.cast("double")
+    val b = least(floor(s * nBins).cast("long"), lit(nBins - 1L))
+    val agg = df.select(b.as("bin"),
+        round(s, 9).cast("decimal(38,12)").as("sterm"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("sterm")).as("ssum"),
+        sum(col("y")).as("ypos"))
+    agg.select(col("bin"), col("n"),
+        round(col("ssum").cast("double") / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("ypos").cast("double") / col("n").cast("double"), 6)
+          .as("obs"))
+      .withColumn("gap", round(abs(col("conf") - col("obs")), 6))
+  }
+
   /** Per-group weighted median: the smallest value whose cumulative
     * weight reaches half the group total (2·cumw ≥ totw, all-integer
     * once weights are cast to DECIMAL — no interpolation, so the

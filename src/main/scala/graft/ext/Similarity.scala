@@ -22,6 +22,39 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** ONE exact Lloyd k-means round by cosine against a broadcast
+    * seed set — assignment is argmax over round(cos, 6) with ties to
+    * the smallest seed id (packed as one max-of-struct aggregate, no
+    * window), then per-cluster mean centroids over the first
+    * `outDims` components (4-dp rounded, the q_v2 meanpool
+    * convention). The seeds are corpus rows, so each seed lands in
+    * its own cluster (cos = 1 with itself). Scale: corpus × k
+    * map-side scoring against the broadcast seeds + two hash
+    * aggregations — the canonical distributed Lloyd step; iterating
+    * it is a driver loop over this function. Returns
+    * (cluster, pos, c, n) — one row per cluster per component. */
+  def kmeansAssignRound(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, outDims: Int): DataFrame = {
+    val sd = seeds.select(col(idCol).as("__seed"), col(vecCol).as("__sv"))
+    val assign = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(sd))
+      .select(col("__id"), col("__v"),
+        struct(round(VectorFunctions.cosine(col("__v"), col("__sv")), 6)
+            .as("cos"),
+          (-col("__seed")).as("negseed")).as("__sc"))
+      .groupBy(col("__id"), col("__v"))
+      .agg(max(col("__sc")).as("__best"))
+      .select(col("__id"), col("__v"), (-col("__best.negseed")).as("cluster"))
+    assign
+      .select(col("cluster"),
+        posexplode(slice(col("__v"), 1, outDims)).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos").cast("long").as("pos"))
+      // + 0.0 canonicalizes IEEE −0.0 (a tiny negative mean rounds to
+      // −0.0 in engines that keep the sign — the q_v4 lesson)
+      .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("c"),
+        count(lit(1)).as("n"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on
     * (cos desc, candidate id). */

@@ -400,4 +400,32 @@ object TimeSeries {
       when(varx > 0 && vary > 0,
         round(num / (sqrt(varx) * sqrt(vary)), 6)).as("r"))
   }
+
+  /** Rolling spike screen over a daily count series: flag days whose
+    * count more than doubles the average of their ±`radius`-day
+    * neighborhood — the all-integer comparison
+    *   x·(n_w − 1) > factor·(S_w − x)
+    * (S_w/n_w the window sum/size including x) avoids every division,
+    * so the flag replays exactly; the reported ratio is one
+    * deterministic double division, rounded. One ROWS window over the
+    * pre-aggregated series (the documented-small axis class — bounded
+    * by the day span, not the row count). Returns flagged days only:
+    * (dt, x, neighbor_sum, n_window, ratio). */
+  def rollingSpike(events: DataFrame, tsCol: String, radius: Int,
+      factor: Int): DataFrame = {
+    require(radius >= 1 && factor >= 1)
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("dt")).rowsBetween(-radius, radius)
+    daily
+      .withColumn("sw", sum(col("x")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") > 1 &&
+        col("x") * (col("nw") - 1) > lit(factor.toLong) * (col("sw") - col("x")))
+      .select(col("dt"), col("x"), (col("sw") - col("x")).as("neighbor_sum"),
+        col("nw").as("n_window"),
+        when(col("sw") - col("x") > 0,
+          round(col("x").cast("double") * (col("nw") - 1).cast("double") /
+            (col("sw") - col("x")).cast("double"), 4)).as("ratio"))
+  }
 }

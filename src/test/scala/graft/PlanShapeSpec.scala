@@ -423,4 +423,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"UDF in modularity plan:\n$plan")
     assert(plan.contains("HashAggregate"), s"lost the aggregates:\n$plan")
   }
+
+  test("k-means round: seeds broadcast, assignment is an aggregate, no window") {
+    val plan = executedFinal(SparkEntry.queries("q_v6_kmeans")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), s"seed side not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax fell back to a window:\n$plan")
+    assert(plan.contains("HashAggregate"), s"lost the assignment agg:\n$plan")
+  }
+
+  test("calibration and spike screens: single-pass machinery, no UDF") {
+    val cal = executedFinal(SparkEntry.queries("q_p30_calibration")(spark, sf0001))
+    assert(!cal.contains("Window") && !cal.contains("UDF"),
+      s"calibration must be one aggregation pass:\n$cal")
+    val sp = executedFinal(SparkEntry.queries("q_t23_spike")(spark, sf0001))
+    assert(sp.contains("Window") && !sp.contains("Join") && !sp.contains("UDF"),
+      s"spike screen is one window over the daily series:\n$sp")
+  }
 }

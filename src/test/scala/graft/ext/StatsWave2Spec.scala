@@ -112,6 +112,50 @@ class StatsWave2Spec extends SparkSpec {
     assert(got.forall(r => r._2 >= 1L && r._2 <= 16L))
   }
 
+  test("k-means round: hand case assigns by cosine, ties to the smaller seed") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),   // the two seeds
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)),   // clear members
+      (5L, Array(0.5f, 0.5f))                             // exact tie → seed 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssignRound(e, e.filter(col("vec_id") <= 2),
+        "vec_id", "embedding", outDims = 2)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // cluster 1 = {1, 3, 5}: centroid (0.8, 0.2); cluster 2 = {2, 4}
+    assert(out((1L, 0L)) == ((0.8, 3L)), out.toString)
+    assert(out((1L, 1L)) == ((0.2, 3L)), out.toString)
+    assert(out((2L, 0L)) == ((0.05, 2L)), out.toString)
+    assert(out((2L, 1L)) == ((0.95, 2L)), out.toString)
+  }
+
+  test("calibration bins: exact per-bin confidence, rate and gap") {
+    val df = Seq((0.05, 0), (0.95, 1), (0.95, 0), (1.0, 1))
+      .toDF("s", "label")
+    val out = Profiling.calibrationBins(df, col("s"), col("label") === 1,
+        nBins = 10)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((1L, 0.05, 0.0, 0.05)), out.toString)
+    // top bin absorbs s = 1.0 (clamped): conf 2.9/3, obs 2/3
+    assert(out(9L) == ((3L, 0.966667, 0.666667, 0.3)), out.toString)
+    assert(out.size == 2, out.toString)
+  }
+
+  test("rolling spike flags only the planted burst day") {
+    def ts(day: Int, i: Int) = new Timestamp(day * 86400000L + i * 1000L)
+    val counts = Seq(1, 1, 1, 10, 1, 1, 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(ts(d, i))) }.toDF("ts")
+    val out = TimeSeries.rollingSpike(ev, "ts", radius = 3, factor = 2)
+      .as[(java.sql.Date, Long, Long, Long, Option[Double])].collect()
+    assert(out.length == 1, out.mkString(","))
+    val r = out.head
+    // day 4's full window: n=7, neighbors sum 6, ratio 10*6/6 = 10
+    assert(r._2 == 10L && r._3 == 6L && r._4 == 7L && r._5 == Some(10.0),
+      r.toString)
+  }
+
   test("cross-correlation spikes at the true lead-lag offset") {
     // purchases replay clicks exactly 2 days later with varying daily
     // counts: r(lag=+2) = 1; the series otherwise decorrelates
