@@ -1252,6 +1252,31 @@ object SparkEntry {
       graft.ext.TimeSeries.crossCorrelation(Tables.events(s, d), "ts",
         "event_type", "click", "purchase", maxLag = 7).orderBy(col("lag"))),
 
+    // -- nDCG@10 of label-match relevance over the exact cosine
+    // retrieval: 9-dp-rounded log2 discounts summed in decimal, ideal
+    // ordering from one per-query window — the IR-eval gate --
+    "q_n11_ndcg" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val res = graft.ext.Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val withRel = res
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("__ql")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__cl")),
+          Seq("cand_id"))
+        .withColumn("rel", when(col("__ql") === col("__cl"), 1L).otherwise(0L))
+      graft.ext.Similarity.ndcgAtK(withRel, "query_id", "rank", "rel")
+        .orderBy(col("query_id"))
+    }),
+
+    // -- burst dedup: per-user retry/duplicate collapse — events
+    // chained by gaps < 1 day form one burst, only the head survives;
+    // exact-integer epoch-µs lag comparison --
+    "q_t24_burst_dedup" -> ((s, d) =>
+      graft.ext.TimeSeries.burstDedup(Tables.events(s, d), "user_id",
+        "ts", gapSec = 86400L).orderBy(col("user_id"))),
+
     // -- one exact Lloyd k-means round by cosine against the 8 seed
     // vectors: argmax assignment as a single max-of-struct aggregate,
     // per-cluster mean centroids — the distributed clustering step --
@@ -4322,6 +4347,49 @@ object SparkEntry {
                        * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
                 END AS r
          FROM p ORDER BY lag""",
+    "q_n11_ndcg" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id AS query_id, q.label AS ql,
+             c.vec_id AS cand_id, c.label AS cl,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+         topk AS (SELECT query_id, rank,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel
+           FROM ranked WHERE rank <= 10),
+         ideal AS (SELECT query_id, rank, rel,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, rank) AS irank
+           FROM topk),
+         terms AS (SELECT query_id,
+             CAST(round(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1),
+               9) AS DECIMAL(38,12)) AS t,
+             CAST(round(CAST(rel AS DOUBLE) / log2(CAST(irank AS DOUBLE) + 1),
+               9) AS DECIMAL(38,12)) AS it
+           FROM ideal),
+         agg AS (SELECT query_id, sum(t) AS dcg, sum(it) AS idcg,
+             sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS n_rel
+           FROM terms GROUP BY query_id)
+         SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+                round(CAST(dcg AS DOUBLE), 6) AS dcg,
+                round(CAST(idcg AS DOUBLE), 6) AS idcg,
+                CASE WHEN idcg > 0 THEN
+                  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+                END AS ndcg
+         FROM agg ORDER BY query_id""",
+    "q_t24_burst_dedup" ->
+      """WITH us AS (SELECT user_id, epoch_us(ts) AS u FROM events),
+         lagged AS (SELECT user_id, u,
+             lag(u) OVER (PARTITION BY user_id ORDER BY u) AS p FROM us)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CASE WHEN p IS NULL
+                    OR u - p >= CAST(86400000000 AS BIGINT)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM lagged GROUP BY user_id ORDER BY user_id""",
     "q_v6_kmeans" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

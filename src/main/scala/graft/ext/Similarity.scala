@@ -55,6 +55,40 @@ object Similarity {
         count(lit(1)).as("n"))
   }
 
+  /** nDCG@k over a ranked retrieval result: per query,
+    *   DCG = Σ rel_i / log2(rank_i + 1),  nDCG = DCG / IDCG,
+    * with IDCG the same sum over the query's relevance multiset in
+    * ideal (rel-descending) order. Each log-discounted term is
+    * rounded to 9 dp and summed in DECIMAL(38,12) (the powerlaw/
+    * chiSquare discipline — log2's last-ulp behavior never reaches
+    * the sum), so the oracle replays the exact values. Input: one row
+    * per (query, candidate) with an integer `rank` (1-based) and a
+    * 0/1 `rel`; the ideal ordering comes from one per-query window
+    * over ≤k rows. Returns (query_id, n_rel, dcg, idcg, ndcg). */
+  def ndcgAtK(results: DataFrame, queryCol: String, rankCol: String,
+      relCol: String): DataFrame = {
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(rankCol))
+    val terms = results.select(col(queryCol), col(rankCol), col(relCol),
+        row_number().over(w).as("__irank"))
+      .select(col(queryCol),
+        round(col(relCol).cast("double") /
+          log2(col(rankCol).cast("double") + 1), 9)
+          .cast("decimal(38,12)").as("__t"),
+        round(col(relCol).cast("double") /
+          log2(col("__irank").cast("double") + 1), 9)
+          .cast("decimal(38,12)").as("__it"))
+    terms.groupBy(col(queryCol))
+      .agg(sum(col("__t")).as("__dcg"), sum(col("__it")).as("__idcg"),
+        sum(when(col("__t") > 0, 1L).otherwise(0L)).as("n_rel"))
+      .select(col(queryCol), col("n_rel"),
+        round(col("__dcg").cast("double"), 6).as("dcg"),
+        round(col("__idcg").cast("double"), 6).as("idcg"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on
     * (cos desc, candidate id). */

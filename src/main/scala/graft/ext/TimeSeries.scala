@@ -401,6 +401,27 @@ object TimeSeries {
         round(num / (sqrt(varx) * sqrt(vary)), 6)).as("r"))
   }
 
+  /** Burst dedup over an event stream: within each key, events
+    * chained by gaps < `gapSec` form one burst (the sessionize
+    * island), and only the burst's FIRST event survives — the
+    * retry/duplicate-collapse pass an event pipeline runs before
+    * counting anything. Island detection is the exact-integer
+    * epoch-µs lag comparison (one per-key window), burst ids a
+    * running sum; the per-key report keeps the output bounded.
+    * Returns (key, n_events, n_kept) — n_kept = number of bursts. */
+  def burstDedup(events: DataFrame, keyCol: String, tsCol: String,
+      gapSec: Long): DataFrame = {
+    require(gapSec >= 1)
+    val us = events.select(col(keyCol), unix_micros(col(tsCol)).as("__us"))
+    us.withColumn("__prev", lag(col("__us"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__us"))))
+      .withColumn("__newburst",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") >= gapSec * 1000000L, 1L).otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__newburst")).as("n_kept"))
+  }
+
   /** Rolling spike screen over a daily count series: flag days whose
     * count more than doubles the average of their ±`radius`-day
     * neighborhood — the all-integer comparison

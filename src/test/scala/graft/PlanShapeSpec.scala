@@ -431,6 +431,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"lost the assignment agg:\n$plan")
   }
 
+  test("nDCG and burst dedup: one window + one aggregate, no UDF") {
+    val nd = executedFinal(SparkEntry.queries("q_n11_ndcg")(spark, sf0001))
+    assert(nd.contains("Window") && nd.contains("HashAggregate") &&
+      !nd.contains("UDF"), s"ndcg machinery:\n$nd")
+    val bd = executedFinal(SparkEntry.queries("q_t24_burst_dedup")(spark, sf0001))
+    assert(bd.contains("Window") && !bd.contains("Join") &&
+      !bd.contains("UDF"), s"burst dedup is window+agg only:\n$bd")
+  }
+
   test("calibration and spike screens: single-pass machinery, no UDF") {
     val cal = executedFinal(SparkEntry.queries("q_p30_calibration")(spark, sf0001))
     assert(!cal.contains("Window") && !cal.contains("UDF"),

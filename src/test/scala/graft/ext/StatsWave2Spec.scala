@@ -156,6 +156,42 @@ class StatsWave2Spec extends SparkSpec {
       r.toString)
   }
 
+  test("nDCG: hand case matches the closed form, perfect ranking scores 1") {
+    def d9(x: Double) = math.rint(x * 1e9) / 1e9
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    // rel by rank: (0, 1, 1) — ideal pulls the two hits to the front
+    val df = Seq(("q", 1, 0L), ("q", 2, 1L), ("q", 3, 1L))
+      .toDF("query_id", "rank", "rel")
+    val Array(r) = Similarity.ndcgAtK(df, "query_id", "rank", "rel")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    val dcg = d6(d9(1 / (math.log(3) / math.log(2))) +
+      d9(1 / (math.log(4) / math.log(2))))
+    val idcg = d6(d9(1.0) + d9(1 / (math.log(3) / math.log(2))))
+    assert(r._1 == "q" && r._2 == 2L, r.toString)
+    assert(math.abs(r._3 - dcg) < 1e-9 && math.abs(r._4 - idcg) < 1e-9,
+      s"$r vs dcg=$dcg idcg=$idcg")
+    // already-ideal ranking → ndcg exactly 1
+    val perfect = Seq(("q", 1, 1L), ("q", 2, 1L), ("q", 3, 0L))
+      .toDF("query_id", "rank", "rel")
+    val Array(p) = Similarity.ndcgAtK(perfect, "query_id", "rank", "rel")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    assert(p._5 == Some(1.0), p.toString)
+    // no relevant hits → idcg 0 → null ndcg
+    val none = Seq(("q", 1, 0L)).toDF("query_id", "rank", "rel")
+    val Array(z) = Similarity.ndcgAtK(none, "query_id", "rank", "rel")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+    assert(z._5.isEmpty && z._2 == 0L, z.toString)
+  }
+
+  test("burst dedup keeps one head per gap-chained burst") {
+    val ev = Seq(0L, 10L, 20L, 2000L, 4000L)
+      .map(s => ("u", new Timestamp(s * 1000L))).toDF("user_id", "ts")
+    val Array(r) = TimeSeries.burstDedup(ev, "user_id", "ts", gapSec = 1000L)
+      .as[(String, Long, Long)].collect()
+    // bursts: {0,10,20} (gaps 10 s), {2000}, {4000} (gaps ≥ 1000 s)
+    assert(r == (("u", 5L, 3L)), r.toString)
+  }
+
   test("cross-correlation spikes at the true lead-lag offset") {
     // purchases replay clicks exactly 2 days later with varying daily
     // counts: r(lag=+2) = 1; the series otherwise decorrelates
