@@ -3075,6 +3075,39 @@ object SparkEntry {
           (col("__nv") <= col("n_base_chars") + merges.size).as("vocab_bounded"),
           (col("__bad") === 0).as("roundtrip_ok"))
     }),
+
+    // -- Mann–Kendall trend test on the daily event-count series:
+    // all-integer S over every ordered day pair, tie-corrected ×18
+    // variance (exact BIGINT), continuity-corrected z — the
+    // distribution-free "is this metric drifting?" screen --
+    "q_t25_mann_kendall" -> ((s, d) =>
+      graft.ext.TimeSeries.mannKendall(Tables.events(s, d), "ts")),
+
+    // -- EXACT distinct users per event type via 64-bit bucket
+    // bitmaps: one set bit per key, bit_or collapses map-side (≤ one
+    // long per occupied bucket crosses the shuffle), sum(bit_count)
+    // pops — the shuffle-light exact-distinct for dense integer ids --
+    "q_a23_bitmap_distinct" -> ((s, d) =>
+      graft.ext.Sketches.bitmapDistinct(Tables.events(s, d),
+        "event_type", "user_id").orderBy(col("grp"))),
+
+    // -- MRR@10 + hits@10 over the exact cosine retrieval: rank of
+    // the first label match per query, exact reciprocal —
+    // time-to-first-hit, the companion eval to q_n11's nDCG --
+    "q_n12_mrr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val res = graft.ext.Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val withRel = res
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("__ql")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__cl")),
+          Seq("cand_id"))
+        .withColumn("rel", when(col("__ql") === col("__cl"), 1L).otherwise(0L))
+      graft.ext.Similarity.mrrAtK(withRel, "query_id", "rank", "rel")
+        .orderBy(col("query_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6427,5 +6460,56 @@ object SparkEntry {
                 (SELECT p FROM pc ORDER BY c DESC, p LIMIT 1) AS first_merge,
                 CAST((SELECT count(*) FROM chars) AS BIGINT) AS n_base_chars,
                 TRUE AS vocab_bounded, TRUE AS roundtrip_ok""",
+    "q_t25_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events GROUP BY 1),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM daily a JOIN daily b ON a.dt < b.dt),
+         t AS (SELECT CAST(coalesce(sum(CASE WHEN t > 1
+               THEN t*(t-1)*(2*t+5) ELSE 0 END), 0) AS BIGINT) AS tcorr
+           FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+         c AS (SELECT n, n_pairs, s,
+             CAST(n*(n-1)*(2*n+5) - tcorr AS BIGINT) AS v18
+           FROM nn, p, t)
+         SELECT n, n_pairs, s, v18,
+                round(CAST(s AS DOUBLE) * 2 / CAST(n*(n-1) AS DOUBLE), 6)
+                  AS tau,
+                CASE WHEN v18 > 0 THEN round(CASE
+                  WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                    / sqrt(CAST(v18 AS DOUBLE) / 18)
+                  WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                    / sqrt(CAST(v18 AS DOUBLE) / 18)
+                  ELSE 0.0 END, 6) END AS z
+         FROM c""",
+    "q_a23_bitmap_distinct" ->
+      """SELECT event_type AS grp,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+         FROM events GROUP BY 1 ORDER BY grp""",
+    "q_n12_mrr" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id AS query_id, q.label AS ql,
+             c.vec_id AS cand_id, c.label AS cl,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+         topk AS (SELECT query_id, rank,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel
+           FROM ranked WHERE rank <= 10),
+         agg AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+               AS first_rel_rank
+           FROM topk GROUP BY query_id)
+         SELECT query_id, n_rel, first_rel_rank,
+                CASE WHEN first_rel_rank IS NOT NULL THEN
+                  round(CAST(1 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE), 6)
+                END AS rr
+         FROM agg ORDER BY query_id""",
   )
 }

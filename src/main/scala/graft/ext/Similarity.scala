@@ -89,6 +89,24 @@ object Similarity {
             col("__idcg").cast("double"), 6)).as("ndcg"))
   }
 
+  /** MRR@k + hits@k over a ranked retrieval result — the second
+    * IR-eval face beside [[ndcgAtK]] (nDCG grades the whole ranking;
+    * MRR grades time-to-first-hit, the metric RAG stacks report).
+    * Per query: first_rel_rank = min rank with rel=1, rr = 1/that
+    * (exact reciprocal of an integer, rounded 6 dp — no summation,
+    * so no decimal ladder needed), n_rel = hits within the top-k
+    * input. One hash aggregate over ≤k rows per query; NULL rr when
+    * the query has no hit (the ndcg null convention). Returns
+    * (query_id, n_rel, first_rel_rank, rr). */
+  def mrrAtK(results: DataFrame, queryCol: String, rankCol: String,
+      relCol: String): DataFrame =
+    results.groupBy(col(queryCol))
+      .agg(sum(when(col(relCol) > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when(col(relCol) > 0, col(rankCol).cast("long"))).as("first_rel_rank"))
+      .select(col(queryCol), col("n_rel"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          round(lit(1.0) / col("first_rel_rank").cast("double"), 6)).as("rr"))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on
     * (cos desc, candidate id). */

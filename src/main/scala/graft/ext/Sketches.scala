@@ -108,4 +108,30 @@ object Sketches {
         when(col("n_sk") < k, col("n_sk").cast("double"))
           .otherwise(round(lit((k - 1).toDouble) * lit(2147483647.0) /
             col("kth"), 4)).as("est"))
+
+  /** EXACT distinct count per group via 64-bit bucket bitmaps — the
+    * shuffle-light alternative to count(DISTINCT) for dense integer
+    * keys (the roaring-bitmap idea reduced to plain longs). Each key
+    * becomes one set bit: bucket = key / 64, mask = 1L << (key % 64);
+    * `bit_or` collapses (group, bucket) to a single long — and being
+    * commutative/associative it partial-aggregates map-side, so the
+    * shuffle carries ≤ one long per (group, occupied bucket) per
+    * partition instead of one row per key occurrence (count(DISTINCT)
+    * in the same shape shuffles every distinct pair). `bit_count` then
+    * pops each bitmap and a plain sum yields the exact count. Two
+    * hash aggregates, no sort, no expansion — at 100 TB the bucket
+    * axis is |key space|/64, independent of row count. Keys must be
+    * non-negative (id columns are). Returns (group, n_distinct). */
+  def bitmapDistinct(df: DataFrame, grpCol: String,
+      keyCol: String): DataFrame =
+    df.select(col(grpCol).as("grp"),
+        // `div` not `/`: long/int is double division in Spark, and a
+        // double round-trip corrupts ids past 2^53
+        expr(s"CAST($keyCol AS BIGINT) div 64").as("__bucket"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod($keyCol, 64) AS INT))")
+          .as("__mask"))
+      .groupBy(col("grp"), col("__bucket"))
+      .agg(bit_or(col("__mask")).as("__bm"))
+      .groupBy(col("grp"))
+      .agg(sum(bit_count(col("__bm")).cast("long")).as("n_distinct"))
 }

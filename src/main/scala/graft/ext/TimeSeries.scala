@@ -449,4 +449,43 @@ object TimeSeries {
           round(col("x").cast("double") * (col("nw") - 1).cast("double") /
             (col("sw") - col("x")).cast("double"), 4)).as("ratio"))
   }
+
+  /** Mann–Kendall trend test over the daily event-count series — the
+    * distribution-free "is this metric drifting?" screen (Mann 1945;
+    * Kendall's tau). The statistic is all-integer:
+    *   S = Σ_{i<j} sign(x_j − x_i)
+    * over every ordered day pair, tie correction
+    *   T = Σ_groups t(t−1)(2t+5), and the variance numerator
+    *   V18 = n(n−1)(2n+5) − T  (Var(S) = V18/18, kept ×18 so the
+    * gate hashes an exact BIGINT). The only doubles are the final
+    *   tau = S / (n(n−1)/2) and the continuity-corrected
+    *   z = (S ∓ 1)/sqrt(V18/18), both rounded 6 dp (the established
+    * discipline). The pair sweep is the day-axis self-join — bounded
+    * by the span, not the row count (the autocorrelation class); the
+    * three aggregates combine via 1-row crossJoins. Returns one row
+    * (n, n_pairs, s, v18, tau, z). */
+  def mannKendall(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x")).localCheckpoint(true)
+    val pairs = daily.as("a")
+      .join(daily.as("b"), col("a.dt") < col("b.dt"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+    val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") > 1,
+        col("t") * (col("t") - 1) * (col("t") * 2 + 5))), lit(0L)).as("tcorr"))
+    val tot = daily.agg(count(lit(1)).as("n"))
+    val v18 = (col("n") * (col("n") - 1) * (col("n") * 2 + 5)
+      - col("tcorr")).as("v18")
+    val sd = sqrt(col("v18").cast("double") / 18.0)
+    tot.crossJoin(pairs).crossJoin(ties)
+      .select(col("n"), col("n_pairs"), col("s"), v18)
+      .select(col("n"), col("n_pairs"), col("s"), col("v18"),
+        round(col("s").cast("double") * 2 /
+          (col("n") * (col("n") - 1)).cast("double"), 6).as("tau"),
+        when(col("v18") > 0, round(
+          when(col("s") > 0, (col("s") - 1).cast("double") / sd)
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sd)
+            .otherwise(lit(0.0)), 6)).as("z"))
+  }
 }

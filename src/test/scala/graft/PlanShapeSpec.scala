@@ -448,4 +448,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(sp.contains("Window") && !sp.contains("Join") && !sp.contains("UDF"),
       s"spike screen is one window over the daily series:\n$sp")
   }
+
+  test("bitmap distinct: two hash aggregates, no sort, no expand, no UDF") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_a23_bitmap_distinct")(spark, sf0001))
+    assert(plan.contains("HashAggregate"), s"lost the hash agg:\n$plan")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Expand") &&
+      !plan.contains("UDF"), s"bitmap distinct machinery:\n$plan")
+  }
+
+  test("Mann–Kendall: day-axis self-join, no window, no UDF") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_t25_mann_kendall")(spark, sf0001))
+    assert(!plan.contains("Window") && !plan.contains("UDF"),
+      s"mann–kendall must be join+agg only:\n$plan")
+  }
+
+  test("MRR: single aggregate over the ranked top-k, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_n12_mrr")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("UDF"),
+      s"mrr machinery:\n$plan")
+  }
 }
