@@ -4334,7 +4334,7 @@ object SparkEntry {
          f2 AS (SELECT n, sx, sy,
                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta0 FROM s)
          SELECT xy.decile, xy.n_cum, xy.v_cum,
-                round(beta0, 4) AS beta,
+                round(beta0, 4) + 0.0 AS beta,
                 round(exp((sy - beta0 * sx) / n), 4) AS k
          FROM xy, f2 ORDER BY decile""",
     "q_t21_acf" ->

@@ -414,7 +414,9 @@ object TextAnalysis {
       .withColumn("beta0",
         (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")))
-      .select(round(col("beta0"), 4).as("beta"),
+      // + 0.0 canonicalizes IEEE −0.0: at tiny sf the fit numerator is
+      // ~1e-13 with summation-order-dependent sign (the q_v4 lesson)
+      .select((round(col("beta0"), 4) + lit(0.0)).as("beta"),
         round(exp((col("sy") - col("beta0") * col("sx")) / col("n")), 4)
           .as("k"))
     xy.select(col("decile"), col("n_cum"), col("v_cum"))
