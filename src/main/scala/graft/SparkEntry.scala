@@ -3108,6 +3108,33 @@ object SparkEntry {
       graft.ext.Similarity.mrrAtK(withRel, "query_id", "rank", "rel")
         .orderBy(col("query_id"))
     }),
+
+    // -- Jensen–Shannon divergence between src0's and src1's token
+    // distributions: exact-count ratios, 9-dp-rounded per-term
+    // contributions summed in decimal — the bounded symmetric drift
+    // metric for admitting a new source to the mixture --
+    "q_p31_jsd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ext.TextAnalysis.jsDivergence(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "text")
+    }),
+
+    // -- Cohen's kappa between two heuristic labelers (n_chars ≥ 300
+    // vs whitespace tokens ≥ 56): 2×2 confusion integers, the chance
+    // correction collapsed to one exact-integer ratio — do two weak
+    // annotators agree beyond chance? --
+    "q_p32_cohens_kappa" -> ((s, d) =>
+      graft.ext.Profiling.cohensKappa(Tables.documents(s, d),
+        col("n_chars") >= 300,
+        graft.ext.TextAnalysis.tokenCount(col("text")) >= 56)),
+
+    // -- greedy k-center (farthest-point) coreset over the embedding
+    // corpus: 5 picks from seed 0, each round one broadcast + argmin —
+    // the diverse-probe selector; maxsim traces the coverage radius --
+    "q_v7_kcenter" -> ((s, d) =>
+      graft.ext.Similarity.kcenterSelect(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 5, seedId = 0L).orderBy(col("pick_rank"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6511,5 +6538,66 @@ object SparkEntry {
                   round(CAST(1 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE), 6)
                 END AS rr
          FROM agg ORDER BY query_id""",
+    "q_p31_jsd" ->
+      """WITH ta AS (SELECT unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents WHERE source = 'src0'),
+         tb AS (SELECT unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents WHERE source = 'src1'),
+         ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+         cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+         j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+               FROM ca FULL OUTER JOIN cb USING (tok)),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                        CAST(sum(cb) AS BIGINT) AS nb FROM j),
+         terms AS (SELECT ca, cb,
+             CAST(round((
+               (CASE WHEN ca > 0 THEN
+                 (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)) * log2(
+                   (CAST(ca AS DOUBLE)/CAST(na AS DOUBLE)) * 2 /
+                   ((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+                    + (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))))
+                 ELSE 0.0 END)
+               + (CASE WHEN cb > 0 THEN
+                 (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)) * log2(
+                   (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE)) * 2 /
+                   ((CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+                    + (CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE))))
+                 ELSE 0.0 END)) / 2, 9) AS DECIMAL(38,12)) AS t
+           FROM j, tot)
+         SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_only_a,
+                CAST(sum(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_only_b,
+                (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+                round(CAST(sum(t) AS DOUBLE), 6) AS jsd
+         FROM terms""",
+    "q_p32_cohens_kappa" ->
+      """WITH t AS (SELECT n_chars >= 300 AS a,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) >= 56 AS b
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n00,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM t),
+         k AS (SELECT *,
+             (n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11) AS e
+           FROM c)
+         SELECT n, n00, n01, n10, n11,
+                round(CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                round(CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+                CASE WHEN n * n <> e THEN
+                  round(CAST(n * (n00 + n11) - e AS DOUBLE)
+                    / CAST(n * n - e AS DOUBLE), 6) END AS kappa
+         FROM k""",
+    "q_v7_kcenter" -> graft.ext.Similarity.kcenterOracleSql(5, 0L),
   )
 }

@@ -697,4 +697,34 @@ object Profiling {
       .agg(min(col("totw")).cast("double").as("tot_w"),
         min(col("v")).as("w_median"))
   }
+
+  /** Cohen's kappa between two boolean raters — the chance-corrected
+    * agreement score a weak-supervision pipeline runs before trusting
+    * two heuristic labelers (Cohen 1960). The whole statistic reduces
+    * to the 2×2 confusion counts, and the chance correction cancels
+    * into one exact integer ratio:
+    *   kappa = (n·(n00+n11) − E) / (n² − E),
+    *   E = (n00+n01)(n00+n10) + (n10+n11)(n01+n11)
+    * — so besides the three reported doubles (po, pe, kappa, each one
+    * division of exact BIGINTs rounded 6 dp) nothing floats. ONE
+    * aggregation pass; raters are arbitrary boolean Columns evaluated
+    * map-side. Returns (n, n00, n01, n10, n11, po, pe, kappa); kappa
+    * NULL when chance agreement is total (n² = E). */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    def cnt(a: Boolean, b: Boolean) =
+      sum(when(raterA === lit(a) && raterB === lit(b), 1L).otherwise(0L))
+    val e = ((col("n00") + col("n01")) * (col("n00") + col("n10"))
+      + (col("n10") + col("n11")) * (col("n01") + col("n11")))
+    df.agg(count(lit(1)).as("n"), cnt(false, false).as("n00"),
+        cnt(false, true).as("n01"), cnt(true, false).as("n10"),
+        cnt(true, true).as("n11"))
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        round((col("n00") + col("n11")).cast("double") /
+          col("n").cast("double"), 6).as("po"),
+        round(e.cast("double") /
+          (col("n") * col("n")).cast("double"), 6).as("pe"),
+        when(col("n") * col("n") =!= e,
+          round((col("n") * (col("n00") + col("n11")) - e).cast("double") /
+            (col("n") * col("n") - e).cast("double"), 6)).as("kappa"))
+  }
 }

@@ -355,6 +355,81 @@ object Similarity {
     sb.toString
   }
 
+  /** Greedy k-center selection (farthest-point traversal, Gonzalez
+    * '85 — the 2-approximation for the k-center objective): starting
+    * from a seed, repeatedly pick the item FARTHEST from everything
+    * selected so far — under cosine, the item whose max similarity to
+    * the selected set is smallest (tie → smallest id). The classic
+    * coreset/diverse-sample selector: k probes that cover the corpus,
+    * where top-k-by-similarity would return k near-duplicates.
+    *
+    * Each of the k−1 rounds is one broadcast of the ≤k selected
+    * vectors against the remaining corpus + one hash aggregate + a
+    * 1-row TakeOrderedAndProject — no driver-side vectors, no
+    * quadratic pass; the corpus is scanned k−1 times and never
+    * shuffled on anything but the bounded argmin. Returns
+    * (pick_rank, vec_id, maxsim) with maxsim the pick's max cosine
+    * to the previously selected set (NULL for the seed) — the
+    * monotone coverage-radius trace. */
+  def kcenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v")).localCheckpoint(true)
+    var selected = base.filter(col("vec_id") === seedId)
+      .select(col("vec_id"), col("v"), lit(1L).as("pick_rank"),
+        lit(null).cast("double").as("maxsim"))
+    var remaining = base.filter(col("vec_id") =!= seedId)
+    for (i <- 2 to k) {
+      val ms = remaining.crossJoin(broadcast(
+          selected.select(col("v").as("sel_v"))))
+        .withColumn("sim",
+          round(VectorFunctions.cosine(col("v"), col("sel_v")), 6))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
+      val pick = remaining.join(ms, Seq("vec_id"))
+        .orderBy(col("ms").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("v"), lit(i.toLong).as("pick_rank"),
+          col("ms").as("maxsim"))
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(pick.select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    }
+    selected.select(col("pick_rank"), col("vec_id"), col("maxsim"))
+  }
+
+  /** The unrolled DuckDB oracle for [[kcenterSelect]] over the
+    * embeddings table (seed `seedId`, k picks) — the mmrOracleSql
+    * convention: one materialized CTE trio per greedy round. */
+  def kcenterOracleSql(k: Int, seedId: Long): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          s1 AS (SELECT vec_id, v, CAST(1 AS BIGINT) AS pick_rank,
+                   CAST(NULL AS DOUBLE) AS maxsim
+                 FROM e WHERE vec_id = $seedId),
+          r1 AS (SELECT * FROM e WHERE vec_id <> $seedId)""")
+    for (i <- 2 to k) {
+      val p = i - 1
+      sb.append(s""", p$i AS MATERIALIZED (SELECT vec_id, ms FROM (
+          SELECT r.vec_id, ms.ms, row_number() OVER (
+              ORDER BY ms.ms ASC, r.vec_id) AS pk
+          FROM r$p r JOIN (
+            SELECT r2.vec_id,
+              max(round(list_cosine_similarity(r2.v, s.v), 6)) AS ms
+            FROM r$p r2, s$p s GROUP BY r2.vec_id) ms
+          ON r.vec_id = ms.vec_id) WHERE pk = 1)""")
+      sb.append(s""", s$i AS MATERIALIZED (SELECT * FROM s$p UNION ALL
+        SELECT e.vec_id, e.v, CAST($i AS BIGINT) AS pick_rank, p$i.ms AS maxsim
+        FROM e JOIN p$i USING (vec_id))""")
+      sb.append(s""", r$i AS MATERIALIZED (SELECT r.* FROM r$p r
+        LEFT JOIN p$i p ON r.vec_id = p.vec_id WHERE p.vec_id IS NULL)""")
+    }
+    sb.append(s"""
+      SELECT pick_rank, vec_id, maxsim FROM s$k ORDER BY pick_rank""")
+    sb.toString
+  }
+
   /** Hard-negative mining — the contrastive-training-pair constructor
     * (DPR / Karpukhin et al. 2020 shape): for each query, the k most
     * similar corpus items that are NOT its labeled positives. These

@@ -723,4 +723,46 @@ object TextAnalysis {
     Seq(w.as("n_words"), s.as("n_sentences"), syl.as("n_syllables"),
       flesch.as("flesch"))
   }
+
+  /** Jensen–Shannon divergence between the token distributions of two
+    * corpora — the symmetric, bounded [0,1] (log2) drift metric a
+    * mixture pipeline reports when a new source joins the pool (Lin
+    * '91). Over the term union:
+    *   JSD = ½·Σ [ p·log2(2p/(p+q)) + q·log2(2q/(p+q)) ]
+    * with p = c_a/N_a, q = c_b/N_b exact integer-count ratios; a term
+    * absent from one side contributes only the other's part (the
+    * 0·log0 = 0 convention). Each per-term contribution is one
+    * deterministic double expression rounded 9 dp and summed in
+    * DECIMAL(38,12) — the ndcg/chiSquare discipline, so the oracle
+    * replays the sum exactly. Shape: two token-count aggregates, one
+    * full outer equi-join on term, one closing 1-row aggregate —
+    * counts, never text, cross the shuffle. Returns
+    * (n_terms, n_only_a, n_only_b, n_a, n_b, jsd). */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "ca")
+    val cb = counts(b, "cb")
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = col("ca").cast("double") / col("na").cast("double")
+    val q = col("cb").cast("double") / col("nb").cast("double")
+    def part(x: Column, y: Column) =
+      when(x > 0, x * log2(x * 2 / (x + y))).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("na"), col("nb"),
+        round((part(p, q) + part(q, p)) / 2, 9)
+          .cast("decimal(38,12)").as("__t"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("cb") === 0, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("ca") === 0, 1L).otherwise(0L)).as("n_only_b"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("__t")).as("__jsd"))
+      .select(col("n_terms"), col("n_only_a"), col("n_only_b"),
+        col("n_a"), col("n_b"),
+        round(col("__jsd").cast("double"), 6).as("jsd"))
+  }
 }

@@ -469,4 +469,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") && !plan.contains("UDF"),
       s"mrr machinery:\n$plan")
   }
+
+  test("JSD and kappa: aggregate machinery only, no window, no UDF") {
+    val jsd = executedFinal(SparkEntry.queries("q_p31_jsd")(spark, sf0001))
+    assert(jsd.contains("HashAggregate") && !jsd.contains("Window") &&
+      !jsd.contains("UDF"), s"jsd machinery:\n$jsd")
+    val kap = executedFinal(
+      SparkEntry.queries("q_p32_cohens_kappa")(spark, sf0001))
+    assert(kap.contains("HashAggregate") && !kap.contains("Join") &&
+      !kap.contains("UDF"), s"kappa must be one aggregation pass:\n$kap")
+  }
+
+  test("k-center: broadcast rounds end in a 1-row top-k, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_v7_kcenter")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"argmin must be a bounded top-k, not a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("UDF"),
+      s"selected set must broadcast:\n$plan")
+  }
 }

@@ -54,6 +54,57 @@ class StatsWave3Spec extends SparkSpec {
     assert(got == want, s"$got vs $want")
   }
 
+  test("JSD: identical corpora score 0, disjoint corpora score 1") {
+    val a = Seq("a b", "a b a").toDF("text")
+    val same = TextAnalysis.jsDivergence(a, a, "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(same == ((2L, 0L, 0L, 5L, 5L, 0.0)), same.toString)
+    val b = Seq("c d c", "d d").toDF("text")
+    val disj = TextAnalysis.jsDivergence(a, b, "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(disj == ((4L, 2L, 2L, 5L, 5L, 1.0)), disj.toString)
+    // partial overlap lands strictly inside (0, 1)
+    val c = Seq("a b c c").toDF("text")
+    val mid = TextAnalysis.jsDivergence(a, c, "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(mid._6 > 0.0 && mid._6 < 1.0, mid.toString)
+  }
+
+  test("Cohen's kappa: textbook 2x2 gives 0.4; perfect agreement gives 1") {
+    // n00=20 n01=5 n10=10 n11=15: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)((false, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(10)((true, false)) ++ Seq.fill(15)((true, true))
+    val df = rows.toDF("a", "b")
+    val Array(r) = Profiling.cohensKappa(df, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    assert(r == ((50L, 20L, 5L, 10L, 15L, 0.7, 0.5, Some(0.4))), r.toString)
+    val perfect = Seq((true, true), (false, false)).toDF("a", "b")
+    val Array(p) = Profiling.cohensKappa(perfect, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    assert(p._8 == Some(1.0), p.toString)
+    // both raters constant-true: chance agreement is total → null
+    val const = Seq((true, true), (true, true)).toDF("a", "b")
+    val Array(c) = Profiling.cohensKappa(const, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    assert(c._8.isEmpty, c.toString)
+  }
+
+  test("k-center walks to the farthest point each round") {
+    // v0 seed; v3 is antipodal (picked first), v2 orthogonal, v1 a dup
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSelect(df, "vec_id", "embedding",
+        k = 4, seedId = 0L)
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, None), (2L, 3L, Some(-1.0)),
+      (3L, 2L, Some(0.0)), (4L, 1L, Some(1.0))), out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
