@@ -3135,6 +3135,31 @@ object SparkEntry {
     "q_v7_kcenter" -> ((s, d) =>
       graft.ext.Similarity.kcenterSelect(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 5, seedId = 0L).orderBy(col("pick_rank"))),
+
+    // -- 1-bit sign-quantization ANN: vectors compress 256× to one
+    // 64-bit sign word, scoring is XOR+popcount — exact given the
+    // signs, so the gate replays the full top-10 bit-for-bit --
+    "q_n13_hamming_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ext.Similarity.hammingTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- Cramér's V of lang × source: effect size atop the χ²
+    // machinery — n makes χ² "significant", V says whether the
+    // association is actually material --
+    "q_p33_cramers_v" -> ((s, d) =>
+      graft.ext.Profiling.cramersV(Tables.documents(s, d),
+        "lang", "source")),
+
+    // -- Simpson diversity per source: unbiased repeat probability
+    // and the order-2 Hill "effective vocabulary size", both exact
+    // integer ratios off one (source, term) count — vocabulary
+    // concentration beyond Gini --
+    "q_x37_simpson" -> ((s, d) =>
+      graft.ext.TextAnalysis.simpsonDiversity(Tables.documents(s, d),
+        "source", "text").orderBy(col("grp"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3876,6 +3901,10 @@ object SparkEntry {
          ct AS (SELECT b, sum(obs) AS ct FROM cells GROUP BY b),
          nn AS (SELECT sum(obs) AS n, count(DISTINCT a) AS nr,
                   count(DISTINCT b) AS nc FROM cells),
+         fcells AS (SELECT g.a, g.b, coalesce(c.obs, 0) AS obs
+           FROM (SELECT ra.a, cb.b FROM (SELECT DISTINCT a FROM cells) ra,
+                 (SELECT DISTINCT b FROM cells) cb) g
+           LEFT JOIN cells c ON g.a = c.a AND g.b = c.b),
          terms AS (SELECT nn.n, nn.nr, nn.nc,
              CAST(round(
                CAST((CAST(nn.n AS HUGEINT) * obs - CAST(rt.rt AS HUGEINT) * ct.ct)
@@ -3883,7 +3912,7 @@ object SparkEntry {
                  AS DOUBLE)
                / CAST(CAST(rt.rt AS HUGEINT) * ct.ct * nn.n AS DOUBLE), 9)
                AS DECIMAL(38,12)) AS term
-           FROM cells JOIN rt USING (a) JOIN ct USING (b), nn)
+           FROM fcells JOIN rt USING (a) JOIN ct USING (b), nn)
          SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat,
                 CAST(nc AS BIGINT) AS n_cols_cat,
                 CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
@@ -6599,5 +6628,66 @@ object SparkEntry {
                     / CAST(n * n - e AS DOUBLE), 6) END AS kappa
          FROM k""",
     "q_v7_kcenter" -> graft.ext.Similarity.kcenterOracleSql(5, 0L),
+    "q_n13_hamming_ann" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         h AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(len(list_filter(range(0, 64), i ->
+               (c.embedding[i + 1] >= 0) <> (q.embedding[i + 1] >= 0)))
+               AS BIGINT) AS hamming
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, cand_id) AS rank FROM h)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, hamming
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_p33_cramers_v" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT CAST(lang AS VARCHAR) AS a,
+                  CAST(source AS VARCHAR) AS b, count(*) AS obs
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, sum(obs) AS rt FROM cells GROUP BY a),
+         ct AS (SELECT b, sum(obs) AS ct FROM cells GROUP BY b),
+         nn AS (SELECT sum(obs) AS n, count(DISTINCT a) AS nr,
+                  count(DISTINCT b) AS nc FROM cells),
+         fcells AS (SELECT g.a, g.b, coalesce(c.obs, 0) AS obs
+           FROM (SELECT ra.a, cb.b FROM (SELECT DISTINCT a FROM cells) ra,
+                 (SELECT DISTINCT b FROM cells) cb) g
+           LEFT JOIN cells c ON g.a = c.a AND g.b = c.b),
+         terms AS (SELECT nn.n, nn.nr, nn.nc,
+             CAST(round(
+               CAST((CAST(nn.n AS HUGEINT) * obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                  * (CAST(nn.n AS HUGEINT) * obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                 AS DOUBLE)
+               / CAST(CAST(rt.rt AS HUGEINT) * ct.ct * nn.n AS DOUBLE), 9)
+               AS DECIMAL(38,12)) AS term
+           FROM fcells JOIN rt USING (a) JOIN ct USING (b), nn),
+         c2 AS (SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows_cat,
+                CAST(nc AS BIGINT) AS n_cols_cat,
+                CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+           FROM terms GROUP BY n, nr, nc)
+         SELECT *, least(n_rows_cat - 1, n_cols_cat - 1) AS min_dof,
+                CASE WHEN least(n_rows_cat - 1, n_cols_cat - 1) > 0 THEN
+                  round(sqrt(chi2 / CAST(n * least(n_rows_cat - 1,
+                    n_cols_cat - 1) AS DOUBLE)), 6) END AS v
+         FROM c2""",
+    "q_x37_simpson" ->
+      """WITH tok AS (SELECT source AS grp, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         tc AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         agg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS cc1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+           FROM tc GROUP BY grp)
+         SELECT grp, n_tokens, n_terms,
+                CASE WHEN n_tokens > 1 THEN
+                  round(CAST(cc1 AS DOUBLE) /
+                    CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE),
+                    6) END AS d,
+                round(CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE) /
+                  CAST(c2 AS DOUBLE), 4) AS inv_simpson
+         FROM agg ORDER BY grp""",
   )
 }

@@ -465,9 +465,11 @@ object Profiling {
     * computed per cell (integer numerator in DECIMAL(38,0), one
     * division), rounded to 9 dp, and summed in DECIMAL(38,12) so the
     * total is partition-order-free and oracle-exact. Contingency
-    * cells via one groupBy; margins via two broadcast-size
-    * re-aggregations of the cells (no second scan of the input).
-    * Returns (n, n_rows_cat, n_cols_cat, dof, chi2). */
+    * cells via one groupBy, then expanded to the FULL r×c grid
+    * (a structural zero still owes its (0−E)²/E = E term); margins
+    * via two broadcast-size re-aggregations of the cells (no second
+    * scan of the input). Returns (n, n_rows_cat, n_cols_cat, dof,
+    * chi2). */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))
@@ -477,7 +479,13 @@ object Profiling {
     val n = cells.agg(sum(col("obs")).as("n"),
       countDistinct(col("a")).as("nr"), countDistinct(col("b")).as("nc"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val terms = cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
+    // expand to the FULL r×c grid: a structural zero still contributes
+    // its (0−E)²/E = E term — summing observed cells only undercounts
+    // χ² whenever the table has empty cells
+    val full = rt.select(col("a")).crossJoin(broadcast(ct.select(col("b"))))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("obs"), lit(0L)).as("obs"))
+    val terms = full.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("n"), col("nr"), col("nc"),
         round(((dec(col("n")) * dec(col("obs")) - dec(col("rt")) * dec(col("ct"))) *
@@ -697,6 +705,21 @@ object Profiling {
       .agg(min(col("totw")).cast("double").as("tot_w"),
         min(col("v")).as("w_median"))
   }
+
+  /** Cramér's V atop [[chiSquare]] — the effect SIZE the chi-square
+    * significance screen doesn't give (a huge n makes any trivial
+    * association "significant"; V ∈ [0,1] says whether it matters):
+    *   V = sqrt(χ² / (n · min(r−1, c−1))).
+    * Computed from the already-deterministic rounded χ², one sqrt +
+    * division rounded 6 dp; NULL for a degenerate 1×c / r×1 table.
+    * Returns the chiSquare row plus (min_dof, v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquare(df, aCol, bCol)
+      .withColumn("min_dof",
+        least(col("n_rows_cat") - 1, col("n_cols_cat") - 1))
+      .withColumn("v", when(col("min_dof") > 0,
+        round(sqrt(col("chi2") /
+          (col("n") * col("min_dof")).cast("double")), 6)))
 
   /** Cohen's kappa between two boolean raters — the chance-corrected
     * agreement score a weak-supervision pipeline runs before trusting

@@ -355,6 +355,47 @@ object Similarity {
     sb.toString
   }
 
+  /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
+    * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
+    * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able
+    * Column, no UDF. dim ≤ 64 (one word; wider vectors would pack
+    * into an array of words). */
+  def signPack(vecCol: String, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"one 64-bit word packs <= 64 dims: $dim")
+    expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), " +
+      s"(acc, i) -> acc | IF(element_at(`$vecCol`, i + 1) >= 0D, " +
+      "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+  }
+
+  /** 1-bit sign-quantization ANN (binary hashing à la Charikar '02's
+    * hyperplane LSH with the identity projections): each vector
+    * compresses 256× to a single 64-bit sign word, similarity is
+    * Hamming distance = `bit_count(a XOR b)` — one XOR + popcount per
+    * pair, the cheapest candidate scorer there is. Exact and fully
+    * deterministic given the signs, so the gate replays it bit-for-
+    * bit (unlike the seeded-projection LSH face `q_n2`). At 100 TB
+    * the corpus rides as (id, one long) — the packed scan is what a
+    * re-rank pipeline feeds its exact-scoring tail. Top-k per query
+    * by (hamming asc, cand_id). Returns
+    * (query_id, rank, cand_id, hamming). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      signPack(vecCol, dim).as("cand_sig"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signPack(vecCol, dim).as("query_sig"))
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .withColumn("hamming",
+        bit_count(col("cand_sig").bitwiseXOR(col("query_sig"))).cast("long"))
+    val topk = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("hamming").asc, col("cand_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id"))
+    topk.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("hamming"))
+  }
+
   /** Greedy k-center selection (farthest-point traversal, Gonzalez
     * '85 — the 2-approximation for the k-center objective): starting
     * from a seed, repeatedly pick the item FARTHEST from everything

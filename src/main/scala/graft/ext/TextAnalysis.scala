@@ -724,6 +724,38 @@ object TextAnalysis {
       flesch.as("flesch"))
   }
 
+  /** Simpson diversity of each group's token distribution — "how
+    * concentrated is this source's vocabulary?", the ecology-standard
+    * companion to [[graft.ext.Profiling.giniConcentration]]. Two
+    * exact integer-ratio statistics per group:
+    *   D  = Σ c(c−1) / (N(N−1))   (unbiased repeat probability —
+    *        the chance two tokens drawn without replacement match)
+    *   invSimpson = N² / Σ c²     (Hill number of order 2 — the
+    *        "effective vocabulary size": a source that cycles 50
+    *        words scores ~50 even if it technically has 5 000)
+    * All sums are exact BIGINTs off one (group, term) count
+    * aggregate; the two divisions round 6/4 dp. Returns
+    * (group, n_tokens, n_terms, d, inv_simpson); D is NULL for
+    * single-token groups. */
+  def simpsonDiversity(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      // DECIMAL(38,0) products: c² overflows BIGINT past c ~ 3·10⁹
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("__cc1"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__c2"))
+      .select(col("grp"), col("n_tokens"), col("n_terms"),
+        when(col("n_tokens") > 1,
+          round(col("__cc1").cast("double") /
+            (col("n_tokens").cast("decimal(38,0)") * (col("n_tokens") - 1))
+              .cast("double"), 6)).as("d"),
+        round((col("n_tokens").cast("decimal(38,0)") * col("n_tokens"))
+            .cast("double") / col("__c2").cast("double"), 4)
+          .as("inv_simpson"))
+
   /** Jensen–Shannon divergence between the token distributions of two
     * corpora — the symmetric, bounded [0,1] (log2) drift metric a
     * mixture pipeline reports when a new source joins the pool (Lin

@@ -487,4 +487,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("UDF"),
       s"selected set must broadcast:\n$plan")
   }
+
+  test("hamming ANN: packed-long scan, broadcast queries, bounded top-k") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_n13_hamming_ann")(spark, sf0001))
+    assert(plan.contains("TopKPerKey"), s"native top-k missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("UDF"),
+      s"query side must broadcast, scoring stays codegen:\n$plan")
+  }
+
+  test("Simpson diversity: two hash aggregates, no window, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_x37_simpson")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("Window") &&
+      !plan.contains("UDF"), s"simpson machinery:\n$plan")
+  }
 }

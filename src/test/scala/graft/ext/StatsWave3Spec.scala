@@ -105,6 +105,45 @@ class StatsWave3Spec extends SparkSpec {
       (3L, 2L, Some(0.0)), (4L, 1L, Some(1.0))), out.mkString(","))
   }
 
+  test("hamming top-k: sign packing and XOR distance replay by hand") {
+    // 2-dim signs: v0=(+,+)→11b, v1=(+,−)→01b, v2=(−,−)→00b, v3=(+,+)
+    val df = Seq((0L, Array(1f, 1f)), (1L, Array(1f, -1f)),
+      (2L, Array(-1f, -1f)), (3L, Array(2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val packed = df.select(
+        Similarity.signPack("embedding", 2).as("sig"))
+      .as[Long].collect().toSeq
+    assert(packed == Seq(3L, 1L, 0L, 3L), packed.toString)
+    val out = Similarity.hammingTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3, dim = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((0L, 1L, 3L, 0L), (0L, 2L, 1L, 1L),
+      (0L, 3L, 2L, 2L)), out.mkString(","))
+  }
+
+  test("Cramér's V: perfect association scores 1, degenerate table nulls") {
+    val perfect = (Seq.fill(6)(("x", "p")) ++ Seq.fill(4)(("y", "q")))
+      .toDF("a", "b")
+    val Array(p) = Profiling.cramersV(perfect, "a", "b")
+      .select(col("chi2"), col("min_dof"), col("v"))
+      .as[(Double, Long, Option[Double])].collect()
+    assert(p == ((10.0, 1L, Some(1.0))), p.toString)
+    val degen = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val Array(g) = Profiling.cramersV(degen, "a", "b")
+      .select(col("v")).as[Option[Double]].collect()
+    assert(g.isEmpty, g.toString)
+  }
+
+  test("Simpson diversity: exact hand ratios, singleton group nulls d") {
+    val df = Seq(("g1", "a a b b"), ("g2", "z")).toDF("src", "text")
+    val out = TextAnalysis.simpsonDiversity(df, "src", "text")
+      .as[(String, Long, Long, Option[Double], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // g1: N=4, cc1=4 → d=4/12; c2=8 → inv=16/8=2
+    assert(out("g1") == ((4L, 2L, Some(0.333333), 2.0)), out.toString)
+    assert(out("g2") == ((1L, 1L, None, 1.0)), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
