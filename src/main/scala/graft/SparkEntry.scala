@@ -3160,6 +3160,53 @@ object SparkEntry {
     "q_x37_simpson" -> ((s, d) =>
       graft.ext.TextAnalysis.simpsonDiversity(Tables.documents(s, d),
         "source", "text").orderBy(col("grp"))),
+
+    // -- rounds-bounded eccentricity of 4 landmark suppliers on the
+    // co-purchase graph + the max-ecc diameter lower bound (lm = −1
+    // row) — the q_g22 multi-source BFS aggregated per landmark --
+    "q_g30_eccentricity" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val lms = canon.select(col("src").as("node"))
+        .unionByName(canon.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(4)
+      GraphQueries.landmarkEccentricity(e, lms, rounds = 6)
+        .orderBy(col("lm"))
+    }),
+
+    // -- one PCA power-iteration step w = Xᵀ(X·1) without the d²
+    // covariance: per-row scores round 6 dp, per-dim products round
+    // 9 dp into decimal — the dominant anisotropy direction --
+    "q_v8_power_iteration" -> ((s, d) =>
+      graft.ext.Similarity.powerIterationStep(Tables.embeddings(s, d),
+        "vec_id", "embedding").orderBy(col("pos"))),
+
+    // -- recall@{1,5,10} vs the corpus-wide relevant count per query:
+    // coverage, the third IR-eval face beside q_n11/q_n12 --
+    "q_n14_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val res = graft.ext.Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val withRel = res
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("__ql")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__cl")),
+          Seq("cand_id"))
+        .withColumn("rel", when(col("__ql") === col("__cl"), 1L).otherwise(0L))
+      val labCnt = lab.groupBy(col("label")).agg(count(lit(1)).as("__lc"))
+      val totals = lab.filter(col("vec_id") < 5)
+        .join(labCnt, Seq("label"))
+        .select(col("vec_id").as("query_id"),
+          (col("__lc") - 1).as("n_relevant"))
+      graft.ext.Similarity.recallCurve(withRel, "query_id", "rank", "rel",
+        totals).orderBy(col("query_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6689,5 +6736,68 @@ object SparkEntry {
                 round(CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE) /
                   CAST(c2 AS DOUBLE), 4) AS inv_simpson
          FROM agg ORDER BY grp""",
+    "q_g30_eccentricity" -> graft.query.GraphQueries.landmarkEccOracleSql(
+      """SELECT src, dst FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)
+         UNION ALL
+         SELECT dst AS src, src AS dst
+         FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)""",
+      """SELECT DISTINCT node FROM (SELECT src AS node FROM e
+           UNION ALL SELECT dst FROM e) ORDER BY node LIMIT 4""",
+      rounds = 6),
+    "q_v8_power_iteration" ->
+      """WITH x AS (SELECT vec_id, i.i AS pos,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS v
+           FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+         s AS (SELECT vec_id, round(sum(v), 6) AS s FROM x GROUP BY vec_id),
+         t AS (SELECT pos, CAST(round(x.v * s.s, 9) AS DECIMAL(38,12)) AS t
+               FROM x JOIN s USING (vec_id)),
+         w AS (SELECT CAST(pos AS BIGINT) AS pos,
+                 round(CAST(sum(t) AS DOUBLE), 6) + 0.0 AS w
+               FROM t GROUP BY pos),
+         nrm AS (SELECT sqrt(sum(w * w)) AS nm FROM w)
+         SELECT pos, w, CASE WHEN nm > 0 THEN round(w / nm, 6) + 0.0 END
+             AS w_norm
+         FROM w, nrm ORDER BY pos""",
+    "q_n14_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id AS query_id, q.label AS ql,
+             c.vec_id AS cand_id, c.label AS cl,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+         topk AS (SELECT query_id, rank,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel
+           FROM ranked WHERE rank <= 10),
+         hits AS (SELECT query_id,
+             CAST(sum(CASE WHEN rank <= 1 AND rel = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_1,
+             CAST(sum(CASE WHEN rank <= 5 AND rel = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_5,
+             CAST(sum(CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits_10
+           FROM topk GROUP BY query_id),
+         lc AS (SELECT label, count(*) AS c FROM e GROUP BY label),
+         tot AS (SELECT q.vec_id AS query_id, CAST(lc.c - 1 AS BIGINT)
+               AS n_relevant
+           FROM q JOIN lc ON q.label = lc.label)
+         SELECT query_id, n_relevant, hits_1, hits_5, hits_10,
+                CASE WHEN n_relevant > 0 THEN
+                  round(CAST(hits_10 AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6)
+                END AS recall_10
+         FROM hits JOIN tot USING (query_id) ORDER BY query_id""",
   )
 }

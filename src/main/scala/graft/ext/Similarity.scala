@@ -355,6 +355,61 @@ object Similarity {
     sb.toString
   }
 
+  /** One PCA power-iteration step over the (uncentered) second-moment
+    * matrix, without ever materializing it: w = Xᵀ(X·v₀) with v₀ the
+    * all-ones probe — two corpus passes and d-sized aggregates where
+    * the naive C = XᵀX/n is a d² shuffle. The determinism ladder the
+    * engine uses everywhere: per-row scores s_i = Σⱼ x_ij round to
+    * 6 dp, per-dimension products x_ij·s_i round to 9 dp and sum in
+    * DECIMAL(38,12), and the output folds −0.0 (the q_v4 lesson).
+    * Reports each dimension's unnormalized w and w/‖w‖ — the leading
+    * principal-direction estimate an embedding-health check iterates
+    * (anisotropy's dominant direction; see [[isotropy]] for the
+    * scalar twin). Returns (pos, w, w_norm), d rows. */
+  def powerIterationStep(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val x = corpus.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+      .localCheckpoint(true)
+    val s = x.groupBy(col("__id")).agg(round(sum(col("v")), 6).as("s"))
+    val w = x.join(s, Seq("__id"))
+      .select(col("pos"),
+        round(col("v") * col("s"), 9).cast("decimal(38,12)").as("t"))
+      .groupBy(col("pos"))
+      .agg((round(sum(col("t")).cast("double"), 6) + lit(0.0)).as("w"))
+    val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    w.crossJoin(broadcast(nrm))
+      .select(col("pos"), col("w"),
+        when(col("nm") > 0,
+          round(col("w") / col("nm"), 6) + lit(0.0)).as("w_norm"))
+  }
+
+  /** Recall@{1,5,10} + MRR's n_rel companion over a ranked retrieval
+    * — the third IR-eval face beside [[ndcgAtK]] and [[mrrAtK]]:
+    * nDCG grades ordering, MRR time-to-first-hit, recall COVERAGE
+    * against the full relevant set (which top-k-only metrics can't
+    * see — `totals` carries each query's corpus-wide relevant count).
+    * hits@k are exact integers off one aggregate; recall@10 is one
+    * division rounded 6 dp, NULL when the query has no relevant
+    * items at all. Returns
+    * (query_id, n_relevant, hits_1, hits_5, hits_10, recall_10). */
+  def recallCurve(results: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, totals: DataFrame): DataFrame = {
+    def hitsAt(k: Int) =
+      sum(when(col(rankCol) <= k && col(relCol) > 0, 1L).otherwise(0L))
+    results.groupBy(col(queryCol))
+      .agg(hitsAt(1).as("hits_1"), hitsAt(5).as("hits_5"),
+        hitsAt(10).as("hits_10"))
+      .join(broadcast(totals), Seq(queryCol))
+      .select(col(queryCol), col("n_relevant"), col("hits_1"),
+        col("hits_5"), col("hits_10"),
+        when(col("n_relevant") > 0,
+          round(col("hits_10").cast("double") /
+            col("n_relevant").cast("double"), 6)).as("recall_10"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

@@ -1080,6 +1080,20 @@ object GraphQueries {
   def landmarkHarmonic(edges: DataFrame, landmarks: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10]: $rounds")
+    landmarkBfs(edges, landmarks, rounds).filter(col("d") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("2520 div d")).as("h2520"))
+      .select(col("node"), col("n_reached"), col("h2520"),
+        round(col("h2520") / lit(2520.0), 4).as("harmonic"))
+  }
+
+  /** The shared multi-source BFS frontier: (lm, node, d) exact hop
+    * distances from every landmark, `rounds` relaxation rounds — one
+    * edge equi-join + one min-aggregate per round regardless of the
+    * landmark count. */
+  private def landmarkBfs(edges: DataFrame, landmarks: DataFrame,
+      rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = landmarks.select(col("node").as("lm"), col("node"),
       lit(0L).as("d"))
@@ -1092,12 +1106,56 @@ object GraphQueries {
         .localCheckpoint(true)
       r += 1
     }
-    dist.filter(col("d") > 0)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_reached"),
-        sum(expr("2520 div d")).as("h2520"))
-      .select(col("node"), col("n_reached"), col("h2520"),
-        round(col("h2520") / lit(2520.0), 4).as("harmonic"))
+    dist
+  }
+
+  /** Rounds-bounded eccentricity per landmark + the classic diameter
+    * LOWER bound (Magnien et al. '09: max observed eccentricity):
+    * the same [[landmarkHarmonic]] multi-source BFS, aggregated per
+    * LANDMARK instead of per node — ecc(l) = max hop distance
+    * reached within `rounds` (exact whenever rounds ≥ true
+    * eccentricity, a floor otherwise — document the rounds you ran).
+    * The sampled-landmark diameter probe every graph-health report
+    * starts with; all-integer. Returns per landmark
+    * (lm, n_reached, ecc) plus one ("ALL", total, max) diameter row
+    * flagged by lm = −1. */
+  def landmarkEccentricity(edges: DataFrame, landmarks: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10]: $rounds")
+    val per = landmarkBfs(edges, landmarks, rounds)
+      .groupBy(col("lm"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_reached"),
+        max(col("d")).as("ecc"))
+    per.unionByName(per.agg(sum(col("n_reached")).as("n_reached"),
+        max(col("ecc")).as("ecc"))
+      .select(lit(-1L).as("lm"), col("n_reached"), col("ecc")))
+  }
+
+  /** The unrolled DuckDB oracle for [[landmarkEccentricity]] — the
+    * [[landmarkHarmonicOracleSql]] BFS chain with the per-landmark
+    * tail and the −1 diameter row. */
+  def landmarkEccOracleSql(edgeCte: String, landmarkCte: String,
+      rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+          d0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS d
+                 FROM ($landmarkCte))""")
+    for (r <- 0 until rounds)
+      sb.append(s""", d${r + 1} AS MATERIALIZED (
+        SELECT lm, node, min(d) AS d FROM (
+          SELECT lm, node, d FROM d$r
+          UNION ALL
+          SELECT d$r.lm, e.dst, d$r.d + 1 FROM d$r JOIN e ON e.src = d$r.node)
+        GROUP BY lm, node)""")
+    sb.append(s""", per AS (SELECT lm,
+          CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+          max(d) AS ecc
+        FROM d$rounds GROUP BY lm)
+      SELECT lm, n_reached, ecc FROM per
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(sum(n_reached) AS BIGINT), max(ecc)
+      FROM per ORDER BY lm""")
+    sb.toString
   }
 
   /** The unrolled DuckDB oracle for [[landmarkHarmonic]]: `edgeCte`

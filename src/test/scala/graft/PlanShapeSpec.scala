@@ -501,4 +501,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") && !plan.contains("Window") &&
       !plan.contains("UDF"), s"simpson machinery:\n$plan")
   }
+
+  test("power iteration: aggregates + equi-join, no window, no UDF") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_v8_power_iteration")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("Window") &&
+      !plan.contains("UDF"), s"power-iteration machinery:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-row scores must hash/broadcast join back:\n$plan")
+  }
+
+  test("recall curve: one aggregate + broadcast totals, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_n14_recall")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("UDF"),
+      s"recall machinery:\n$plan")
+  }
 }

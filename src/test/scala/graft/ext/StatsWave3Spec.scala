@@ -144,6 +144,43 @@ class StatsWave3Spec extends SparkSpec {
     assert(out("g2") == ((1L, 1L, None, 1.0)), out.toString)
   }
 
+  test("landmark eccentricity: path graph hand case + diameter row") {
+    // path a−b−c−d symmetrized; landmarks a, b
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val e = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val lms = Seq(1L, 2L).toDF("node")
+    val out = graft.query.GraphQueries.landmarkEccentricity(e, lms, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, 3L)), out.toString)   // a: reaches b,c,d; ecc 3
+    assert(out(2L) == ((3L, 2L)), out.toString)   // b: reaches a,c,d; ecc 2
+    assert(out(-1L) == ((6L, 3L)), out.toString)  // diameter lower bound
+  }
+
+  test("power iteration: w = Xt(X·1) replays by hand, norm to unit") {
+    val df = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    // s = (1, 2); w = (1·1, 2·2) = (1, 4); ‖w‖ = sqrt(17)
+    val out = Similarity.powerIterationStep(df, "vec_id", "embedding")
+      .as[(Long, Double, Option[Double])].collect().sortBy(_._1)
+    def d6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0) == ((0L, 1.0, Some(d6(1.0 / math.sqrt(17))))),
+      out.mkString(","))
+    assert(out(1) == ((1L, 4.0, Some(d6(4.0 / math.sqrt(17))))),
+      out.mkString(","))
+  }
+
+  test("recall curve: hits at each cutoff vs corpus-wide totals") {
+    val res = Seq(("q1", 1, 1L), ("q1", 2, 0L), ("q1", 7, 1L),
+      ("q2", 1, 0L)).toDF("query_id", "rank", "rel")
+    val tot = Seq(("q1", 4L), ("q2", 0L)).toDF("query_id", "n_relevant")
+    val out = Similarity.recallCurve(res, "query_id", "rank", "rel", tot)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("q1") == ((4L, 1L, 1L, 2L, Some(0.5))), out.toString)
+    assert(out("q2") == ((0L, 0L, 0L, 0L, None)), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
