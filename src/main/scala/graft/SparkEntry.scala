@@ -3207,6 +3207,40 @@ object SparkEntry {
       graft.ext.Similarity.recallCurve(withRel, "query_id", "rank", "rel",
         totals).orderBy(col("query_id"))
     }),
+
+    // -- sample-ratio-mismatch guard on the q_o11 fingerprint split:
+    // one-sample χ² goodness-of-fit of observed counts vs the
+    // declared 80/10/10 — the pre-readout experiment check --
+    "q_o23_srm" -> ((s, d) =>
+      graft.ext.Sampling.srmCheck(
+        Tables.documents(s, d)
+          .select(pmod(TextAnalysis.fingerprint(col("text")), lit(100L))
+            .as("__b"))
+          .select(when(col("__b") < 80, "train").when(col("__b") < 90, "val")
+            .otherwise("test").as("split")),
+        "split", Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy(col("split"))),
+
+    // -- two-proportion pooled z on per-user purchase conversion,
+    // arms from the replayable fingerprint hash of user_id — the A/B
+    // readout that follows the SRM guard --
+    "q_p34_ab_ztest" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__succ"))
+        .select((pmod(TextAnalysis.fingerprint(col("user_id").cast("string")),
+            lit(2L)) === 0).as("__arm"),
+          (col("__succ") === 1L).as("__s"))
+      graft.ext.Profiling.twoProportionZ(units, col("__arm"), col("__s"))
+    }),
+
+    // -- up-streak report of the daily order-count series: longest
+    // and current strictly-increasing runs, gaps-and-islands on the
+    // day axis, all-integer --
+    "q_t26_streaks" -> ((s, d) =>
+      graft.ext.TimeSeries.upStreaks(
+        Tables.orders(s, d).groupBy(col("o_orderdate").as("dt"))
+          .agg(count(lit(1)).as("x")), "dt", "x")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6799,5 +6833,75 @@ object SparkEntry {
                   round(CAST(hits_10 AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6)
                 END AS recall_10
          FROM hits JOIN tot USING (query_id) ORDER BY query_id""",
+    "q_o23_srm" ->
+      """WITH fp AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) % 100 AS b
+           FROM documents),
+         sp AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split FROM fp),
+         obs AS (SELECT split, count(*) AS n_obs FROM sp GROUP BY split),
+         wdf AS (SELECT * FROM (VALUES ('train', 80), ('val', 10),
+                  ('test', 10)) w(split, pct)),
+         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+         per AS (SELECT w.split, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+             CAST(t.n * w.pct AS DOUBLE) / 100 AS e
+           FROM wdf w LEFT JOIN obs o ON w.split = o.split, tot t),
+         p2 AS (SELECT split, n_obs, e,
+             round((n_obs - e) * (n_obs - e) / e, 6) AS term FROM per)
+         SELECT split, n_obs, round(e, 4) AS expected, term FROM p2
+         UNION ALL
+         SELECT 'TOTAL', CAST(sum(n_obs) AS BIGINT),
+                CAST(sum(n_obs) AS DOUBLE),
+                round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         FROM p2""",
+    "q_p34_ab_ztest" ->
+      """WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS s
+           FROM events GROUP BY user_id),
+         ar AS (SELECT (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a2, b2) -> (a2 * 31 + b2) % 2147483647) % 2 = 0) AS arm, s
+           FROM u),
+         c AS (SELECT
+             CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm AND s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x_a,
+             CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN NOT arm AND s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS x_b
+           FROM ar)
+         SELECT n_a, x_a, n_b, x_b,
+           CASE WHEN n_a > 0 THEN
+             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS p_a,
+           CASE WHEN n_b > 0 THEN
+             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS p_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+               AND x_a + x_b < n_a + n_b THEN
+             round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))), 6)
+           END AS z
+         FROM c""",
+    "q_t26_streaks" ->
+      """WITH daily AS (SELECT o_orderdate AS dt, count(*) AS x
+           FROM orders GROUP BY 1),
+         d2 AS (SELECT dt, x, CASE WHEN x > lag(x) OVER (ORDER BY dt)
+             THEN 1 ELSE 0 END AS up FROM daily),
+         d3 AS (SELECT dt, up, sum(1 - up) OVER (ORDER BY dt
+             ROWS UNBOUNDED PRECEDING) AS grp FROM d2),
+         per AS (SELECT grp, CAST(sum(up) AS BIGINT) AS len,
+             count(*) AS n FROM d3 GROUP BY grp)
+         SELECT CAST(sum(n) AS BIGINT) AS n_days,
+                CAST(sum(len) AS BIGINT) AS n_up,
+                max(len) AS longest_streak,
+                arg_max(len, grp) AS current_streak
+         FROM per""",
   )
 }

@@ -706,6 +706,40 @@ object Profiling {
         min(col("v")).as("w_median"))
   }
 
+  /** Two-proportion pooled z-test — the A/B conversion readout run
+    * AFTER [[graft.ext.Sampling.srmCheck]] clears the split:
+    *   z = (p̂_A − p̂_B) / sqrt( p̂(1−p̂)(1/n_A + 1/n_B) ),
+    * p̂ pooled. Input: one row per UNIT (dedupe before calling — a
+    * per-event call would double-count returning users) with a
+    * boolean arm and a boolean success. Every count is an exact
+    * integer off one aggregation pass; the three reported rates and
+    * z are divisions/sqrt of those integers rounded 6 dp; z NULL
+    * when either arm is empty or the pooled rate is degenerate (0 or
+    * 1 — no variance). Returns
+    * (n_a, x_a, n_b, x_b, p_a, p_b, z). */
+  def twoProportionZ(units: DataFrame, armA: Column,
+      success: Column): DataFrame = {
+    def cnt(arm: Boolean, onlySuccess: Boolean) =
+      sum(when(armA === lit(arm) && (lit(!onlySuccess) || success),
+        1L).otherwise(0L))
+    val d = (c: Column) => c.cast("double")
+    units.agg(cnt(arm = true, onlySuccess = false).as("n_a"),
+        cnt(arm = true, onlySuccess = true).as("x_a"),
+        cnt(arm = false, onlySuccess = false).as("n_b"),
+        cnt(arm = false, onlySuccess = true).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        when(col("n_a") > 0, round(d(col("x_a")) / d(col("n_a")), 6)).as("p_a"),
+        when(col("n_b") > 0, round(d(col("x_b")) / d(col("n_b")), 6)).as("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+            col("x_a") + col("x_b") > 0 &&
+            col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+          round((d(col("x_a")) / d(col("n_a")) - d(col("x_b")) / d(col("n_b")))
+            / sqrt((d(col("x_a") + col("x_b")) / d(col("n_a") + col("n_b")))
+              * (lit(1.0) - d(col("x_a") + col("x_b")) / d(col("n_a") + col("n_b")))
+              * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))), 6))
+          .as("z"))
+  }
+
   /** Cramér's V atop [[chiSquare]] — the effect SIZE the chi-square
     * significance screen doesn't give (a huge n makes any trivial
     * association "significant"; V ∈ [0,1] says whether it matters):

@@ -419,6 +419,45 @@ object Sampling {
       .limit(k)
   }
 
+  /** Sample-ratio-mismatch check (the SRM guard every experiment
+    * platform runs before trusting an A/B readout — Fabijan et al.
+    * KDD'19): one-sample χ² goodness-of-fit of the observed split
+    * counts against the DECLARED percentage weights,
+    *   χ² = Σ (O_b − n·w_b)² / (n·w_b).
+    * Driven off the declared weight list (a missing bucket still owes
+    * its full n·w term — the q_p24 structural-zero lesson), expected
+    * counts are the exactly-rounded double n·pct/100, per-bucket
+    * terms round 6 dp, and the TOTAL row's χ² sums them in
+    * DECIMAL(38,12). One count aggregate + broadcast-size combines.
+    * Returns (split, n_obs, expected, term) per declared bucket +
+    * ('TOTAL', n, n, χ²). */
+  def srmCheck(assign: DataFrame, splitCol: String,
+      weightsPct: Seq[(String, Int)]): DataFrame = {
+    require(weightsPct.map(_._2).sum == 100,
+      s"declared weights must total 100: $weightsPct")
+    val spark = assign.sparkSession
+    import spark.implicits._
+    val wdf = weightsPct.toDF("split", "pct")
+    val obs = assign.groupBy(col(splitCol).as("split"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val per = broadcast(wdf).join(obs, Seq("split"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("split"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        ((col("n") * col("pct")).cast("double") / 100).as("e"))
+      .select(col("split"), col("n_obs"), col("e"),
+        round((col("n_obs") - col("e")) * (col("n_obs") - col("e")) /
+          col("e"), 6).as("term"))
+    per.select(col("split"), col("n_obs"), round(col("e"), 4).as("expected"),
+        col("term"))
+      .unionByName(per
+        .agg(sum(col("n_obs")).as("n_obs"),
+          round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+            .as("term"))
+        .select(lit("TOTAL").as("split"), col("n_obs"),
+          col("n_obs").cast("double").as("expected"), col("term")))
+  }
+
   /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
     * id expression: same char-poly fold, same double squaring mod p,
     * same w·16+s packing. */

@@ -450,6 +450,31 @@ object TimeSeries {
             (col("sw") - col("x")).cast("double"), 4)).as("ratio"))
   }
 
+  /** Up-streak report over a daily count series — "how long has this
+    * metric been climbing, and what's the longest run we've seen?":
+    * a day is UP when its count strictly exceeds the previous day's;
+    * consecutive up days form a streak (the gaps-and-islands id is a
+    * running sum of breaks — the q_t2 sessionize trick on the day
+    * axis). All-integer; the one ordered window runs over the
+    * pre-aggregated day axis (the documented-small series class).
+    * current_streak is the LAST island's length via max_by. Returns
+    * one row (n_days, n_up, longest_streak, current_streak). */
+  def upStreaks(df: DataFrame, dateCol: String,
+      countCol: String): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+    val cum = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d2 = df
+      .withColumn("__up", when(col(countCol) >
+        lag(col(countCol), 1).over(w), 1L).otherwise(0L))
+      .withColumn("__grp", sum(lit(1L) - col("__up")).over(cum))
+    d2.groupBy(col("__grp"))
+      .agg(sum(col("__up")).as("__len"), count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_days"), sum(col("__len")).as("n_up"),
+        max(col("__len")).as("longest_streak"),
+        max_by(col("__len"), col("__grp")).as("current_streak"))
+  }
+
   /** Mann–Kendall trend test over the daily event-count series — the
     * distribution-free "is this metric drifting?" screen (Mann 1945;
     * Kendall's tau). The statistic is all-integer:

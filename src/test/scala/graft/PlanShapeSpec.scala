@@ -516,4 +516,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") && !plan.contains("UDF"),
       s"recall machinery:\n$plan")
   }
+
+  test("SRM and A/B z-test: aggregate + broadcast machinery, no UDF") {
+    val srm = executedFinal(SparkEntry.queries("q_o23_srm")(spark, sf0001))
+    assert(srm.contains("HashAggregate") && !srm.contains("SortMergeJoin") &&
+      !srm.contains("UDF"), s"srm machinery:\n$srm")
+    val z = executedFinal(SparkEntry.queries("q_p34_ab_ztest")(spark, sf0001))
+    assert(z.contains("HashAggregate") && !z.contains("Window") &&
+      !z.contains("UDF"), s"z-test must be aggregation passes only:\n$z")
+  }
+
+  test("up-streaks: windows over the day axis, no join, no UDF") {
+    val plan = executedFinal(SparkEntry.queries("q_t26_streaks")(spark, sf0001))
+    assert(plan.contains("Window") && !plan.contains("Join") &&
+      !plan.contains("UDF"), s"streaks machinery:\n$plan")
+  }
 }

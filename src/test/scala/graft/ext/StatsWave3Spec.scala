@@ -181,6 +181,53 @@ class StatsWave3Spec extends SparkSpec {
     assert(out("q2") == ((0L, 0L, 0L, 0L, None)), out.toString)
   }
 
+  test("SRM: exact split scores 0, a starved bucket owes its full term") {
+    val exact = (Seq.fill(8)("train") ++ Seq("val", "test")).toDF("split")
+    val ws = Seq(("train", 80), ("val", 10), ("test", 10))
+    val ok = Sampling.srmCheck(exact, "split", ws)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(ok("train") == ((8L, 8.0, 0.0)) && ok("TOTAL") == ((10L, 10.0, 0.0)),
+      ok.toString)
+    // 5/5/0 against 80/10/10: χ² = 1.125 + 16 + 1 = 18.125
+    val skew = (Seq.fill(5)("train") ++ Seq.fill(5)("val")).toDF("split")
+    val bad = Sampling.srmCheck(skew, "split", ws)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bad("test") == ((0L, 1.0, 1.0)), bad.toString)
+    assert(bad("TOTAL") == ((10L, 10.0, 18.125)), bad.toString)
+  }
+
+  test("two-proportion z: textbook pooled case, degenerate rates null out") {
+    val units = Seq((true, true), (true, false), (false, false),
+      (false, false)).toDF("arm", "s")
+    val Array(r) = Profiling.twoProportionZ(units, col("arm"), col("s"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+    // z = 0.5 / sqrt(0.25 · 0.75 · 1) = 1.154701
+    assert(r == ((2L, 1L, 2L, 0L, Some(0.5), Some(0.0), Some(1.154701))),
+      r.toString)
+    val all = Seq((true, true), (false, true)).toDF("arm", "s")
+    val Array(a) = Profiling.twoProportionZ(all, col("arm"), col("s"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(a._7.isEmpty, a.toString)
+  }
+
+  test("up-streaks: islands, longest and current runs by hand") {
+    val daily = Seq((1, 1L), (2, 2L), (3, 3L), (4, 2L), (5, 3L), (6, 4L),
+      (7, 5L)).map { case (d, x) => (java.sql.Date.valueOf(f"2024-01-$d%02d"), x) }
+      .toDF("dt", "x")
+    val Array(r) = TimeSeries.upStreaks(daily, "dt", "x")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r == ((7L, 5L, 3L, 3L)), r.toString)
+    val flat = Seq((1, 5L), (2, 5L), (3, 5L)).map { case (d, x) =>
+      (java.sql.Date.valueOf(f"2024-01-$d%02d"), x) }.toDF("dt", "x")
+    val Array(f) = TimeSeries.upStreaks(flat, "dt", "x")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(f == ((3L, 0L, 0L, 0L)), f.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
