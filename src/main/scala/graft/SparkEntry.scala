@@ -3241,6 +3241,34 @@ object SparkEntry {
       graft.ext.TimeSeries.upStreaks(
         Tables.orders(s, d).groupBy(col("o_orderdate").as("dt"))
           .agg(count(lit(1)).as("x")), "dt", "x")),
+
+    // -- per-source embedding centroid vs the global centroid by
+    // cosine (embeddings ⋈ documents on the shared id): the
+    // off-distribution-source monitor; rounded-component decimal
+    // cosine replays exactly --
+    "q_v9_centroid_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.ext.Similarity.centroidDrift(
+        e.join(docs, e("vec_id") === docs("doc_id"))
+          .select(col("source"), col("embedding")),
+        "source", "embedding").orderBy(col("grp"))
+    }),
+
+    // -- nearest-direction as-of join with a ±2 h tolerance: closest
+    // view to each purchase, backward wins ties, one sort-shuffle
+    // (two windows, no range join) — pandas merge_asof 'nearest' --
+    "q_t27_asof_nearest" -> ((s, d) =>
+      graft.streaming.Streams.asOfNearest(Tables.events(s, d),
+        "view", "purchase", toleranceSec = 7200).orderBy(col("event_id"))),
+
+    // -- naive seasonal-forecast (x̂ = lag-7) error report on the
+    // daily order counts: exact-integer |e| sums, WAPE/MAE one
+    // division, sMAPE decimal ladder — the baseline and drift alarm --
+    "q_t28_forecast_error" -> ((s, d) =>
+      graft.ext.TimeSeries.naiveForecastError(
+        Tables.orders(s, d).groupBy(to_date(col("o_orderdate")).as("dt"))
+          .agg(count(lit(1)).as("x")), "dt", "x", lagDays = 7)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6903,5 +6931,71 @@ object SparkEntry {
                 max(len) AS longest_streak,
                 arg_max(len, grp) AS current_streak
          FROM per""",
+    "q_v9_centroid_drift" ->
+      """WITH ed AS (SELECT e.vec_id, d.source AS grp, e.embedding
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         x AS (SELECT grp, vec_id, i.i AS pos,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS v
+           FROM ed, (SELECT unnest(range(0, 64)) AS i) i),
+         sc AS (SELECT grp, pos, round(avg(v), 6) + 0.0 AS c,
+                  count(DISTINCT vec_id) AS nv
+                FROM x GROUP BY 1, 2),
+         g AS (SELECT pos, round(avg(v), 6) + 0.0 AS gc FROM x GROUP BY pos),
+         t AS (SELECT grp, nv,
+             CAST(round(c * gc, 12) AS DECIMAL(38,18)) AS dot,
+             CAST(round(c * c, 12) AS DECIMAL(38,18)) AS na,
+             CAST(round(gc * gc, 12) AS DECIMAL(38,18)) AS nb
+           FROM sc JOIN g USING (pos)),
+         agg AS (SELECT grp, CAST(max(nv) AS BIGINT) AS n_vecs,
+             sum(dot) AS dot, sum(na) AS na, sum(nb) AS nb
+           FROM t GROUP BY grp)
+         SELECT grp, n_vecs,
+                CASE WHEN na > 0 AND nb > 0 THEN
+                  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE))
+                    * sqrt(CAST(nb AS DOUBLE))), 6) END AS cos_to_global
+         FROM agg ORDER BY grp""",
+    "q_t27_asof_nearest" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                    WHERE event_type = 'view'),
+         p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT p.event_id, max(v.us) AS back_us
+               FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.us <= p.us
+               GROUP BY p.event_id),
+         f AS (SELECT p.event_id, min(v.us) AS fwd_us
+               FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.us > p.us
+               GROUP BY p.event_id),
+         sel AS (SELECT p.event_id, p.user_id, p.us AS ts_us,
+             CASE WHEN back_us IS NOT NULL
+                   AND p.us - back_us <= 7200000000
+                   AND (fwd_us IS NULL OR fwd_us - p.us > 7200000000
+                        OR p.us - back_us <= fwd_us - p.us)
+               THEN back_us
+               WHEN fwd_us IS NOT NULL AND fwd_us - p.us <= 7200000000
+               THEN fwd_us END AS asof_us
+           FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+         SELECT event_id, user_id, ts_us, asof_us,
+                asof_us - ts_us AS gap_us
+         FROM sel ORDER BY event_id""",
+    "q_t28_forecast_error" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS x
+           FROM orders GROUP BY 1),
+         pr AS (SELECT b.x AS x, a.x AS f, abs(b.x - a.x) AS ae
+           FROM daily a JOIN daily b ON b.dt = a.dt + 7),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(ae) AS BIGINT) AS sum_abs_err,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(CASE WHEN x + f > 0 THEN
+                 round(CAST(ae AS DOUBLE) * 2 / CAST(x + f AS DOUBLE), 9)
+               ELSE 0.0 END AS DECIMAL(38,12))) AS sm
+           FROM pr)
+         SELECT n_eval, sum_abs_err,
+           CASE WHEN n_eval > 0 THEN round(CAST(sum_abs_err AS DOUBLE)
+             / CAST(n_eval AS DOUBLE), 4) END AS mae,
+           CASE WHEN sx > 0 THEN round(CAST(sum_abs_err AS DOUBLE)
+             / CAST(sx AS DOUBLE), 6) END AS wape,
+           CASE WHEN n_eval > 0 THEN round(CAST(sm AS DOUBLE)
+             / CAST(n_eval AS DOUBLE), 6) END AS smape
+         FROM agg""",
   )
 }

@@ -410,6 +410,45 @@ object Similarity {
             col("n_relevant").cast("double"), 6)).as("recall_10"))
   }
 
+  /** Per-group centroid vs the global centroid, by cosine — the
+    * embedding-drift monitor: "which source/label is embedded
+    * off-distribution?" flags ingestion regressions (a broken encoder
+    * on one source) before any model sees the data. Determinism
+    * ladder end to end: per-dimension means round 6 dp with −0.0
+    * folded (the q_v2 convention), the cosine's dot/norm terms are
+    * products of those ROUNDED components rounded 12 dp and summed in
+    * DECIMAL(38,18) (order-free), final cosine rounds 6 dp. Shape:
+    * one posexplode pass feeds both centroid aggregates; the d-row
+    * global centroid broadcast-joins back by position. Returns
+    * (grp, n_vecs, cos_to_global). */
+  def centroidDrift(corpus: DataFrame, grpCol: String,
+      vecCol: String): DataFrame = {
+    def mean6(df: DataFrame, keys: Seq[Column], out: String) =
+      df.groupBy(keys: _*)
+        .agg((round(avg(col("v")), 6) + lit(0.0)).as(out),
+          countDistinct(col("__id")).as(s"__n_$out"))
+    val x = corpus.select(col(grpCol).as("grp"), col(vecCol).as("__vec"))
+      .withColumn("__id", monotonically_increasing_id())
+      .select(col("grp"), col("__id"),
+        posexplode(col("__vec")).as(Seq("pos", "v")))
+      .select(col("grp"), col("__id"), col("pos"), col("v").cast("double").as("v"))
+      .localCheckpoint(true)
+    val sc = mean6(x, Seq(col("grp"), col("pos")), "c")
+    val g = mean6(x, Seq(col("pos")), "gc").select(col("pos"), col("gc"))
+    def dterm(c: Column) = round(c, 12).cast("decimal(38,18)")
+    sc.join(broadcast(g), Seq("pos"))
+      .groupBy(col("grp"))
+      .agg(max(col("__n_c")).as("n_vecs"),
+        sum(dterm(col("c") * col("gc"))).as("__dot"),
+        sum(dterm(col("c") * col("c"))).as("__na"),
+        sum(dterm(col("gc") * col("gc"))).as("__nb"))
+      .select(col("grp"), col("n_vecs"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round(col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) *
+             sqrt(col("__nb").cast("double"))), 6)).as("cos_to_global"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

@@ -475,6 +475,39 @@ object TimeSeries {
         max_by(col("__len"), col("__grp")).as("current_streak"))
   }
 
+  /** Error report of the NAIVE seasonal forecast x̂_t = x_{t−lagDays}
+    * — the baseline every real forecaster must beat, and the
+    * cheapest drift alarm (WAPE of the naive forecast jumping IS the
+    * regime change). Alignment is a calendar equi-join (a missing
+    * day contributes no pair — the crossCorrelation convention), so
+    * |errors| and their sum are EXACT integers; MAE/WAPE are single
+    * divisions of those integers, sMAPE's per-day terms round 9 dp
+    * into DECIMAL(38,12). Returns one row
+    * (n_eval, sum_abs_err, mae, wape, smape). */
+  def naiveForecastError(daily: DataFrame, dateCol: String,
+      countCol: String, lagDays: Int): DataFrame = {
+    require(lagDays >= 1)
+    val d = daily.select(col(dateCol).as("dt"), col(countCol).as("x"))
+      .localCheckpoint(true)
+    val pairs = d.as("a").join(d.as("b"),
+        col("b.dt") === date_add(col("a.dt"), lagDays))
+      .select(col("b.x").as("x"), col("a.x").as("f"))
+      .withColumn("ae", abs(col("x") - col("f")))
+    pairs.agg(count(lit(1)).as("n_eval"),
+        sum(col("ae")).as("sum_abs_err"), sum(col("x")).as("__sx"),
+        sum(when(col("x") + col("f") > 0,
+            round(col("ae").cast("double") * 2 /
+              (col("x") + col("f")).cast("double"), 9))
+          .otherwise(lit(0.0)).cast("decimal(38,12)")).as("__sm"))
+      .select(col("n_eval"), col("sum_abs_err"),
+        when(col("n_eval") > 0, round(col("sum_abs_err").cast("double") /
+          col("n_eval").cast("double"), 4)).as("mae"),
+        when(col("__sx") > 0, round(col("sum_abs_err").cast("double") /
+          col("__sx").cast("double"), 6)).as("wape"),
+        when(col("n_eval") > 0, round(col("__sm").cast("double") /
+          col("n_eval").cast("double"), 6)).as("smape"))
+  }
+
   /** Mann–Kendall trend test over the daily event-count series — the
     * distribution-free "is this metric drifting?" screen (Mann 1945;
     * Kendall's tau). The statistic is all-integer:

@@ -146,6 +146,47 @@ object Streams {
         col("asof_us"))
   }
 
+  /** Nearest-direction as-of join with tolerance (pandas merge_asof
+    * direction='nearest'): each right-type event takes the CLOSEST
+    * left-type event of the same user within ±`toleranceSec`,
+    * backward winning exact-distance ties (the [[asOfLastEvent]]
+    * same-ts convention extends: an equal-ts left row counts as
+    * backward with gap 0). Both candidates come from the SAME
+    * per-user ordered pass — a trailing `last(ignoreNulls)` and a
+    * leading `first(ignoreNulls)` window — so the operator costs one
+    * sort-shuffle, never a range join. Exact-integer epoch-µs gaps.
+    * Returns (event_id, user_id, ts_us, asof_us, gap_us) with
+    * gap_us signed (negative = matched backward), NULLs when nothing
+    * lands inside the tolerance. */
+  def asOfNearest(events: DataFrame, leftType: String, rightType: String,
+      toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 1)
+    val tolUs = toleranceSec * 1000000L
+    val ord = Seq(col("ts"), col("__pri"), col("event_id"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val back = col("__back_us")
+    val fwd = col("__fwd_us")
+    val t = col("ts_us")
+    val backOk = back.isNotNull && t - back <= tolUs
+    val fwdOk = fwd.isNotNull && fwd - t <= tolUs
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("__pri", when(col("event_type") === leftType, 0).otherwise(1))
+      .withColumn("__left_us",
+        when(col("event_type") === leftType, unix_micros(col("ts"))))
+      .withColumn("__back_us", last(col("__left_us"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd_us", first(col("__left_us"), ignoreNulls = true).over(wf))
+      .filter(col("event_type") === rightType)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(backOk && (!fwdOk || t - back <= fwd - t), back)
+          .when(fwdOk, fwd).as("asof_us"))
+      .withColumn("gap_us", col("asof_us") - col("ts_us"))
+  }
+
   /** Interval join, batch face: each `right` event paired with every
     * `left` event of the same user within the trailing window
     * [ts - window, ts]. Equi-join on user + range residual — Catalyst

@@ -531,4 +531,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window") && !plan.contains("Join") &&
       !plan.contains("UDF"), s"streaks machinery:\n$plan")
   }
+
+  test("nearest as-of: two windows in one pass, never a range join") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_t27_asof_nearest")(spark, sf0001))
+    assert(plan.contains("Window") && !plan.contains("Join") &&
+      !plan.contains("UDF"), s"nearest as-of must be window-only:\n$plan")
+  }
+
+  test("centroid drift and forecast error: aggregate machinery, no UDF") {
+    val cd = executedFinal(
+      SparkEntry.queries("q_v9_centroid_drift")(spark, sf0001))
+    assert(cd.contains("HashAggregate") && !cd.contains("UDF") &&
+      !cd.contains("CartesianProduct"), s"centroid drift machinery:\n$cd")
+    val fe = executedFinal(
+      SparkEntry.queries("q_t28_forecast_error")(spark, sf0001))
+    assert(fe.contains("HashAggregate") && !fe.contains("Window") &&
+      !fe.contains("UDF"), s"forecast error machinery:\n$fe")
+  }
 }

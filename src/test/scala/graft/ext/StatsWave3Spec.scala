@@ -228,6 +228,60 @@ class StatsWave3Spec extends SparkSpec {
     assert(f == ((3L, 0L, 0L, 0L)), f.toString)
   }
 
+  test("nearest as-of: direction choice, backward ties, tolerance cutoff") {
+    def ev(id: Long, t: Long, typ: String) =
+      (id, new Timestamp(t * 1000L), 1L, typ)
+    val events = Seq(
+      ev(1, 0, "view"), ev(2, 100, "view"),
+      ev(10, 99, "purchase"),   // back gap 99 vs fwd gap 1 → forward
+      ev(11, 10, "purchase"),   // view@0 vs view@100: back wins (10 < 90)
+      ev(12, 5000, "purchase"), // both beyond tol → null
+      ev(13, 100, "purchase")   // same-ts view counts backward, gap 0
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.streaming.Streams.asOfNearest(events, "view", "purchase",
+        toleranceSec = 1000)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(out(10L) == ((Some(100000000L), Some(1000000L))), out.toString)
+    assert(out(11L) == ((Some(0L), Some(-10000000L))), out.toString)
+    assert(out(12L) == ((None, None)), out.toString)
+    assert(out(13L) == ((Some(100000000L), Some(0L))), out.toString)
+    // exact-distance tie → backward
+    val tie = Seq(ev(1, 0, "view"), ev(2, 20, "view"), ev(10, 10, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val Array(t) = graft.streaming.Streams.asOfNearest(tie, "view",
+        "purchase", toleranceSec = 1000)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(t._4 == Some(0L) && t._5 == Some(-10000000L), t.toString)
+  }
+
+  test("centroid drift: rounded-component cosine replays by hand") {
+    val df = Seq(("g1", Array(1f, 0f)), ("g1", Array(1f, 0f)),
+      ("g2", Array(0f, 1f))).toDF("src", "embedding")
+    val out = Similarity.centroidDrift(df, "src", "embedding")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def r12(x: Double) = math.rint(x * 1e12) / 1e12
+    val (gx, gy) = (r6(2.0 / 3), r6(1.0 / 3))
+    val nb = r12(gx * gx) + r12(gy * gy)
+    val cos1 = r6(r12(1.0 * gx) / math.sqrt(nb))
+    val cos2 = r6(r12(1.0 * gy) / math.sqrt(nb))
+    assert(out("g1") == ((2L, Some(cos1))), s"${out("g1")} vs $cos1")
+    assert(out("g2") == ((1L, Some(cos2))), s"${out("g2")} vs $cos2")
+  }
+
+  test("naive forecast error: calendar-aligned pairs, exact sums") {
+    val daily = Seq((1, 5L), (2, 3L), (8, 7L), (9, 3L), (11, 9L))
+      .map { case (d, x) => (java.sql.Date.valueOf(f"2024-01-$d%02d"), x) }
+      .toDF("dt", "x")
+    val Array(r) = TimeSeries.naiveForecastError(daily, "dt", "x", lagDays = 7)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // pairs: (5→7) ae=2, (3→3) ae=0; day 11 has no lag-7 partner
+    assert(r == ((2L, 2L, Some(1.0), Some(0.2), Some(0.166667))), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
