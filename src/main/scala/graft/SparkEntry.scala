@@ -3269,6 +3269,31 @@ object SparkEntry {
       graft.ext.TimeSeries.naiveForecastError(
         Tables.orders(s, d).groupBy(to_date(col("o_orderdate")).as("dt"))
           .agg(count(lit(1)).as("x")), "dt", "x", lagDays = 7)),
+
+    // -- one-way ANOVA F of doc length across the 20 sources: exact
+    // integer group sums, S²/n terms through the 6-dp decimal ladder
+    // — the parametric sibling of q_p28's rank test --
+    "q_p35_anova_f" -> ((s, d) =>
+      graft.ext.Profiling.anovaF(Tables.documents(s, d),
+        "source", "n_chars")),
+
+    // -- all-pairs Pearson matrix over 4 lineitem numerics in ONE
+    // aggregate (integer cents units): 6 five-sum correlations from
+    // a single scan where per-pair corr() would scan 6× --
+    "q_p36_corr_matrix" -> ((s, d) =>
+      graft.ext.Profiling.corrMatrix(Tables.lineitem(s, d), Seq(
+        "qty" -> round(col("l_quantity"), 0),
+        "price" -> round(col("l_extendedprice") * 100, 0),
+        "discount" -> round(col("l_discount") * 100, 0),
+        "tax" -> round(col("l_tax") * 100, 0)))
+        .orderBy(col("x"), col("y"))),
+
+    // -- chronological split with a 30-day embargo at the 80% row
+    // mass: exact element-selection cutoff date, quarantined gap —
+    // the temporal leakage guard beside q_o15's component split --
+    "q_o24_chrono_split" -> ((s, d) =>
+      graft.ext.Sampling.chronoSplit(Tables.orders(s, d), "o_orderdate",
+        trainPct = 80, embargoDays = 30).orderBy(col("split"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6997,5 +7022,90 @@ object SparkEntry {
            CASE WHEN n_eval > 0 THEN round(CAST(sm AS DOUBLE)
              / CAST(n_eval AS DOUBLE), 6) END AS smape
          FROM agg""",
+    "q_p35_anova_f" ->
+      """WITH per AS (SELECT source AS g, count(*) AS ng,
+             CAST(sum(n_chars) AS BIGINT) AS sg,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS qg
+           FROM documents GROUP BY source),
+         agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+             sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,12))) AS a
+           FROM per),
+         c AS (SELECT n, k,
+             a - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12)) AS ssb,
+             CAST(q AS DECIMAL(38,12)) - a AS ssw
+           FROM agg)
+         SELECT n, k, round(CAST(ssb AS DOUBLE), 4) AS ssb,
+                round(CAST(ssw AS DOUBLE), 4) AS ssw,
+                CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+                  round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                    / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+                END AS f
+         FROM c""",
+    "q_p36_corr_matrix" ->
+      """WITH b AS (SELECT
+             CAST(round(l_quantity, 0) AS HUGEINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS price,
+             CAST(round(l_discount * 100, 0) AS HUGEINT) AS discount,
+             CAST(round(l_tax * 100, 0) AS HUGEINT) AS tax
+           FROM lineitem),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(qty) AS s_qty, sum(price) AS s_price,
+             sum(discount) AS s_discount, sum(tax) AS s_tax,
+             sum(qty * qty) AS q_qty, sum(price * price) AS q_price,
+             sum(discount * discount) AS q_discount, sum(tax * tax) AS q_tax,
+             sum(qty * price) AS x_qty_price,
+             sum(qty * discount) AS x_qty_discount,
+             sum(qty * tax) AS x_qty_tax,
+             sum(price * discount) AS x_price_discount,
+             sum(price * tax) AS x_price_tax,
+             sum(discount * tax) AS x_discount_tax
+           FROM b),
+         p AS (
+           SELECT 'qty' AS x, 'price' AS y, n * x_qty_price - s_qty * s_price
+               AS cov, n * q_qty - s_qty * s_qty AS va,
+               n * q_price - s_price * s_price AS vb FROM s
+           UNION ALL SELECT 'qty', 'discount',
+               n * x_qty_discount - s_qty * s_discount,
+               n * q_qty - s_qty * s_qty,
+               n * q_discount - s_discount * s_discount FROM s
+           UNION ALL SELECT 'qty', 'tax', n * x_qty_tax - s_qty * s_tax,
+               n * q_qty - s_qty * s_qty, n * q_tax - s_tax * s_tax FROM s
+           UNION ALL SELECT 'price', 'discount',
+               n * x_price_discount - s_price * s_discount,
+               n * q_price - s_price * s_price,
+               n * q_discount - s_discount * s_discount FROM s
+           UNION ALL SELECT 'price', 'tax', n * x_price_tax - s_price * s_tax,
+               n * q_price - s_price * s_price,
+               n * q_tax - s_tax * s_tax FROM s
+           UNION ALL SELECT 'discount', 'tax',
+               n * x_discount_tax - s_discount * s_tax,
+               n * q_discount - s_discount * s_discount,
+               n * q_tax - s_tax * s_tax FROM s)
+         SELECT x, y, CASE WHEN va > 0 AND vb > 0 THEN
+             round(CAST(cov AS DOUBLE)
+               / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 6)
+           END AS r
+         FROM p ORDER BY x, y""",
+    "q_o24_chrono_split" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS c
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM daily),
+         cu AS (SELECT dt, sum(c) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING)
+                  AS cum FROM daily),
+         ct AS (SELECT min(dt) AS cutoff FROM cu, tot
+                WHERE cum * 100 >= n * 80),
+         lab AS (SELECT CASE
+               WHEN CAST(o_orderdate AS DATE) <= cutoff THEN 'train'
+               WHEN CAST(o_orderdate AS DATE) <= cutoff + 30 THEN 'embargo'
+               ELSE 'test' END AS split,
+             CAST(o_orderdate AS DATE) AS dt
+           FROM orders, ct)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+                min(dt) AS min_dt, max(dt) AS max_dt
+         FROM lab GROUP BY split ORDER BY split""",
   )
 }

@@ -706,6 +706,75 @@ object Profiling {
         min(col("v")).as("w_median"))
   }
 
+  /** One-way ANOVA F across groups — the parametric sibling of
+    * [[kruskalWallis]] (use this when the level differences matter,
+    * ranks when outliers do):
+    *   SSB = Σ_g S_g²/n_g − S²/n,  SSW = Q − Σ_g S_g²/n_g,
+    *   F = (SSB/(k−1)) / (SSW/(n−k)).
+    * Group sums S_g, S, Q are exact integers (pass an integer-valued
+    * column); each S²/n term is one deterministic double division
+    * rounded 6 dp and re-summed in DECIMAL(38,12), so both engines
+    * replay the partition-order-free total. Two hash aggregates.
+    * Returns (n, k, ssb, ssw, f); f NULL when dof or SSW degenerate. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,12)")
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"), sum(col(valueCol).cast("long")).as("sg"),
+        // x² in DECIMAL(38,0): overflows BIGINT past |x| ~ 3·10⁹
+        sum(d0(col(valueCol)) * d0(col(valueCol))).as("qg"))
+    val agg = per.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+      sum(dec(round(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double"), 6))).as("a"))
+    agg.select(col("n"), col("k"),
+        (col("a") - dec(round(col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double"), 6))).as("__ssb"),
+        (dec(col("q")) - col("a")).as("__ssw"))
+      .select(col("n"), col("k"),
+        round(col("__ssb").cast("double"), 4).as("ssb"),
+        round(col("__ssw").cast("double"), 4).as("ssw"),
+        when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0,
+          round((col("__ssb").cast("double") / (col("k") - 1).cast("double")) /
+            (col("__ssw").cast("double") / (col("n") - col("k")).cast("double")),
+            6)).as("f"))
+  }
+
+  /** All-pairs Pearson correlation matrix over integer-scaled numeric
+    * columns in ONE aggregation pass — where calling corr() per pair
+    * scans the table C(m,2) times, this computes every five-sum
+    * (m singles, m squares, C(m,2) crosses, all DECIMAL(38,0) on
+    * exact integer units) in a single hash aggregate and unpivots the
+    * pair grid from the 1-row result. The
+    * [[graft.query.GraphQueries.degreeAssortativity]] discipline per
+    * pair: exact until the final sqrt/divide, rounded 6 dp, NULL on
+    * zero variance. Returns C(m,2) rows (x, y, r), pair order
+    * following the input sequence. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map { case (nm, c) => sum(dec(c)).as(s"s_$nm") } ++
+      cols.map { case (nm, c) => sum(dec(c) * dec(c)).as(s"q_$nm") } ++
+      cols.combinations(2).map { case Seq((na, ca), (nb, cb)) =>
+        sum(dec(ca) * dec(cb)).as(s"x_${na}_$nb") }.toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairRows = cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val varA = dec(col("n")) * col(s"q_$na") - col(s"s_$na") * col(s"s_$na")
+      val varB = dec(col("n")) * col(s"q_$nb") - col(s"s_$nb") * col(s"s_$nb")
+      val cov = dec(col("n")) * col(s"x_${na}_$nb") -
+        col(s"s_$na") * col(s"s_$nb")
+      struct(lit(na).as("x"), lit(nb).as("y"),
+        when(varA > 0 && varB > 0,
+          round(cov.cast("double") /
+            (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))), 6))
+          .as("r"))
+    }.toSeq
+    one.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.x"), col("p.y"), col("p.r"))
+  }
+
   /** Two-proportion pooled z-test — the A/B conversion readout run
     * AFTER [[graft.ext.Sampling.srmCheck]] clears the split:
     *   z = (p̂_A − p̂_B) / sqrt( p̂(1−p̂)(1/n_A + 1/n_B) ),

@@ -419,6 +419,39 @@ object Sampling {
       .limit(k)
   }
 
+  /** Chronological train/test split with an EMBARGO gap — the
+    * temporal leakage guard (de Prado's purged split, the time-series
+    * sibling of [[leakageSafeSplit]]'s component split): train is
+    * everything up to the `trainPct` row-mass cutoff DATE, the next
+    * `embargoDays` are quarantined (rows whose features/labels
+    * straddle the boundary poison both sides), test is the rest. The
+    * cutoff is exact element selection on the cumulative day axis
+    * (cum·100 ≥ n·pct, all integers — the weightedMedian trick, no
+    * percentile approximation), so the split replays bit-for-bit.
+    * One day-axis window + one labeling pass. Returns per split
+    * (split, n_rows, min_dt, max_dt). */
+  def chronoSplit(df: DataFrame, tsCol: String, trainPct: Int,
+      embargoDays: Int): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99 && embargoDays >= 0)
+    val daily = df.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("c")).as("n"))
+    val cutoff = daily.withColumn("cum", sum(col("c")).over(cum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= col("n") * trainPct)
+      .agg(min(col("dt")).as("cutoff"))
+    df.select(to_date(col(tsCol)).as("dt")).crossJoin(broadcast(cutoff))
+      .select(col("dt"),
+        when(col("dt") <= col("cutoff"), "train")
+          .when(col("dt") <= date_add(col("cutoff"), embargoDays), "embargo")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"), min(col("dt")).as("min_dt"),
+        max(col("dt")).as("max_dt"))
+  }
+
   /** Sample-ratio-mismatch check (the SRM guard every experiment
     * platform runs before trusting an A/B readout — Fabijan et al.
     * KDD'19): one-sample χ² goodness-of-fit of the observed split

@@ -549,4 +549,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(fe.contains("HashAggregate") && !fe.contains("Window") &&
       !fe.contains("UDF"), s"forecast error machinery:\n$fe")
   }
+
+  test("corr matrix: one scan, one aggregate, no join, no window") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_p36_corr_matrix")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("Join") &&
+      !plan.contains("Window") && !plan.contains("UDF"),
+      s"all six correlations must come from a single pass:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"corr matrix must scan lineitem once:\n$plan")
+  }
+
+  test("ANOVA and chrono split: aggregate/window machinery, no UDF") {
+    val an = executedFinal(SparkEntry.queries("q_p35_anova_f")(spark, sf0001))
+    assert(an.contains("HashAggregate") && !an.contains("Join") &&
+      !an.contains("UDF"), s"anova machinery:\n$an")
+    val cs = executedFinal(
+      SparkEntry.queries("q_o24_chrono_split")(spark, sf0001))
+    assert(cs.contains("HashAggregate") && !cs.contains("SortMergeJoin") &&
+      !cs.contains("UDF"), s"chrono split machinery:\n$cs")
+  }
 }

@@ -282,6 +282,48 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == ((2L, 2L, Some(1.0), Some(0.2), Some(0.166667))), r.toString)
   }
 
+  test("ANOVA F: textbook three-group case, within-only variance nulls") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6),
+      ("c", 7), ("c", 8), ("c", 9)).toDF("g", "v")
+    val Array(r) = Profiling.anovaF(df, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    // Sg = 6,15,24; Sg²/ng = 12,75,192 → A=279; S²/n = 45²/9 = 225
+    // SSB = 54; SSW = Q − A = 285 − 279 = 6; F = (54/2)/(6/6) = 27
+    assert(r == ((9L, 3L, 54.0, 6.0, Some(27.0))), r.toString)
+    // identical groups → SSB 0, F 0; constant data → SSW 0 → null
+    val const = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
+    val Array(c) = Profiling.anovaF(const, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(c._5.isEmpty && c._3 == 0.0 && c._4 == 0.0, c.toString)
+  }
+
+  test("corr matrix: perfect, inverted and zero-variance pairs in one pass") {
+    val df = Seq((1L, 2L, 9L, 5L), (2L, 4L, 8L, 5L), (3L, 6L, 7L, 5L))
+      .toDF("a", "b", "c", "d")
+    val out = Profiling.corrMatrix(df, Seq("a" -> col("a"), "b" -> col("b"),
+        "c" -> col("c"), "d" -> col("d")))
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", "b")) == Some(1.0), out.toString)   // b = 2a
+    assert(out(("a", "c")) == Some(-1.0), out.toString)  // c = 10 − a
+    assert(out(("a", "d")).isEmpty, out.toString)        // d constant
+    assert(out.size == 6, out.toString)
+  }
+
+  test("chrono split: cutoff at the row-mass quantile, embargo quarantined") {
+    // 10 rows over days 1..10 (one per day): 80% cutoff = day 8,
+    // embargo 1 day = day 9, test = day 10
+    val df = (1 to 10).map(d =>
+      Tuple1(new Timestamp(java.sql.Date.valueOf(f"2024-03-$d%02d").getTime)))
+      .toDF("ts")
+    val out = Sampling.chronoSplit(df, "ts", trainPct = 80, embargoDays = 1)
+      .as[(String, Long, java.sql.Date, java.sql.Date)].collect()
+      .map(r => r._1 -> ((r._2, r._3.toString, r._4.toString))).toMap
+    assert(out("train") == ((8L, "2024-03-01", "2024-03-08")), out.toString)
+    assert(out("embargo") == ((1L, "2024-03-09", "2024-03-09")), out.toString)
+    assert(out("test") == ((1L, "2024-03-10", "2024-03-10")), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
