@@ -3294,6 +3294,39 @@ object SparkEntry {
     "q_o24_chrono_split" -> ((s, d) =>
       graft.ext.Sampling.chronoSplit(Tables.orders(s, d), "o_orderdate",
         trainPct = 80, embargoDays = 30).orderBy(col("split"))),
+
+    // -- pure-DataFrame PageRank, 3 rounds, damping 0.85, decimal
+    // ladder at every step — the 100 TB path beside q_gx_pagerank's
+    // GraphX face, and unlike it, exactly oracle-replayable --
+    "q_g31_pagerank_df" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      GraphQueries.pagerankDf(e, iters = 3).orderBy(col("node"))
+    }),
+
+    // -- per-edge neighborhood Jaccard on the co-purchase graph: the
+    // tie-strength score local sparsification keeps edges by — one
+    // wedge join + degree broadcasts, all-integer --
+    "q_g32_edge_jaccard" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.edgeJaccard(canon).orderBy(col("src"), col("dst"))
+    }),
+
+    // -- mutual information + entropies of lang × source: bits of
+    // association, NMI-normalized — the feature-selection currency
+    // beside q_p33's effect size --
+    "q_p37_mutual_info" -> ((s, d) =>
+      graft.ext.Profiling.mutualInfo(Tables.documents(s, d),
+        "lang", "source")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7107,5 +7140,71 @@ object SparkEntry {
          SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
                 min(dt) AS min_dt, max(dt) AS max_dt
          FROM lab GROUP BY split ORDER BY split""",
+    "q_g31_pagerank_df" -> graft.query.GraphQueries.pagerankDfOracleSql(
+      """SELECT src, dst FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)
+         UNION ALL
+         SELECT dst AS src, src AS dst
+         FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk)""",
+      iters = 3),
+    "q_g32_edge_jaccard" ->
+      """WITH canon AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         adj AS (SELECT src, dst FROM canon
+                 UNION ALL SELECT dst, src FROM canon),
+         deg AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src),
+         com AS (SELECT c.src, c.dst, count(*) AS common
+           FROM canon c JOIN adj a1 ON a1.src = c.src
+           JOIN adj a2 ON a2.src = c.dst AND a2.dst = a1.dst
+           GROUP BY c.src, c.dst)
+         SELECT c.src, c.dst,
+                CAST(coalesce(com.common, 0) AS BIGINT) AS common,
+                d1.deg AS deg_src, d2.deg AS deg_dst,
+                round(CAST(coalesce(com.common, 0) AS DOUBLE)
+                  / CAST(d1.deg + d2.deg - coalesce(com.common, 0) AS DOUBLE),
+                  6) AS jaccard
+         FROM canon c
+         LEFT JOIN com ON c.src = com.src AND c.dst = com.dst
+         JOIN deg d1 ON d1.node = c.src JOIN deg d2 ON d2.node = c.dst
+         ORDER BY c.src, c.dst""",
+    "q_p37_mutual_info" ->
+      """WITH cells AS MATERIALIZED (SELECT CAST(lang AS VARCHAR) AS a,
+             CAST(source AS VARCHAR) AS b, count(*) AS obs
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY a),
+         ct AS (SELECT b, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY b),
+         nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         ha AS (SELECT sum(CAST(round(CAST(rt AS DOUBLE) / CAST(n AS DOUBLE)
+               * log2(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 9)
+               AS DECIMAL(38,12))) AS ha FROM rt, nn),
+         hb AS (SELECT sum(CAST(round(CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+               * log2(CAST(n AS DOUBLE) / CAST(ct AS DOUBLE)), 9)
+               AS DECIMAL(38,12))) AS hb FROM ct, nn),
+         mi AS (SELECT sum(CAST(round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)
+               * log2(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))), 9)
+               AS DECIMAL(38,12))) AS mi
+           FROM cells JOIN rt USING (a) JOIN ct USING (b), nn)
+         SELECT n, round(CAST(ha AS DOUBLE), 6) AS h_a,
+                round(CAST(hb AS DOUBLE), 6) AS h_b,
+                round(CAST(mi AS DOUBLE), 6) AS mi,
+                CASE WHEN ha > 0 AND hb > 0 THEN
+                  round(CAST(mi AS DOUBLE)
+                    / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
+                END AS nmi
+         FROM nn, ha, hb, mi""",
   )
 }

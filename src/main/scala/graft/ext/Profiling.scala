@@ -809,6 +809,50 @@ object Profiling {
           .as("z"))
   }
 
+  /** Mutual information + entropies of two categorical columns — the
+    * information-theoretic association the χ²/V pair can't give (MI
+    * is the feature-selection currency: "how many bits does knowing
+    * the source tell you about the language?"). Observed cells
+    * suffice here — unlike χ², an empty cell's p·log term is exactly
+    * 0. Each term p·log2(obs·n/(rt·ct)) has only exact-integer
+    * arguments, rounds 9 dp, and sums in DECIMAL(38,12); the two
+    * marginal entropies ride the same ladder, and
+    * NMI = MI/sqrt(H_a·H_b) closes it. One cells aggregate + two
+    * broadcast margins (the [[chiSquare]] shape). Returns
+    * (n, h_a, h_b, mi, nmi); NMI NULL when either margin is
+    * deterministic (zero entropy). */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,12)")
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("obs")).localCheckpoint(true)
+    val rt = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    def hTerm(cnt: Column) = dec(round(cnt.cast("double") / col("n").cast("double")
+      * log2(col("n").cast("double") / cnt.cast("double")), 9))
+    val ha = rt.crossJoin(broadcast(n))
+      .agg(sum(hTerm(col("rt"))).as("ha"))
+    val hb = ct.crossJoin(broadcast(n))
+      .agg(sum(hTerm(col("ct"))).as("hb"))
+    val mi = cells.join(broadcast(rt), Seq("a")).join(broadcast(ct), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(dec(round(col("obs").cast("double") / col("n").cast("double") *
+        log2(col("obs").cast("double") * col("n").cast("double") /
+          (col("rt").cast("double") * col("ct").cast("double"))), 9)).as("t"))
+      .agg(sum(col("t")).as("mi"))
+    n.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(mi))
+      .select(col("n"),
+        round(col("ha").cast("double"), 6).as("h_a"),
+        round(col("hb").cast("double"), 6).as("h_b"),
+        round(col("mi").cast("double"), 6).as("mi"),
+        when(col("ha") > 0 && col("hb") > 0,
+          round(col("mi").cast("double") /
+            sqrt(col("ha").cast("double") * col("hb").cast("double")), 6))
+          .as("nmi"))
+  }
+
   /** Cramér's V atop [[chiSquare]] — the effect SIZE the chi-square
     * significance screen doesn't give (a huge n makes any trivial
     * association "significant"; V ∈ [0,1] says whether it matters):

@@ -1182,6 +1182,108 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Pure-DataFrame PageRank, fixed iterations, damping 0.85 — the
+    * 100 TB path next to the GraphX face (`q_gx_pagerank`): GraphX is
+    * RDD-era machinery, while this is three hash-join/aggregate
+    * rounds Catalyst can optimize, AQE can skew-split, and any SQL
+    * engine can replay. Exact replay via the decimal ladder: ranks
+    * round 9 dp each iteration, per-edge contributions r/deg round
+    * 12 dp and sum in DECIMAL(38,18) — both engines see identical
+    * values at every step (float summation order never enters).
+    * Dangling mass is not redistributed (every node of a symmetrized
+    * graph has out-edges — pass one). Returns (node, pr) after
+    * `iters` rounds. */
+  def pagerankDf(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 5, s"iters must be in [1,5]: $iters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(n))
+      .select(col("node"), col("n"),
+        round(lit(1.0) / col("n").cast("double"), 9).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, Seq("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("dst").as("node"),
+          round(col("pr") / col("deg").cast("double"), 12)
+            .cast("decimal(38,18)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cin"))
+      r = r.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("n"),
+          round(lit(0.15) / col("n").cast("double") +
+            lit(0.85) * coalesce(col("cin").cast("double"), lit(0.0)), 9)
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("pr"))
+  }
+
+  /** The unrolled DuckDB oracle for [[pagerankDf]]: `edgeCte` yields
+    * directed (src, dst). One materialized CTE per iteration. */
+  def pagerankDfOracleSql(edgeCte: String, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          r0 AS (SELECT node, n, round(1.0 / CAST(n AS DOUBLE), 9) AS pr
+                 FROM nodes, nn)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""", c$i AS MATERIALIZED (SELECT e.dst AS node,
+          sum(CAST(round(r.pr / CAST(deg.deg AS DOUBLE), 12)
+            AS DECIMAL(38,18))) AS cin
+        FROM r$p r JOIN deg ON r.node = deg.node
+        JOIN e ON e.src = r.node GROUP BY e.dst)""")
+      sb.append(s""", r$i AS MATERIALIZED (SELECT r.node, r.n,
+          round(0.15 / CAST(r.n AS DOUBLE)
+            + 0.85 * coalesce(CAST(c$i.cin AS DOUBLE), 0.0), 9) AS pr
+        FROM r$p r LEFT JOIN c$i ON r.node = c$i.node)""")
+    }
+    sb.append(s"""
+      SELECT node, pr FROM r$iters ORDER BY node""")
+    sb.toString
+  }
+
+  /** Per-edge neighborhood Jaccard — the tie-strength score local
+    * graph sparsification keeps edges by (Satuluri et al. SIGMOD'11):
+    * for each canonical edge (u,v),
+    *   J = |N(u)∩N(v)| / |N(u)∪N(v)| = common / (d_u + d_v − common)
+    * over the symmetrized adjacency (u ∈ N(v) and v ∈ N(u), so the
+    * union counts both endpoints; the intersection is the triangle
+    * count through the edge). Shape: one wedge equi-join on the
+    * shared neighbor (the q_g23 triangle class) + two degree
+    * broadcasts — no cartesian anywhere. All-integer counts, one
+    * rounded division. Returns (src, dst, common, deg_src, deg_dst,
+    * jaccard). */
+  def edgeJaccard(canonEdges: DataFrame): DataFrame = {
+    val canon = canonEdges.select(col("src"), col("dst")).localCheckpoint(true)
+    val adj = canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val common = canon
+      .join(adj.select(col("src").as("__u"), col("dst").as("__w")),
+        col("src") === col("__u"))
+      .join(adj.select(col("src").as("__v"), col("dst").as("__w2")),
+        col("dst") === col("__v") && col("__w") === col("__w2"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("common"))
+    canon.join(common, Seq("src", "dst"), "left")
+      .join(deg.select(col("node").as("src"), col("deg").as("deg_src")),
+        Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("deg_dst")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        col("deg_src"), col("deg_dst"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("deg_src") + col("deg_dst") -
+            coalesce(col("common"), lit(0L))).cast("double"), 6).as("jaccard"))
+  }
+
   /** The unrolled DuckDB oracle for [[kTrussPeel]]: `edgeCte` must
     * yield canonical (src, dst) with src < dst. Every round's edge
     * set is referenced three times by the triangle join and once by

@@ -560,6 +560,21 @@ class PlanShapeSpec extends SparkSpec {
       s"corr matrix must scan lineitem once:\n$plan")
   }
 
+  test("edge Jaccard: equi-joins only, never a cartesian wedge") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_g32_edge_jaccard")(spark, sf0001))
+    assert(plan.contains("HashAggregate") &&
+      !plan.contains("CartesianProduct") && !plan.contains("UDF"),
+      s"wedge join must stay equi:\n$plan")
+  }
+
+  test("mutual info: cells + broadcast margins, no UDF, no cartesian blowup") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_p37_mutual_info")(spark, sf0001))
+    assert(plan.contains("HashAggregate") && !plan.contains("UDF") &&
+      !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
+  }
+
   test("ANOVA and chrono split: aggregate/window machinery, no UDF") {
     val an = executedFinal(SparkEntry.queries("q_p35_anova_f")(spark, sf0001))
     assert(an.contains("HashAggregate") && !an.contains("Join") &&

@@ -324,6 +324,47 @@ class StatsWave3Spec extends SparkSpec {
     assert(out("test") == ((1L, "2024-03-10", "2024-03-10")), out.toString)
   }
 
+  test("DF PageRank: mass conserved, symmetry respected, hub ranked up") {
+    // path a−b−c symmetrized: a and c are exchangeable, b is the hub
+    val canon = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val out = graft.query.GraphQueries.pagerankDf(e, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, out.toString)
+    assert(out(1L) == out(3L), s"symmetric endpoints must tie: $out")
+    assert(out(2L) > out(1L), s"the hub must outrank the leaves: $out")
+  }
+
+  test("edge Jaccard: triangle + pendant hand case") {
+    // triangle a,b,c plus pendant d on a
+    val canon = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = graft.query.GraphQueries.edgeJaccard(canon)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out((1L, 2L)) == ((1L, 3L, 2L, 0.25)), out.toString)
+    assert(out((1L, 3L)) == ((1L, 3L, 2L, 0.25)), out.toString)
+    assert(out((2L, 3L)) == ((1L, 2L, 2L, 0.333333)), out.toString)
+    assert(out((1L, 4L)) == ((0L, 3L, 1L, 0.0)), out.toString)
+  }
+
+  test("mutual info: perfect association is 1 bit, independence is 0") {
+    val perfect = (Seq.fill(2)(("x", "p")) ++ Seq.fill(2)(("y", "q")))
+      .toDF("a", "b")
+    val Array(p) = Profiling.mutualInfo(perfect, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].collect()
+    assert(p == ((4L, 1.0, 1.0, 1.0, Some(1.0))), p.toString)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")).toDF("a", "b")
+    val Array(i) = Profiling.mutualInfo(indep, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].collect()
+    assert(i == ((4L, 1.0, 1.0, 0.0, Some(0.0))), i.toString)
+    // constant margin → zero entropy → NMI null
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val Array(c) = Profiling.mutualInfo(const, "a", "b")
+      .as[(Long, Double, Double, Double, Option[Double])].collect()
+    assert(c._2 == 0.0 && c._5.isEmpty, c.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
