@@ -3327,6 +3327,49 @@ object SparkEntry {
     "q_p37_mutual_info" -> ((s, d) =>
       graft.ext.Profiling.mutualInfo(Tables.documents(s, d),
         "lang", "source")),
+
+    // -- day-of-week seasonality strength: one-way ANOVA of daily
+    // order counts across isodow groups + eta² (variance explained
+    // by the weekly cycle) — q_p35's machinery pointed at time --
+    "q_t29_dow_anova" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(count(lit(1)).as("x"))
+        .select((weekday(col("dt")) + 1).as("dow"), col("x"))
+      graft.ext.Profiling.anovaF(daily, "dow", "x")
+        .withColumn("eta2", when(col("ssb") + col("ssw") > 0,
+          round(col("ssb") / (col("ssb") + col("ssw")), 6)))
+    }),
+
+    // -- hop-distance histogram from the 4 landmarks + the 90%-mass
+    // effective-diameter marker — the small-world report on the
+    // co-purchase graph, all-integer --
+    "q_g33_hop_histogram" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val lms = canon.select(col("src").as("node"))
+        .unionByName(canon.select(col("dst").as("node")))
+        .distinct().orderBy(col("node")).limit(4)
+      GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
+    }),
+
+    // -- deterministic LISTAGG: per-nation supplier roster, sorted
+    // then joined (collect_list's order laundered through array_sort)
+    // — the classic reporting aggregate --
+    "q_a25_listagg" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          array_join(array_sort(collect_list(col("s_name"))), ",")
+            .as("names"))
+        .orderBy(col("n_name"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7206,5 +7249,92 @@ object SparkEntry {
                     / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6)
                 END AS nmi
          FROM nn, ha, hb, mi""",
+    "q_t29_dow_anova" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+             count(*) AS x FROM orders GROUP BY 1),
+         base AS (SELECT isodow(dt) AS g, x FROM daily),
+         per AS (SELECT g, count(*) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+           FROM base GROUP BY g),
+         agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+             sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,12))) AS a
+           FROM per),
+         c AS (SELECT n, k,
+             a - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12)) AS ssb,
+             CAST(q AS DECIMAL(38,12)) - a AS ssw
+           FROM agg),
+         r AS (SELECT n, k, round(CAST(ssb AS DOUBLE), 4) AS ssb,
+                round(CAST(ssw AS DOUBLE), 4) AS ssw,
+                CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+                  round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                    / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+                END AS f
+           FROM c)
+         SELECT *, CASE WHEN ssb + ssw > 0 THEN
+             round(ssb / (ssb + ssw), 6) END AS eta2
+         FROM r""",
+    // the ecc oracle's chain aggregates per landmark; the histogram
+    // needs the raw d-table, so its 6-round BFS is written directly
+    "q_g33_hop_histogram" ->
+      """WITH e AS MATERIALIZED (
+           SELECT src, dst FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+             FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) a
+             JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) b
+               ON a.pk = b.pk AND a.sk < b.sk)
+           UNION ALL
+           SELECT dst AS src, src AS dst
+           FROM (SELECT DISTINCT a.sk AS src, b.sk AS dst
+             FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) a
+             JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) b
+               ON a.pk = b.pk AND a.sk < b.sk)),
+         d0 AS (SELECT node AS lm, node, CAST(0 AS BIGINT) AS d FROM (
+           SELECT DISTINCT node FROM (SELECT src AS node FROM e
+             UNION ALL SELECT dst FROM e) ORDER BY node LIMIT 4)),
+         d1 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d0 UNION ALL
+           SELECT d0.lm, e.dst, d0.d + 1 FROM d0 JOIN e ON e.src = d0.node)
+           GROUP BY lm, node),
+         d2 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d1 UNION ALL
+           SELECT d1.lm, e.dst, d1.d + 1 FROM d1 JOIN e ON e.src = d1.node)
+           GROUP BY lm, node),
+         d3 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d2 UNION ALL
+           SELECT d2.lm, e.dst, d2.d + 1 FROM d2 JOIN e ON e.src = d2.node)
+           GROUP BY lm, node),
+         d4 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d3 UNION ALL
+           SELECT d3.lm, e.dst, d3.d + 1 FROM d3 JOIN e ON e.src = d3.node)
+           GROUP BY lm, node),
+         d5 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d4 UNION ALL
+           SELECT d4.lm, e.dst, d4.d + 1 FROM d4 JOIN e ON e.src = d4.node)
+           GROUP BY lm, node),
+         d6 AS MATERIALIZED (SELECT lm, node, min(d) AS d FROM (
+           SELECT lm, node, d FROM d5 UNION ALL
+           SELECT d5.lm, e.dst, d5.d + 1 FROM d5 JOIN e ON e.src = d5.node)
+           GROUP BY lm, node),
+         hist AS (SELECT d, count(*) AS n_pairs FROM d6 WHERE d > 0
+                  GROUP BY d),
+         tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM hist),
+         cu AS (SELECT d, n_pairs,
+             CAST(sum(n_pairs) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum FROM hist)
+         SELECT d, CAST(n_pairs AS BIGINT) AS n_pairs, cum,
+                cum * 10 >= tot * 9 AS reaches_p90
+         FROM cu, tot ORDER BY d""",
+    "q_a25_listagg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                string_agg(s_name, ',' ORDER BY s_name) AS names
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
   )
 }

@@ -1249,6 +1249,28 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Hop-distance histogram from landmark BFS + the EFFECTIVE
+    * diameter marker (Leskovec–Faloutsos convention: the smallest d
+    * whose cumulative pair mass reaches 90%) — the one-glance
+    * small-world report. The integer flag cum·10 ≥ tot·9 avoids the
+    * division; rows are the ≤`rounds` distinct distances, so the
+    * closing window is bounded by the hop cap, not the graph.
+    * Returns (d, n_pairs, cum, reaches_p90). */
+  def hopHistogram(edges: DataFrame, landmarks: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10]: $rounds")
+    val hist = landmarkBfs(edges, landmarks, rounds).filter(col("d") > 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum(col("n_pairs")).as("tot"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("d"), col("n_pairs"), col("cum"),
+        (col("cum") * 10 >= col("tot") * 9).as("reaches_p90"))
+  }
+
   /** Per-edge neighborhood Jaccard — the tie-strength score local
     * graph sparsification keeps edges by (Satuluri et al. SIGMOD'11):
     * for each canonical edge (u,v),

@@ -365,6 +365,29 @@ class StatsWave3Spec extends SparkSpec {
     assert(c._2 == 0.0 && c._5.isEmpty, c.toString)
   }
 
+  test("hop histogram: path-graph distances and the 90% marker") {
+    // path a−b−c−d symmetrized; landmarks a, b →
+    // d=1: 3 pairs, d=2: 2, d=3: 1; only the last bucket reaches 90%
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val e = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val lms = Seq(1L, 2L).toDF("node")
+    val out = graft.query.GraphQueries.hopHistogram(e, lms, rounds = 3)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 3L, false), (2L, 2L, 5L, false),
+      (3L, 1L, 6L, true)), out.mkString(","))
+  }
+
+  test("listagg gate is partition-order independent") {
+    val a = Seq(("g", "zeta"), ("g", "alpha"), ("g", "mid")).toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k"))
+        .agg(array_join(array_sort(collect_list(col("v"))), ",").as("names"))
+        .as[(String, String)].collect().toMap
+    assert(agg(a) == Map("g" -> "alpha,mid,zeta"))
+    assert(agg(a.repartition(7)) == Map("g" -> "alpha,mid,zeta"))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
