@@ -3358,6 +3358,35 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- deterministic class rebalancing: every label downsampled to
+    // the minority count, selection by the replayable fingerprint
+    // order — balanced sampling without head()'s layout accident --
+    "q_o25_balance_labels" -> ((s, d) =>
+      graft.ext.Sampling.balanceLabels(Tables.embeddings(s, d),
+        "label", "vec_id").orderBy(col("label"), col("id"))),
+
+    // -- energy explained by the q_v8 dominant direction: rank-1
+    // Σ(x·ŵ)² vs total Σ‖x‖² — near 1 = collapsed embeddings, near
+    // 1/d = healthy spread --
+    "q_v10_rank1_energy" -> ((s, d) =>
+      graft.ext.Similarity.rank1Energy(Tables.embeddings(s, d),
+        "vec_id", "embedding")),
+
+    // -- Wilson score interval on per-arm purchase conversion: the
+    // CI that stays inside [0,1] at small n — what the A/B dashboard
+    // should draw next to q_p34's z --
+    "q_p38_wilson" -> ((s, d) => {
+      val units = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__succ"))
+        .select(when(pmod(TextAnalysis.fingerprint(
+            col("user_id").cast("string")), lit(2L)) === 0, "A")
+            .otherwise("B").as("arm"),
+          (col("__succ") === 1L).as("__s"))
+      graft.ext.Profiling.wilsonInterval(units, "arm", col("__s"))
+        .orderBy(col("grp"))
+    }),
+
     // -- deterministic LISTAGG: per-nation supplier roster, sorted
     // then joined (collect_list's order laundered through array_sort)
     // — the classic reporting aggregate --
@@ -7336,5 +7365,70 @@ object SparkEntry {
                 string_agg(s_name, ',' ORDER BY s_name) AS names
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_o25_balance_labels" ->
+      """WITH base AS (SELECT label, vec_id AS id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(vec_id AS VARCHAR), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp
+           FROM embeddings),
+         m AS (SELECT CAST(min(c) AS BIGINT) AS m FROM (
+           SELECT count(*) AS c FROM base GROUP BY label)),
+         rk AS (SELECT label, id, row_number() OVER (
+             PARTITION BY label ORDER BY fp, id) AS rk FROM base)
+         SELECT label, id FROM rk, m WHERE rk <= m ORDER BY label, id""",
+    "q_v10_rank1_energy" ->
+      """WITH x AS (SELECT vec_id, i.i AS pos,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS v
+           FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+         s AS (SELECT vec_id, round(sum(v), 6) AS s FROM x GROUP BY vec_id),
+         t AS (SELECT pos, CAST(round(x.v * s.s, 9) AS DECIMAL(38,12)) AS t
+               FROM x JOIN s USING (vec_id)),
+         w AS (SELECT CAST(pos AS BIGINT) AS pos,
+                 round(CAST(sum(t) AS DOUBLE), 6) + 0.0 AS w
+               FROM t GROUP BY pos),
+         nrm AS (SELECT sqrt(sum(w * w)) AS nm FROM w),
+         wn AS (SELECT pos, CASE WHEN nm > 0 THEN round(w / nm, 6) + 0.0
+                  ELSE 0.0 END AS wn FROM w, nrm),
+         per AS (SELECT vec_id, round(sum(x.v * wn.wn), 6) AS dot,
+                  round(sum(x.v * x.v), 6) AS ssq
+                FROM x JOIN wn ON x.pos = wn.pos GROUP BY vec_id),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(dot * dot, 9) AS DECIMAL(38,12))) AS e1,
+             sum(CAST(ssq AS DECIMAL(38,12))) AS et
+           FROM per)
+         SELECT n, round(CAST(et AS DOUBLE), 4) AS e_total,
+                round(CAST(e1 AS DOUBLE), 4) AS e_rank1,
+                CASE WHEN et > 0 THEN
+                  round(CAST(e1 AS DOUBLE) / CAST(et AS DOUBLE), 6)
+                END AS ratio
+         FROM agg""",
+    "q_p38_wilson" ->
+      """WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS s
+           FROM events GROUP BY user_id),
+         ar AS (SELECT CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a2, b2) -> (a2 * 31 + b2) % 2147483647) % 2 = 0
+             THEN 'A' ELSE 'B' END AS grp, s FROM u),
+         c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x
+           FROM ar GROUP BY grp),
+         f AS (SELECT grp, n, x,
+             CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz,
+             CAST(n AS DOUBLE) AS nd
+           FROM c),
+         g AS (SELECT grp, n, x, ph,
+             CAST(1 AS DOUBLE) + zz / nd AS denom,
+             ph + zz / (nd * 2) AS center,
+             CAST(1.96 AS DOUBLE) * sqrt(ph * (CAST(1 AS DOUBLE) - ph) / nd
+               + zz / (nd * nd * 4)) AS half
+           FROM f)
+         SELECT grp, n, x, round(ph, 6) AS p,
+                round((center - half) / denom, 6) AS lo,
+                round((center + half) / denom, 6) AS hi
+         FROM g ORDER BY grp""",
   )
 }

@@ -775,6 +775,36 @@ object Profiling {
       .select(col("p.x"), col("p.y"), col("p.r"))
   }
 
+  /** Wilson score interval per group — the proportion CI that stays
+    * sane at small n and extreme rates (where the naive Wald interval
+    * leaves [0,1]; Wilson '27, the interval every experiment dashboard
+    * should draw):
+    *   center = p̂ + z²/2n,  half = z·sqrt(p̂(1−p̂)/n + z²/4n²),
+    *   [lo, hi] = (center ∓ half) / (1 + z²/n).
+    * Counts are exact integers from one aggregation pass; the
+    * interval is a fixed chain of IEEE double ops on them (mirrored
+    * token-for-token in the oracle), rounded 6 dp. Returns per group
+    * (grp, n, x, p, lo, hi); NULLs for empty groups never arise (a
+    * group exists only if it has rows). */
+  def wilsonInterval(units: DataFrame, grpCol: String, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val zz = lit(z) * lit(z)
+    val nD = d(col("n"))
+    val ph = d(col("x")) / nD
+    val denom = lit(1.0) + zz / nD
+    val center = ph + zz / (nD * 2)
+    val half = lit(z) * sqrt(ph * (lit(1.0) - ph) / nD +
+      zz / (nD * nD * 4))
+    units.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("x"))
+      .select(col("grp"), col("n"), col("x"),
+        round(ph, 6).as("p"),
+        round((center - half) / denom, 6).as("lo"),
+        round((center + half) / denom, 6).as("hi"))
+  }
+
   /** Two-proportion pooled z-test — the A/B conversion readout run
     * AFTER [[graft.ext.Sampling.srmCheck]] clears the split:
     *   z = (p̂_A − p̂_B) / sqrt( p̂(1−p̂)(1/n_A + 1/n_B) ),

@@ -419,6 +419,29 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic class rebalancing: downsample every label to the
+    * MINORITY label's count — the "balanced sampling" pass a
+    * classifier-training pipeline runs when 90/10 skew would swamp
+    * the loss. Selection is top-m per label by the replayable
+    * (fingerprint(id), id) order — a seeded-but-deterministic uniform
+    * draw, not head()'s layout accident; m broadcasts as a 1-row
+    * aggregate. One window over the label partition. Returns the
+    * kept rows (label, id). */
+  def balanceLabels(df: DataFrame, labelCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(labelCol).as("label"), col(idCol).as("id"),
+      graft.functions.TextStats.fingerprint(col(idCol).cast("string"))
+        .as("__fp"))
+    val m = base.groupBy(col("label")).agg(count(lit(1)).as("__c"))
+      .agg(min(col("__c")).as("__m"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("__fp"), col("id"))
+    base.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("__rk") <= col("__m"))
+      .select(col("label"), col("id"))
+  }
+
   /** Chronological train/test split with an EMBARGO gap — the
     * temporal leakage guard (de Prado's purged split, the time-series
     * sibling of [[leakageSafeSplit]]'s component split): train is

@@ -449,6 +449,39 @@ object Similarity {
              sqrt(col("__nb").cast("double"))), 6)).as("cos_to_global"))
   }
 
+  /** Energy explained by the dominant direction — the scalar that
+    * closes [[powerIterationStep]]'s story: with ŵ the (rounded)
+    * unit direction it found, e_rank1 = Σᵢ (xᵢ·ŵ)² against
+    * e_total = Σᵢ ‖xᵢ‖². A ratio near 1 means the embeddings have
+    * collapsed onto one axis (the anisotropy failure q_v5 scores);
+    * near 1/d means healthy spread. Per-row dots/norms round 6 dp
+    * (the q_v2 in-row-sum class), squared terms round 9 dp into
+    * DECIMAL(38,12). One extra corpus pass over the broadcast
+    * d-row direction. Returns (n, e_total, e_rank1, ratio). */
+  def rank1Energy(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = powerIterationStep(corpus, idCol, vecCol)
+      .select(col("pos"), coalesce(col("w_norm"), lit(0.0)).as("wn"))
+      .localCheckpoint(true)
+    val x = corpus.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("__id"), col("pos").cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+    val per = x.join(broadcast(w), Seq("pos"))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("v") * col("wn")), 6).as("dot"),
+        round(sum(col("v") * col("v")), 6).as("ssq"))
+    per.agg(count(lit(1)).as("n"),
+        sum(round(col("dot") * col("dot"), 9).cast("decimal(38,12)"))
+          .as("__e1"),
+        sum(col("ssq").cast("decimal(38,12)")).as("__et"))
+      .select(col("n"),
+        round(col("__et").cast("double"), 4).as("e_total"),
+        round(col("__e1").cast("double"), 4).as("e_rank1"),
+        when(col("__et") > 0, round(col("__e1").cast("double") /
+          col("__et").cast("double"), 6)).as("ratio"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

@@ -575,6 +575,23 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("balance labels: one label window, broadcast minority count") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_o25_balance_labels")(spark, sf0001))
+    assert(plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("UDF"), s"balance machinery:\n$plan")
+  }
+
+  test("rank-1 energy and Wilson: aggregate chains, no UDF") {
+    val re = executedFinal(
+      SparkEntry.queries("q_v10_rank1_energy")(spark, sf0001))
+    assert(re.contains("HashAggregate") && !re.contains("UDF"),
+      s"rank-1 energy machinery:\n$re")
+    val wi = executedFinal(SparkEntry.queries("q_p38_wilson")(spark, sf0001))
+    assert(wi.contains("HashAggregate") && !wi.contains("Window") &&
+      !wi.contains("UDF"), s"wilson machinery:\n$wi")
+  }
+
   test("ANOVA and chrono split: aggregate/window machinery, no UDF") {
     val an = executedFinal(SparkEntry.queries("q_p35_anova_f")(spark, sf0001))
     assert(an.contains("HashAggregate") && !an.contains("Join") &&

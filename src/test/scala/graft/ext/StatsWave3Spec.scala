@@ -388,6 +388,49 @@ class StatsWave3Spec extends SparkSpec {
     assert(agg(a.repartition(7)) == Map("g" -> "alpha,mid,zeta"))
   }
 
+  test("balance labels: every class lands exactly at the minority count") {
+    val df = (Seq.fill(5)(0) ++ Seq.fill(3)(1) ++ Seq.fill(7)(2))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("label", "vid")
+    val out = Sampling.balanceLabels(df, "label", "vid")
+      .as[(Int, Long)].collect()
+    val byLabel = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLabel == Map(0 -> 3, 1 -> 3, 2 -> 3), byLabel.toString)
+    // deterministic under physical layout changes
+    val out2 = Sampling.balanceLabels(df.repartition(5), "label", "vid")
+      .as[(Int, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      out2.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("rank-1 energy: collinear corpus scores 1, orthogonal pair ~1/2") {
+    val collinear = Seq((0L, Array(2f, 0f)), (1L, Array(-3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val Array(c) = Similarity.rank1Energy(collinear, "vec_id", "embedding")
+      .as[(Long, Double, Double, Option[Double])].collect()
+    assert(c == ((2L, 13.0, 13.0, Some(1.0))), c.toString)
+    val ortho = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val Array(o) = Similarity.rank1Energy(ortho, "vec_id", "embedding")
+      .as[(Long, Double, Double, Option[Double])].collect()
+    assert(o._4.exists(r => r > 0.49 && r < 0.51), o.toString)
+  }
+
+  test("Wilson interval: replays the closed form, stays inside [0,1]") {
+    val units = (Seq.fill(1)(true) ++ Seq.fill(3)(false)).map(("a", _))
+      .toDF("g", "s")
+    val Array(r) = Profiling.wilsonInterval(units, "g", col("s"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    val (z, n, x) = (1.96, 4.0, 1.0)
+    val (zz, ph) = (z * z, x / n)
+    val denom = 1.0 + zz / n
+    val center = ph + zz / (n * 2)
+    val half = z * math.sqrt(ph * (1.0 - ph) / n + zz / (n * n * 4))
+    def d6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(r == (("a", 4L, 1L, 0.25, d6((center - half) / denom),
+      d6((center + half) / denom))), r.toString)
+    assert(r._5 > 0.0 && r._6 < 1.0 && r._5 < 0.25 && r._6 > 0.25, r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
