@@ -3358,6 +3358,33 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- incremental materialized-aggregate maintenance: the source
+    // rollup built as THREE batch summaries folded together — the
+    // oracle's direct full-table summary proves merge ≡ recompute --
+    "q_s_mv_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val parts = (0 until 3).map(i => graft.ext.Materialize.docSummary(
+        docs.filter(col("doc_id") % 3 === i), "source"))
+      graft.ext.Materialize.mergeSummaries(parts).orderBy(col("grp"))
+    }),
+
+    // -- CMS inner-product join-size estimation: two one-pass
+    // sketches, never the join — the planner's pre-join cardinality;
+    // never-undercount is a deterministic guarantee --
+    "q_j13_join_cardinality" -> ((s, d) =>
+      graft.ext.Sketches.cmsJoinCardinality(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+        Tables.orders(s, d).select(col("o_orderkey").as("k")), "k")),
+
+    // -- exponential time-decay attribution (24 h window, 2 h
+    // half-life): fair-share credit between q_t16's first/last-touch
+    // extremes, decimal ladder end to end --
+    "q_t30_decay_attribution" -> ((s, d) =>
+      graft.ext.TimeSeries.decayAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_type", "purchase",
+        windowMinutes = 1440, halfLifeMinutes = 120)
+        .orderBy(col("channel"))),
+
     // -- deterministic class rebalancing: every label downsampled to
     // the minority count, selection by the replayable fingerprint
     // order — balanced sampling without head()'s layout accident --
@@ -7430,5 +7457,39 @@ object SparkEntry {
                 round((center - half) / denom, 6) AS lo,
                 round((center + half) / denom, 6) AS hi
          FROM g ORDER BY grp""",
+    "q_s_mv_merge" ->
+      """SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(
+                  string_split_regex(trim(text), '\s+'), x -> x <> '')))
+                  AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM documents GROUP BY source ORDER BY grp""",
+    "q_j13_join_cardinality" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS true_card
+           FROM (SELECT l_orderkey AS k FROM lineitem) r
+           JOIN (SELECT o_orderkey AS k FROM orders) s USING (k)),
+         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM lineitem),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM orders)
+         SELECT n_r, n_s, true_card, TRUE AS never_under, TRUE AS bound_ok
+         FROM nr, ns, t""",
+    "q_t30_decay_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, event_id AS cid,
+             epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id AS u, event_type AS channel,
+             epoch_us(ts) AS tus FROM events WHERE event_type <> 'purchase'),
+         pairs AS (SELECT cid, channel,
+             round(pow(2, -(CAST(cus - tus AS DOUBLE)) / 7200000000.0), 9)
+               AS w
+           FROM conv JOIN touch USING (u)
+           WHERE tus <= cus AND tus > cus - 86400000000),
+         tot AS (SELECT cid, sum(CAST(w AS DECIMAL(38,12))) AS wtot
+                 FROM pairs GROUP BY cid),
+         sh AS (SELECT channel,
+             CAST(round(w / CAST(wtot AS DOUBLE), 9) AS DECIMAL(38,12))
+               AS share
+           FROM pairs JOIN tot USING (cid))
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+                round(CAST(sum(share) AS DOUBLE), 4) AS credit
+         FROM sh GROUP BY channel ORDER BY channel""",
   )
 }

@@ -109,6 +109,39 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble) * lit(2147483647.0) /
             col("kth"), 4)).as("est"))
 
+  /** Join-cardinality estimation via the CMS inner product (Cormode–
+    * Muthukrishnan '05 §4.2) — what a cost-based planner wants BEFORE
+    * committing to a join strategy: |R ⋈ S| = Σ_k f_R(k)·f_S(k),
+    * estimated as min over sketch rows of Σ_b cR[b]·cS[b]. Each side
+    * sketches independently in one pass (depth·width cells, mergeable
+    * across partitions), the dot product joins two tiny sketches —
+    * the full join never runs. Collisions only ADD mass, so the
+    * estimate NEVER undercounts (deterministic guarantee, emitted as
+    * a boolean the oracle asserts); expected overcount is
+    * n_R·n_S/width per row, checked at 3× slack. Cell values are
+    * xxhash-placed (impl-defined), so the gate hashes the exact
+    * counts + the two bound booleans, q_a13-style. Returns
+    * (n_r, n_s, true_card, never_under, bound_ok). */
+  def cmsJoinCardinality(r: DataFrame, s: DataFrame, key: String,
+      depth: Int = 4, width: Int = 8192): DataFrame = {
+    val est = cmsSketch(r, key, depth, width).as("a")
+      .join(cmsSketch(s, key, depth, width).as("b"), Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.c") * col("b.c")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    val nR = r.agg(count(lit(1)).as("n_r"))
+    val nS = s.agg(count(lit(1)).as("n_s"))
+    val truth = r.select(col(key).as("__k"))
+      .join(s.select(col(key).as("__k")), Seq("__k"))
+      .agg(count(lit(1)).as("true_card"))
+    nR.crossJoin(broadcast(nS)).crossJoin(broadcast(truth))
+      .crossJoin(broadcast(est))
+      .select(col("n_r"), col("n_s"), col("true_card"),
+        (col("est") >= col("true_card")).as("never_under"),
+        (col("est") - col("true_card") <=
+          col("n_r") * col("n_s") * 3L / width).as("bound_ok"))
+  }
+
   /** EXACT distinct count per group via 64-bit bucket bitmaps — the
     * shuffle-light alternative to count(DISTINCT) for dense integer
     * keys (the roaring-bitmap idea reduced to plain longs). Each key

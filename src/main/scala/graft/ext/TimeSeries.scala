@@ -508,6 +508,45 @@ object TimeSeries {
           col("n_eval").cast("double"), 6)).as("smape"))
   }
 
+  /** Exponential time-decay multi-touch attribution — the fair-share
+    * refinement of [[touchAttribution]]'s first/last-touch extremes:
+    * every non-conversion event of the same user within the trailing
+    * window gets weight 2^(−Δt/halflife), normalized per conversion,
+    * credited to its channel. Pairing is the [[graft.streaming
+    * .Streams.intervalJoin]] equi+range shape (bounded fan-out, never
+    * cartesian); determinism ladder: weights round 9 dp, per-
+    * conversion totals sum in DECIMAL(38,12), shares round 9 dp and
+    * re-sum in decimal, channel credit rounds 4 dp. Returns
+    * (channel, n_touches, credit) — credits sum to ≈ the number of
+    * attributed conversions. */
+  def decayAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, windowMinutes: Int,
+      halfLifeMinutes: Int): DataFrame = {
+    require(windowMinutes >= 1 && halfLifeMinutes >= 1)
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col("event_id").as("__cid"),
+        unix_micros(col(tsCol)).as("__cus"))
+    val touch = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(typeCol).as("channel"),
+        unix_micros(col(tsCol)).as("__tus"))
+    val win = windowMinutes * 60L * 1000000L
+    val hl = halfLifeMinutes * 60.0 * 1000000.0
+    val pairs = conv.join(touch, Seq("__u"))
+      .filter(col("__tus") <= col("__cus") &&
+        col("__tus") > col("__cus") - win)
+      .withColumn("__w", round(pow(lit(2.0),
+        -(col("__cus") - col("__tus")).cast("double") / hl), 9))
+    val tot = pairs.groupBy(col("__cid"))
+      .agg(sum(col("__w").cast("decimal(38,12)")).as("__wtot"))
+    pairs.join(tot, Seq("__cid"))
+      .withColumn("__share",
+        round(col("__w") / col("__wtot").cast("double"), 9)
+          .cast("decimal(38,12)"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("__share")).cast("double"), 4).as("credit"))
+  }
+
   /** Mann–Kendall trend test over the daily event-count series — the
     * distribution-free "is this metric drifting?" screen (Mann 1945;
     * Kendall's tau). The statistic is all-integer:

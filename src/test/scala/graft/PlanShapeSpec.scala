@@ -575,6 +575,25 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("MV merge and decay attribution: hash joins/aggregates, no UDF") {
+    val mv = executedFinal(SparkEntry.queries("q_s_mv_merge")(spark, sf0001))
+    assert(mv.contains("HashAggregate") && !mv.contains("Join") &&
+      !mv.contains("UDF"), s"mv merge is union+re-aggregate only:\n$mv")
+    val da = executedFinal(
+      SparkEntry.queries("q_t30_decay_attribution")(spark, sf0001))
+    assert(da.contains("HashAggregate") &&
+      !da.contains("CartesianProduct") && !da.contains("UDF"),
+      s"decay pairing must stay equi+range:\n$da")
+  }
+
+  test("join cardinality: sketches join, never a cartesian") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_j13_join_cardinality")(spark, sf0001))
+    assert(plan.contains("HashAggregate") &&
+      !plan.contains("CartesianProduct") && !plan.contains("UDF"),
+      s"cms join cardinality machinery:\n$plan")
+  }
+
   test("balance labels: one label window, broadcast minority count") {
     val plan = executedFinal(
       SparkEntry.queries("q_o25_balance_labels")(spark, sf0001))

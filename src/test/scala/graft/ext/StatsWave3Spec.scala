@@ -431,6 +431,48 @@ class StatsWave3Spec extends SparkSpec {
     assert(r._5 > 0.0 && r._6 < 1.0 && r._5 < 0.25 && r._6 > 0.25, r.toString)
   }
 
+  test("MV merge: batch-folded summaries equal the direct recompute") {
+    val docs = Seq((0L, "g1", "a b c", 5L), (1L, "g1", "d e", 3L),
+      (2L, "g2", "f", 1L), (3L, "g1", "g h i j", 7L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val parts = (0 until 3).map(i =>
+      Materialize.docSummary(docs.filter(col("doc_id") % 3 === i), "source"))
+    val merged = Materialize.mergeSummaries(parts)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = Materialize.docSummary(docs, "source")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged == direct && merged == Seq(("g1", 3L, 9L, 15L),
+      ("g2", 1L, 1L, 1L)), s"$merged vs $direct")
+  }
+
+  test("CMS join cardinality: exact truth, never-under and bound hold") {
+    val r = Seq(1L, 1L, 2L).toDF("k")
+    val s = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val Array(out) = Sketches.cmsJoinCardinality(r, s, "k")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    assert(out == ((3L, 4L, 4L, true, true)), out.toString)
+  }
+
+  test("decay attribution: two-touch hand case with exact ladder replay") {
+    def ev(id: Long, t: Long, typ: String) =
+      (id, new Timestamp(t * 1000L), 9L, typ)
+    val events = Seq(ev(1, 0, "click"), ev(2, 3600, "view"),
+      ev(3, 7200, "purchase"),
+      ev(4, -200000, "click") // beyond the 24 h window
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = TimeSeries.decayAttribution(events, "user_id", "ts",
+        "event_type", "purchase", windowMinutes = 1440, halfLifeMinutes = 120)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val (wc, wv) = (r9(math.pow(2, -1.0)), r9(math.pow(2, -0.5)))
+    val tot = wc + wv
+    assert(out("click") == ((1L, r4(r9(wc / tot)))), out.toString)
+    assert(out("view") == ((1L, r4(r9(wv / tot)))), out.toString)
+    assert(out.size == 2, s"out-of-window touch must be excluded: $out")
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
