@@ -3358,6 +3358,28 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- DAU / trailing-7d WAU / stickiness: dedupe to (day, user)
+    // first, bounded day-axis fan-out for the sliding distinct — the
+    // engagement report windows can't express --
+    "q_t31_dau_wau" -> ((s, d) =>
+      graft.ext.TimeSeries.dauWau(Tables.events(s, d), "user_id", "ts",
+        windowDays = 7).orderBy(col("dt"))),
+
+    // -- periodogram of the daily event counts: direct DFT at
+    // k ≤ n/2, trig terms through the coarse 6-dp ladder — which
+    // cycle dominates the metric --
+    "q_t32_periodogram" -> ((s, d) =>
+      graft.ext.TimeSeries.periodogram(Tables.events(s, d), "ts")
+        .orderBy(col("k"))),
+
+    // -- partial correlation qty~price controlling discount, on the
+    // single-pass corr-matrix sums — the confound screen --
+    "q_p39_partial_corr" -> ((s, d) =>
+      graft.ext.Profiling.partialCorr(Tables.lineitem(s, d),
+        "qty" -> round(col("l_quantity"), 0),
+        "price" -> round(col("l_extendedprice") * 100, 0),
+        "discount" -> round(col("l_discount") * 100, 0))),
+
     // -- incremental materialized-aggregate maintenance: the source
     // rollup built as THREE batch summaries folded together — the
     // oracle's direct full-table summary proves merge ≡ recompute --
@@ -7491,5 +7513,73 @@ object SparkEntry {
          SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
                 round(CAST(sum(share) AS DOUBLE), 4) AS credit
          FROM sh GROUP BY channel ORDER BY channel""",
+    "q_t31_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id AS u
+           FROM events),
+         dau AS (SELECT dt, CAST(count(*) AS BIGINT) AS dau
+                 FROM du GROUP BY dt),
+         fan AS (SELECT dt + CAST(k.k AS INT) AS dt, u
+                 FROM du, (SELECT unnest(range(0, 7)) AS k) k),
+         wau AS (SELECT dt, CAST(count(DISTINCT u) AS BIGINT) AS wau
+                 FROM fan GROUP BY dt)
+         SELECT dt, dau, wau,
+                round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4)
+                  AS stickiness
+         FROM dau JOIN wau USING (dt) ORDER BY dt""",
+    "q_t32_periodogram" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY dt) - 1 AS BIGINT)
+                   AS t, x FROM daily),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+         ks AS (SELECT t, x, n, unnest(range(1, n // 2 + 1)) AS k
+                FROM idx, nn),
+         terms AS (SELECT k, n,
+             CAST(round(CAST(x AS DOUBLE) * cos(-2.0 * pi()
+               * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+               / CAST(n AS DOUBLE)), 6) AS DECIMAL(38,12)) AS re,
+             CAST(round(CAST(x AS DOUBLE) * sin(-2.0 * pi()
+               * CAST(k AS DOUBLE) * CAST(t AS DOUBLE)
+               / CAST(n AS DOUBLE)), 6) AS DECIMAL(38,12)) AS im
+           FROM ks),
+         agg AS (SELECT k, n, sum(re) AS res, sum(im) AS ims
+                 FROM terms GROUP BY k, n),
+         ri AS (SELECT CAST(k AS BIGINT) AS k, n,
+                  round(CAST(res AS DOUBLE), 4) + 0.0 AS re,
+                  round(CAST(ims AS DOUBLE), 4) + 0.0 AS im FROM agg)
+         SELECT k, n, re, im, round(re * re + im * im, 4) AS power
+         FROM ri ORDER BY k""",
+    "q_p39_partial_corr" ->
+      """WITH b AS (SELECT
+             CAST(round(l_quantity, 0) AS HUGEINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS price,
+             CAST(round(l_discount * 100, 0) AS HUGEINT) AS discount
+           FROM lineitem),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(qty) AS s_q, sum(price) AS s_p, sum(discount) AS s_d,
+             sum(qty * qty) AS q_q, sum(price * price) AS q_p,
+             sum(discount * discount) AS q_d,
+             sum(qty * price) AS x_qp, sum(qty * discount) AS x_qd,
+             sum(price * discount) AS x_pd
+           FROM b),
+         r AS (SELECT
+             round(CAST(n * x_qp - s_q * s_p AS DOUBLE)
+               / (sqrt(CAST(n * q_q - s_q * s_q AS DOUBLE))
+                  * sqrt(CAST(n * q_p - s_p * s_p AS DOUBLE))), 6) AS r_xy,
+             round(CAST(n * x_qd - s_q * s_d AS DOUBLE)
+               / (sqrt(CAST(n * q_q - s_q * s_q AS DOUBLE))
+                  * sqrt(CAST(n * q_d - s_d * s_d AS DOUBLE))), 6) AS r_xz,
+             round(CAST(n * x_pd - s_p * s_d AS DOUBLE)
+               / (sqrt(CAST(n * q_p - s_p * s_p AS DOUBLE))
+                  * sqrt(CAST(n * q_d - s_d * s_d AS DOUBLE))), 6) AS r_yz
+           FROM s)
+         SELECT r_xy, r_xz, r_yz,
+                CASE WHEN (CAST(1 AS DOUBLE) - r_xz * r_xz)
+                    * (CAST(1 AS DOUBLE) - r_yz * r_yz) > 0 THEN
+                  round((r_xy - r_xz * r_yz)
+                    / sqrt((CAST(1 AS DOUBLE) - r_xz * r_xz)
+                      * (CAST(1 AS DOUBLE) - r_yz * r_yz)), 6)
+                END AS r_xy_given_z
+         FROM r""",
   )
 }

@@ -805,6 +805,29 @@ object Profiling {
         round((center + half) / denom, 6).as("hi"))
   }
 
+  /** First-order partial correlation — "does x still track y once z
+    * is held fixed?", the confound screen run before believing any
+    * pairwise correlation:
+    *   r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²)).
+    * Built ON [[corrMatrix]]'s single-pass rounded-6-dp pairwise rs
+    * (pivoted from its three rows with conditional aggregates — no
+    * second scan), so determinism is inherited; NULL when either
+    * control correlation is ±1 (zero residual variance). Returns one
+    * row (r_xy, r_xz, r_yz, r_xy_given_z). */
+  def partialCorr(df: DataFrame, x: (String, Column), y: (String, Column),
+      z: (String, Column)): DataFrame = {
+    def pick(a: String, b: String) =
+      max(when(col("x") === a && col("y") === b, col("r")))
+    val m = corrMatrix(df, Seq(x, y, z))
+      .agg(pick(x._1, y._1).as("r_xy"), pick(x._1, z._1).as("r_xz"),
+        pick(y._1, z._1).as("r_yz"))
+    val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    m.select(col("r_xy"), col("r_xz"), col("r_yz"),
+      when(den > 0, round((col("r_xy") - col("r_xz") * col("r_yz")) /
+        sqrt(den), 6)).as("r_xy_given_z"))
+  }
+
   /** Two-proportion pooled z-test — the A/B conversion readout run
     * AFTER [[graft.ext.Sampling.srmCheck]] clears the split:
     *   z = (p̂_A − p̂_B) / sqrt( p̂(1−p̂)(1/n_A + 1/n_B) ),

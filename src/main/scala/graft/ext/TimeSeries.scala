@@ -547,6 +547,76 @@ object TimeSeries {
         round(sum(col("__share")).cast("double"), 4).as("credit"))
   }
 
+  /** DAU / trailing-WAU / stickiness — the engagement report every
+    * product dashboard opens with, and the textbook "you cannot
+    * window a COUNT(DISTINCT)" problem. Scale shape: dedupe to
+    * (day, user) FIRST (one hash aggregate — the only pass over raw
+    * events), then fan each active-day row out to the ≤`windowDays`
+    * calendar days it contributes to (bounded explode on the day
+    * axis) and count distinct users per target day. DAU joins back
+    * on the same axis; stickiness = DAU/WAU rounded 4 dp, the only
+    * double. Days with no trailing activity simply don't appear.
+    * Returns (dt, dau, wau, stickiness). */
+  def dauWau(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 2)
+    val dayUser = events
+      .select(to_date(col(tsCol)).as("dt"), col(userCol).as("u")).distinct()
+      .localCheckpoint(true)
+    val dau = dayUser.groupBy(col("dt")).agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("__k"),
+        col("dt"), col("u"))
+      .select(expr(s"date_add(dt, __k)").as("dt"), col("u"))
+      .groupBy(col("dt")).agg(countDistinct(col("u")).as("wau"))
+    // inner join: a target day only counts if itself active (keeps the
+    // axis = observed days, matching the DAU frame)
+    dau.join(wau, Seq("dt"))
+      .select(col("dt"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+  }
+
+  /** Periodogram of the daily count series — "what cycle dominates
+    * this metric?" via the direct DFT at integer frequencies
+    * k ∈ [1, n/2]:
+    *   P_k = re² + im²,  re = Σ_t x_t·cos(−2πkt/n), im = Σ … sin.
+    * The trig factors are the only transcendentals: each per-term
+    * product rounds 6 dp into DECIMAL(38,12) — a coarser ladder than
+    * the log/pow gates because cos/sin carry the largest cross-libm
+    * ulp risk and the day axis multiplies the boundary exposure —
+    * re/im and P round 4 dp. The
+    * frequency sweep is one broadcast fan-out over ≤n/2 rows against
+    * the indexed day axis (the autocorrelation class — bounded by
+    * the span, not the row count). Returns (k, n, re, im, power). */
+  def periodogram(events: DataFrame, tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("dt"))) - 1)
+      .select(col("t").cast("long").as("t"), col("x"))
+      .localCheckpoint(true)
+    val n = idx.agg(count(lit(1)).as("n"))
+    val ks = idx.crossJoin(broadcast(n))
+      .select(col("t"), col("x"), col("n"),
+        explode(sequence(lit(1L), (col("n") / 2).cast("long"))).as("k"))
+    val ang = lit(-2.0) * lit(math.Pi) * col("k").cast("double") *
+      col("t").cast("double") / col("n").cast("double")
+    ks.select(col("k"), col("n"),
+        round(col("x").cast("double") * cos(ang), 6)
+          .cast("decimal(38,12)").as("__re"),
+        round(col("x").cast("double") * sin(ang), 6)
+          .cast("decimal(38,12)").as("__im"))
+      .groupBy(col("k"), col("n"))
+      .agg(sum(col("__re")).as("__res"), sum(col("__im")).as("__ims"))
+      .select(col("k"), col("n"),
+        (round(col("__res").cast("double"), 4) + lit(0.0)).as("re"),
+        (round(col("__ims").cast("double"), 4) + lit(0.0)).as("im"))
+      .withColumn("power",
+        round(col("re") * col("re") + col("im") * col("im"), 4))
+  }
+
   /** Mann–Kendall trend test over the daily event-count series — the
     * distribution-free "is this metric drifting?" screen (Mann 1945;
     * Kendall's tau). The statistic is all-integer:

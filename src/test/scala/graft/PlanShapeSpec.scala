@@ -575,6 +575,23 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("DAU/WAU and periodogram: bounded fan-outs, no UDF") {
+    val dw = executedFinal(SparkEntry.queries("q_t31_dau_wau")(spark, sf0001))
+    assert(dw.contains("HashAggregate") && !dw.contains("SortMergeJoin") &&
+      !dw.contains("UDF"), s"dau/wau machinery:\n$dw")
+    val pg = executedFinal(
+      SparkEntry.queries("q_t32_periodogram")(spark, sf0001))
+    assert(pg.contains("HashAggregate") && !pg.contains("UDF"),
+      s"periodogram machinery:\n$pg")
+  }
+
+  test("partial correlation inherits the single-scan corr matrix") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_p39_partial_corr")(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(plan).size <= 1 &&
+      !plan.contains("UDF"), s"partial corr must scan lineitem once:\n$plan")
+  }
+
   test("MV merge and decay attribution: hash joins/aggregates, no UDF") {
     val mv = executedFinal(SparkEntry.queries("q_s_mv_merge")(spark, sf0001))
     assert(mv.contains("HashAggregate") && !mv.contains("Join") &&

@@ -473,6 +473,53 @@ class StatsWave3Spec extends SparkSpec {
     assert(out.size == 2, s"out-of-window touch must be excluded: $out")
   }
 
+  test("DAU/WAU: sliding distinct counts by hand, stickiness exact") {
+    // u1 active days 1,2; u2 active day 2 only
+    val ev = Seq((1, 1L), (2, 1L), (2, 2L)).map { case (d, u) =>
+      (new Timestamp((d - 1) * 86400000L), u) }.toDF("ts", "user_id")
+    val out = TimeSeries.dauWau(ev, "user_id", "ts", windowDays = 7)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(out("1970-01-01") == ((1L, 1L, 1.0)), out.toString)
+    // day 2: dau 2; wau = distinct over days {−5..2} = {u1, u2} = 2
+    assert(out("1970-01-02") == ((2L, 2L, 1.0)), out.toString)
+    assert(out.size == 2, out.toString)
+  }
+
+  test("periodogram: a pure 2-cycle series concentrates power at k=n/2") {
+    // alternating 10,2 over 8 days: all AC power at the Nyquist bin
+    val ev = (0 until 8).flatMap(d =>
+      (0 until (if (d % 2 == 0) 10 else 2)).map(i => Tuple1(dayTs(d, i))))
+      .toDF("ts")
+    val out = TimeSeries.periodogram(ev, "ts")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(out.size == 4, out.toString)
+    assert(out(4L) > 100 * math.max(out(1L), math.max(out(2L), out(3L))),
+      s"k=4 must dominate: $out")
+  }
+
+  test("partial correlation: a pure confound collapses to null-or-zero") {
+    // x and y both driven entirely by z: r_xy ≈ 1 via z alone, and
+    // controlling z leaves no residual variance → null
+    val df = (1 to 20).map(i => (i.toLong, i * 2L, i * 3L))
+      .toDF("xx", "yy", "zz")
+    val Array(r) = Profiling.partialCorr(df, "x" -> col("xx"),
+        "y" -> col("yy"), "z" -> col("zz"))
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(r._1 == Some(1.0) && r._2 == Some(1.0) && r._4.isEmpty,
+      r.toString)
+    // independent z: partial equals the raw correlation
+    val mixed = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 6L, 9L), (4L, 8L, 9L))
+      .toDF("xx", "yy", "zz")
+    val Array(m) = Profiling.partialCorr(mixed, "x" -> col("xx"),
+        "y" -> col("yy"), "z" -> col("zz"))
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(m._1 == Some(1.0) && m._4.exists(_ > 0.99), m.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
