@@ -3358,6 +3358,29 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- greedy max-coverage selection: 4 picks, each the document
+    // adding the most uncovered distinct tokens — coverage-based
+    // data selection (vocab breadth, not similarity redundancy) --
+    "q_o26_max_cover" -> ((s, d) =>
+      graft.ext.Sampling.maxCoverSelect(Tables.documents(s, d),
+        "doc_id", "text", k = 4).orderBy(col("pick_rank"))),
+
+    // -- two-tier retrieval: hamming sign scan nominates 50, exact
+    // cosine keeps 5 — the production ANN cascade, row-for-row
+    // oracle-replayable --
+    "q_n15_tiered_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ext.Similarity.tieredRerank(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", m = 50, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // -- Cohen's d of doc length between src0 and src1: the effect
+    // size the significance tests owe — exact sums, one double chain --
+    "q_p40_cohens_d" -> ((s, d) =>
+      graft.ext.Profiling.cohensD(Tables.documents(s, d), "source",
+        "n_chars", "src0", "src1")),
+
     // -- DAU / trailing-7d WAU / stickiness: dedupe to (day, user)
     // first, bounded day-axis fan-out for the sliding distinct — the
     // engagement report windows can't express --
@@ -7581,5 +7604,55 @@ object SparkEntry {
                       * (CAST(1 AS DOUBLE) - r_yz * r_yz)), 6)
                 END AS r_xy_given_z
          FROM r""",
+    "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_n15_tiered_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         h AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             len(list_filter(range(0, 64), i ->
+               (c.embedding[i + 1] >= 0) <> (q.embedding[i + 1] >= 0)))
+               AS hamming,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         t1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY hamming, cand_id) AS hrk
+           FROM h) WHERE hrk <= 50),
+         t2 AS (SELECT query_id, cand_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+           FROM t1)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, cos
+         FROM t2 WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_p40_cohens_d" ->
+      """WITH per AS (SELECT source AS g, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY source),
+         w AS (SELECT
+             CAST(max(CASE WHEN g = 'src0' THEN n END) AS BIGINT) AS n_a,
+             CAST(max(CASE WHEN g = 'src0' THEN s END) AS BIGINT) AS s_a,
+             CAST(max(CASE WHEN g = 'src0' THEN q END) AS HUGEINT) AS q_a,
+             CAST(max(CASE WHEN g = 'src1' THEN n END) AS BIGINT) AS n_b,
+             CAST(max(CASE WHEN g = 'src1' THEN s END) AS BIGINT) AS s_b,
+             CAST(max(CASE WHEN g = 'src1' THEN q END) AS HUGEINT) AS q_b
+           FROM per),
+         c AS (SELECT n_a, n_b, s_a, s_b,
+             CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) AS va,
+             CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+               / CAST(n_b * (n_b - 1) AS DOUBLE) AS vb
+           FROM w),
+         f AS (SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+             (CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+               / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+           FROM c)
+         SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0 THEN
+                  round((ma - mb) / sqrt(sp2), 6) END AS d
+         FROM f""",
   )
 }

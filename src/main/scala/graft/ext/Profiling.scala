@@ -805,6 +805,43 @@ object Profiling {
         round((center + half) / denom, 6).as("hi"))
   }
 
+  /** Cohen's d between two groups — the effect SIZE companion to the
+    * significance tests (a z of 40 on 10M rows can mean a difference
+    * nobody would notice; d says how many pooled standard deviations
+    * apart the means actually are):
+    *   d = (m_a − m_b) / s_p,  s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)
+    *                                   / (n_a+n_b−2).
+    * Exact integer sums (x² in DECIMAL(38,0)) off one filtered
+    * aggregate pass, pivoted with conditional aggregates; the means,
+    * variances and d are one fixed double chain on those integers,
+    * rounded 6 dp, NULL on degenerate n or zero pooled variance.
+    * Returns (n_a, n_b, mean_a, mean_b, d). */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("s"),
+        sum(d0(col(valueCol)) * d0(col(valueCol))).as("q"))
+    def pick(g: String, c: String) = max(when(col("g") === g, col(c)))
+    val w = per.agg(pick(a, "n").as("n_a"), pick(a, "s").as("s_a"),
+      pick(a, "q").as("q_a"), pick(b, "n").as("n_b"),
+      pick(b, "s").as("s_b"), pick(b, "q").as("q_b"))
+    def variance(n: Column, s: Column, q: Column) =
+      dd(d0(n) * q - d0(s) * d0(s)) / dd(n * (n - 1))
+    val va = variance(col("n_a"), col("s_a"), col("q_a"))
+    val vb = variance(col("n_b"), col("s_b"), col("q_b"))
+    val sp2 = (dd(col("n_a") - 1) * va + dd(col("n_b") - 1) * vb) /
+      dd(col("n_a") + col("n_b") - 2)
+    val ma = dd(col("s_a")) / dd(col("n_a"))
+    val mb = dd(col("s_b")) / dd(col("n_b"))
+    w.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(col("n_a") > 1 && col("n_b") > 1 && sp2 > 0,
+        round((ma - mb) / sqrt(sp2), 6)).as("d"))
+  }
+
   /** First-order partial correlation — "does x still track y once z
     * is held fixed?", the confound screen run before believing any
     * pairwise correlation:

@@ -442,6 +442,83 @@ object Sampling {
       .select(col("label"), col("id"))
   }
 
+  /** Greedy maximum-coverage document selection (the k-center idea in
+    * token space; 1−1/e-approximate, Nemhauser '78): each round picks
+    * the document adding the MOST not-yet-covered distinct tokens —
+    * the coverage-based data-selection pass that buys vocabulary
+    * breadth where similarity-based picks buy redundancy. Each of the
+    * k rounds is one anti-join against the covered-token set, one
+    * count aggregate, one 1-row argmax (gain desc, id) — no driver
+    * tokens, no quadratic pass. Returns (pick_rank, id, gain);
+    * documents whose tokens are fully covered can no longer win. */
+  def maxCoverSelect(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 8, s"unrolled rounds cap: $k")
+    require(shingleN >= 1 && shingleN <= 5)
+    // coverage units: word n-gram shingles (n=1 → plain tokens). The
+    // gate uses bigrams — the synthetic corpus has a 31-word vocab
+    // one document covers whole, while its ~900 bigrams keep every
+    // greedy round discriminative.
+    val unit = if (shingleN == 1) TextAnalysis.tokens(col(textCol))
+      else graft.functions.TextStats.shingles(col(textCol), shingleN)
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+        explode(unit).as("tok")).distinct()
+      .localCheckpoint(true)
+    var covered = tok.select(col("tok")).limit(0)
+    var remaining = tok
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val gains = remaining.join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+      val pick = gains.orderBy(col("gain").desc, col("id").asc).limit(1)
+        .select(lit(i.toLong).as("pick_rank"), col("id"), col("gain"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      covered = covered.unionByName(
+        remaining.join(pick.select(col("id")), Seq("id")).select(col("tok")))
+        .distinct().localCheckpoint(true)
+      remaining = remaining.join(pick.select(col("id")), Seq("id"),
+        "left_anti")
+    }
+    selected
+  }
+
+  /** The unrolled DuckDB oracle for [[maxCoverSelect]] over the
+    * documents table (word bigram shingles, the q_d4 replay) — one
+    * gains/argmax/covered CTE trio per greedy round, MATERIALIZED. */
+  def maxCoverOracleSql(k: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH tw AS (SELECT doc_id AS id,
+            list_filter(string_split_regex(trim(text), '\\s+'),
+              x -> x <> '') AS t
+          FROM documents),
+          tok AS MATERIALIZED (SELECT DISTINCT id,
+            unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS tok
+          FROM tw WHERE len(t) >= 2),
+          r1 AS MATERIALIZED (SELECT id, tok FROM tok)""")
+    for (i <- 1 to k) {
+      val gainSrc = if (i == 1) s"SELECT id, count(*) AS gain FROM r$i GROUP BY id"
+        else s"""SELECT r.id, count(*) AS gain FROM r$i r
+          LEFT JOIN c${i - 1} c ON r.tok = c.tok
+          WHERE c.tok IS NULL GROUP BY r.id"""
+      sb.append(s""", g$i AS MATERIALIZED ($gainSrc)""")
+      sb.append(s""", p$i AS MATERIALIZED (SELECT CAST($i AS BIGINT)
+          AS pick_rank, id, gain FROM (
+          SELECT *, row_number() OVER (ORDER BY gain DESC, id) AS rn
+          FROM g$i) WHERE rn = 1)""")
+      val prevCov = if (i == 1) "" else s"SELECT tok FROM c${i - 1} UNION "
+      sb.append(s""", c$i AS MATERIALIZED ($prevCov
+          SELECT r.tok FROM r$i r JOIN p$i USING (id))""")
+      sb.append(s""", r${i + 1} AS MATERIALIZED (SELECT r.id, r.tok
+          FROM r$i r LEFT JOIN p$i ON r.id = p$i.id
+          WHERE p$i.id IS NULL)""")
+    }
+    sb.append((1 to k).map(i =>
+      s"\nSELECT pick_rank, id, gain FROM p$i").mkString("", " UNION ALL", ""))
+    sb.append(" ORDER BY pick_rank")
+    sb.toString
+  }
+
   /** Chronological train/test split with an EMBARGO gap — the
     * temporal leakage guard (de Prado's purged split, the time-series
     * sibling of [[leakageSafeSplit]]'s component split): train is

@@ -482,6 +482,32 @@ object Similarity {
           col("__et").cast("double"), 6)).as("ratio"))
   }
 
+  /** Two-tier retrieval: the cheap [[hammingTopK]] sign scan nominates
+    * `m` candidates per query, exact cosine re-scores them, and only
+    * the top `k` survive — THE production ANN shape (a compressed
+    * first pass over everything, exact math over almost nothing).
+    * Both tiers are deterministic given the data, so unlike the
+    * seeded-LSH faces the gate replays the result row-for-row: the
+    * oracle runs the same hamming-then-cosine cascade in SQL. Ties
+    * break (hamming asc, cand_id) then (cos desc, cand_id). Returns
+    * (query_id, rank, cand_id, cos). */
+  def tieredRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, dim: Int = 64): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1: m=$m k=$k")
+    val cands = hammingTopK(corpus, queries, idCol, vecCol, m, dim)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")),
+        Seq("cand_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("query_v"))), Seq("query_id"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+    rankTopK(rescored, k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("cos"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

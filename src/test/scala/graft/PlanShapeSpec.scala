@@ -575,6 +575,22 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("tiered rerank: broadcast tiers, bounded top-k, no sort-merge") {
+    val plan = executedFinal(
+      SparkEntry.queries("q_n15_tiered_rerank")(spark, sf0001))
+    assert(plan.contains("TopKPerKey") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("UDF"), s"tiered rerank machinery:\n$plan")
+  }
+
+  test("max cover and Cohen's d: aggregate machinery, no cartesian") {
+    val mc = executedFinal(SparkEntry.queries("q_o26_max_cover")(spark, sf0001))
+    assert(mc.contains("TakeOrderedAndProject") &&
+      !mc.contains("CartesianProduct"), s"max cover machinery:\n$mc")
+    val cd = executedFinal(SparkEntry.queries("q_p40_cohens_d")(spark, sf0001))
+    assert(cd.contains("HashAggregate") && !cd.contains("Join") &&
+      !cd.contains("UDF"), s"cohens d machinery:\n$cd")
+  }
+
   test("DAU/WAU and periodogram: bounded fan-outs, no UDF") {
     val dw = executedFinal(SparkEntry.queries("q_t31_dau_wau")(spark, sf0001))
     assert(dw.contains("HashAggregate") && !dw.contains("SortMergeJoin") &&

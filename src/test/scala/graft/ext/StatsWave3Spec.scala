@@ -520,6 +520,40 @@ class StatsWave3Spec extends SparkSpec {
     assert(m._1 == Some(1.0) && m._4.exists(_ > 0.99), m.toString)
   }
 
+  test("max cover: greedy bigram gains, fully-covered docs can't win") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Sampling.maxCoverSelect(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc1 covers {a b, b c, c d} (3), doc3 adds {x y, y z} (2);
+    // doc2's only bigram is then covered → no third pick
+    assert(out.toSeq == Seq((1L, 1L, 3L), (2L, 3L, 2L)), out.mkString(","))
+  }
+
+  test("tiered rerank: hamming tier bounds the exact rescore set") {
+    val df = Seq((0L, Array(1f, 0.1f)), (1L, Array(1f, 0.2f)),
+      (2L, Array(1f, -0.1f)), (3L, Array(-1f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.tieredRerank(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", m = 2, k = 2, dim = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    // tier-1 keeps {1 (hamming 0), 2 (hamming 1)}; 3 never rescored
+    assert(out.map(_._3).toSeq == Seq(1L, 2L), out.mkString(","))
+    assert(out(0)._4 > out(1)._4, out.mkString(","))
+  }
+
+  test("Cohen's d: unit-variance shifted groups score the mean gap") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val Array(r) = Profiling.cohensD(df, "g", "v", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(r == ((3L, 3L, 2.0, 5.0, Some(-3.0))), r.toString)
+    val const = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "v")
+    val Array(c) = Profiling.cohensD(const, "g", "v", "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(c._5.isEmpty, c.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
