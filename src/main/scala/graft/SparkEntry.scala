@@ -3358,6 +3358,27 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- Kaplan–Meier signup→purchase survival with right-censoring:
+    // survivorship-bias-free time-to-conversion, exact risk table,
+    // ln-ladder product — the missing survival-analysis family --
+    "q_t33_survival" -> ((s, d) =>
+      graft.ext.TimeSeries.kmSurvival(Tables.events(s, d), "user_id",
+        "ts", "event_type", "signup", "purchase").orderBy(col("t_day"))),
+
+    // -- order-free cross-engine table checksum: poly-fingerprint
+    // rows folded by XOR + decimal sum — the migration audit --
+    "q_s_table_checksum" -> ((s, d) =>
+      graft.ext.Profiling.tableChecksum(Tables.lineitem(s, d), Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long"), col("l_returnflag"),
+        col("l_linestatus")))),
+
+    // -- Durbin–Watson on the daily trend residuals: is what the OLS
+    // line missed autocorrelated? exact five-sum fit, 6-dp residual
+    // ladder --
+    "q_p41_durbin_watson" -> ((s, d) =>
+      graft.ext.TimeSeries.durbinWatson(Tables.events(s, d), "ts")),
+
     // -- greedy max-coverage selection: 4 picks, each the document
     // adding the most uncovered distinct tokens — coverage-based
     // data selection (vocab breadth, not similarity redundancy) --
@@ -7605,6 +7626,95 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_t33_survival" ->
+      """WITH st AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+         pv AS (SELECT user_id AS u, ts AS te FROM events
+                WHERE event_type = 'purchase'),
+         hz AS (SELECT max(ts) AS tmax FROM events),
+         us AS (SELECT st.u, st.t0,
+             min(CASE WHEN pv.te >= st.t0 THEN pv.te END) AS tev
+           FROM st LEFT JOIN pv ON st.u = pv.u GROUP BY st.u, st.t0),
+         ud AS (SELECT u, CAST(CASE WHEN tev IS NOT NULL
+               THEN datediff('day', CAST(t0 AS DATE), CAST(tev AS DATE))
+               ELSE datediff('day', CAST(t0 AS DATE), CAST(tmax AS DATE))
+             END AS BIGINT) AS dur,
+             tev IS NOT NULL AS is_event
+           FROM us, hz),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ud),
+         pd AS (SELECT dur, count(*) AS n_all,
+             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events
+           FROM ud GROUP BY dur),
+         rk AS (SELECT dur, n_events,
+             CAST(n - coalesce(sum(n_all) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM pd, nn),
+         fe AS (SELECT dur, n_risk, n_events,
+             round(CAST(1 AS DOUBLE) - CAST(n_events AS DOUBLE)
+               / CAST(n_risk AS DOUBLE), 9) AS f
+           FROM rk WHERE n_events > 0),
+         cu AS (SELECT dur, n_risk, n_events,
+             sum(CASE WHEN f > 0 THEN
+                 CAST(round(ln(f), 12) AS DECIMAL(38,18)) END)
+               OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lnsum,
+             max(CASE WHEN f <= 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS anyzero
+           FROM fe)
+         SELECT dur AS t_day, n_risk, n_events,
+                CASE WHEN anyzero > 0 THEN 0.0
+                  ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+         FROM cu ORDER BY t_day""",
+    "q_s_table_checksum" ->
+      """WITH fp AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(concat_ws('|', l_orderkey,
+               l_partkey, l_suppkey,
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+               l_returnflag, l_linestatus), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp
+           FROM lineitem)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+                CAST(sum(fp) AS DECIMAL(38,0)) AS sum_fp
+         FROM fp""",
+    "q_p41_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY dt) - 1 AS BIGINT)
+                   AS t, x FROM daily),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(t AS HUGEINT)) AS st, sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(t AS HUGEINT) * x) AS stx,
+             sum(CAST(t AS HUGEINT) * t) AS stt
+           FROM idx),
+         ab AS (SELECT n, sx, st,
+             CAST(n * stx - st * sx AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b
+           FROM s),
+         ab2 AS (SELECT n, b,
+             (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(n AS DOUBLE) AS a
+           FROM ab),
+         res AS (SELECT t, n,
+             round(CAST(x AS DOUBLE) - (a + b * CAST(t AS DOUBLE)), 6) AS e
+           FROM idx, ab2),
+         dd AS (SELECT n, e, lag(e) OVER (ORDER BY t) AS ep FROM res),
+         terms AS (SELECT n,
+             CAST(round(e * e, 9) AS DECIMAL(38,12)) AS e2,
+             CASE WHEN ep IS NOT NULL THEN
+               CAST(round((e - ep) * (e - ep), 9) AS DECIMAL(38,12))
+             END AS d2
+           FROM dd),
+         agg AS (SELECT n, sum(e2) AS se2, sum(d2) AS sd2
+                 FROM terms GROUP BY n),
+         f AS (SELECT n, CASE WHEN se2 > 0 THEN
+             round(CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE), 6)
+           END AS dw FROM agg)
+         SELECT n, dw, CASE WHEN dw IS NOT NULL THEN
+             round(CAST(1 AS DOUBLE) - dw / 2, 6) END AS rho_approx
+         FROM f""",
     "q_n15_tiered_rerank" ->
       """WITH e AS (SELECT vec_id, embedding,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -805,6 +805,25 @@ object Profiling {
         round((center + half) / denom, 6).as("hi"))
   }
 
+  /** Order-free table checksum — the "did the copy/migration corrupt
+    * anything" audit that works ACROSS engines: per row the
+    * replayable poly fingerprint of the '|'-joined column values,
+    * folded two ways (XOR — overflow-free and order-free — and a
+    * plain sum in DECIMAL(38,0) for the second opinion: XOR misses a
+    * value appearing an even number of times, the sum doesn't; a
+    * row-hash built on xxhash would be faster but NOT replayable
+    * outside Spark, which defeats the cross-engine purpose). One
+    * aggregation pass, map-side combinable. Pass integer-castable /
+    * string columns only — float formatting differs across engines.
+    * Returns one row (n_rows, xor_fp, sum_fp). */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(graft.functions.TextStats.fingerprint(
+        concat_ws("|", cols: _*)).as("__fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__fp)").as("xor_fp"),
+        sum(col("__fp").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_fp"))
+
   /** Cohen's d between two groups — the effect SIZE companion to the
     * significance tests (a z of 40 on 10M rows can mean a difference
     * nobody would notice; d says how many pooled standard deviations

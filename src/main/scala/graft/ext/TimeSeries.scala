@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -615,6 +615,113 @@ object TimeSeries {
         (round(col("__ims").cast("double"), 4) + lit(0.0)).as("im"))
       .withColumn("power",
         round(col("re") * col("re") + col("im") * col("im"), 4))
+  }
+
+  /** Kaplan–Meier survival curve of time-to-conversion with
+    * right-censoring (KM '58) — "how long until a signup purchases,
+    * counting the users who never did?": naive averages over
+    * converters only are survivorship-biased; KM keeps every user at
+    * risk until their event OR censoring time (last observed day).
+    * Survival table machinery: per distinct event day d,
+    *   n_risk = n − (users gone before d),  factor = 1 − d_i/n_risk,
+    *   S(d) = Π factors — the product as exp of a cumulative sum of
+    * 12-dp-rounded ln(factor) terms in DECIMAL(38,18) (order-free),
+    * with an S=0 short-circuit once a factor hits 0 (ln −∞ never
+    * evaluated... it is, but the flag wins the `when`). All counts
+    * exact integers off one user table + one day-axis window.
+    * Returns (t_day, n_risk, n_events, survival). */
+  def kmSurvival(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, startType: String, eventType: String): DataFrame = {
+    val start = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t0"))
+    val ev = events.filter(col(typeCol) === eventType)
+      .select(col(userCol).as("u"), col(tsCol).as("te"))
+    val horizon = events.agg(max(col(tsCol)).as("tmax"))
+    // min over the conditional keeps pre-start conversions as NULLs
+    // (censored), instead of filtering such users out entirely
+    val users = start.join(ev, Seq("u"), "left")
+      .groupBy(col("u"), col("t0"))
+      .agg(min(when(col("te") >= col("t0"), col("te"))).as("tev"))
+      .crossJoin(broadcast(horizon))
+      .select(col("u"),
+        when(col("tev").isNotNull,
+          datediff(to_date(col("tev")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tmax")), to_date(col("t0"))))
+          .cast("long").as("dur"),
+        col("tev").isNotNull.as("is_event"))
+    val n = users.agg(count(lit(1)).as("n"))
+    val perDur = users.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("n_events"))
+    val wAsc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perDur.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_all")).over(wAsc), lit(0L)))
+      .filter(col("n_events") > 0)
+    val factor = round(lit(1.0) -
+      col("n_events").cast("double") / col("n_risk").cast("double"), 9)
+    risk
+      .withColumn("__f", factor)
+      .withColumn("__lnf", when(col("__f") > 0,
+        round(log(col("__f")), 12).cast("decimal(38,18)"))
+        .otherwise(lit(null).cast("decimal(38,18)")))
+      .withColumn("__anyzero",
+        max(when(col("__f") <= 0, 1L).otherwise(0L)).over(wCum))
+      .withColumn("__lnsum", sum(col("__lnf")).over(wCum))
+      .select(col("dur").as("t_day"), col("n_risk"), col("n_events"),
+        when(col("__anyzero") > 0, lit(0.0))
+          .otherwise(round(exp(col("__lnsum").cast("double")), 6))
+          .as("survival"))
+  }
+
+  /** Durbin–Watson statistic of the daily series' linear-trend
+    * residuals — "is what the trend line missed autocorrelated?"
+    * (DW ≈ 2 → independent, → 0 → positively correlated — your
+    * confidence intervals are lying). The OLS (a, b) come from the
+    * exact five integer sums (q_p27 chain), residuals round 6 dp,
+    * squared terms round 9 dp into DECIMAL(38,12), and
+    * DW = Σ(e_t−e_{t−1})²/Σe_t² is one closing division. One window
+    * over the day axis. Returns (n, dw, rho_approx = 1 − DW/2). */
+  def durbinWatson(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("t", (row_number().over(Window.orderBy(col("dt"))) - 1)
+        .cast("long"))
+      .select(col("t"), col("x")).localCheckpoint(true)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s = idx.agg(count(lit(1)).as("n"), sum(dec(col("t"))).as("st"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("t")) * dec(col("x"))).as("stx"),
+      sum(dec(col("t")) * dec(col("t"))).as("stt"))
+    val varT = (dec(col("n")) * col("stt") - col("st") * col("st"))
+      .cast("double")
+    val b = (dec(col("n")) * col("stx") - col("st") * col("sx"))
+      .cast("double") / varT
+    val a = (col("sx").cast("double") - b * col("st").cast("double")) /
+      col("n").cast("double")
+    val ab = s.select(col("n"), b.as("b"), a.as("a"))
+    val res = idx.crossJoin(broadcast(ab))
+      .select(col("t"), col("n"),
+        round(col("x").cast("double") -
+          (col("a") + col("b") * col("t").cast("double")), 6).as("e"))
+    val w = Window.orderBy(col("t"))
+    res
+      .withColumn("__ep", lag(col("e"), 1).over(w))
+      .select(col("n"),
+        round(col("e") * col("e"), 9).cast("decimal(38,12)").as("__e2"),
+        when(col("__ep").isNotNull,
+          round((col("e") - col("__ep")) * (col("e") - col("__ep")), 9)
+            .cast("decimal(38,12)")).as("__d2"))
+      .groupBy(col("n"))
+      .agg(sum(col("__e2")).as("__se2"), sum(col("__d2")).as("__sd2"))
+      .select(col("n"),
+        when(col("__se2") > 0, round(col("__sd2").cast("double") /
+          col("__se2").cast("double"), 6)).as("dw"))
+      .withColumn("rho_approx",
+        when(col("dw").isNotNull, round(lit(1.0) - col("dw") / 2, 6)))
   }
 
   /** Mann–Kendall trend test over the daily event-count series — the

@@ -575,6 +575,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("survival, checksum, Durbin–Watson: expected machinery, no UDF") {
+    val km = executedFinal(SparkEntry.queries("q_t33_survival")(spark, sf0001))
+    assert(km.contains("Window") && !km.contains("CartesianProduct") &&
+      !km.contains("UDF"), s"KM machinery:\n$km")
+    val ck = executedFinal(
+      SparkEntry.queries("q_s_table_checksum")(spark, sf0001))
+    assert(ck.contains("HashAggregate") && !ck.contains("Join") &&
+      !ck.contains("UDF"), s"checksum is one aggregation pass:\n$ck")
+    val dw = executedFinal(
+      SparkEntry.queries("q_p41_durbin_watson")(spark, sf0001))
+    assert(dw.contains("Window") && !dw.contains("UDF"),
+      s"durbin-watson machinery:\n$dw")
+  }
+
   test("tiered rerank: broadcast tiers, bounded top-k, no sort-merge") {
     val plan = executedFinal(
       SparkEntry.queries("q_n15_tiered_rerank")(spark, sf0001))

@@ -554,6 +554,51 @@ class StatsWave3Spec extends SparkSpec {
     assert(c._5.isEmpty, c.toString)
   }
 
+  test("Kaplan–Meier: textbook risk table with censoring, S steps exactly") {
+    def ev(u: Long, day: Int, typ: String) =
+      (u, new Timestamp(day * 86400000L), typ)
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 0, "signup"), ev(3, 0, "signup"),
+      ev(4, 0, "signup"), ev(5, 0, "signup"),
+      ev(1, 1, "purchase"), ev(4, 1, "purchase"), ev(2, 2, "purchase"),
+      ev(5, -1, "purchase"),  // pre-signup: must censor, not drop
+      ev(3, 3, "view")        // horizon marker: censor time = day 3
+    ).toDF("user_id", "ts", "event_type")
+    val out = TimeSeries.kmSurvival(events, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // t=1: risk 5, events 2 → S=0.6; t=2: risk 3, events 1 → S=0.4
+    assert(out.toSeq == Seq((1L, 5L, 2L, 0.6), (2L, 3L, 1L, 0.4)),
+      out.mkString(","))
+  }
+
+  test("table checksum: layout-invariant, sensitive to a single cell") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Profiling.tableChecksum(d, Seq(col("k"), col("v")))
+        .as[(Long, Long, java.math.BigDecimal)].collect().head
+    val base = sums(df)
+    assert(sums(df.repartition(5)) == base, "layout must not matter")
+    val changed = sums(Seq((1L, "a"), (2L, "b"), (3L, "d")).toDF("k", "v"))
+    assert(changed._2 != base._2 || changed._3 != base._3,
+      s"single-cell change must move the checksum: $base vs $changed")
+  }
+
+  test("Durbin–Watson: alternating residuals push DW toward 4") {
+    // daily counts 5,1,5,1 → residuals ±(0.8, 2.4): DW = 3.4, rho −0.7
+    val ev = Seq(5, 1, 5, 1).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(r) = TimeSeries.durbinWatson(ev, "ts")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(r == ((4L, Some(3.4), Some(-0.7))), r.toString)
+    // perfect line → zero residuals → DW undefined
+    val line = Seq(1, 2, 3).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(l) = TimeSeries.durbinWatson(line, "ts")
+      .as[(Long, Option[Double], Option[Double])].collect()
+    assert(l._2.isEmpty && l._3.isEmpty, l.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
