@@ -3358,6 +3358,39 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- one seeded label-propagation round, pure DF: unlabeled
+    // nodes take the majority neighbor label (tie → smallest) —
+    // exactly replayable, unlike the GraphX LPA fixpoint --
+    "q_g35_label_prop" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = e.select(col("src").as("node")).distinct()
+      val seeds = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("node"),
+          col("s_nationkey").cast("long").as("label"))
+        .filter(col("node") % 5 === 0)
+        .join(nodes, Seq("node"))
+      GraphQueries.labelPropRound(e, seeds).orderBy(col("node"))
+    }),
+
+    // -- Neyman optimal allocation of a 100-doc budget across the 20
+    // sources: quota ∝ n_h·s_h, largest-remainder integerization —
+    // the variance-minimizing sampling design --
+    "q_o27_neyman" -> ((s, d) =>
+      graft.ext.Sampling.neymanAllocation(Tables.documents(s, d),
+        "source", "n_chars", budget = 100).orderBy(col("grp"))),
+
+    // -- single binary-segmentation changepoint on the daily series:
+    // argmax two-segment SSB via prefix sums, ONE cumulative window
+    // — localization after q_t17's CUSUM screen --
+    "q_t34_binseg" -> ((s, d) =>
+      graft.ext.TimeSeries.binsegChangepoint(Tables.events(s, d), "ts")),
+
     // -- Kaplan–Meier signup→purchase survival with right-censoring:
     // survivorship-bias-free time-to-conversion, exact risk table,
     // ln-ladder product — the missing survival-analysis family --
@@ -7626,6 +7659,86 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_g35_label_prop" ->
+      """WITH canon AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         e AS (SELECT src, dst FROM canon
+               UNION ALL SELECT dst, src FROM canon),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         seeds AS (SELECT s_suppkey AS node,
+                     CAST(s_nationkey AS BIGINT) AS label
+                   FROM supplier
+                   WHERE s_suppkey % 5 = 0
+                     AND s_suppkey IN (SELECT node FROM nodes)),
+         votes AS (SELECT e.dst AS node, s.label, count(*) AS votes
+                   FROM e JOIN seeds s ON e.src = s.node
+                   GROUP BY e.dst, s.label),
+         win AS (SELECT node, label, CAST(votes AS BIGINT) AS votes FROM (
+             SELECT *, row_number() OVER (PARTITION BY node
+               ORDER BY votes DESC, label) AS rn FROM votes)
+           WHERE rn = 1)
+         SELECT node, label, 'seed' AS origin, CAST(NULL AS BIGINT) AS votes
+         FROM seeds
+         UNION ALL
+         SELECT w.node, w.label, 'prop', w.votes
+         FROM win w LEFT JOIN seeds s ON w.node = s.node
+         WHERE s.node IS NULL
+         ORDER BY node""",
+    "q_o27_neyman" ->
+      """WITH per AS (SELECT source AS grp, count(*) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+           FROM documents GROUP BY source),
+         w AS (SELECT grp, CAST(n_h AS BIGINT) AS n_h,
+             CASE WHEN n_h > 1 THEN round(CAST(n_h AS DOUBLE)
+               * sqrt(CAST(n_h * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(n_h * (n_h - 1) AS DOUBLE)), 9)
+             ELSE 0.0 END AS w
+           FROM per),
+         tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                   AS wtot FROM w),
+         based AS (SELECT grp, n_h, w,
+             CASE WHEN wtot > 0 THEN CAST(100 AS DOUBLE) * w / wtot
+               ELSE 0.0 END AS ex
+           FROM w, tot),
+         b2 AS (SELECT grp, n_h, w, ex,
+             CAST(floor(ex) AS BIGINT) AS base, ex - floor(ex) AS rem
+           FROM based),
+         lo AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS lft FROM b2),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, grp) AS rk
+                FROM b2)
+         SELECT grp, n_h, w,
+                CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT)
+                  AS quota
+         FROM rk, lo ORDER BY grp""",
+    "q_t34_binseg" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events GROUP BY 1),
+         c AS (SELECT dt, x, row_number() OVER (ORDER BY dt) AS i,
+             sum(x) OVER (ORDER BY dt ROWS UNBOUNDED PRECEDING) AS cs,
+             count(*) OVER () AS n, sum(x) OVER () AS s,
+             lead(dt) OVER (ORDER BY dt) AS nd
+           FROM daily),
+         sp AS (SELECT nd AS split_day, CAST(i AS BIGINT) AS n_left,
+             CAST(n - i AS BIGINT) AS n_right,
+             round(CAST(cs AS DOUBLE) / CAST(i AS DOUBLE), 4) AS mean_left,
+             round(CAST(s - cs AS DOUBLE) / CAST(n - i AS DOUBLE), 4)
+               AS mean_right,
+             round(CAST(
+               CAST(round(CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 / CAST(i AS DOUBLE), 6) AS DECIMAL(38,12))
+               + CAST(round(CAST(s - cs AS DOUBLE) * CAST(s - cs AS DOUBLE)
+                 / CAST(n - i AS DOUBLE), 6) AS DECIMAL(38,12))
+               - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12))
+               AS DOUBLE), 4) AS ssb
+           FROM c WHERE i < n)
+         SELECT * FROM (SELECT * FROM sp ORDER BY ssb DESC, split_day
+                        LIMIT 1)""",
     "q_t33_survival" ->
       """WITH st AS (SELECT user_id AS u, min(ts) AS t0 FROM events
            WHERE event_type = 'signup' GROUP BY user_id),

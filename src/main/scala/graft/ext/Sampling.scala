@@ -519,6 +519,46 @@ object Sampling {
     sb.toString
   }
 
+  /** Neyman optimal allocation (Neyman '34) — how to split a sample
+    * budget across strata when they differ in size AND spread:
+    * quota_h ∝ n_h·s_h (a high-variance stratum earns more budget
+    * than proportional allocation would give it; the design that
+    * minimizes the stratified-mean variance). Stratum sd comes from
+    * exact integer sums, weights round 9 dp, and integerization is
+    * largest-remainder (floor + biggest fractional parts win the
+    * leftovers, tie → first stratum name) — quotas sum to exactly
+    * `budget`. Two aggregates + one weight window. Returns
+    * (grp, n_h, w, quota). */
+  def neymanAllocation(df: DataFrame, grpCol: String, valueCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1)
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.groupBy(col(grpCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_h"), sum(col(valueCol).cast("long")).as("s"),
+        sum(d0(col(valueCol)) * d0(col(valueCol))).as("q"))
+      .withColumn("w", when(col("n_h") > 1,
+        round(col("n_h").cast("double") *
+          sqrt((d0(col("n_h")) * col("q") - d0(col("s")) * d0(col("s")))
+            .cast("double") /
+            (col("n_h") * (col("n_h") - 1)).cast("double")), 9))
+        .otherwise(lit(0.0)))
+    val tot = per.agg(sum(col("w").cast("decimal(38,12)"))
+      .cast("double").as("wtot"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("__exact", when(col("wtot") > 0,
+        lit(budget.toDouble) * col("w") / col("wtot")).otherwise(lit(0.0)))
+      .withColumn("__base", floor(col("__exact")).cast("long"))
+      .withColumn("__rem", col("__exact") - col("__base").cast("double"))
+    val leftover = based.agg((lit(budget.toLong) - sum(col("__base")))
+      .as("__left"))
+    val wRank = Window.orderBy(col("__rem").desc, col("grp"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(col("grp"), col("n_h"), col("w"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).as("quota"))
+  }
+
   /** Chronological train/test split with an EMBARGO gap — the
     * temporal leakage guard (de Prado's purged split, the time-series
     * sibling of [[leakageSafeSplit]]'s component split): train is

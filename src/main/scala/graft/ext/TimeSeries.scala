@@ -677,6 +677,47 @@ object TimeSeries {
           .as("survival"))
   }
 
+  /** Single binary-segmentation changepoint on the daily count
+    * series — the LOCALIZATION step after [[cusum]]'s screen says
+    * "something moved": choose the split that maximizes the
+    * between-segment sum of squares
+    *   SSB(i) = S_l²/n_l + S_r²/n_r − S²/n
+    * (the two-segment ANOVA identity — only prefix sums needed, so
+    * the whole sweep is ONE cumulative window over the day axis).
+    * Exact integer prefix/total sums; each S²/n term rounds 6 dp
+    * into DECIMAL(38,12) (the anovaF ladder), argmax ties to the
+    * earliest split. Returns one row
+    * (split_day, n_left, n_right, mean_left, mean_right, ssb) —
+    * split_day is the first day of the right segment. */
+  def binsegChangepoint(events: DataFrame, tsCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,12)")
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val wCum = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def term(s: Column, n: Column) = dec(round(s.cast("double") *
+      s.cast("double") / n.cast("double"), 6))
+    daily
+      .withColumn("__i", row_number().over(Window.orderBy(col("dt"))))
+      .withColumn("__cs", sum(col("x")).over(wCum))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("x")).over(wAll))
+      .withColumn("__nd", lead(col("dt"), 1).over(Window.orderBy(col("dt"))))
+      .filter(col("__i") < col("__n"))
+      .select(col("__nd").as("split_day"), col("__i").as("n_left"),
+        (col("__n") - col("__i")).as("n_right"),
+        round(col("__cs").cast("double") / col("__i").cast("double"), 4)
+          .as("mean_left"),
+        round((col("__s") - col("__cs")).cast("double") /
+          (col("__n") - col("__i")).cast("double"), 4).as("mean_right"),
+        round((term(col("__cs"), col("__i"))
+          + term(col("__s") - col("__cs"), col("__n") - col("__i"))
+          - term(col("__s"), col("__n"))).cast("double"), 4).as("ssb"))
+      .orderBy(col("ssb").desc, col("split_day")).limit(1)
+  }
+
   /** Durbin–Watson statistic of the daily series' linear-trend
     * residuals — "is what the trend line missed autocorrelated?"
     * (DW ≈ 2 → independent, → 0 → positively correlated — your

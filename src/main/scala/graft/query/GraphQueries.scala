@@ -1271,6 +1271,31 @@ object GraphQueries {
         (col("cum") * 10 >= col("tot") * 9).as("reaches_p90"))
   }
 
+  /** One seeded label-propagation round, pure DataFrame — the
+    * semi-supervised "spread the labels you have" step (Zhu–
+    * Ghahramani '02 reduced to one exact round): every unlabeled
+    * node takes the MAJORITY label among its labeled neighbors
+    * (tie → smallest label), seeds keep theirs. Unlike the GraphX
+    * convergence face (`q_gx_lpa`, whose fixpoint is seed-order
+    * sensitive), a single round is exactly replayable: one edge⋈seed
+    * join, one vote aggregate, one bounded argmax per node. Returns
+    * (node, label, origin['seed'|'prop'], votes) — unreached nodes
+    * don't appear. */
+  def labelPropRound(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val votes = edges.join(seeds.select(col("node").as("src"),
+        col("label")), Seq("src"))
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val win = graft.plans.TopK.topKPerKey(votes, Seq(col("node")),
+      Seq(col("votes").desc, col("label")), 1)
+    seeds.select(col("node"), col("label"), lit("seed").as("origin"),
+        lit(null).cast("long").as("votes"))
+      .unionByName(win.join(seeds.select(col("node")), Seq("node"),
+          "left_anti")
+        .select(col("node"), col("label"), lit("prop").as("origin"),
+          col("votes")))
+  }
+
   /** Per-edge neighborhood Jaccard — the tie-strength score local
     * graph sparsification keeps edges by (Satuluri et al. SIGMOD'11):
     * for each canonical edge (u,v),

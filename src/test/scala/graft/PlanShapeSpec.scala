@@ -575,6 +575,19 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("label prop, Neyman, binseg: bounded argmax/window machinery") {
+    val lp = executedFinal(
+      SparkEntry.queries("q_g35_label_prop")(spark, sf0001))
+    assert(lp.contains("TopKPerKey") && !lp.contains("CartesianProduct") &&
+      !lp.contains("UDF"), s"label prop machinery:\n$lp")
+    val ne = executedFinal(SparkEntry.queries("q_o27_neyman")(spark, sf0001))
+    assert(ne.contains("HashAggregate") && !ne.contains("SortMergeJoin") &&
+      !ne.contains("UDF"), s"neyman machinery:\n$ne")
+    val bs = executedFinal(SparkEntry.queries("q_t34_binseg")(spark, sf0001))
+    assert(bs.contains("Window") && bs.contains("TakeOrderedAndProject") &&
+      !bs.contains("UDF"), s"binseg machinery:\n$bs")
+  }
+
   test("survival, checksum, Durbin–Watson: expected machinery, no UDF") {
     val km = executedFinal(SparkEntry.queries("q_t33_survival")(spark, sf0001))
     assert(km.contains("Window") && !km.contains("CartesianProduct") &&

@@ -599,6 +599,52 @@ class StatsWave3Spec extends SparkSpec {
     assert(l._2.isEmpty && l._3.isEmpty, l.toString)
   }
 
+  test("label prop: majority vote with smallest-label ties, seeds keep") {
+    // star: center 9 unlabeled, leaves 1(l=5), 2(l=5), 3(l=7);
+    // leaf 4 unlabeled and connected only to 9 (no labeled nbr)
+    val canon = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
+    val e = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("node", "label")
+    val out = graft.query.GraphQueries.labelPropRound(e, seeds)
+      .as[(Long, Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(9L) == ((5L, "prop", Some(2L))), out.toString)
+    assert(out(1L) == ((5L, "seed", None)), out.toString)
+    assert(!out.contains(4L), s"no labeled neighbor → no row: $out")
+    // exact vote tie → smallest label wins
+    val tie = graft.query.GraphQueries.labelPropRound(e,
+        Seq((1L, 8L), (2L, 6L)).toDF("node", "label"))
+      .as[(Long, Long, String, Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(tie(9L) == 6L, tie.toString)
+  }
+
+  test("Neyman allocation: variance earns budget, quotas sum exactly") {
+    // a: n=4 sd=0 → w=0; b: n=2 values {0,10}; c: n=2 values {0,1000}
+    val df = (Seq.fill(4)(("a", 5)) ++ Seq(("b", 0), ("b", 10),
+      ("c", 0), ("c", 1000))).toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, "g", "v", budget = 10)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(out("a")._2 == 0L, out.toString)
+    assert(out.values.map(_._2).sum == 10L, out.toString)
+    assert(out("c")._2 > out("b")._2, s"higher sd must earn more: $out")
+  }
+
+  test("binseg: a planted level shift splits exactly at the jump") {
+    // days 1-5 at 3/day, days 6-10 at 12/day
+    val ev = (0 until 10).flatMap(d =>
+      (0 until (if (d < 5) 3 else 12)).map(i => Tuple1(dayTs(d, i))))
+      .toDF("ts")
+    val Array(r) = TimeSeries.binsegChangepoint(ev, "ts")
+      .as[(java.sql.Date, Long, Long, Double, Double, Double)].collect()
+    assert(r._1.toString == "1970-01-06" && r._2 == 5L && r._3 == 5L &&
+      r._4 == 3.0 && r._5 == 12.0, r.toString)
+    // SSB at the true split: 5·3²+5·12² − 10·7.5² = 45+720−562.5 = 202.5
+    assert(r._6 == 202.5, r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
