@@ -3358,6 +3358,34 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- mutual-kNN graph audit over the full exact top-5: directed
+    // vs reciprocated edges — the reliability screen density
+    // clustering builds on --
+    "q_n16_mutual_knn" -> ((s, d) =>
+      graft.ext.Similarity.mutualKnnStats(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 5)),
+
+    // -- template/boilerplate detection: docs sharing their first 10
+    // tokens grouped by prefix fingerprint — the C4-style stamp-out
+    // target; text never shuffles, one long per doc does --
+    "q_x38_template_prefixes" -> ((s, d) =>
+      graft.ext.TextAnalysis.templatePrefixes(Tables.documents(s, d),
+        "doc_id", "text", k = 10).orderBy(col("prefix_fp"))),
+
+    // -- truncated Katz centrality (β=0.1, 3 terms) on the
+    // co-purchase graph: integer walk counts, katz·1000 an exact
+    // BIGINT — discounted walk influence --
+    "q_g36_katz" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val e = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      GraphQueries.katzTruncated(e).orderBy(col("node"))
+    }),
+
     // -- one seeded label-propagation round, pure DF: unlabeled
     // nodes take the majority neighbor label (tie → smallest) —
     // exactly replayable, unlike the GraphX LPA fixpoint --
@@ -7659,6 +7687,65 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_n16_mutual_knn" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sc AS (SELECT q.vec_id AS a, c.vec_id AS b,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+         knn AS (SELECT a, b FROM (SELECT *, row_number() OVER (
+             PARTITION BY a ORDER BY cos DESC, b) AS rn FROM sc)
+           WHERE rn <= 5),
+         mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
+                FROM knn k1 JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+                WHERE k1.a < k1.b),
+         st AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_nodes,
+                  CAST(count(*) AS BIGINT) AS n_directed FROM knn)
+         SELECT n_nodes, n_directed, n_mutual,
+                round(CAST(n_mutual AS DOUBLE) * 2
+                  / CAST(n_directed AS DOUBLE), 6) AS mutuality
+         FROM st, mu""",
+    "q_x38_template_prefixes" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         p AS (SELECT doc_id, array_to_string(tk[1:10], ' ') AS prefix
+               FROM t),
+         fp AS (SELECT doc_id, CASE WHEN prefix = '' THEN 0
+             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(prefix, ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) END AS prefix_fp
+           FROM p)
+         SELECT prefix_fp, CAST(count(*) AS BIGINT) AS n_docs,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM fp GROUP BY prefix_fp HAVING count(*) >= 2
+         ORDER BY prefix_fp""",
+    "q_g36_katz" ->
+      """WITH canon AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         e AS (SELECT src, dst FROM canon
+               UNION ALL SELECT dst, src FROM canon),
+         w1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w1
+                FROM e GROUP BY dst),
+         w2 AS (SELECT e.dst AS node, CAST(sum(w1.w1) AS BIGINT) AS w2
+                FROM e JOIN w1 ON w1.node = e.src GROUP BY e.dst),
+         w3 AS (SELECT e.dst AS node, CAST(sum(w2.w2) AS BIGINT) AS w3
+                FROM e JOIN w2 ON w2.node = e.src GROUP BY e.dst)
+         SELECT w1.node, w1.w1,
+                CAST(coalesce(w2.w2, 0) AS BIGINT) AS w2,
+                CAST(coalesce(w3.w3, 0) AS BIGINT) AS w3,
+                CAST(w1.w1 * 100 + coalesce(w2.w2, 0) * 10
+                  + coalesce(w3.w3, 0) AS BIGINT) AS katz1000,
+                round(CAST(w1.w1 * 100 + coalesce(w2.w2, 0) * 10
+                  + coalesce(w3.w3, 0) AS DOUBLE) / 1000, 4) AS katz
+         FROM w1 LEFT JOIN w2 USING (node) LEFT JOIN w3 USING (node)
+         ORDER BY node""",
     "q_g35_label_prop" ->
       """WITH canon AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk

@@ -508,6 +508,31 @@ object Similarity {
         col("cand_id"), col("cos"))
   }
 
+  /** Mutual-kNN graph statistics — the symmetry audit of a kNN graph
+    * before density clustering builds on it (mutual edges are the
+    * reliable ones; a point whose neighbors don't reciprocate is
+    * likely a hub artifact of high-dimensional space): over the
+    * exact top-k of EVERY point, count directed edges, mutual pairs
+    * (b ∈ knn(a) ∧ a ∈ knn(b) — one self-join on the swapped key),
+    * and the mutuality ratio 2·mutual/directed. Fully deterministic,
+    * exact-oracle. Returns (n_nodes, n_directed, n_mutual,
+    * mutuality). */
+  def mutualKnnStats(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val knn = bruteForceTopK(corpus, corpus, idCol, vecCol, k)
+      .select(col("query_id").as("a"), col("cand_id").as("b"))
+      .localCheckpoint(true)
+    val mutual = knn
+      .join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+    knn.agg(countDistinct(col("a")).as("n_nodes"),
+        count(lit(1)).as("n_directed"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+      .select(col("n_nodes"), col("n_directed"), col("n_mutual"),
+        round(col("n_mutual").cast("double") * 2 /
+          col("n_directed").cast("double"), 6).as("mutuality"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

@@ -724,6 +724,27 @@ object TextAnalysis {
       flesch.as("flesch"))
   }
 
+  /** Template/boilerplate detection by shared prefix — documents
+    * opening with the same first `k` tokens are almost always one
+    * template stamped many times (the C4-style cleanup target: strip
+    * or collapse them before they dominate the loss). The prefix
+    * rides as its poly fingerprint (one long per doc — text never
+    * shuffles), templates are groups of ≥ `minDocs`; min/max ids
+    * locate exemplars. Short docs (< k tokens) group by their full
+    * text. One map pass + one hash aggregate. Returns
+    * (prefix_fp, n_docs, min_doc, max_doc). */
+  def templatePrefixes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2)
+    val prefix = array_join(slice(tokens(col(textCol)), 1, k), " ")
+    docs.select(col(idCol).as("id"),
+        graft.functions.TextStats.fingerprint(prefix).as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc"),
+        max(col("id")).as("max_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Simpson diversity of each group's token distribution — "how
     * concentrated is this source's vocabulary?", the ecology-standard
     * companion to [[graft.ext.Profiling.giniConcentration]]. Two

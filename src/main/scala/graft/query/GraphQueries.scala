@@ -1296,6 +1296,32 @@ object GraphQueries {
           col("votes")))
   }
 
+  /** Truncated Katz centrality (Katz '53) with β = 0.1, three terms —
+    * "count my walks, discount the long ones": katz_i = Σ_k β^k ·
+    * (#k-walks ending at i). The trick that keeps the gate EXACT:
+    * walk counts are integers (w1 = in-degree, w_{k+1} = Σ over
+    * in-neighbors of w_k — one join + aggregate per term) and β=0.1
+    * makes the score a terminating decimal, so katz·1000 =
+    * 100·w1 + 10·w2 + w3 is a plain BIGINT both engines hash
+    * bit-for-bit; the reported double is one division. Returns
+    * (node, w1, w2, w3, katz1000, katz). */
+  def katzTruncated(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val w1 = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("w1"))
+    def next(prev: DataFrame, in: String, out: String) =
+      e.join(prev.select(col("node").as("src"), col(in)), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col(in)).as(out))
+    val w2 = next(w1, "w1", "w2")
+    val w3 = next(w2, "w2", "w3")
+    w1.join(w2, Seq("node"), "left").join(w3, Seq("node"), "left")
+      .select(col("node"), col("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+      .withColumn("katz1000",
+        col("w1") * 100 + col("w2") * 10 + col("w3"))
+      .withColumn("katz", round(col("katz1000").cast("double") / 1000, 4))
+  }
+
   /** Per-edge neighborhood Jaccard — the tie-strength score local
     * graph sparsification keeps edges by (Satuluri et al. SIGMOD'11):
     * for each canonical edge (u,v),

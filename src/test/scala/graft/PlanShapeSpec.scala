@@ -575,6 +575,23 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("mutual kNN, templates, Katz: equi-join/aggregate machinery") {
+    // the knn side materializes via localCheckpoint, so the final plan
+    // shows only the stats tail — assert it stays aggregate-only
+    val mk = executedFinal(
+      SparkEntry.queries("q_n16_mutual_knn")(spark, sf0001))
+    assert(mk.contains("HashAggregate") && !mk.contains("UDF") &&
+      !mk.contains("SortMergeJoin"), s"mutual knn machinery:\n$mk")
+    val tp = executedFinal(
+      SparkEntry.queries("q_x38_template_prefixes")(spark, sf0001))
+    assert(tp.contains("HashAggregate") && !tp.contains("Join") &&
+      !tp.contains("UDF"), s"template machinery is one map+agg:\n$tp")
+    val kz = executedFinal(SparkEntry.queries("q_g36_katz")(spark, sf0001))
+    assert(kz.contains("HashAggregate") &&
+      !kz.contains("CartesianProduct") && !kz.contains("UDF"),
+      s"katz machinery:\n$kz")
+  }
+
   test("label prop, Neyman, binseg: bounded argmax/window machinery") {
     val lp = executedFinal(
       SparkEntry.queries("q_g35_label_prop")(spark, sf0001))

@@ -645,6 +645,39 @@ class StatsWave3Spec extends SparkSpec {
     assert(r._6 == 202.5, r.toString)
   }
 
+  test("mutual kNN: reciprocated pair + hub one-way edge by hand") {
+    val df = Seq((0L, Array(1f, 0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val Array(r) = Similarity.mutualKnnStats(df, "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    // 0↔1 mutual; 2→1 unreciprocated: 3 directed, 1 mutual
+    assert(r == ((3L, 3L, 1L, 0.666667)), r.toString)
+  }
+
+  test("template prefixes: shared heads group, short docs use full text") {
+    val docs = Seq((1L, "x y alpha"), (2L, "x y beta"), (3L, "z w"),
+      (4L, "z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.templatePrefixes(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.length == 2, out.mkString(","))
+    assert(out(0)._2 == 2L && out(0)._3 == 1L && out(0)._4 == 2L,
+      out.mkString(","))
+    assert(out(1)._2 == 2L && out(1)._3 == 3L && out(1)._4 == 4L,
+      out.mkString(","))
+  }
+
+  test("Katz truncated: path-graph walk counts replay exactly") {
+    val canon = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = canon.unionByName(canon.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val out = graft.query.GraphQueries.katzTruncated(e)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 122L, 0.122)), out.toString)
+    assert(out(2L) == ((2L, 2L, 4L, 224L, 0.224)), out.toString)
+    assert(out(3L) == ((1L, 2L, 2L, 122L, 0.122)), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
