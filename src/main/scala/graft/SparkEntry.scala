@@ -3358,6 +3358,25 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- per-source token yield under exact dedup: what will dedup
+    // cost each source — the budgeting number before mixture quotas --
+    "q_d13_dedup_yield" -> ((s, d) =>
+      graft.ext.Dedup.dedupYield(Tables.documents(s, d), "doc_id",
+        "text", "source").orderBy(col("grp"))),
+
+    // -- cumulative unique users via the first-seen trick: running
+    // COUNT(DISTINCT) without the quadratic union recompute --
+    "q_t35_cumulative_uniques" -> ((s, d) =>
+      graft.ext.TimeSeries.cumulativeUniques(Tables.events(s, d),
+        "user_id", "ts").orderBy(col("dt"))),
+
+    // -- exact skewness/excess kurtosis of doc length per source:
+    // four integer power sums, fixed double chain — the tail-shape
+    // profile Spark's streaming skewness can't replay --
+    "q_p42_moments" -> ((s, d) =>
+      graft.ext.Profiling.moments(Tables.documents(s, d), "source",
+        "n_chars").orderBy(col("grp"))),
+
     // -- mutual-kNN graph audit over the full exact top-5: directed
     // vs reciprocated edges — the reliability screen density
     // clustering builds on --
@@ -7687,6 +7706,64 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_d13_dedup_yield" ->
+      """WITH base AS (SELECT source AS grp, doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS nt,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+           FROM documents)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS raw_tokens,
+                CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS kept_docs,
+                CAST(sum(CASE WHEN rk = 1 THEN nt ELSE 0 END) AS BIGINT)
+                  AS kept_tokens,
+                CASE WHEN sum(nt) > 0 THEN
+                  round(CAST(sum(CASE WHEN rk = 1 THEN nt ELSE 0 END)
+                    AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6)
+                END AS token_yield
+         FROM base GROUP BY grp ORDER BY grp""",
+    "q_t35_cumulative_uniques" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id AS u
+           FROM events),
+         dau AS (SELECT dt, CAST(count(*) AS BIGINT) AS dau
+                 FROM du GROUP BY dt),
+         fd AS (SELECT dt, CAST(count(*) AS BIGINT) AS new_users FROM (
+             SELECT u, min(dt) AS dt FROM du GROUP BY u) GROUP BY dt),
+         j AS (SELECT dau.dt, dau.dau,
+                 CAST(coalesce(fd.new_users, 0) AS BIGINT) AS new_users
+               FROM dau LEFT JOIN fd USING (dt))
+         SELECT dt, dau, new_users,
+                CAST(sum(new_users) OVER (ORDER BY dt
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+                dau - new_users AS returning
+         FROM j ORDER BY dt""",
+    "q_p42_moments" ->
+      """WITH per AS (SELECT source AS grp, count(*) AS n,
+             sum(CAST(n_chars AS HUGEINT)) AS s1,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+               AS s4
+           FROM documents GROUP BY source),
+         m AS (SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+           FROM per),
+         c AS (SELECT grp, n, mean,
+             r1 - mean * mean AS m2,
+             r2 - mean * r1 * 3 + mean * mean * mean * 2 AS m3,
+             r3 - mean * r2 * 4 + mean * mean * r1 * 6
+               - mean * mean * mean * mean * 3 AS m4
+           FROM m)
+         SELECT grp, n, round(mean, 6) AS mean, round(m2, 6) AS m2,
+                CASE WHEN m2 > 0 THEN
+                  round(m3 / (m2 * sqrt(m2)), 6) END AS skew,
+                CASE WHEN m2 > 0 THEN
+                  round(m4 / (m2 * m2) - 3, 6) END AS kurt
+         FROM c ORDER BY grp""",
     "q_n16_mutual_knn" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

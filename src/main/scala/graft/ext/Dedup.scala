@@ -30,6 +30,32 @@ object Dedup {
   def dropExact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.join(groups(df, idCol, keyCols).select(col("rep_id").as(idCol)), Seq(idCol), "left_semi")
 
+  /** Per-group token-yield report of exact dedup — "what will dedup
+    * cost each source?", the budgeting number a mixture plan needs
+    * BEFORE committing quotas (a source that is 40% self-copies
+    * contributes far fewer net tokens than its raw size claims).
+    * Keep-first = min id per exact text (the [[dropExact]] rule, as
+    * one keyed window — a duplicate spanning two sources credits the
+    * min-id's source, exactly like the real pass would). All counts
+    * exact integers; yield is one division. Returns
+    * (grp, n_docs, raw_tokens, kept_docs, kept_tokens, token_yield). */
+  def dedupYield(docs: DataFrame, idCol: String, textCol: String,
+      grpCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    docs.select(col(grpCol).as("grp"), col(idCol), col(textCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("raw_tokens"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("__rk") === 1, col("__nt")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("token_yield",
+        when(col("raw_tokens") > 0, round(col("kept_tokens").cast("double") /
+          col("raw_tokens").cast("double"), 6)))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Deterministic MinHash signature (k permutations) over a string

@@ -824,6 +824,39 @@ object Profiling {
         sum(col("__fp").cast("decimal(38,0)")).cast("decimal(38,0)")
           .as("sum_fp"))
 
+  /** Exact higher moments per group — skewness and excess kurtosis
+    * from the four integer power sums (x² through x⁴ in
+    * DECIMAL(38,0); Spark's built-in skewness/kurtosis stream floats
+    * and are partition-order wobbly — these replay bit-for-bit):
+    *   m2 = r1 − μ², m3 = r2 − 3μr1 + 2μ³,
+    *   m4 = r3 − 4μr2 + 6μ²r1 − 3μ⁴  (r_k the raw k+1 moments),
+    *   skew = m3/(m2·√m2), kurt = m4/m2² − 3,
+    * one fixed double chain mirrored token-for-token in the oracle
+    * (√ not pow — smaller libm surface), rounded 6 dp; NULL when m2
+    * degenerates. The tail-shape profile of any numeric column.
+    * Returns (grp, n, mean, m2, skew, kurt). */
+  def moments(df: DataFrame, grpCol: String, valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val v = d0(col(valueCol))
+    val per = df.groupBy(col(grpCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = dd(col("n"))
+    val mean = dd(col("s1")) / n
+    val r1 = dd(col("s2")) / n
+    val r2 = dd(col("s3")) / n
+    val r3 = dd(col("s4")) / n
+    val m2 = r1 - mean * mean
+    val m3 = r2 - mean * r1 * 3 + mean * mean * mean * 2
+    val m4 = r3 - mean * r2 * 4 + mean * mean * r1 * 6 -
+      mean * mean * mean * mean * 3
+    per.select(col("grp"), col("n"), round(mean, 6).as("mean"),
+      round(m2, 6).as("m2"),
+      when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)).as("skew"),
+      when(m2 > 0, round(m4 / (m2 * m2) - 3, 6)).as("kurt"))
+  }
+
   /** Cohen's d between two groups — the effect SIZE companion to the
     * significance tests (a z of 40 on 10M rows can mean a difference
     * nobody would notice; d says how many pooled standard deviations

@@ -718,6 +718,30 @@ object TimeSeries {
       .orderBy(col("ssb").desc, col("split_day")).limit(1)
   }
 
+  /** Cumulative unique users per day via the FIRST-SEEN trick — the
+    * canonical scale pattern for "total users to date": a running
+    * COUNT(DISTINCT) recomputes the union per day (quadratic in
+    * days), but cumulative uniques at day d ≡ users whose FIRST
+    * active day ≤ d — one min-aggregate per user, one count per
+    * first-day, one running sum over the bounded day axis. DAU joins
+    * the same axis; returning = dau − new. All-integer. Returns
+    * (dt, dau, new_users, cum_users, returning). */
+  def cumulativeUniques(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val du = events.select(to_date(col(tsCol)).as("dt"),
+      col(userCol).as("u")).distinct().localCheckpoint(true)
+    val dau = du.groupBy(col("dt")).agg(count(lit(1)).as("dau"))
+    val firstDay = du.groupBy(col("u")).agg(min(col("dt")).as("dt"))
+      .groupBy(col("dt")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstDay, Seq("dt"), "left")
+      .select(col("dt"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .withColumn("returning", col("dau") - col("new_users"))
+  }
+
   /** Durbin–Watson statistic of the daily series' linear-trend
     * residuals — "is what the trend line missed autocorrelated?"
     * (DW ≈ 2 → independent, → 0 → positively correlated — your

@@ -575,6 +575,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("dedup yield, cumulative uniques, moments: window/agg machinery") {
+    val dy = executedFinal(
+      SparkEntry.queries("q_d13_dedup_yield")(spark, sf0001))
+    assert(dy.contains("Window") && !dy.contains("Join") &&
+      !dy.contains("UDF"), s"yield is one keyed window + agg:\n$dy")
+    val cu = executedFinal(
+      SparkEntry.queries("q_t35_cumulative_uniques")(spark, sf0001))
+    assert(cu.contains("Window") && !cu.contains("SortMergeJoin") &&
+      !cu.contains("UDF"), s"cumulative uniques machinery:\n$cu")
+    val mo = executedFinal(SparkEntry.queries("q_p42_moments")(spark, sf0001))
+    assert(mo.contains("HashAggregate") && !mo.contains("Join") &&
+      !mo.contains("UDF"), s"moments is one aggregation pass:\n$mo")
+  }
+
   test("mutual kNN, templates, Katz: equi-join/aggregate machinery") {
     // the knn side materializes via localCheckpoint, so the final plan
     // shows only the stats tail — assert it stays aggregate-only

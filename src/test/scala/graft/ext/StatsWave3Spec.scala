@@ -678,6 +678,47 @@ class StatsWave3Spec extends SparkSpec {
     assert(out(3L) == ((1L, 2L, 2L, 122L, 0.122)), out.toString)
   }
 
+  test("dedup yield: cross-source duplicate credits the min-id source") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "a b c"),
+      (3L, "s2", "d e"), (4L, "s2", "d e")).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupYield(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // s1 keeps its copy (min id); s2 loses the cross-source dup AND
+    // one in-source dup: raw 2+2+2 = 6 tokens, kept only "d e"
+    assert(out("s1") == ((1L, 3L, 1L, 3L, Some(1.0))), out.toString)
+    assert(out("s2") == ((3L, 7L, 1L, 2L, Some(0.285714))), out.toString)
+  }
+
+  test("cumulative uniques: first-seen trick replays running distinct") {
+    // u1 on days 1,2; u2 on day 2; u3 on day 3
+    val ev = Seq((1, 1L), (2, 1L), (2, 2L), (3, 3L)).map { case (d, u) =>
+      (new Timestamp((d - 1) * 86400000L), u) }.toDF("ts", "user_id")
+    val out = TimeSeries.cumulativeUniques(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("1970-01-01") == ((1L, 1L, 1L, 0L)), out.toString)
+    assert(out("1970-01-02") == ((2L, 1L, 2L, 1L)), out.toString)
+    assert(out("1970-01-03") == ((1L, 1L, 3L, 0L)), out.toString)
+  }
+
+  test("moments: symmetric data has zero skew, uniform kurtosis known") {
+    // {1,2,3}: mean 2, m2 = 2/3, skew 0, kurt = m4/m2² − 3 = −1.5
+    val df = Seq(("g", 1), ("g", 2), ("g", 3)).toDF("s", "v")
+    val Array(r) = Profiling.moments(df, "s", "v")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(r._1 == "g" && r._2 == 3L && r._3 == 2.0, r.toString)
+    assert(math.abs(r._4 - 2.0 / 3) < 1e-5 && r._5 == Some(0.0) &&
+      r._6 == Some(-1.5), r.toString)
+    // right-skewed {0,0,0,4}: skew positive
+    val sk = Seq(("g", 0), ("g", 0), ("g", 0), ("g", 4)).toDF("s", "v")
+    val Array(k) = Profiling.moments(sk, "s", "v")
+      .as[(String, Long, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(k._5.exists(_ > 1.0), k.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
