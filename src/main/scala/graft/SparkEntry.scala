@@ -3358,6 +3358,28 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- systematic PPS sampling by token weight: 50 integer ticks
+    // over the cumulative axis, multiplicity-honest, bit-exact — the
+    // inclusion-exact weighted draw beside q_o9's randomized A-ES --
+    "q_o28_pps" -> ((s, d) =>
+      graft.ext.Sampling.ppsSystematic(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), k = 50)
+        .orderBy(col("id"))),
+
+    // -- SQ8 quantization-distortion report: per-vector cosine of
+    // the exact quantize→dequantize round trip, mean + worst case —
+    // the QA gate before switching retrieval to compressed vectors --
+    "q_v11_sq_distortion" -> ((s, d) =>
+      graft.ext.Similarity.sqDistortion(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64)),
+
+    // -- top-decile revenue share per order priority: Pareto
+    // concentration, exact integer cents and ceil arithmetic --
+    "q_a26_top_decile_share" -> ((s, d) =>
+      graft.ext.Profiling.topShare(Tables.orders(s, d), "o_orderpriority",
+        round(col("o_totalprice") * 100, 0), col("o_orderkey"))
+        .orderBy(col("grp"))),
+
     // -- per-source token yield under exact dedup: what will dedup
     // cost each source — the budgeting number before mixture quotas --
     "q_d13_dedup_yield" -> ((s, d) =>
@@ -7706,6 +7728,76 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_o28_pps" ->
+      """WITH base AS (SELECT doc_id AS id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS w
+           FROM documents),
+         pos AS (SELECT id, w FROM base WHERE w > 0),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM pos),
+         cu AS (SELECT id, w,
+             CAST(sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS ce
+           FROM pos),
+         tk AS (SELECT id, w,
+             least(50, (ce * 50 + tw - 1) // tw)
+               - least(50, ((ce - w) * 50 + tw - 1) // tw) AS n_ticks
+           FROM cu, tot)
+         SELECT id, w, CAST(n_ticks AS BIGINT) AS n_ticks
+         FROM tk WHERE n_ticks >= 1 ORDER BY id""",
+    "q_v11_sq_distortion" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         dims AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                         unnest(embedding) AS x FROM e),
+         rng AS (SELECT i, CAST(min(x) AS DOUBLE) AS lo,
+                        CAST(max(x) AS DOUBLE) AS hi
+                 FROM dims GROUP BY i),
+         ra AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+                FROM rng),
+         codes AS (SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN r.hi[i] > r.lo[i]
+                 THEN CAST(floor(((CAST(embedding[i] AS DOUBLE) - r.lo[i])
+                        * CAST(255.0 AS DOUBLE)) / (r.hi[i] - r.lo[i])
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 ELSE 0 END) AS codes
+           FROM e, ra r),
+         deq AS (SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(CAST(r.lo[i] + (CAST(c.codes[i] AS DOUBLE)
+                 * (r.hi[i] - r.lo[i])) / CAST(255.0 AS DOUBLE) AS FLOAT)
+                 AS DOUBLE)) AS dv
+           FROM codes c, ra r),
+         per AS (SELECT e.vec_id,
+             round(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)), d.dv),
+               6) AS cos
+           FROM e JOIN deq d USING (vec_id))
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+                min(cos) AS min_cos
+         FROM per""",
+    "q_a26_top_decile_share" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS tie
+           FROM orders),
+         r AS (SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY cents DESC, tie) AS rk,
+             count(*) OVER (PARTITION BY grp) AS n
+           FROM b)
+         SELECT grp, CAST(max(n) AS BIGINT) AS n,
+                CAST(max((n * 10 + 99) // 100) AS BIGINT) AS top_n,
+                CAST(sum(CASE WHEN rk <= (n * 10 + 99) // 100
+                  THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CASE WHEN sum(cents) > 0 THEN
+                  round(CAST(sum(CASE WHEN rk <= (n * 10 + 99) // 100
+                    THEN cents ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(cents) AS DOUBLE), 6) END AS share
+         FROM r GROUP BY grp ORDER BY grp""",
     "q_d13_dedup_yield" ->
       """WITH base AS (SELECT source AS grp, doc_id,
              len(list_filter(string_split_regex(trim(text), '\s+'),

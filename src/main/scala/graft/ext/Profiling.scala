@@ -824,6 +824,37 @@ object Profiling {
         sum(col("__fp").cast("decimal(38,0)")).cast("decimal(38,0)")
           .as("sum_fp"))
 
+  /** Top-decile concentration per group — "what share of the value
+    * sits in the top p% of items?", the Pareto readout next to
+    * [[giniConcentration]]'s scalar: rank items by value (ties →
+    * smaller id), top_n = ⌈n·pct/100⌉ as exact integer arithmetic,
+    * share one division of exact integer-cents sums. One partitioned
+    * window + one aggregate. Returns
+    * (grp, n, top_n, top_cents, total_cents, share). */
+  def topShare(df: DataFrame, grpCol: String, valueCents: Column,
+      tieCol: Column, pct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pct >= 1 && pct <= 99)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cents").desc, col("tie"))
+    val wn = Window.partitionBy(col("grp"))
+    df.select(col(grpCol).as("grp"), valueCents.cast("long").as("cents"),
+        tieCol.as("tie"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .groupBy(col("grp"))
+      .agg(max(col("__n")).as("n"),
+        max(expr(s"(__n * $pct + 99) div 100")).as("top_n"),
+        sum(when(expr(s"__rk <= (__n * $pct + 99) div 100"), col("cents"))
+          .otherwise(0L)).as("top_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("grp"), col("n"), col("top_n"), col("top_cents"),
+        col("total_cents"),
+        when(col("total_cents") > 0,
+          round(col("top_cents").cast("double") /
+            col("total_cents").cast("double"), 6)).as("share"))
+  }
+
   /** Exact higher moments per group — skewness and excess kurtosis
     * from the four integer power sums (x² through x⁴ in
     * DECIMAL(38,0); Spark's built-in skewness/kurtosis stream floats

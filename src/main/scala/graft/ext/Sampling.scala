@@ -519,6 +519,35 @@ object Sampling {
     sb.toString
   }
 
+  /** Systematic PPS sampling (probability proportional to size,
+    * Madow '49) — the inclusion-exact weighted draw: lay the k ticks
+    * tick_j = ⌊j·W/k⌋ over the cumulative-weight axis and take every
+    * item an interval of which contains a tick (a heavy item can earn
+    * multiplicity > 1 — that IS pps-with-replacement's honest
+    * answer). Everything is integer: ticks-below(x) = min(k,
+    * ⌈x·k/W⌉) via (x·k + W − 1) div W, multiplicity the difference
+    * at the interval ends — no randomness, no floats, bit-exact
+    * replay. One ordered cumulative window + a 1-row total. Returns
+    * selected items only: (id, w, n_ticks). */
+  def ppsSystematic(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val base = df.select(col(idCol).as("id"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+    val wCum = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(sum(col("w")).as("tw"))
+    base.withColumn("ce", sum(col("w")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("__b_end",
+        least(lit(k.toLong), expr(s"(ce * $k + tw - 1) div tw")))
+      .withColumn("__b_start",
+        least(lit(k.toLong), expr(s"((ce - w) * $k + tw - 1) div tw")))
+      .withColumn("n_ticks", col("__b_end") - col("__b_start"))
+      .filter(col("n_ticks") >= 1)
+      .select(col("id"), col("w"), col("n_ticks"))
+  }
+
   /** Neyman optimal allocation (Neyman '34) — how to split a sample
     * budget across strata when they differ in size AND spread:
     * quota_h ∝ n_h·s_h (a high-variance stratum earns more budget

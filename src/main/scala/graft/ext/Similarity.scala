@@ -133,6 +133,39 @@ object Similarity {
     (row.getSeq[Float](0).map(_.toDouble), row.getSeq[Float](1).map(_.toDouble))
   }
 
+  /** Quantization-distortion report for the SQ8 path — the QA gate a
+    * team runs BEFORE switching retrieval to compressed vectors:
+    * per-vector cosine between the original and its
+    * quantize→dequantize round trip (the exact [[sqTopK]] chain),
+    * aggregated to mean (6-dp values summed in DECIMAL(38,12)) and
+    * worst-case min. A min_cos near 1 licenses the 4× compression;
+    * one outlier dimension dragging it down is exactly what this
+    * surfaces. Returns (n, mean_cos, min_cos). */
+  def sqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val (lo, hi) = trainSqRange(corpus, vecCol, dim)
+    val loC = typedLit(lo)
+    val hiC = typedLit(hi)
+    def l(i: Column) = element_at(loC, i + 1)
+    def h(i: Column) = element_at(hiC, i + 1)
+    val codes = transform(col(vecCol), (x, i) =>
+      when(h(i) > l(i),
+        floor(((x.cast("double") - l(i)) * lit(255.0)) / (h(i) - l(i)) + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(0L)))
+    val deq = transform(codes, (c, i) =>
+      (l(i) + (c.cast("double") * (h(i) - l(i))) / lit(255.0)).cast("float"))
+    corpus.select(col(vecCol).as("__v"), deq.as("__dv"))
+      .select(round(VectorFunctions.cosine(col("__v"), col("__dv")), 6)
+        .as("cos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos").cast("decimal(38,12)")).as("__s"),
+        min(col("cos")).as("min_cos"))
+      .select(col("n"),
+        round(col("__s").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cos"), col("min_cos"))
+  }
+
   /** SQ8 scalar-quantized ANN — the simplest vector-compression path
     * (faiss ScalarQuantizer convention): each dimension maps to an
     * 8-bit code on a per-dim [lo, hi] grid (4× smaller than float32,

@@ -575,6 +575,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("PPS, SQ distortion, top share: window/aggregate machinery") {
+    val pp = executedFinal(SparkEntry.queries("q_o28_pps")(spark, sf0001))
+    assert(pp.contains("Window") && !pp.contains("SortMergeJoin") &&
+      !pp.contains("UDF"), s"pps machinery:\n$pp")
+    val sq = executedFinal(
+      SparkEntry.queries("q_v11_sq_distortion")(spark, sf0001))
+    assert(sq.contains("HashAggregate") && !sq.contains("Join") &&
+      !sq.contains("UDF"), s"sq distortion is one map+agg pass:\n$sq")
+    val ts = executedFinal(
+      SparkEntry.queries("q_a26_top_decile_share")(spark, sf0001))
+    assert(ts.contains("Window") && !ts.contains("Join") &&
+      !ts.contains("UDF"), s"top share machinery:\n$ts")
+  }
+
   test("dedup yield, cumulative uniques, moments: window/agg machinery") {
     val dy = executedFinal(
       SparkEntry.queries("q_d13_dedup_yield")(spark, sf0001))

@@ -719,6 +719,39 @@ class StatsWave3Spec extends SparkSpec {
     assert(k._5.exists(_ > 1.0), k.toString)
   }
 
+  test("systematic PPS: integer ticks, multiplicity for heavy items") {
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 1L), (4L, 8L), (5L, 0L))
+      .toDF("doc_id", "w")
+    val out = Sampling.ppsSystematic(df, "doc_id", col("w"), k = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // W=20, ticks {0,5,10,15}: id1 [0,10)→2, id2 [10,11)→1, id4 [12,20)→1
+    assert(out.toSeq == Seq((1L, 10L, 2L), (2L, 1L, 1L), (4L, 8L, 1L)),
+      out.mkString(","))
+  }
+
+  test("SQ distortion: constant dims reconstruct exactly, bounds hold") {
+    val const = Seq((0L, Array(1f, 2f)), (1L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val Array(c) = Similarity.sqDistortion(const, "vec_id", "embedding",
+        dim = 2).as[(Long, Double, Double)].collect()
+    assert(c == ((2L, 1.0, 1.0)), c.toString)
+    val varied = Seq((0L, Array(1f, 0.3f)), (1L, Array(-0.5f, 2f)),
+      (2L, Array(0.25f, -1f))).toDF("vec_id", "embedding")
+    val Array(v) = Similarity.sqDistortion(varied, "vec_id", "embedding",
+        dim = 2).as[(Long, Double, Double)].collect()
+    assert(v._3 <= v._2 && v._2 <= 1.0 && v._3 > 0.98,
+      s"8-bit grid on tame values must stay near 1: $v")
+  }
+
+  test("top-decile share: ceil rank cutoff and exact cents") {
+    val df = (1 to 10).map(i => ("g", i.toLong * 10, i.toLong))
+      .toDF("grp", "cents", "tie")
+    val Array(r) = Profiling.topShare(df, "grp", col("cents"), col("tie"))
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    // top_n = 1 → the 100-cent item; share = 100/550
+    assert(r == (("g", 10L, 1L, 100L, 550L, Some(0.181818))), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
