@@ -3358,6 +3358,35 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- the remaining core rank functions in one gate: rank /
+    // dense_rank / percent_rank / cume_dist per priority over cents
+    // (peer-group semantics — tie order never enters the values) --
+    "q_w5_rank_functions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("grp")).orderBy(col("__cents"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("__cents"))
+        .select(col("o_orderkey"), col("grp"), col("__cents").as("cents"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- exact first-view→first-purchase latency quartiles: order
+    // statistics in µs integers, element selection — funnel timing --
+    "q_t36_step_latency" -> ((s, d) =>
+      graft.ext.TimeSeries.stepLatencyQuartiles(Tables.events(s, d),
+        "user_id", "ts", "event_type", "view", "purchase")),
+
+    // -- hapax legomena rate per source: share of once-occurring
+    // terms — the template-collapse needle beside Heaps and Simpson --
+    "q_x39_hapax" -> ((s, d) =>
+      graft.ext.TextAnalysis.hapaxRate(Tables.documents(s, d),
+        "source", "text").orderBy(col("grp"))),
+
     // -- systematic PPS sampling by token weight: 50 integer ticks
     // over the cumulative axis, multiplicity-honest, bit-exact — the
     // inclusion-exact weighted draw beside q_o9's randomized A-ES --
@@ -7728,6 +7757,49 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_w5_rank_functions" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, grp, cents,
+                CAST(rank() OVER (PARTITION BY grp ORDER BY cents)
+                  AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER (PARTITION BY grp ORDER BY cents)
+                  AS BIGINT) AS drnk,
+                round(percent_rank() OVER (PARTITION BY grp ORDER BY cents),
+                  6) AS prank,
+                round(cume_dist() OVER (PARTITION BY grp ORDER BY cents),
+                  6) AS cdist
+         FROM b ORDER BY o_orderkey""",
+    "q_t36_step_latency" ->
+      """WITH fv AS (SELECT user_id AS u, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         pv AS (SELECT user_id AS u, ts AS tp FROM events
+                WHERE event_type = 'purchase'),
+         lt AS (SELECT fv.u, fv.tv,
+             min(CASE WHEN pv.tp >= fv.tv THEN pv.tp END) AS tpf
+           FROM fv JOIN pv ON fv.u = pv.u GROUP BY fv.u, fv.tv),
+         lat AS (SELECT epoch_us(tpf) - epoch_us(tv) AS lat FROM lt
+                 WHERE tpf IS NOT NULL),
+         r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS i,
+                 count(*) OVER () AS n
+               FROM lat)
+         SELECT CAST(max(n) AS BIGINT) AS n_users,
+                min(CASE WHEN i * 4 >= n THEN lat END) AS q1_us,
+                min(CASE WHEN i * 2 >= n THEN lat END) AS med_us,
+                min(CASE WHEN i * 4 >= n * 3 THEN lat END) AS q3_us
+         FROM r""",
+    "q_x39_hapax" ->
+      """WITH tok AS (SELECT source AS grp, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         tc AS (SELECT grp, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+                round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+         FROM tc GROUP BY grp ORDER BY grp""",
     "q_o28_pps" ->
       """WITH base AS (SELECT doc_id AS id,
              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

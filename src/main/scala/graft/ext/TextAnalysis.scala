@@ -745,6 +745,24 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Hapax legomena rate per group — the share of terms appearing
+    * exactly once, the lexical-richness needle between [[heapsFit]]
+    * (growth) and [[simpsonDiversity]] (concentration): natural text
+    * runs ~40–60% hapax; machine-generated or template text
+    * collapses it. All-integer off one (group, term) count. Returns
+    * (grp, n_terms, n_hapax, hapax_rate). */
+  def hapaxRate(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_rate",
+        round(col("n_hapax").cast("double") / col("n_terms").cast("double"),
+          6))
+
   /** Simpson diversity of each group's token distribution — "how
     * concentrated is this source's vocabulary?", the ecology-standard
     * companion to [[graft.ext.Profiling.giniConcentration]]. Two

@@ -742,6 +742,39 @@ object TimeSeries {
       .withColumn("returning", col("dau") - col("new_users"))
   }
 
+  /** Exact funnel step-latency quartiles — "how long from first view
+    * to first purchase?", reported as the element-selection Q1 /
+    * median / Q3 (type-1 quantiles: the ⌈n·q⌉-th ORDER STATISTIC,
+    * an actual observed latency — no interpolation, so the exact-µs
+    * integers replay bit-for-bit). Per user: t_view = min view,
+    * t_conv = min conversion ≥ t_view (the conditional-min censoring
+    * rule from [[kmSurvival]]); converters only enter the latency
+    * pool. Selection via one ordered window over the per-user rows.
+    * Returns one row (n_users, q1_us, med_us, q3_us). */
+  def stepLatencyQuartiles(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, fromType: String,
+      toType: String): DataFrame = {
+    val from = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("tv"))
+    val to = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("u"), col(tsCol).as("tp"))
+    val lat = from.join(to, Seq("u"))
+      .groupBy(col("u"), col("tv"))
+      .agg(min(when(col("tp") >= col("tv"), col("tp"))).as("tpf"))
+      .filter(col("tpf").isNotNull)
+      .select((unix_micros(col("tpf")) - unix_micros(col("tv"))).as("lat"))
+    val w = Window.orderBy(col("lat"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    lat.withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col("__n"), col("__i"), col("lat"))
+      .groupBy(col("__n").as("n_users"))
+      .agg(min(when(col("__i") * 4 >= col("__n"), col("lat"))).as("q1_us"),
+        min(when(col("__i") * 2 >= col("__n"), col("lat"))).as("med_us"),
+        min(when(col("__i") * 4 >= col("__n") * 3, col("lat"))).as("q3_us"))
+  }
+
   /** Durbin–Watson statistic of the daily series' linear-trend
     * residuals — "is what the trend line missed autocorrelated?"
     * (DW ≈ 2 → independent, → 0 → positively correlated — your

@@ -575,6 +575,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("rank functions, step latency, hapax: window/agg machinery") {
+    val rf = executedFinal(
+      SparkEntry.queries("q_w5_rank_functions")(spark, sf0001))
+    assert(rf.contains("Window") && !rf.contains("Join") &&
+      !rf.contains("UDF"), s"rank functions are one window pass:\n$rf")
+    val sl = executedFinal(
+      SparkEntry.queries("q_t36_step_latency")(spark, sf0001))
+    assert(sl.contains("Window") && !sl.contains("CartesianProduct") &&
+      !sl.contains("UDF"), s"step latency machinery:\n$sl")
+    val hx = executedFinal(SparkEntry.queries("q_x39_hapax")(spark, sf0001))
+    assert(hx.contains("HashAggregate") && !hx.contains("Join") &&
+      !hx.contains("UDF"), s"hapax is two hash aggregates:\n$hx")
+  }
+
   test("PPS, SQ distortion, top share: window/aggregate machinery") {
     val pp = executedFinal(SparkEntry.queries("q_o28_pps")(spark, sf0001))
     assert(pp.contains("Window") && !pp.contains("SortMergeJoin") &&

@@ -752,6 +752,34 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == (("g", 10L, 1L, 100L, 550L, Some(0.181818))), r.toString)
   }
 
+  test("step latency: order-statistic quartiles are observed values") {
+    def ev(u: Long, t: Long, typ: String) =
+      (u, new Timestamp(t * 1000L), typ)
+    // latencies: u1=10s, u2=20s, u3=30s, u4=40s; u5 purchase before
+    // view only → excluded
+    val events = Seq(
+      ev(1, 0, "view"), ev(1, 10, "purchase"),
+      ev(2, 0, "view"), ev(2, 20, "purchase"),
+      ev(3, 0, "view"), ev(3, 30, "purchase"),
+      ev(4, 0, "view"), ev(4, 40, "purchase"),
+      ev(5, 100, "view"), ev(5, 50, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val Array(r) = TimeSeries.stepLatencyQuartiles(events, "user_id", "ts",
+        "event_type", "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect()
+    // n=4: q1 = element ⌈1⌉=1st (10s), med = 2nd (20s), q3 = 3rd (30s)
+    assert(r == ((4L, 10000000L, 20000000L, 30000000L)), r.toString)
+  }
+
+  test("hapax rate: once-words counted exactly per group") {
+    val docs = Seq(("g1", "a a b c"), ("g2", "x x x")).toDF("src", "text")
+    val out = TextAnalysis.hapaxRate(docs, "src", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("g1") == ((3L, 2L, 0.666667)), out.toString)
+    assert(out("g2") == ((1L, 0L, 0.0)), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
