@@ -3358,6 +3358,25 @@ object SparkEntry {
       GraphQueries.hopHistogram(e, lms, rounds = 6).orderBy(col("d"))
     }),
 
+    // -- pairwise source trigram containment: which sources embed in
+    // which — shared/min, the asymmetry IS the finding --
+    "q_x40_source_overlap" -> ((s, d) =>
+      graft.ext.TextAnalysis.sourceOverlap(Tables.documents(s, d),
+        "source", "text").orderBy(col("src_a"), col("src_b"))),
+
+    // -- McNemar on the q_p32 labeler pair: do the two heuristics
+    // disagree SYSTEMATICALLY (one stricter), not just often --
+    "q_p43_mcnemar" -> ((s, d) =>
+      graft.ext.Profiling.mcnemar(Tables.documents(s, d),
+        col("n_chars") >= 300,
+        graft.ext.TextAnalysis.tokenCount(col("text")) >= 56)),
+
+    // -- top-3 strict local maxima of the daily event counts: the
+    // peak catalogue, all-integer --
+    "q_t37_peaks" -> ((s, d) =>
+      graft.ext.TimeSeries.localPeaks(Tables.events(s, d), "ts", topK = 3)
+        .orderBy(col("dt"))),
+
     // -- the remaining core rank functions in one gate: rank /
     // dense_rank / percent_rank / cume_dist per priority over cents
     // (peer-group semantics — tie order never enters the values) --
@@ -7757,6 +7776,56 @@ object SparkEntry {
                 END AS r_xy_given_z
          FROM r""",
     "q_o26_max_cover" -> graft.ext.Sampling.maxCoverOracleSql(4),
+    "q_x40_source_overlap" ->
+      """WITH toks AS (SELECT source AS grp,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         sh AS (SELECT DISTINCT grp,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         counts AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+                    FROM sh GROUP BY grp),
+         pairs AS (SELECT a.grp AS src_a, b.grp AS src_b,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM sh a JOIN sh b ON a.s = b.s AND a.grp < b.grp
+           GROUP BY a.grp, b.grp)
+         SELECT src_a, src_b, shared, ca.n AS n_a, cb.n AS n_b,
+                round(CAST(shared AS DOUBLE)
+                  / CAST(least(ca.n, cb.n) AS DOUBLE), 6) AS containment
+         FROM pairs
+         JOIN counts ca ON ca.grp = src_a
+         JOIN counts cb ON cb.grp = src_b
+         ORDER BY src_a, src_b""",
+    "q_p43_mcnemar" ->
+      """WITH t AS (SELECT n_chars >= 300 AS a,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) >= 56 AS b
+           FROM documents),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS b,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM t)
+         SELECT n, b, c,
+                CASE WHEN b + c > 0 THEN
+                  round(CAST(abs(b - c) - 1 AS DOUBLE)
+                    * CAST(abs(b - c) - 1 AS DOUBLE)
+                    / CAST(b + c AS DOUBLE), 6) END AS chi2_mcnemar
+         FROM c""",
+    "q_t37_peaks" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+           FROM events GROUP BY 1),
+         n AS (SELECT dt, x, lag(x) OVER (ORDER BY dt) AS prev_x,
+                 lead(x) OVER (ORDER BY dt) AS next_x
+               FROM daily),
+         p AS (SELECT dt, x, prev_x, next_x FROM n
+               WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+                 AND x > prev_x AND x > next_x)
+         SELECT * FROM (SELECT * FROM p ORDER BY x DESC, dt LIMIT 3)
+         ORDER BY dt""",
     "q_w5_rank_functions" ->
       """WITH b AS (SELECT o_orderkey, o_orderpriority AS grp,
              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents

@@ -1041,6 +1041,24 @@ object Profiling {
         round(sqrt(col("chi2") /
           (col("n") * col("min_dof")).cast("double")), 6)))
 
+  /** McNemar's test on the DISCORDANT cells of two boolean raters
+    * (McNemar '47) — where [[cohensKappa]] asks "do they agree?",
+    * this asks "is one systematically stricter?": only the b = (A,¬B)
+    * and c = (¬A,B) disagreements carry signal, and
+    *   χ² = (|b−c|−1)² / (b+c)  (continuity-corrected)
+    * is large when the disagreements run one way. Exact integers off
+    * one pass; NULL when the raters never disagree. Returns
+    * (n, b, c, chi2_mcnemar). */
+  def mcnemar(df: DataFrame, raterA: Column, raterB: Column): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+        sum(when(raterA && !raterB, 1L).otherwise(0L)).as("b"),
+        sum(when(!raterA && raterB, 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          round((abs(col("b") - col("c")) - 1).cast("double") *
+            (abs(col("b") - col("c")) - 1).cast("double") /
+            (col("b") + col("c")).cast("double"), 6)).as("chi2_mcnemar"))
+
   /** Cohen's kappa between two boolean raters — the chance-corrected
     * agreement score a weak-supervision pipeline runs before trusting
     * two heuristic labelers (Cohen 1960). The whole statistic reduces

@@ -763,6 +763,36 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_terms").cast("double"),
           6))
 
+  /** Pairwise source overlap by distinct word-trigram containment —
+    * "which sources copy each other?": shared/min(|A|,|B|) per source
+    * pair (containment, not Jaccard — a small source fully embedded
+    * in a big one should score 1, and that asymmetry is the finding).
+    * Each source's shingle set dedupes FIRST (one hash aggregate),
+    * the pair join is on the shingle key — a shingle in k sources
+    * contributes C(k,2) ≤ C(#sources,2) rows, bounded by the group
+    * count, never the corpus. Returns all pairs
+    * (src_a, src_b, shared, n_a, n_b, containment). */
+  def sourceOverlap(docs: DataFrame, grpCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(grpCol).as("grp"),
+        explode(graft.functions.TextStats.shingles(col(textCol), shingleN))
+          .as("s")).distinct().localCheckpoint(true)
+    val counts = sh.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.select(col("grp").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(counts.select(col("grp").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"),
+        col("n_b"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+  }
+
   /** Simpson diversity of each group's token distribution — "how
     * concentrated is this source's vocabulary?", the ecology-standard
     * companion to [[graft.ext.Profiling.giniConcentration]]. Two

@@ -775,6 +775,25 @@ object TimeSeries {
         min(when(col("__i") * 4 >= col("__n") * 3, col("lat"))).as("q3_us"))
   }
 
+  /** Local-maximum detection on the daily count series — the peak
+    * catalogue (strict: a day beating BOTH neighbors; boundary days
+    * can't qualify, plateaus don't double-count), top-`topK` by
+    * height with date ties earliest-first. One lag/lead window over
+    * the bounded day axis + a bounded top-k. All-integer. Returns
+    * (dt, x, prev_x, next_x). */
+  def localPeaks(events: DataFrame, tsCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1)
+    val w = Window.orderBy(col("dt"))
+    events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("prev_x", lag(col("x"), 1).over(w))
+      .withColumn("next_x", lead(col("x"), 1).over(w))
+      .filter(col("prev_x").isNotNull && col("next_x").isNotNull &&
+        col("x") > col("prev_x") && col("x") > col("next_x"))
+      .orderBy(col("x").desc, col("dt")).limit(topK)
+  }
+
   /** Durbin–Watson statistic of the daily series' linear-trend
     * residuals — "is what the trend line missed autocorrelated?"
     * (DW ≈ 2 → independent, → 0 → positively correlated — your

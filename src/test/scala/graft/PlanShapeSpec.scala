@@ -575,6 +575,19 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"mi machinery:\n$plan")
   }
 
+  test("source overlap, McNemar, peaks: bounded join/window machinery") {
+    val so = executedFinal(
+      SparkEntry.queries("q_x40_source_overlap")(spark, sf0001))
+    assert(so.contains("HashAggregate") && !so.contains("CartesianProduct") &&
+      !so.contains("UDF"), s"overlap join must stay on the shingle key:\n$so")
+    val mc = executedFinal(SparkEntry.queries("q_p43_mcnemar")(spark, sf0001))
+    assert(mc.contains("HashAggregate") && !mc.contains("Join") &&
+      !mc.contains("UDF"), s"mcnemar is one aggregation pass:\n$mc")
+    val pk = executedFinal(SparkEntry.queries("q_t37_peaks")(spark, sf0001))
+    assert(pk.contains("Window") && pk.contains("TakeOrderedAndProject") &&
+      !pk.contains("UDF"), s"peaks machinery:\n$pk")
+  }
+
   test("rank functions, step latency, hapax: window/agg machinery") {
     val rf = executedFinal(
       SparkEntry.queries("q_w5_rank_functions")(spark, sf0001))

@@ -780,6 +780,41 @@ class StatsWave3Spec extends SparkSpec {
     assert(out("g2") == ((1L, 0L, 0.0)), out.toString)
   }
 
+  test("source overlap: containment catches the embedded source") {
+    // g2's only trigram set is a subset of g1's → containment 1.0
+    val docs = Seq(("g1", "a b c d e"), ("g2", "a b c"),
+      ("g3", "x y z w")).toDF("src", "text")
+    val out = TextAnalysis.sourceOverlap(docs, "src", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(("g1", "g2")) == ((1L, 3L, 1L, 1.0)), out.toString)
+    assert(!out.contains(("g1", "g3")), s"disjoint pair must not appear: $out")
+  }
+
+  test("McNemar: one-sided disagreement scores, symmetric zeroes out") {
+    // b=6, c=2: χ² = (|4|−1)²/8 = 9/8
+    val rows = Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(4)((true, true))
+    val Array(r) = Profiling.mcnemar(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r == ((12L, 6L, 2L, Some(1.125))), r.toString)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val Array(g) = Profiling.mcnemar(agree, col("a"), col("b"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(g._4.isEmpty, g.toString)
+  }
+
+  test("local peaks: strict maxima only, boundaries excluded") {
+    // counts 1,5,2,7,3: peaks at days 2 (5) and 4 (7); top-3 returns both
+    val ev = Seq(1, 5, 2, 7, 3).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val out = TimeSeries.localPeaks(ev, "ts", topK = 3)
+      .as[(java.sql.Date, Long, Long, Long)].collect().sortBy(_._1.toString)
+    assert(out.map(_._2).toSeq == Seq(5L, 7L), out.mkString(","))
+    assert(out(1) == ((java.sql.Date.valueOf("1970-01-04"), 7L, 2L, 3L)),
+      out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
