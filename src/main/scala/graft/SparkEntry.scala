@@ -3642,6 +3642,31 @@ object SparkEntry {
           array_join(array_sort(collect_list(col("s_name"))), ",")
             .as("names"))
         .orderBy(col("n_name"))),
+
+    // -- max drawdown of daily event volume: how far below its
+    // historical peak the series ever fell — the slow-bleed alarm
+    // the spike screen can't see; all-integer --
+    "q_t38_max_drawdown" -> ((s, d) =>
+      graft.ext.TimeSeries.maxDrawdown(Tables.events(s, d), "ts")),
+
+    // -- Jarque–Bera normality per source on doc length: n/6·(S² +
+    // K²/4) off the exact q_p42 moment chain — "may I z-test this
+    // column at all?" --
+    "q_p44_jarque_bera" -> ((s, d) =>
+      graft.ext.Profiling.jarqueBera(Tables.documents(s, d), "source",
+        "n_chars").orderBy(col("grp"))),
+
+    // -- average-neighbor-degree curve knn(k) on the co-purchase
+    // graph: WHERE the assortative mixing happens, not just its
+    // sign (q_g26's companion); integer sums, one division/class --
+    "q_g37_neighbor_degree" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.avgNeighborDegree(e).orderBy(col("deg"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8274,5 +8299,72 @@ object SparkEntry {
                 CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0 THEN
                   round((ma - mb) / sqrt(sp2), 6) END AS d
          FROM f""",
+    "q_t38_max_drawdown" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         r AS (SELECT dt, x, max(x) OVER (ORDER BY dt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS runmax
+               FROM d)
+         SELECT dt AS trough_dt, runmax AS peak_x, x AS trough_x,
+                CAST(runmax - x AS BIGINT) AS drawdown
+         FROM r ORDER BY runmax - x DESC, dt LIMIT 1""",
+    "q_p44_jarque_bera" ->
+      """WITH per AS (SELECT source AS grp, count(*) AS n,
+             sum(CAST(n_chars AS HUGEINT)) AS s1,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3,
+             sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars)
+               AS s4
+           FROM documents GROUP BY source),
+         m AS (SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+           FROM per),
+         c AS (SELECT grp, n, nd, mean,
+             r1 - mean * mean AS m2,
+             r2 - mean * r1 * 3 + mean * mean * mean * 2 AS m3,
+             r3 - mean * r2 * 4 + mean * mean * r1 * 6
+               - mean * mean * mean * mean * 3 AS m4
+           FROM m),
+         sk AS (SELECT grp, n, nd, m2,
+             m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) - 3 AS kurt
+           FROM c)
+         SELECT grp, n,
+                CASE WHEN m2 > 0 THEN round(skew, 6) END AS skew,
+                CASE WHEN m2 > 0 THEN round(kurt, 6) END AS kurt,
+                CASE WHEN m2 > 0 THEN
+                  round(nd / 6 * (skew * skew + kurt * kurt / 4), 6)
+                END AS jb
+         FROM sk ORDER BY grp""",
+    "q_g37_neighbor_degree" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         b AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         pn AS (SELECT b.src AS node,
+                  sum(CAST(dy.deg AS HUGEINT)) AS snd
+                FROM b JOIN deg dy ON b.dst = dy.node
+                GROUP BY b.src),
+         cl AS (SELECT dx.deg AS deg,
+                  CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(pn.snd) AS BIGINT) AS sum_nbr_deg
+                FROM pn JOIN deg dx ON pn.node = dx.node
+                GROUP BY dx.deg)
+         SELECT CAST(deg AS BIGINT) AS deg, n_nodes, sum_nbr_deg,
+                round(CAST(sum_nbr_deg AS DOUBLE)
+                  / CAST(deg * n_nodes AS DOUBLE), 6) AS knn
+         FROM cl ORDER BY deg""",
   )
 }

@@ -888,6 +888,43 @@ object Profiling {
       when(m2 > 0, round(m4 / (m2 * m2) - 3, 6)).as("kurt"))
   }
 
+  /** Jarque–Bera normality statistic per group — the one-number
+    * answer to "can I use z-tests on this column at all?" that the
+    * whole q_p34/q_p35 parametric family quietly assumes:
+    *   JB = n/6 · (S² + K²/4)
+    * with S the skewness and K the EXCESS kurtosis, both from the
+    * same exact integer power sums as [[moments]] (four DECIMAL(38,0)
+    * aggregates, one fixed double chain — the q_p42 gate already
+    * proves that chain replays bit-exactly). JB ~ χ²(2) under
+    * normality, so JB ≫ 6 says the tails are lying. NULL on zero
+    * variance. Returns (grp, n, skew, kurt, jb). Scale: one hash
+    * aggregation pass, no window, no second scan. */
+  def jarqueBera(df: DataFrame, grpCol: String,
+      valueCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val v = d0(col(valueCol))
+    val per = df.groupBy(col(grpCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = dd(col("n"))
+    val mean = dd(col("s1")) / n
+    val r1 = dd(col("s2")) / n
+    val r2 = dd(col("s3")) / n
+    val r3 = dd(col("s4")) / n
+    val m2 = r1 - mean * mean
+    val m3 = r2 - mean * r1 * 3 + mean * mean * mean * 2
+    val m4 = r3 - mean * r2 * 4 + mean * mean * r1 * 6 -
+      mean * mean * mean * mean * 3
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - 3
+    per.select(col("grp"), col("n"),
+      when(m2 > 0, round(skew, 6)).as("skew"),
+      when(m2 > 0, round(kurt, 6)).as("kurt"),
+      when(m2 > 0,
+        round(n / 6 * (skew * skew + kurt * kurt / 4), 6)).as("jb"))
+  }
+
   /** Cohen's d between two groups — the effect SIZE companion to the
     * significance tests (a z of 40 on 10M rows can mean a difference
     * nobody would notice; d says how many pooled standard deviations

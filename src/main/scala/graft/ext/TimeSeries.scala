@@ -879,4 +879,27 @@ object TimeSeries {
             .when(col("s") < 0, (col("s") + 1).cast("double") / sd)
             .otherwise(lit(0.0)), 6)).as("z"))
   }
+
+  /** Maximum drawdown of the daily event-count series — how far below
+    * its historical peak daily volume ever fell (the capacity-planning
+    * and health-alert headline; a big drawdown that q_t23's spike
+    * screen missed is a slow bleed, not a spike). One window pass
+    * computes the running maximum; drawdown(t) = runmax(t) − x(t) is
+    * pure integer arithmetic, and the report row is the trough with
+    * the LARGEST drawdown (ties → earliest day), carried with its
+    * peak level. Returns one row (trough_dt, peak_x, trough_x,
+    * drawdown). Scale: the daily series is post-aggregation tiny
+    * (one row per day), so the unpartitioned running-max window is
+    * bounded by the calendar, never the corpus; the top-1 is a
+    * TakeOrderedAndProject. */
+  def maxDrawdown(events: DataFrame, tsCol: String): DataFrame = {
+    val w = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("runmax", max(col("x")).over(w))
+      .select(col("dt").as("trough_dt"), col("runmax").as("peak_x"),
+        col("x").as("trough_x"), (col("runmax") - col("x")).as("drawdown"))
+      .orderBy(col("drawdown").desc, col("trough_dt")).limit(1)
+  }
 }

@@ -912,6 +912,42 @@ object GraphQueries {
         round(num / (sqrt(varx) * sqrt(vary)), 4)).as("r"))
   }
 
+  /** Average-neighbor-degree curve knn(k) (Pastor-Satorras et al.,
+    * PRL 2001) — the assortativity COMPANION that shows WHERE mixing
+    * happens, not just its sign: for each degree class k, the mean
+    * degree of the neighbors of degree-k nodes. Because every node in
+    * a class shares the same k, the class mean needs no per-node
+    * division: knn(k) = Σ_node S(node) / (k · n_k) with S(node) the
+    * integer neighbor-degree sum — three integer aggregations and ONE
+    * closing double division per class, so the curve is bit-exact.
+    * Edges are canonicalized/deduped first. Returns (deg, n_nodes,
+    * sum_nbr_deg, knn) per degree class. Scale: degree dim joins
+    * against the bidirectional edge list (broadcast at small k-core
+    * sizes, shuffled equi-join otherwise) + two hash aggs — no window,
+    * no iteration. */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val both = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val perNode = both
+      .join(deg.select(col("node").as("dst"), col("deg").as("nbr_deg")),
+        Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("nbr_deg").cast("decimal(38,0)")).as("snd"))
+    perNode.join(deg, Seq("node"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("snd")).as("sum_nbr_deg"))
+      .select(col("deg"), col("n_nodes"),
+        col("sum_nbr_deg").cast("long").as("sum_nbr_deg"),
+        round(col("sum_nbr_deg").cast("double") /
+          (col("deg") * col("n_nodes")).cast("double"), 6).as("knn"))
+  }
+
   /** Newman modularity of a GIVEN node partition over an undirected
     * graph — the community-quality score for any clustering face
     * (LPA, connected components, or an exogenous attribute):

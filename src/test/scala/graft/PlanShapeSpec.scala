@@ -752,4 +752,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(cs.contains("HashAggregate") && !cs.contains("SortMergeJoin") &&
       !cs.contains("UDF"), s"chrono split machinery:\n$cs")
   }
+
+  test("drawdown, Jarque-Bera, neighbor degree: window/agg/join machinery") {
+    val dd = executedFinal(
+      SparkEntry.queries("q_t38_max_drawdown")(spark, sf0001))
+    assert(dd.contains("Window") && dd.contains("TakeOrderedAndProject") &&
+      !dd.contains("Join") && !dd.contains("UDF"),
+      s"drawdown is one bounded window + top-1:\n$dd")
+    val jb = executedFinal(
+      SparkEntry.queries("q_p44_jarque_bera")(spark, sf0001))
+    assert(jb.contains("HashAggregate") && !jb.contains("Join") &&
+      !jb.contains("UDF"), s"jarque-bera is one aggregation pass:\n$jb")
+    val nd = executedFinal(
+      SparkEntry.queries("q_g37_neighbor_degree")(spark, sf0001))
+    assert(nd.contains("HashAggregate") && !nd.contains("CartesianProduct") &&
+      !nd.contains("UDF"), s"knn(k) equi-join machinery:\n$nd")
+  }
 }

@@ -815,6 +815,52 @@ class StatsWave3Spec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("max drawdown: deepest dip below the running peak, earliest tie") {
+    // counts 3,5,2,4,1,1: runmax 3,5,5,5,5,5 → drawdowns 0,0,3,1,4,4;
+    // max draw 4 first hit on day 5 (1970-01-05), peak 5, trough 1
+    val ev = Seq(3, 5, 2, 4, 1, 1).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(r) = TimeSeries.maxDrawdown(ev, "ts")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    assert(r == ((java.sql.Date.valueOf("1970-01-05"), 5L, 1L, 4L)),
+      r.toString)
+  }
+
+  test("max drawdown: monotone rise never leaves the peak — drawdown 0") {
+    val ev = Seq(1, 2, 3).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(r) = TimeSeries.maxDrawdown(ev, "ts")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    assert(r._4 == 0L && r._1 == java.sql.Date.valueOf("1970-01-01"),
+      r.toString)
+  }
+
+  test("Jarque-Bera: symmetric two-point mass has S=0, K=-2, JB=n/6") {
+    // {0,4}×3: mean 2, m2 = 4, skew 0, excess kurtosis −2 →
+    // JB = 6/6·(0 + 4/4) = 1
+    val df = Seq.fill(3)(0) ++ Seq.fill(3)(4)
+    val Array(r) = Profiling.jarqueBera(df.map(("g", _)).toDF("g", "v"),
+      "g", "v").as[(String, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(r == (("g", 6L, Some(0.0), Some(-2.0), Some(1.0))), r.toString)
+    // zero variance → all stats null
+    val Array(z) = Profiling.jarqueBera(
+      Seq(("g", 7), ("g", 7)).toDF("g", "v"), "g", "v")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(z == (("g", 2L, None, None, None)), z.toString)
+  }
+
+  test("avg neighbor degree: star graph — leaves see the hub, hub sees 1s") {
+    // star 0-1, 0-2, 0-3: hub deg 3 with knn 1; leaves deg 1 with knn 3
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val out = graft.query.GraphQueries.avgNeighborDegree(e)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(3L) == ((1L, 3L, 1.0)), out.toString)
+    assert(out(1L) == ((3L, 9L, 3.0)), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
