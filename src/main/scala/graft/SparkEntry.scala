@@ -3667,6 +3667,38 @@ object SparkEntry {
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
       GraphQueries.avgNeighborDegree(e).orderBy(col("deg"))
     }),
+
+    // -- average precision per query on the exact top-10: rewards
+    // packing ALL hits early (nDCG grades order, MRR first hit, AP
+    // the full hit pack — the MAP building block) --
+    "q_n17_map" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val res = graft.ext.Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      val lab = e.select(col("vec_id"), col("label"))
+      val withRel = res
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("__ql")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("__cl")),
+          Seq("cand_id"))
+        .withColumn("rel", when(col("__ql") === col("__cl"), 1L).otherwise(0L))
+      graft.ext.Similarity.averagePrecision(withRel, "query_id", "rank",
+        "rel").orderBy(col("query_id"))
+    }),
+
+    // -- Yule's K per source: the length-invariant repetitiveness
+    // characteristic (hapax falls with size; K doesn't) — the
+    // cross-source vocabulary-richness comparable --
+    "q_x41_yules_k" -> ((s, d) =>
+      graft.ext.TextAnalysis.yulesK(Tables.documents(s, d), "source",
+        "text").orderBy(col("grp"))),
+
+    // -- Brown–Forsythe (robust Levene): are doc-length VARIANCES
+    // equal across sources? |x − group median| through the exact
+    // ANOVA chain — q_p35 asks about means, this about spread --
+    "q_p45_brown_forsythe" -> ((s, d) =>
+      graft.ext.Profiling.brownForsythe(Tables.documents(s, d),
+        "source", "n_chars")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8366,5 +8398,84 @@ object SparkEntry {
                 round(CAST(sum_nbr_deg AS DOUBLE)
                   / CAST(deg * n_nodes AS DOUBLE), 6) AS knn
          FROM cl ORDER BY deg""",
+    "q_n17_map" ->
+      """WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         scored AS (SELECT q.vec_id AS query_id, q.label AS ql,
+             c.vec_id AS cand_id, c.label AS cl,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+         topk AS (SELECT query_id, rank,
+             CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel
+           FROM ranked WHERE rank <= 10),
+         cum AS (SELECT query_id, rank, rel,
+             sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM topk),
+         terms AS (SELECT query_id, rel,
+             CAST(CASE WHEN rel = 1 THEN
+                 round(CAST(c AS DOUBLE) / CAST(rank AS DOUBLE), 9)
+               ELSE 0 END AS DECIMAL(38,12)) AS p
+           FROM cum),
+         agg AS (SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+             sum(p) AS sp
+           FROM terms GROUP BY query_id)
+         SELECT query_id, n_rel,
+                CASE WHEN n_rel > 0 THEN
+                  round(CAST(sp AS DOUBLE) / CAST(n_rel AS DOUBLE), 6)
+                END AS ap
+         FROM agg ORDER BY query_id""",
+    "q_x41_yules_k" ->
+      """WITH tok AS (SELECT source AS grp, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY grp, tok),
+         a AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM c GROUP BY grp)
+         SELECT grp, n_tokens, n_types,
+                CASE WHEN n_tokens > 0 THEN
+                  round((CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                    * 1e4 / (CAST(n_tokens AS DOUBLE)
+                      * CAST(n_tokens AS DOUBLE)), 6)
+                END AS yules_k
+         FROM a ORDER BY grp""",
+    "q_p45_brown_forsythe" ->
+      """WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+                 AS i, count(*) OVER (PARTITION BY g) AS n
+               FROM b),
+         med AS (SELECT g, min(v) AS med FROM r WHERE i * 2 >= n
+                 GROUP BY g),
+         yy AS (SELECT b.g, abs(b.v - med.med) AS y
+                FROM b JOIN med ON b.g = med.g),
+         per AS (SELECT g, count(*) AS ng, CAST(sum(y) AS BIGINT) AS sg,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qg
+           FROM yy GROUP BY g),
+         agg AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS HUGEINT) AS q,
+             sum(CAST(round(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,12))) AS a
+           FROM per),
+         c AS (SELECT n, k,
+             a - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12)) AS ssb,
+             CAST(q AS DECIMAL(38,12)) - a AS ssw
+           FROM agg)
+         SELECT n, k, round(CAST(ssb AS DOUBLE), 4) AS ssb,
+                round(CAST(ssw AS DOUBLE), 4) AS ssw,
+                CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+                  round((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                    / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
+                END AS f
+         FROM c""",
   )
 }

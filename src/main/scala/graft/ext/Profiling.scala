@@ -740,6 +740,35 @@ object Profiling {
             6)).as("f"))
   }
 
+  /** Brown–Forsythe test (the robust Levene variant) — "are the
+    * group VARIANCES equal?", the assumption [[anovaF]] itself quietly
+    * makes and the scale-difference detector when means are equal:
+    * transform each value to its absolute deviation from the GROUP
+    * MEDIAN (median, not mean — that's what makes it robust to heavy
+    * tails), then run the standard one-way F on the deviations.
+    * The median is the exact lower order statistic (first element
+    * with 2i ≥ n — integer, no interpolation), so the deviations are
+    * integers and the F chain is [[anovaF]]'s exact-sum machinery
+    * verbatim. Returns anovaF's (n, k, ssb, ssw, f) over |x − med|.
+    * Scale: one per-group window for the median + one broadcast-dim
+    * join back + the single-pass F aggregation. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = base
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__i") * 2 >= col("__n"))
+      .groupBy(col("g")).agg(min(col("v")).as("__med"))
+    base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("__med")).as("y"))
+      .transform(anovaF(_, "g", "y"))
+  }
+
   /** All-pairs Pearson correlation matrix over integer-scaled numeric
     * columns in ONE aggregation pass — where calling corr() per pair
     * scans the table C(m,2) times, this computes every five-sum

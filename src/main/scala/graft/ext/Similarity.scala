@@ -107,6 +107,36 @@ object Similarity {
         when(col("first_rel_rank").isNotNull,
           round(lit(1.0) / col("first_rel_rank").cast("double"), 6)).as("rr"))
 
+  /** Average precision per query — the third IR-eval face beside
+    * [[ndcgAtK]] (whole-ranking grade) and [[mrrAtK]] (first-hit
+    * grade): AP rewards packing ALL hits early, the metric that
+    * averages to MAP across a query set.
+    *   AP = (1/R) Σ_{ranks r with rel=1} P@r,   P@r = cum_rel(r)/r
+    * with R the query's hit count in the ranked list. The cumulative
+    * hit count is one bounded per-query window (≤k rows); each P@r
+    * term is an exact small-integer ratio rounded 9 dp and summed in
+    * DECIMAL(38,12) (the ndcg ladder discipline), so the oracle
+    * replays every value. NULL AP when the query has no hit. Returns
+    * (query_id, n_rel, ap). */
+  def averagePrecision(results: DataFrame, queryCol: String,
+      rankCol: String, relCol: String): DataFrame = {
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    results
+      .withColumn("__cum", sum(col(relCol).cast("long")).over(w))
+      .select(col(queryCol), col(relCol),
+        when(col(relCol) > 0,
+          round(col("__cum").cast("double") / col(rankCol).cast("double"), 9))
+          .otherwise(lit(0.0)).cast("decimal(38,12)").as("__p"))
+      .groupBy(col(queryCol))
+      .agg(sum(when(col(relCol) > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(col("__p")).as("__sp"))
+      .select(col(queryCol), col("n_rel"),
+        when(col("n_rel") > 0,
+          round(col("__sp").cast("double") / col("n_rel").cast("double"), 6))
+          .as("ap"))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Deterministic tie-break on
     * (cos desc, candidate id). */

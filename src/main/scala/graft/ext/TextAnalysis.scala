@@ -763,6 +763,33 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_terms").cast("double"),
           6))
 
+  /** Yule's K lexical-richness statistic per group — the
+    * length-INVARIANT repetitiveness characteristic (Yule, 1944):
+    *   K = 10⁴ · (Σ_types c² − N) / N²
+    * with c each type's token count and N the group's token total
+    * (Σ c² = Σ_m m²·V_m, so this is the classic formulation). Unlike
+    * [[hapaxRate]] (which falls with corpus size) K is stable under
+    * sampling, making it the cross-source comparable vocabulary
+    * signal; higher K = more repetitive. All-integer sums (c² in
+    * DECIMAL(38,0)), one closing division. Returns (grp, n_tokens,
+    * n_types, yules_k). Scale: two hash aggregations over the
+    * exploded token stream — no window, no join. */
+  def yulesK(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(38,0)") * col("c").cast("decimal(38,0)"))
+          .as("__s2"))
+      .select(col("grp"), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0, round(
+          (col("__s2").cast("double") - col("n_tokens").cast("double")) *
+            1e4 /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+          6)).as("yules_k"))
+
   /** Pairwise source overlap by distinct word-trigram containment —
     * "which sources copy each other?": shared/min(|A|,|B|) per source
     * pair (containment, not Jaccard — a small source fully embedded

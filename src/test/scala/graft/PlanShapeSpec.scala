@@ -768,4 +768,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(nd.contains("HashAggregate") && !nd.contains("CartesianProduct") &&
       !nd.contains("UDF"), s"knn(k) equi-join machinery:\n$nd")
   }
+
+  test("MAP, Yule's K, Brown-Forsythe: window/agg machinery, no UDF") {
+    val ap = executedFinal(SparkEntry.queries("q_n17_map")(spark, sf0001))
+    assert(ap.contains("Window") && !ap.contains("UDF"),
+      s"AP cumulative-hit window machinery:\n$ap")
+    val yk = executedFinal(SparkEntry.queries("q_x41_yules_k")(spark, sf0001))
+    assert(yk.contains("HashAggregate") && !yk.contains("Join") &&
+      !yk.contains("UDF"), s"yules k is two aggregation passes:\n$yk")
+    val bf = executedFinal(
+      SparkEntry.queries("q_p45_brown_forsythe")(spark, sf0001))
+    assert(bf.contains("Window") && bf.contains("HashAggregate") &&
+      !bf.contains("CartesianProduct") && !bf.contains("UDF"),
+      s"brown-forsythe median window + broadcast-back machinery:\n$bf")
+  }
 }

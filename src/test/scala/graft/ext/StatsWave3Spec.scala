@@ -861,6 +861,35 @@ class StatsWave3Spec extends SparkSpec {
     assert(out(1L) == ((3L, 9L, 3.0)), out.toString)
   }
 
+  test("average precision: hits at ranks 1 and 3 score (1 + 2/3)/2") {
+    val df = Seq(("q1", 1, 1L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 0L),
+      ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
+    val out = Similarity.averagePrecision(df, "query_id", "rank", "rel")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("q1") == ((2L, Some(0.833333))), out.toString)
+    assert(out("q2") == ((0L, None)), out.toString)
+  }
+
+  test("Yule's K: repeated type raises K, single-token group scores 0") {
+    // "a a b": N=3, Σc²=5 → K = 1e4·2/9 = 2222.222222
+    val docs = Seq(("g1", "a a b"), ("g2", "x")).toDF("src", "text")
+    val out = TextAnalysis.yulesK(docs, "src", "text")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("g1") == ((3L, 2L, Some(2222.222222))), out.toString)
+    assert(out("g2") == ((1L, 1L, Some(0.0))), out.toString)
+  }
+
+  test("Brown-Forsythe: spread difference through the exact ANOVA chain") {
+    // g1 {0,10}: lower med 0 → deviations {0,10}; g2 {5,5}: devs {0,0}
+    // → ssb 25, ssw 50, F = 25/(50/2) = 1
+    val df = Seq(("g1", 0), ("g1", 10), ("g2", 5), ("g2", 5)).toDF("g", "v")
+    val Array(r) = Profiling.brownForsythe(df, "g", "v")
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(r == ((4L, 2L, 25.0, 50.0, Some(1.0))), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
