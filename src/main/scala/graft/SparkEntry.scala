@@ -3699,6 +3699,26 @@ object SparkEntry {
     "q_p45_brown_forsythe" -> ((s, d) =>
       graft.ext.Profiling.brownForsythe(Tables.documents(s, d),
         "source", "n_chars")),
+
+    // -- per-group mode with a PINNED tie-break (max count, then
+    // smallest value) — engines' mode() documents "any" tie order;
+    // a replayable pipeline can't use that --
+    "q_a27_mode" -> ((s, d) =>
+      graft.ext.Profiling.modePerGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity").orderBy(col("grp"))),
+
+    // -- longest dark-gap per user, summarized as exact p50/p90/max
+    // order statistics — how long users actually disappear, which
+    // calendar-bucket retention can't see --
+    "q_t39_longest_gap" -> ((s, d) =>
+      graft.ext.TimeSeries.longestGapStats(Tables.events(s, d),
+        "user_id", "ts")),
+
+    // -- exact 7-day rolling median of daily volume: the robust
+    // trend line that shrugs off the spikes the mean chases --
+    "q_t40_rolling_median" -> ((s, d) =>
+      graft.ext.TimeSeries.rollingMedian(Tables.events(s, d), "ts")
+        .orderBy(col("dt"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8477,5 +8497,38 @@ object SparkEntry {
                     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
                 END AS f
          FROM c""",
+    "q_a27_mode" ->
+      """WITH c AS (SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT grp, v, n, row_number() OVER (PARTITION BY grp
+                 ORDER BY n DESC, v) AS rn
+               FROM c)
+         SELECT grp, v AS mode, n AS n_mode FROM r WHERE rn = 1
+         ORDER BY grp""",
+    "q_t39_longest_gap" ->
+      """WITH g AS (SELECT user_id AS u,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+               ORDER BY ts)) AS gap
+           FROM events),
+         p AS (SELECT u, max(gap) AS mg FROM g WHERE gap IS NOT NULL
+               GROUP BY u),
+         r AS (SELECT mg, row_number() OVER (ORDER BY mg) AS i,
+                 count(*) OVER () AS n
+               FROM p)
+         SELECT CAST(max(n) AS BIGINT) AS n_users,
+                min(CASE WHEN i * 2 >= n THEN mg END) AS p50_us,
+                min(CASE WHEN i * 10 >= n * 9 THEN mg END) AS p90_us,
+                max(mg) AS max_us
+         FROM r""",
+    "q_t40_rolling_median" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         r AS (SELECT dt, x, list(x) OVER (ORDER BY dt
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+               FROM d)
+         SELECT dt, x, list_sort(arr)[4] AS med7
+         FROM r WHERE len(arr) = 7 ORDER BY dt""",
   )
 }

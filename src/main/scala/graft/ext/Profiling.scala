@@ -769,6 +769,27 @@ object Profiling {
       .transform(anovaF(_, "g", "y"))
   }
 
+  /** Per-group mode — the most frequent value with a DETERMINISTIC
+    * tie-break (highest count, then smallest value), the core SQL
+    * aggregate engines ship with unspecified tie order (DuckDB's
+    * mode(), Spark's mode() both document "any"): that looseness is
+    * exactly what a replayable pipeline can't use, so this pins it.
+    * One hash aggregation to (group, value) counts + a per-group
+    * top-1 window over the distinct-value grid (bounded by the value
+    * domain, not the corpus). Returns (grp, mode, n_mode). */
+  def modePerGroup(df: DataFrame, grpCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("v"))
+    counts.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("grp"), col("v").as("mode"), col("n").as("n_mode"))
+  }
+
   /** All-pairs Pearson correlation matrix over integer-scaled numeric
     * columns in ONE aggregation pass — where calling corr() per pair
     * scans the table C(m,2) times, this computes every five-sum

@@ -892,6 +892,56 @@ object TimeSeries {
     * (one row per day), so the unpartitioned running-max window is
     * bounded by the calendar, never the corpus; the top-1 is a
     * TakeOrderedAndProject. */
+  /** Longest-inactivity-gap report: each user's maximum gap between
+    * consecutive events (exact µs integers), summarized as the exact
+    * p50/p90/max ORDER STATISTICS over users (⌈n·q⌉-th element, the
+    * q_t36 selection rule — no interpolation, bit-exact). The churn
+    * screen [[cohortRetention]]'s calendar buckets can't see: "how
+    * long do users actually go dark before coming back?". Gap
+    * multisets are invariant under equal-timestamp tie order, so the
+    * per-user lag window is deterministic without a tiebreak column.
+    * Returns one row (n_users, p50_us, p90_us, max_us) over users
+    * with ≥2 events. Scale: one per-user window + one hash agg; the
+    * closing order-statistic window runs over one row per user. */
+  def longestGapStats(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val wu = Window.partitionBy(col("u")).orderBy(col("ts"))
+    val per = events.select(col(userCol).as("u"), col(tsCol).as("ts"))
+      .withColumn("__prev", lag(col("ts"), 1).over(wu))
+      .filter(col("__prev").isNotNull)
+      .select(col("u"),
+        (unix_micros(col("ts")) - unix_micros(col("__prev"))).as("gap"))
+      .groupBy(col("u")).agg(max(col("gap")).as("mg"))
+    val w = Window.orderBy(col("mg"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    per.withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col("__n").as("n_users"))
+      .agg(min(when(col("__i") * 2 >= col("__n"), col("mg"))).as("p50_us"),
+        min(when(col("__i") * 10 >= col("__n") * 9, col("mg"))).as("p90_us"),
+        max(col("mg")).as("max_us"))
+  }
+
+  /** Exact 7-day rolling MEDIAN of the daily count series — the
+    * robust trend line ([[rollingSpike]]'s mean-based screen chases
+    * outliers; the median shrugs them off). Each full 7-day window's
+    * sorted array picks its ⌈7/2⌉=4th element — integer, no
+    * interpolation; partial head windows are excluded rather than
+    * emitted with a different effective width. Returns (dt, x, med7)
+    * per day from day 7 on. Scale: the day axis is post-aggregation
+    * tiny, so the collect-over-window array is 7 longs/row — bounded
+    * by the calendar, never the corpus. */
+  def rollingMedian(events: DataFrame, tsCol: String): DataFrame = {
+    val w = Window.orderBy(col("dt")).rowsBetween(-6, 0)
+    events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("__arr", collect_list(col("x")).over(w))
+      .filter(size(col("__arr")) === 7)
+      .select(col("dt"), col("x"),
+        element_at(array_sort(col("__arr")), 4).as("med7"))
+  }
+
   def maxDrawdown(events: DataFrame, tsCol: String): DataFrame = {
     val w = Window.orderBy(col("dt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -782,4 +782,19 @@ class PlanShapeSpec extends SparkSpec {
       !bf.contains("CartesianProduct") && !bf.contains("UDF"),
       s"brown-forsythe median window + broadcast-back machinery:\n$bf")
   }
+
+  test("mode, longest gap, rolling median: window machinery, no join") {
+    val mo = executedFinal(SparkEntry.queries("q_a27_mode")(spark, sf0001))
+    assert(mo.contains("Window") && mo.contains("HashAggregate") &&
+      !mo.contains("Join") && !mo.contains("UDF"),
+      s"mode top-1 window over the value grid:\n$mo")
+    val lg = executedFinal(
+      SparkEntry.queries("q_t39_longest_gap")(spark, sf0001))
+    assert(lg.contains("Window") && !lg.contains("Join") &&
+      !lg.contains("UDF"), s"longest gap machinery:\n$lg")
+    val rm = executedFinal(
+      SparkEntry.queries("q_t40_rolling_median")(spark, sf0001))
+    assert(rm.contains("Window") && !rm.contains("Join") &&
+      !rm.contains("UDF"), s"rolling median machinery:\n$rm")
+  }
 }

@@ -890,6 +890,39 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == ((4L, 2L, 25.0, 50.0, Some(1.0))), r.toString)
   }
 
+  test("mode per group: deterministic smallest-value tie-break") {
+    val df = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L),
+      ("g2", 4L), ("g2", 3L)).toDF("g", "v")
+    val out = Profiling.modePerGroup(df, "g", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out("g1") == ((1L, 2L)), out.toString)
+    assert(out("g2") == ((3L, 1L)), s"tie must pick smaller value: $out")
+  }
+
+  test("longest gap: per-user max gap order statistics, singles excluded") {
+    // A: gaps 10s,5s → max 10s; B: gap 2s; C: one event → excluded
+    val ev = Seq(("A", 0L), ("A", 10L), ("A", 15L), ("B", 0L), ("B", 2L),
+      ("C", 0L)).map { case (u, s) => (u, new Timestamp(s * 1000L)) }
+      .toDF("u", "ts")
+    val Array(r) = TimeSeries.longestGapStats(ev, "u", "ts")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r == ((2L, 2000000L, 10000000L, 10000000L)), r.toString)
+  }
+
+  test("rolling median: full 7-day windows only, 4th sorted element") {
+    // counts 1..8 → day 7 median 4, day 8 window {2..8} median 5
+    val ev = (0 until 8).flatMap(d =>
+      (0 to d).map(i => Tuple1(dayTs(d, i)))).toDF("ts")
+    val out = TimeSeries.rollingMedian(ev, "ts")
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(_._1.toString)
+    assert(out.length == 2, out.mkString(","))
+    assert(out(0) == ((java.sql.Date.valueOf("1970-01-07"), 7L, 4L)),
+      out.mkString(","))
+    assert(out(1) == ((java.sql.Date.valueOf("1970-01-08"), 8L, 5L)),
+      out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
