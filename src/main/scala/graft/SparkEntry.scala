@@ -3719,6 +3719,40 @@ object SparkEntry {
     "q_t40_rolling_median" -> ((s, d) =>
       graft.ext.TimeSeries.rollingMedian(Tables.events(s, d), "ts")
         .orderBy(col("dt"))),
+
+    // -- per-dimension embedding stats: dead dimensions (vr≈0) and
+    // rogue dominant ones — the localized report isotropy's whole-
+    // space numbers can't give; decimal-exact sums --
+    "q_v12_dim_stats" -> ((s, d) =>
+      graft.ext.Similarity.dimStats(Tables.embeddings(s, d), "embedding")
+        .orderBy(col("pos"))),
+
+    // -- ntile(4) quartile buckets per priority over a UNIQUE sort
+    // key (cents, then orderkey — ntile on a tied key is layout
+    // lottery): the last core window function not yet gated --
+    "q_w6_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- deterministic argmax: the order carrying each priority's
+    // maximum value — one struct-max aggregate (lexicographic
+    // (cents, key) pins ties) where arg_max() documents "any" --
+    "q_a28_argmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("grp"))
+        .agg(max(struct(col("cents"), col("o_orderkey"))).as("__m"))
+        .select(col("grp"), col("__m.o_orderkey").as("best_key"),
+          col("__m.cents").as("best_cents"))
+        .orderBy(col("grp"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8530,5 +8564,39 @@ object SparkEntry {
                FROM d)
          SELECT dt, x, list_sort(arr)[4] AS med7
          FROM r WHERE len(arr) = 7 ORDER BY dt""",
+    "q_v12_dim_stats" ->
+      """WITH comp AS (SELECT u.j AS j,
+             CAST(round(CAST(u.x AS DOUBLE), 6) AS DECIMAL(16,6)) AS r
+           FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(j := i, x := embedding[i]))) AS u
+                 FROM embeddings)),
+         agg AS (SELECT j, CAST(count(*) AS BIGINT) AS n, sum(r) AS s,
+                   sum(r * r) AS q, min(r) AS lo, max(r) AS hi
+                 FROM comp GROUP BY j)
+         SELECT CAST(j AS BIGINT) AS pos, n,
+                round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                round(CAST(q AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+                  + 0.0 AS vr,
+                CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+         FROM agg ORDER BY pos""",
+    "q_w6_ntile" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, grp, cents,
+                CAST(ntile(4) OVER (PARTITION BY grp
+                  ORDER BY cents, o_orderkey) AS BIGINT) AS tile
+         FROM b ORDER BY o_orderkey""",
+    "q_a28_argmax" ->
+      """WITH b AS (SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT grp, o_orderkey, cents, row_number() OVER (
+                 PARTITION BY grp ORDER BY cents DESC, o_orderkey DESC)
+                 AS rn
+               FROM b)
+         SELECT grp, o_orderkey AS best_key, cents AS best_cents
+         FROM r WHERE rn = 1 ORDER BY grp""",
   )
 }

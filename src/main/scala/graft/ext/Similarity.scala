@@ -1014,6 +1014,37 @@ object Similarity {
     * the sequential-fold norms (q_v1 kernel discipline). One
     * posexplode scan + two grouped aggregates; no shuffle grows with
     * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  /** Per-dimension component statistics — the dead/dominant-dimension
+    * report [[isotropy]]'s whole-space numbers can't localize: a
+    * near-zero-variance dimension carries no information (dead), a
+    * variance outlier dominates every distance ("rogue dimension",
+    * Timkey & van Schijndel '21) — both argue for dropping or
+    * whitening BEFORE building ANN indexes. Components round 6 dp
+    * into DECIMAL(16,6) (float→double is exact, so the rounding is
+    * replayable) and every sum is decimal — partition-order-free;
+    * mean/variance close in one fixed double chain (+0.0
+    * canonicalizes −0.0, the q_v4 lesson). Returns one row per
+    * dimension (pos, n, mean, vr, lo, hi). Scale: one posexplode
+    * scan + one hash aggregation keyed by dimension — d groups, never
+    * the corpus. */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("j", "x")))
+      .select(col("j"),
+        round(col("x").cast("double"), 6).cast("decimal(16,6)").as("r"))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+        sum(col("r") * col("r")).as("q"),
+        min(col("r")).as("__lo"), max(col("r")).as("__hi"))
+      .select((col("j") + 1).cast("long").as("pos"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        round(col("q").cast("double") / col("n").cast("double") -
+          (col("s").cast("double") / col("n").cast("double")) *
+          (col("s").cast("double") / col("n").cast("double")), 6)
+          .plus(lit(0.0)).as("vr"),
+        col("__lo").cast("double").as("lo"),
+        col("__hi").cast("double").as("hi"))
+
   def isotropy(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val nrmExpr = sqrt(VectorFunctions.dot(col(vecCol), col(vecCol)))
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -797,4 +797,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(rm.contains("Window") && !rm.contains("Join") &&
       !rm.contains("UDF"), s"rolling median machinery:\n$rm")
   }
+
+  test("dim stats, ntile, argmax: explode/window/agg machinery, no UDF") {
+    val ds = executedFinal(SparkEntry.queries("q_v12_dim_stats")(spark, sf0001))
+    assert(ds.contains("HashAggregate") && ds.contains("Generate") &&
+      !ds.contains("Join") && !ds.contains("UDF"),
+      s"dim stats posexplode + one agg:\n$ds")
+    val nt = executedFinal(SparkEntry.queries("q_w6_ntile")(spark, sf0001))
+    assert(nt.contains("Window") && !nt.contains("Join") &&
+      !nt.contains("UDF"), s"ntile one window pass:\n$nt")
+    // struct-typed max falls back to SortAggregate (no hash support for
+    // struct buffers) — still partial_max map-side, which is the part
+    // that matters at scale
+    val am = executedFinal(SparkEntry.queries("q_a28_argmax")(spark, sf0001))
+    assert(am.contains("partial_max") && !am.contains("Window") &&
+      !am.contains("Join") && !am.contains("UDF"),
+      s"argmax is one struct-max aggregate with map-side combine:\n$am")
+  }
 }

@@ -923,6 +923,39 @@ class StatsWave3Spec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("dim stats: per-dimension mean/var exact, dead dim reads 0.0") {
+    val emb = Seq(Tuple1(Array(1f, 0f)), Tuple1(Array(3f, 0f)))
+      .toDF("embedding")
+    val out = Similarity.dimStats(emb, "embedding")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((2L, 2.0, 1.0, 1.0, 3.0)), out.toString)
+    assert(out(2L) == ((2L, 0.0, 0.0, 0.0, 0.0)), out.toString)
+    // dead dim variance must be +0.0, not -0.0 (hash-compare trap)
+    assert(1.0 / out(2L)._3 > 0, "vr must canonicalize to +0.0")
+  }
+
+  test("ntile over a unique key: quartile sizes 2,1,1,1 on five rows") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 20L),
+      ("g", 4L, 30L), ("g", 5L, 40L)).toDF("g", "id", "v")
+    val out = df.withColumn("tile", ntile(4).over(w).cast("long"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq == Seq(1L, 1L, 2L, 3L, 4L),
+      out.mkString(","))
+  }
+
+  test("struct-max argmax: value tie resolved to the larger key") {
+    val df = Seq(("g", 7L, 100L), ("g", 9L, 100L), ("g", 3L, 50L))
+      .toDF("grp", "k", "cents")
+    val Array(r) = df.groupBy(col("grp"))
+      .agg(max(struct(col("cents"), col("k"))).as("m"))
+      .select(col("grp"), col("m.k"), col("m.cents"))
+      .as[(String, Long, Long)].collect()
+    assert(r == (("g", 9L, 100L)), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
