@@ -3753,6 +3753,31 @@ object SparkEntry {
         .select(col("grp"), col("__m.o_orderkey").as("best_key"),
           col("__m.cents").as("best_cents"))
         .orderBy(col("grp"))),
+
+    // -- Wald–Wolfowitz runs test on above/below-median days: is the
+    // daily series RANDOM, or does it run in regimes? The
+    // nonparametric cousin of q_p41's model-bound Durbin–Watson --
+    "q_t41_runs_test" -> ((s, d) =>
+      graft.ext.TimeSeries.runsTest(Tables.events(s, d), "ts")),
+
+    // -- deterministic 5-fold CV assignment + fold×label balance
+    // grid: the pre-training health check (a label missing from a
+    // fold invalidates its eval); replayable hash, no rand() --
+    "q_o29_kfold" -> ((s, d) =>
+      graft.ext.Sampling.kfoldReport(Tables.embeddings(s, d), "vec_id",
+        "label", k = 5).orderBy(col("fold"), col("label"))),
+
+    // -- global transitivity 3T/W on the co-purchase graph: the
+    // hub-weighted clustering number that per-node averages (q_g23)
+    // do NOT equal — the gap is the hub diagnostic --
+    "q_g38_transitivity" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.transitivity(e)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8598,5 +8623,62 @@ object SparkEntry {
                FROM b)
          SELECT grp, o_orderkey AS best_key, cents AS best_cents
          FROM r WHERE rn = 1 ORDER BY grp""",
+    "q_t41_runs_test" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         r0 AS (SELECT x, row_number() OVER (ORDER BY x) AS i,
+                 count(*) OVER () AS n
+               FROM d),
+         med AS (SELECT min(x) AS med FROM r0 WHERE i * 2 >= n),
+         s AS (SELECT dt, CASE WHEN x > med THEN 1 ELSE 0 END AS s
+               FROM d, med WHERE x <> med),
+         t AS (SELECT s, lag(s) OVER (ORDER BY dt) AS p FROM s),
+         agg AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(coalesce(sum(CASE WHEN p IS NOT NULL AND s <> p
+               THEN 1 ELSE 0 END), 0) + 1 AS BIGINT) AS runs
+           FROM t),
+         f AS (SELECT n1, n2, runs,
+             CAST(n1 + n2 AS DOUBLE) AS n,
+             CAST(2 AS DOUBLE) * n1 * n2 AS two
+           FROM agg)
+         SELECT n1, n2, runs,
+                CASE WHEN n1 > 0 AND n2 > 0
+                  AND two * (two - n) / (n * n * (n - 1)) > 0 THEN
+                  round((CAST(runs AS DOUBLE) - (two / n + 1.0))
+                    / sqrt(two * (two - n) / (n * n * (n - 1))), 6)
+                END AS z
+         FROM f""",
+    "q_o29_kfold" ->
+      """SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(CAST(vec_id AS VARCHAR), ''),
+               c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) % 5 AS fold,
+             CAST(label AS VARCHAR) AS label,
+             CAST(count(*) AS BIGINT) AS n
+         FROM embeddings GROUP BY 1, 2 ORDER BY fold, label""",
+    "q_g38_transitivity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         wed AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+                   AS BIGINT) AS n_wedges
+                 FROM deg)
+         SELECT n_triangles, n_wedges,
+                CASE WHEN n_wedges > 0 THEN
+                  round(CAST(n_triangles AS DOUBLE) * 3
+                    / CAST(n_wedges AS DOUBLE), 6)
+                END AS transitivity
+         FROM tri, wed""",
   )
 }

@@ -660,6 +660,25 @@ object Sampling {
           col("n_obs").cast("double").as("expected"), col("term")))
   }
 
+  /** Deterministic k-fold cross-validation assignment + balance
+    * report: fold = fingerprint(id) mod k (the [[chronoSplit]]/q_o11
+    * replayable-hash discipline — no rand(), no layout dependence,
+    * any worker re-derives any row's fold), reported as the
+    * fold × label count grid a CV harness checks BEFORE training k
+    * models: a label missing from a fold invalidates that fold's
+    * eval split. Returns (fold, label, n). Scale: one map-side hash
+    * projection + one hash aggregation over k·|labels| cells. */
+  def kfoldReport(df: DataFrame, idCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    df.select(
+        pmod(graft.ext.TextAnalysis.fingerprint(col(idCol).cast("string")),
+          lit(k.toLong)).as("fold"),
+        col(labelCol).cast("string").as("label"))
+      .groupBy(col("fold"), col("label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
     * id expression: same char-poly fold, same double squaring mod p,
     * same w·16+s packing. */

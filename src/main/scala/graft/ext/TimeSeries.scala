@@ -880,6 +880,49 @@ object TimeSeries {
             .otherwise(lit(0.0)), 6)).as("z"))
   }
 
+  /** Wald–Wolfowitz runs test on the daily count series — "is the
+    * sequence of above-/below-median days RANDOM?" Too few runs =
+    * sticky regimes (trend, autocorrelation), too many = oscillation;
+    * the nonparametric cousin of [[durbinWatson]] (which assumes a
+    * linear trend model — this assumes nothing). Days equal to the
+    * median drop (the classic treatment); the median is the exact
+    * lower order statistic. R = 1 + sign-change count is pure integer
+    * window arithmetic;
+    *   E[R] = 2·n1·n2/n + 1,  V = 2·n1·n2·(2·n1·n2 − n)/(n²(n−1))
+    * close in one fixed double chain, z = (R − E)/√V rounded 6 dp,
+    * NULL when either side is empty or V ≤ 0. Returns one row
+    * (n1, n2, runs, z). Scale: the day axis is post-aggregation
+    * bounded, so both windows run over calendar-sized input. */
+  def runsTest(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x")).localCheckpoint(true)
+    val wOrd = Window.orderBy(col("x"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val med = daily
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__i") * 2 >= col("__n"))
+      .agg(min(col("x")).as("med"))
+    val w = Window.orderBy(col("dt"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("dt"), (col("x") > col("med")).cast("long").as("s"))
+      .withColumn("__p", lag(col("s"), 1).over(w))
+    val agg = signs.agg(
+      sum(col("s")).as("n1"),
+      sum(lit(1L) - col("s")).as("n2"),
+      (coalesce(sum(when(col("__p").isNotNull && col("s") =!= col("__p"),
+        1L)), lit(0L)) + 1L).as("runs"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val two = lit(2.0) * col("n1").cast("double") * col("n2").cast("double")
+    val er = two / n + 1.0
+    val v = two * (two - n) / (n * n * (n - 1))
+    agg.select(col("n1"), col("n2"), col("runs"),
+      when(col("n1") > 0 && col("n2") > 0 && v > 0,
+        round((col("runs").cast("double") - er) / sqrt(v), 6)).as("z"))
+  }
+
   /** Maximum drawdown of the daily event-count series — how far below
     * its historical peak daily volume ever fell (the capacity-planning
     * and health-alert headline; a big drawdown that q_t23's spike

@@ -1101,6 +1101,36 @@ object GraphQueries {
           .otherwise(lit(0.0)).as("cc"))
   }
 
+  /** Global transitivity — 3·triangles / wedges, the whole-graph
+    * clustering number that [[clusteringCoefficients]]' per-node
+    * averages DON'T equal (average-of-ratios vs ratio-of-sums: the
+    * average is dominated by low-degree nodes, transitivity by hubs;
+    * comparing the two is itself a hub-behavior diagnostic). One
+    * canonical triangle listing (each triangle once, the q_g23 join)
+    * counted whole + exact integer wedge sum Σ C(deg,2); one closing
+    * division. Returns (n_triangles, n_wedges, transitivity). */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val tri = e.as("e1")
+      .join(e.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wed = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+        .as("n_wedges"))
+    tri.crossJoin(wed)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") * 3 /
+            col("n_wedges").cast("double"), 6)).as("transitivity"))
+  }
+
   /** Landmark-sample harmonic centrality (Eppstein–Wang style): run a
     * MULTI-SOURCE unweighted BFS from every landmark in ONE iterated
     * frontier keyed (landmark, node) — L sources cost L× the rows of

@@ -814,4 +814,18 @@ class PlanShapeSpec extends SparkSpec {
       !am.contains("Join") && !am.contains("UDF"),
       s"argmax is one struct-max aggregate with map-side combine:\n$am")
   }
+
+  test("runs test, k-fold, transitivity: bounded window/agg/join shapes") {
+    val rt = executedFinal(SparkEntry.queries("q_t41_runs_test")(spark, sf0001))
+    assert(rt.contains("Window") && !rt.contains("SortMergeJoin") &&
+      !rt.contains("UDF"), s"runs test calendar-window machinery:\n$rt")
+    val kf = executedFinal(SparkEntry.queries("q_o29_kfold")(spark, sf0001))
+    assert(kf.contains("HashAggregate") && !kf.contains("Join") &&
+      !kf.contains("Window") && !kf.contains("UDF"),
+      s"kfold is one map-side projection + agg:\n$kf")
+    val tr = executedFinal(
+      SparkEntry.queries("q_g38_transitivity")(spark, sf0001))
+    assert(tr.contains("HashAggregate") && !tr.contains("UDF"),
+      s"transitivity triangle-join machinery:\n$tr")
+  }
 }

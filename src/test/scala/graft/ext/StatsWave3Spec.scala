@@ -956,6 +956,44 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == (("g", 9L, 100L)), r.toString)
   }
 
+  test("runs test: median days drop, textbook E/V/z on the hand case") {
+    // counts 1,9,2,8,3,7 → med 3 drops day 5; signs 0,1,0,1,1 →
+    // n1=3, n2=2, runs 4, z = (4−3.4)/√0.84 = 0.654654
+    val ev = Seq(1, 9, 2, 8, 3, 7).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(r) = TimeSeries.runsTest(ev, "ts")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r == ((3L, 2L, 4L, Some(0.654654))), r.toString)
+  }
+
+  test("runs test: one-sided series has no variance — z null") {
+    val ev = Seq(1, 5, 1, 5, 1).zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => Tuple1(dayTs(d, i))) }.toDF("ts")
+    val Array(r) = TimeSeries.runsTest(ev, "ts")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(r._2 == 0L && r._4.isEmpty, r.toString)
+  }
+
+  test("k-fold report: folds bounded, counts total, assignment replays") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "lab")
+    val out = Sampling.kfoldReport(df, "id", "lab", k = 5)
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._3).sum == 100L, out.mkString(","))
+    assert(out.forall(r => r._1 >= 0 && r._1 < 5), out.mkString(","))
+    val again = Sampling.kfoldReport(df, "id", "lab", k = 5)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq, "assignment must replay")
+  }
+
+  test("transitivity: triangle plus pendant scores 3/5") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val Array(r) = graft.query.GraphQueries.transitivity(e)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(r == ((1L, 5L, Some(0.6))), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
