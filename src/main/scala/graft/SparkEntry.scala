@@ -3778,6 +3778,20 @@ object SparkEntry {
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
       GraphQueries.transitivity(e)
     }),
+
+    // -- minimum spanning forest by distributed Borůvka over the
+    // weighted co-purchase graph (w = shared parts, totalized ties):
+    // the unique MSF, verified against DuckDB's Kruskal-invariant
+    // replay (e ∈ MSF ⇔ endpoints unreachable via smaller edges) --
+    "q_g39_mst" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val we = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphQueries.boruvkaMsf(we).orderBy(col("w"), col("src"), col("dst"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8680,5 +8694,27 @@ object SparkEntry {
                     / CAST(n_wedges AS DOUBLE), 6)
                 END AS transitivity
          FROM tri, wed""",
+    "q_g39_mst" ->
+      """WITH RECURSIVE
+         hk AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                FROM lineitem WHERE l_orderkey % 50 = 0),
+         e AS (SELECT a.s AS src, b.s AS dst, CAST(count(*) AS BIGINT) AS w
+               FROM hk a JOIN hk b ON a.p = b.p AND a.s < b.s
+               GROUP BY 1, 2),
+         rk AS (SELECT src, dst, w,
+                  row_number() OVER (ORDER BY w, src, dst) AS r
+                FROM e),
+         reach AS (
+           SELECT r.r AS eid, r.src AS node FROM rk r
+           UNION
+           SELECT x.eid, CASE WHEN e2.src = x.node THEN e2.dst
+             ELSE e2.src END AS node
+           FROM reach x JOIN rk e2
+             ON e2.r < x.eid AND (e2.src = x.node OR e2.dst = x.node)
+         )
+         SELECT src, dst, w FROM rk
+         WHERE NOT EXISTS (SELECT 1 FROM reach
+                           WHERE reach.eid = rk.r AND reach.node = rk.dst)
+         ORDER BY w, src, dst""",
   )
 }

@@ -1101,6 +1101,127 @@ object GraphQueries {
           .otherwise(lit(0.0)).as("cc"))
   }
 
+  /** Minimum spanning forest by distributed Borůvka (Borůvka 1926;
+    * the MST algorithm that parallelizes — Kruskal and Prim are
+    * inherently sequential). Weights are totalized to (w, src, dst)
+    * so the MSF is UNIQUE and every tie deterministic; per round each
+    * component picks its minimum outgoing edge under that order (cut
+    * property ⇒ the edge is in the MSF), picked edges merge their
+    * components via [[connectedComponentsStar]] (the proven O(log n)
+    * contraction), and components at least halve — ≤ log₂ n rounds
+    * to fixpoint. Returns the forest's (src, dst, w) rows,
+    * |rows| = n − #components. Scale: per round two equi-joins of
+    * the edge table against the component dim + one struct-min hash
+    * aggregate (map-side combined); nothing driver-side but the
+    * per-round empty probe. Oracle face: with the total order, e ∈
+    * MSF ⇔ its endpoints are NOT connected using strictly smaller
+    * edges (Kruskal's invariant) — per-edge recursive reachability,
+    * which DuckDB replays exactly. */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 20,
+      localEdgeThreshold: Long = 5000000L): DataFrame = {
+    // working edges carry BOTH the current component endpoints
+    // (cs, cd — relabeled and contracted each round, so the graph
+    // shrinks geometrically) and the original endpoints (os, od —
+    // what the forest reports). Parallel component-edges collapse to
+    // their minimum under the total order after every contraction:
+    // Borůvka only ever picks minima, so the discard is lossless.
+    def collapse(df: DataFrame) = df // columns (cs, cd, e)
+      .select(least(col("cs"), col("cd")).as("cs"),
+        greatest(col("cs"), col("cd")).as("cd"), col("e"))
+      .filter(col("cs") =!= col("cd"))
+      .groupBy(col("cs"), col("cd")).agg(min(col("e")).as("e"))
+    var cur = collapse(edges
+      .select(col("src").as("cs"), col("dst").as("cd"),
+        struct(col("w").cast("long").as("w"), col("src").as("os"),
+          col("dst").as("od")).as("e")))
+      .localCheckpoint(true)
+    var msf = cur.select(col("e.os").as("src"), col("e.od").as("dst"),
+      col("e.w").as("w")).filter(lit(false)).localCheckpoint(true)
+    var done = false
+    var r = 0
+    while (!done && r < maxRounds) {
+      if (cur.isEmpty) done = true
+      else {
+        // each component's minimum incident edge (cut property ⇒ in
+        // the unique MSF under the totalized order)
+        val sel = cur.select(col("cs").as("c"), col("cs"), col("cd"),
+            col("e"))
+          .unionByName(cur.select(col("cd").as("c"), col("cs"), col("cd"),
+            col("e")))
+          .groupBy(col("c"))
+          .agg(min(struct(col("e"), col("cs"), col("cd"))).as("m"))
+          .select(col("m.e").as("e"), col("m.cs").as("cs"),
+            col("m.cd").as("cd"))
+          .distinct().localCheckpoint(true)
+        // sel is checkpointed, so the msf union chain stays shallow
+        // (one node per round) — no per-round checkpoint needed
+        msf = msf.unionByName(sel.select(col("e.os").as("src"),
+          col("e.od").as("dst"), col("e.w").as("w")))
+        // contract: components of the selection graph (a pseudo-
+        // forest over component ids, ≤ one edge per component)
+        // become the new labels. Size-gated like GraphOps'
+        // connectedComponentsByOrigId: below the threshold a driver
+        // union-find replaces an O(log n)-round distributed fixpoint
+        // whose per-job overhead dwarfs the work; above it the
+        // CC-star path runs — that's the 100 TB branch. The MSF is
+        // label-INVARIANT (labels only partition; every min is taken
+        // under the (w, os, od) edge order), so the two branches
+        // yield identical forests.
+        val selPairs = sel.select(col("cs").as("u"), col("cd").as("v"))
+        // limit(t+1).collect() probes size and fetches in ONE job with
+        // bounded driver memory: > t rows back means take the
+        // distributed branch and discard
+        val probe = selPairs.limit(
+          math.min(localEdgeThreshold + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        val mapping: DataFrame =
+          if (probe.length <= localEdgeThreshold) {
+            val spark = edges.sparkSession
+            val pairs = probe
+              .map(r => (r.get(0), r.get(1)))
+              .sortBy(_.toString())
+            val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+            def find(x: Any): Any = {
+              var r0 = x
+              while (parent.getOrElse(r0, r0) != r0) r0 = parent.getOrElse(r0, r0)
+              var c = x
+              while (parent.getOrElse(c, c) != r0) {
+                val n = parent(c); parent(c) = r0; c = n
+              }
+              r0
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) {
+                if (ra.toString < rb.toString) parent(rb) = ra
+                else parent(ra) = rb
+              }
+            }
+            val touched = pairs.iterator
+              .flatMap(p => Iterator(p._1, p._2)).toSet
+            val rows = touched.toSeq.map(v =>
+              org.apache.spark.sql.Row(v, find(v)))
+            val f = selPairs.schema.fields
+            broadcast(spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                f(0).copy(name = "node"), f(1).copy(name = "component")))))
+          } else connectedComponentsStar(selPairs)
+            .select(col("node"), col("component"))
+        cur = collapse(cur
+          .join(mapping.select(col("node").as("cs"),
+            col("component").as("__ms")), Seq("cs"), "left")
+          .join(mapping.select(col("node").as("cd"),
+            col("component").as("__md")), Seq("cd"), "left")
+          .select(coalesce(col("__ms"), col("cs")).as("cs"),
+            coalesce(col("__md"), col("cd")).as("cd"), col("e")))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    msf
+  }
+
   /** Global transitivity — 3·triangles / wedges, the whole-graph
     * clustering number that [[clusteringCoefficients]]' per-node
     * averages DON'T equal (average-of-ratios vs ratio-of-sums: the

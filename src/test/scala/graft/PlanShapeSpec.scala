@@ -827,5 +827,8 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("q_g38_transitivity")(spark, sf0001))
     assert(tr.contains("HashAggregate") && !tr.contains("UDF"),
       s"transitivity triangle-join machinery:\n$tr")
+    val mst = executedFinal(SparkEntry.queries("q_g39_mst")(spark, sf0001))
+    assert(!mst.contains("CartesianProduct") && !mst.contains("UDF"),
+      s"boruvka msf result must stay relational:\n$mst")
   }
 }

@@ -994,6 +994,50 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == ((1L, 5L, Some(0.6))), r.toString)
   }
 
+  test("Boruvka MSF: textbook hand case with a weight tie") {
+    // square 1-2(1), 2-3(2), 3-4(1), 1-4(2), diagonal 1-3(3): the
+    // w=2 tie resolves by the (w, src, dst) total order — (2,1,4)
+    // precedes (2,2,3), so 1-4 joins the tree and 2-3 is the cycle
+    // edge; MSF = {1-2, 3-4, 1-4}
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L), (1L, 4L, 2L),
+      (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val out = graft.query.GraphQueries.boruvkaMsf(e)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._1, r._2))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 4L, 1L), (1L, 4L, 2L)),
+      out.mkString(","))
+  }
+
+  test("Boruvka MSF: equals sequential Kruskal on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val raw = (0 until 150).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b), (rnd.nextInt(9) + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    // canonical dedup keeping min weight — mirror the operator's prep
+    val canon = raw.groupBy(t => (t._1, t._2))
+      .map { case ((a, b), ts) => (a, b, ts.map(_._3).min) }.toSeq
+    // reference: Kruskal with union-find under the (w, src, dst) order
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val expected = canon.sortBy(t => (t._3, t._1, t._2)).filter {
+      case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false else { parent(ra) = rb; true }
+    }.toSet
+    val out = graft.query.GraphQueries.boruvkaMsf(
+      canon.toDF("src", "dst", "w")).as[(Long, Long, Long)].collect().toSet
+    assert(out == expected,
+      s"missing=${expected -- out} extra=${out -- expected}")
+    // spanning: |MSF| = n_nodes - n_components
+    val nodes = canon.flatMap(t => Seq(t._1, t._2)).distinct
+    val comps = nodes.map(find).distinct.size
+    assert(out.size == nodes.size - comps, s"${out.size} edges")
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
