@@ -3792,6 +3792,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
       GraphQueries.boruvkaMsf(we).orderBy(col("w"), col("src"), col("dst"))
     }),
+
+    // -- shortest-path RECONSTRUCTION to the farthest node: q_g15
+    // says how far, this says WHICH WAY — (d, pred) relaxation with
+    // lexicographic tie-break makes the extracted path unique --
+    "q_g40_shortest_path" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(min(col("l_quantity").cast("long") % 5 + 1).as("w"))
+      val e = hk.select(
+          concat(lit("supplier:"), col("sk").cast("string")).as("src"),
+          concat(lit("part:"), col("pk").cast("string")).as("dst"), col("w"))
+        .unionByName(hk.select(
+          concat(lit("part:"), col("pk").cast("string")).as("src"),
+          concat(lit("supplier:"), col("sk").cast("string")).as("dst"),
+          col("w")))
+      val srcId = "supplier:" + hk.agg(min(col("sk"))).head().getLong(0)
+      GraphQueries.shortestPathTrace(e, srcId, rounds = 6)
+        .orderBy(col("d"), col("node"))
+    }),
+
+    // -- week-over-week growth: the cadence volume review daily
+    // noise hides and WAU stickiness doesn't answer --
+    "q_t42_wow_growth" -> ((s, d) =>
+      graft.ext.TimeSeries.wowGrowth(Tables.events(s, d), "ts")
+        .orderBy(col("wk"))),
+
+    // -- nearest-centroid eval: train per-label centroids on even
+    // ids, classify odd ids, report the confusion grid — do the
+    // embeddings separate the labels at all? --
+    "q_n18_centroid_eval" -> ((s, d) =>
+      graft.ext.Similarity.centroidEval(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", col("vec_id") % 2 === 0)
+        .orderBy(col("label"), col("pred"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8716,5 +8749,59 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM reach
                            WHERE reach.eid = rk.r AND reach.node = rk.dst)
          ORDER BY w, src, dst""",
+    "q_g40_shortest_path" ->
+      graft.query.GraphQueries.shortestPathTraceOracleSql(
+        """SELECT 'supplier:' || CAST(sk AS VARCHAR) AS src,
+                  'part:' || CAST(pk AS VARCHAR) AS dst, w FROM (
+             SELECT l_suppkey AS sk, l_partkey AS pk,
+                    min(CAST(l_quantity AS BIGINT) % 5 + 1) AS w
+             FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)
+           UNION ALL
+           SELECT 'part:' || CAST(pk AS VARCHAR) AS src,
+                  'supplier:' || CAST(sk AS VARCHAR) AS dst, w FROM (
+             SELECT l_suppkey AS sk, l_partkey AS pk,
+                    min(CAST(l_quantity AS BIGINT) % 5 + 1) AS w
+             FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1, 2)""",
+        """(SELECT 'supplier:' || CAST(min(l_suppkey) AS VARCHAR)
+            FROM lineitem WHERE l_orderkey % 100 = 0)""",
+        rounds = 6),
+    "q_t42_wow_growth" ->
+      """WITH wk AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         l AS (SELECT wk, n, lag(n) OVER (ORDER BY wk) AS prev_n FROM wk)
+         SELECT wk, n, prev_n,
+                CASE WHEN prev_n > 0 THEN
+                  round(CAST(n - prev_n AS DOUBLE) * 100
+                    / CAST(prev_n AS DOUBLE), 2)
+                END AS growth_pct
+         FROM l ORDER BY wk""",
+    "q_n18_centroid_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS VARCHAR) AS lab,
+             embedding
+           FROM embeddings),
+         comp AS (SELECT lab, u.j AS pos,
+             CAST(round(CAST(u.x AS DOUBLE), 6) AS DECIMAL(16,6)) AS r
+           FROM (SELECT lab, unnest(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> struct_pack(j := i, x := embedding[i]))) AS u
+                 FROM e WHERE vec_id % 2 = 0)),
+         cent AS (SELECT lab, pos,
+             round(CAST(sum(r) AS DOUBLE) / count(*), 6) AS c
+           FROM comp GROUP BY lab, pos),
+         cvec AS (SELECT lab, list(c ORDER BY pos) AS cv
+                  FROM cent GROUP BY lab),
+         te AS (SELECT vec_id, lab,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM e WHERE vec_id % 2 = 1),
+         sc AS (SELECT te.vec_id AS id, te.lab AS label,
+             cvec.lab AS clab,
+             round(list_cosine_similarity(te.v, cvec.cv), 6) AS cos
+           FROM te, cvec),
+         rk AS (SELECT id, label, clab, row_number() OVER (
+             PARTITION BY id ORDER BY cos DESC, clab DESC) AS rn
+           FROM sc)
+         SELECT label, clab AS pred, CAST(count(*) AS BIGINT) AS n
+         FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""",
   )
 }

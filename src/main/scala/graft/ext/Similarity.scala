@@ -1014,6 +1014,46 @@ object Similarity {
     * the sequential-fold norms (q_v1 kernel discipline). One
     * posexplode scan + two grouped aggregates; no shuffle grows with
     * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  /** Nearest-centroid classification eval — "do the embeddings
+    * actually separate the labels?", the cheapest end-to-end quality
+    * probe of an embedding column (Rocchio classification): per-label
+    * centroids train on one split, the held-out split classifies by
+    * max cosine-to-centroid, and the CONFUSION GRID is the report —
+    * which labels bleed into which. Centroid components are exact
+    * decimal-ladder means (round-6 components summed in
+    * DECIMAL(16,6), one closing division); scoring broadcasts the
+    * |labels| centroid rows and takes one struct-max per doc (ties →
+    * larger label, pinned); cosines fold sequentially (cosineHof) so
+    * the oracle replays them. Returns (label, pred, n). Scale: one
+    * posexplode aggregation for training + one broadcast
+    * cross-score + two hash aggs — nothing grows with n². */
+  def centroidEval(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, trainPred: Column): DataFrame = {
+    val cent = emb.filter(trainPred)
+      .select(col(labelCol).cast("string").as("lab"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("lab"), col("pos"))
+      .agg(sum(round(col("x").cast("double"), 6).cast("decimal(16,6)"))
+        .as("s"), count(lit(1)).as("n"))
+      .select(col("lab"), col("pos"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("c"))
+    val cvec = cent.groupBy(col("lab"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("lab"),
+        transform(col("pc"), p => p.getField("c")).as("cv"))
+    emb.filter(!trainPred)
+      .select(col(idCol).as("__id"), col(labelCol).cast("string").as("label"),
+        col(vecCol).as("__v"))
+      .crossJoin(broadcast(cvec))
+      .select(col("__id"), col("label"),
+        struct(round(VectorFunctions.cosineHof(col("__v"), col("cv")), 6)
+          .as("cos"), col("lab")).as("__sc"))
+      .groupBy(col("__id"), col("label"))
+      .agg(max(col("__sc")).as("__best"))
+      .groupBy(col("label"), col("__best.lab").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-dimension component statistics — the dead/dominant-dimension
     * report [[isotropy]]'s whole-space numbers can't localize: a
     * near-zero-variance dimension carries no information (dead), a

@@ -880,6 +880,24 @@ object TimeSeries {
             .otherwise(lit(0.0)), 6)).as("z"))
   }
 
+  /** Week-over-week growth report — weekly volume with the previous
+    * week and the percentage change, the cadence engagement review
+    * that daily series are too noisy for (and that [[dauWau]]
+    * stickiness doesn't answer: WAU can hold flat while volume
+    * collapses). Weeks truncate to Monday (both engines' ISO
+    * convention); growth = (n − prev)·100/prev rounded 2 dp, NULL for
+    * the first week or a zero base. One lag window over the bounded
+    * week axis. Returns (wk, n, prev_n, growth_pct). */
+  def wowGrowth(events: DataFrame, tsCol: String): DataFrame = {
+    val w = Window.orderBy(col("wk"))
+    events.groupBy(date_trunc("week", col(tsCol)).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("growth_pct", when(col("prev_n") > 0,
+        round((col("n") - col("prev_n")).cast("double") * 100 /
+          col("prev_n").cast("double"), 2)))
+  }
+
   /** Wald–Wolfowitz runs test on the daily count series — "is the
     * sequence of above-/below-median days RANDOM?" Too few runs =
     * sticky regimes (trend, autocorrelation), too many = oscillation;

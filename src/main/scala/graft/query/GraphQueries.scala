@@ -773,6 +773,113 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Shortest-path RECONSTRUCTION — [[bellmanFord]] answers "how
+    * far?"; this answers "which way?", the face routing/lineage
+    * queries actually need. Same fixed-round relaxation but the state
+    * is (d, pred) with min taken under the (d, pred) lexicographic
+    * order — the predecessor tie-break makes the tree, and therefore
+    * the extracted path, fully deterministic. After `rounds`, the
+    * farthest reachable node (ties → smallest id) anchors a backward
+    * pred-chain walk (≤ rounds one-row broadcast joins — distance
+    * strictly decreases along preds, so no cycles). Returns the
+    * path's (node, d, pred) rows, source carries pred ''. Scale: the
+    * relaxation is the bellmanFord shape (equi-join + struct-min
+    * agg per round); the walk joins a 1-row frontier against the
+    * distance table — broadcast by construction. */
+  def shortestPathTrace(edges: DataFrame, source: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    var dist = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(source, 0L, "")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pred",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"),
+          dist("node").as("pred"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(struct(col("d"), col("pred"))).as("m"))
+        .select(col("node"), col("m.d").as("d"), col("m.pred").as("pred"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    // backward walk: ≤ rounds + 1 single-row point lookups against
+    // the checkpointed distance table (bounded-smalls convention —
+    // the path itself is ≤ rounds rows by construction; a join-per-
+    // hop dataflow walk costs ~3 jobs/hop for the same answer)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var cur = dist.orderBy(col("d").desc, col("node")).limit(1)
+      .collect().headOption
+    var hop = 0
+    while (cur.isDefined && hop <= rounds) {
+      val row = cur.get
+      out += row
+      val p = row.getString(2)
+      cur = if (p.isEmpty) None
+        else dist.filter(col("node") === p).limit(1).collect().headOption
+      hop += 1
+    }
+    spark.createDataFrame(
+      java.util.List.copyOf(scala.jdk.CollectionConverters
+        .BufferHasAsJava(out).asJava),
+      dist.schema)
+  }
+
+  /** The unrolled DuckDB oracle for [[shortestPathTrace]], generated
+    * per round like [[bellmanFordOracleSql]]: the struct-min becomes
+    * the two-stage (min d, then min pred among min-d rows), then the
+    * backward walk unrolls as one single-row CTE per hop. */
+  def shortestPathTraceOracleSql(edgeCte: String, sourceSql: String,
+      rounds: Int): String = {
+    // every CTE a later level references more than once is
+    // MATERIALIZED — inlining would copy the subtree per reference
+    // and the unrolled chain then re-scans the base table 3^rounds
+    // times (observed as a "too many open files" blowup)
+    val sb = new StringBuilder(
+      s"WITH e AS MATERIALIZED ($edgeCte), " +
+        s"d0 AS (SELECT $sourceSql AS node, " +
+        "CAST(0 AS BIGINT) AS d, '' AS pred)")
+    for (r <- 0 until rounds) {
+      sb.append(
+        s""", u${r + 1} AS MATERIALIZED (SELECT node, d, pred FROM d$r
+            UNION ALL
+            SELECT e.dst, d$r.d + e.w, d$r.node FROM d$r
+            JOIN e ON e.src = d$r.node)""")
+      sb.append(
+        s""", m${r + 1} AS MATERIALIZED (SELECT node, min(d) AS d
+            FROM u${r + 1} GROUP BY node)""")
+      sb.append(
+        s""", d${r + 1} AS MATERIALIZED (SELECT u.node, m.d,
+              min(u.pred) AS pred
+            FROM u${r + 1} u JOIN m${r + 1} m
+              ON u.node = m.node AND u.d = m.d
+            GROUP BY u.node, m.d)""")
+    }
+    sb.append(
+      s""", p0 AS (SELECT node, d, pred FROM d$rounds
+          ORDER BY d DESC, node LIMIT 1)""")
+    for (h <- 1 to rounds)
+      sb.append(
+        s""", p$h AS (SELECT t.node, t.d, t.pred FROM d$rounds t
+            JOIN p${h - 1} ON t.node = p${h - 1}.pred)""")
+    sb.append(" SELECT DISTINCT node, d, pred FROM (")
+    sb.append((0 to rounds).map(h => s"SELECT * FROM p$h")
+      .mkString(" UNION ALL "))
+    sb.append(") ORDER BY d, node")
+    sb.toString
+  }
+
   /** The unrolled DuckDB oracle for [[kCorePeel]]: the same fixed
     * number of peel rounds as a WITH chain over an edge CTE named
     * `e0`. Generated, not hand-written — rounds is a parameter. */

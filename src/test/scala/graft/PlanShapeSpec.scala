@@ -831,4 +831,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!mst.contains("CartesianProduct") && !mst.contains("UDF"),
       s"boruvka msf result must stay relational:\n$mst")
   }
+
+  test("path trace, WoW growth, centroid eval: bounded machinery") {
+    val sp = executedFinal(
+      SparkEntry.queries("q_g40_shortest_path")(spark, sf0001))
+    assert(!sp.contains("CartesianProduct") && !sp.contains("UDF"),
+      s"path trace stays relational:\n$sp")
+    val wg = executedFinal(
+      SparkEntry.queries("q_t42_wow_growth")(spark, sf0001))
+    assert(wg.contains("Window") && !wg.contains("Join") &&
+      !wg.contains("UDF"), s"wow growth one lag window:\n$wg")
+    val ce = executedFinal(
+      SparkEntry.queries("q_n18_centroid_eval")(spark, sf0001))
+    assert(ce.contains("BroadcastNestedLoopJoin") &&
+      !ce.contains("SortMergeJoin") && !ce.contains("UDF"),
+      s"centroid scoring broadcasts the label dim:\n$ce")
+  }
 }

@@ -1038,6 +1038,51 @@ class StatsWave3Spec extends SparkSpec {
     assert(out.size == nodes.size - comps, s"${out.size} edges")
   }
 
+  test("shortest path trace: unique path via the (d, pred) tie-break") {
+    // diamond a→{b,c}→d all w=1: d has two d=2 routes — min pred "b"
+    // wins; the trace is a(0,''), b(1,a), d(2,b); c is NOT on it
+    val e = Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "d", 1L),
+      ("c", "d", 1L)).toDF("src", "dst", "w")
+    val out = graft.query.GraphQueries.shortestPathTrace(e, "a", rounds = 4)
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("a", 0L, ""), ("b", 1L, "a"), ("d", 2L, "b")),
+      out.mkString(","))
+  }
+
+  test("shortest path trace: relaxation beats the direct heavier edge") {
+    // a→b(1), b→c(1), a→c(9): c arrives at d=2 through b
+    val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 9L))
+      .toDF("src", "dst", "w")
+    val out = graft.query.GraphQueries.shortestPathTrace(e, "a", rounds = 3)
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("a", 0L, ""), ("b", 1L, "a"), ("c", 2L, "b")),
+      out.mkString(","))
+  }
+
+  test("WoW growth: Monday-truncated weeks, percentage vs previous") {
+    // weeks (Mon 12-29, 01-05, 01-12): 2, 3, 6 events → null, 50%, 100%
+    val ev = (Seq(0, 1) ++ Seq(4, 5, 6) ++ (11 to 13).flatMap(d =>
+      Seq(d, d))).map(d => Tuple1(dayTs(d, 0))).toDF("ts")
+    val out = TimeSeries.wowGrowth(ev, "ts")
+      .as[(java.sql.Date, Long, Option[Long], Option[Double])].collect()
+      .sortBy(_._1.toString)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 6L), out.mkString(","))
+    assert(out.map(_._4).toSeq == Seq(None, Some(50.0), Some(100.0)),
+      out.mkString(","))
+  }
+
+  test("centroid eval: separable labels classify cleanly on held-out") {
+    val emb = Seq(
+      (0L, "A", Array(1f, 0f)), (2L, "B", Array(0f, 1f)),
+      (1L, "A", Array(0.8f, 0.2f)), (3L, "B", Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidEval(emb, "vec_id", "embedding", "label",
+      col("vec_id") % 2 === 0)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(("A", "A", 1L), ("B", "B", 1L)),
+      out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
