@@ -3825,6 +3825,28 @@ object SparkEntry {
       graft.ext.Similarity.centroidEval(Tables.embeddings(s, d),
         "vec_id", "embedding", "label", col("vec_id") % 2 === 0)
         .orderBy(col("label"), col("pred"))),
+
+    // -- exact per-priority percentiles of order cents: the grouped
+    // order-statistic report (⌈n·q⌉ selection, no interpolation) --
+    "q_a30_group_percentiles" -> ((s, d) =>
+      graft.ext.Profiling.groupPercentiles(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("__cents")),
+        "o_orderpriority", "__cents").orderBy(col("grp"))),
+
+    // -- robust anomaly days: |x − 7-day rolling median| > 3·MAD,
+    // entirely in integers — the screen whose threshold outliers
+    // can't poison (q_t23's mean-based known failure) --
+    "q_t43_median_anomaly" -> ((s, d) =>
+      graft.ext.TimeSeries.medianAnomalies(Tables.events(s, d), "ts")
+        .orderBy(col("dt"))),
+
+    // -- near-dup cluster-size histogram over the q_d2 pair graph:
+    // few giant template families vs many small pairs — what
+    // keep-one dedup will actually reclaim --
+    "q_d14_dup_cluster_sizes" -> ((s, d) =>
+      graft.ext.Dedup.dupClusterSizes(plantedDocs(s, d), "doc_id",
+        minhashPairs(s, d)).orderBy(col("size"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8803,5 +8825,79 @@ object SparkEntry {
            FROM sc)
          SELECT label, clab AS pred, CAST(count(*) AS BIGINT) AS n
          FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""",
+    "q_a30_group_percentiles" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+           FROM orders),
+         r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+                 AS i, count(*) OVER (PARTITION BY g) AS n
+               FROM b)
+         SELECT g AS grp, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN i * 4 >= n THEN v END) AS p25,
+                min(CASE WHEN i * 2 >= n THEN v END) AS p50,
+                min(CASE WHEN i * 4 >= n * 3 THEN v END) AS p75,
+                min(CASE WHEN i * 10 >= n * 9 THEN v END) AS p90
+         FROM r GROUP BY g ORDER BY grp""",
+    "q_t43_median_anomaly" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dt,
+             CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         rm AS (SELECT dt, x, list(x) OVER (ORDER BY dt
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+               FROM d),
+         base AS (SELECT dt, x, list_sort(arr)[4] AS med7,
+                    x - list_sort(arr)[4] AS r
+                  FROM rm WHERE len(arr) = 7),
+         o AS (SELECT abs(r) AS a, row_number() OVER (ORDER BY abs(r))
+                 AS i, count(*) OVER () AS n
+               FROM base),
+         mad AS (SELECT min(a) AS mad FROM o WHERE i * 2 >= n)
+         SELECT dt, x, med7, r, mad FROM base, mad
+         WHERE abs(r) > mad * 3 ORDER BY dt""",
+    "q_d14_dup_cluster_sizes" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, 'duplicate marker ' || text
+                  FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+             AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s)
+             AS shingle
+           FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                    a.n AS n1, b.n AS n2, count(*) AS c
+                  FROM ex a JOIN ex b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         pairs AS MATERIALIZED (SELECT id1, id2 FROM cand
+                  WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r
+                   JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+         sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS sz FROM comp
+                   GROUP BY c),
+         hist AS (SELECT sz AS size, CAST(count(*) AS BIGINT)
+                    AS n_clusters
+                  FROM sizes GROUP BY sz),
+         singles AS (SELECT CAST(1 AS BIGINT) AS size,
+             (SELECT count(*) FROM base)
+               - (SELECT count(*) FROM nodes) AS n_clusters)
+         SELECT size, n_clusters FROM hist
+         UNION ALL
+         SELECT size, CAST(n_clusters AS BIGINT) FROM singles
+         WHERE n_clusters > 0
+         ORDER BY size""",
   )
 }

@@ -790,6 +790,30 @@ object Profiling {
       .select(col("grp"), col("v").as("mode"), col("n").as("n_mode"))
   }
 
+  /** Exact per-group percentiles — the ⌈n·q⌉-th order statistics
+    * (q_t36's selection rule: integer, no interpolation, bit-exact)
+    * for p25/p50/p75/p90 per group, the grouped face the global
+    * [[profile]]/approx-percentile pair doesn't give exactly. One
+    * rank window per group + one conditional-min aggregate. Returns
+    * (grp, n, p25, p50, p75, p90). Scale: the window shuffles on the
+    * group key only; the aggregate is map-side combined. */
+  def groupPercentiles(df: DataFrame, grpCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"))
+    df.select(col(grpCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col("g").as("grp"))
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__i") * 4 >= col("__n"), col("v"))).as("p25"),
+        min(when(col("__i") * 2 >= col("__n"), col("v"))).as("p50"),
+        min(when(col("__i") * 4 >= col("__n") * 3, col("v"))).as("p75"),
+        min(when(col("__i") * 10 >= col("__n") * 9, col("v"))).as("p90"))
+  }
+
   /** All-pairs Pearson correlation matrix over integer-scaled numeric
     * columns in ONE aggregation pass — where calling corr() per pair
     * scans the table C(m,2) times, this computes every five-sum

@@ -941,6 +941,34 @@ object TimeSeries {
         round((col("runs").cast("double") - er) / sqrt(v), 6)).as("z"))
   }
 
+  /** Median-filtered anomaly detection — days whose deviation from
+    * the 7-day [[rollingMedian]] exceeds 3× the MAD of those
+    * deviations (the robust x-sigma rule: median and MAD shrug off
+    * the very outliers a mean/stddev screen would absorb into its own
+    * threshold — [[rollingSpike]]'s known failure mode). ENTIRELY in
+    * integers: residual r = x − med7 is integer, MAD is the exact
+    * ⌈n/2⌉-th order statistic of |r|, and the flag is the integer
+    * comparison |r| > 3·MAD — no rounding anywhere, both engines
+    * agree bit-for-bit. Returns flagged days (dt, x, med7, r, mad).
+    * Scale: two calendar-bounded windows + one broadcast scalar. */
+  def medianAnomalies(events: DataFrame, tsCol: String): DataFrame = {
+    val base = rollingMedian(events, tsCol)
+      .select(col("dt"), col("x"), col("med7"),
+        (col("x") - col("med7")).as("r"))
+      .localCheckpoint(true)
+    val wOrd = Window.orderBy(abs(col("r")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val mad = base
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__i") * 2 >= col("__n"))
+      .agg(min(abs(col("r"))).as("mad"))
+    base.crossJoin(broadcast(mad))
+      .filter(abs(col("r")) > col("mad") * 3)
+      .select(col("dt"), col("x"), col("med7"), col("r"), col("mad"))
+  }
+
   /** Maximum drawdown of the daily event-count series — how far below
     * its historical peak daily volume ever fell (the capacity-planning
     * and health-alert headline; a big drawdown that q_t23's spike

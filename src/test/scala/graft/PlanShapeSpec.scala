@@ -847,4 +847,20 @@ class PlanShapeSpec extends SparkSpec {
       !ce.contains("SortMergeJoin") && !ce.contains("UDF"),
       s"centroid scoring broadcasts the label dim:\n$ce")
   }
+
+  test("group percentiles, median anomaly, dup sizes: bounded shapes") {
+    val gp = executedFinal(
+      SparkEntry.queries("q_a30_group_percentiles")(spark, sf0001))
+    assert(gp.contains("Window") && !gp.contains("Join") &&
+      !gp.contains("UDF"), s"grouped order statistics one window:\n$gp")
+    val ma = executedFinal(
+      SparkEntry.queries("q_t43_median_anomaly")(spark, sf0001))
+    assert(ma.contains("Window") && ma.contains("BroadcastNestedLoopJoin") &&
+      !ma.contains("SortMergeJoin") && !ma.contains("UDF"),
+      s"median anomaly calendar windows + scalar broadcast:\n$ma")
+    val dc = executedFinal(
+      SparkEntry.queries("q_d14_dup_cluster_sizes")(spark, sf0001))
+    assert(dc.contains("HashAggregate") && !dc.contains("CartesianProduct") &&
+      !dc.contains("UDF"), s"cluster sizes agg machinery:\n$dc")
+  }
 }

@@ -1083,6 +1083,34 @@ class StatsWave3Spec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("group percentiles: exact order statistics on 1..10") {
+    val df = (1 to 10).map(("g", _)).toDF("g", "v")
+    val Array(r) = Profiling.groupPercentiles(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r == (("g", 10L, 3L, 5L, 8L, 9L)), r.toString)
+  }
+
+  test("median anomaly: spike flagged against zero-MAD flat baseline") {
+    // 7 flat days, a 50-spike, 6 flat days: residuals all 0 except 45
+    // at the spike; MAD 0 → |r| > 0 flags exactly the spike day
+    val ev = (Seq.fill(7)(5) ++ Seq(50) ++ Seq.fill(6)(5)).zipWithIndex
+      .flatMap { case (c, d) => (0 until c).map(i => Tuple1(dayTs(d, i))) }
+      .toDF("ts")
+    val out = TimeSeries.medianAnomalies(ev, "ts")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(out.toSeq ==
+      Seq((java.sql.Date.valueOf("1970-01-08"), 50L, 5L, 45L, 0L)),
+      out.mkString(","))
+  }
+
+  test("dup cluster sizes: chain makes one 3-cluster, rest singletons") {
+    val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val out = Dedup.dupClusterSizes(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)), out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
