@@ -3847,6 +3847,28 @@ object SparkEntry {
     "q_d14_dup_cluster_sizes" -> ((s, d) =>
       graft.ext.Dedup.dupClusterSizes(plantedDocs(s, d), "doc_id",
         minhashPairs(s, d)).orderBy(col("size"))),
+
+    // -- exact rolling 7-day distinct users: coverage expansion
+    // (distinct doesn't decompose over sliding windows; each
+    // user-day fans out to its ≤7 anchor days, one countDistinct
+    // per day) — the smooth daily engagement line --
+    "q_t44_rolling_dau" -> ((s, d) =>
+      graft.ext.TimeSeries.rollingDistinctUsers(Tables.events(s, d),
+        "user_id", "ts").orderBy(col("dt"))),
+
+    // -- rendezvous rebalance audit 8→9 shards: the consistent-
+    // hashing contract measured — only ~1/9 of keys move (mod-hash
+    // would move ~8/9); exact replayed assignments both sides --
+    "q_o31_shard_rebalance" -> ((s, d) =>
+      graft.ext.Sampling.rendezvousRebalance(Tables.documents(s, d),
+        "doc_id", fromShards = 8, toShards = 9)),
+
+    // -- pairwise-cosine histogram on the deterministic consecutive-
+    // id pair sample: the distribution SHAPE behind q_v5's one mean
+    // number; integer µ-unit binning --
+    "q_v13_cosine_profile" -> ((s, d) =>
+      graft.ext.Similarity.cosineProfile(Tables.embeddings(s, d),
+        "vec_id", "embedding").orderBy(col("bin"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8899,5 +8921,42 @@ object SparkEntry {
          SELECT size, CAST(n_clusters AS BIGINT) FROM singles
          WHERE n_clusters > 0
          ORDER BY size""",
+    "q_t44_rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+           FROM events),
+         cov AS (SELECT u, CAST(unnest(generate_series(d,
+             d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS dt
+           FROM ud),
+         spine AS (SELECT DISTINCT d AS dt FROM ud)
+         SELECT dt, CAST(count(DISTINCT u) AS BIGINT) AS dau7
+         FROM cov JOIN spine USING (dt)
+         GROUP BY dt ORDER BY dt""",
+    "q_o31_shard_rebalance" ->
+      s"""WITH a AS (SELECT doc_id,
+             ${graft.ext.Sampling.rendezvousShardOracleExpr(
+               "CAST(doc_id AS VARCHAR)", 8)} AS s_from
+           FROM documents),
+         b AS (SELECT doc_id,
+             ${graft.ext.Sampling.rendezvousShardOracleExpr(
+               "CAST(doc_id AS VARCHAR)", 9)} AS s_to
+           FROM documents),
+         j AS (SELECT a.s_from, b.s_to FROM a JOIN b USING (doc_id))
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)
+                  AS BIGINT) AS moved,
+                round(CAST(sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS moved_frac
+         FROM j""",
+    "q_v13_cosine_profile" ->
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (SELECT CAST(round(list_cosine_similarity(a.v, b.v)
+             * 1000000, 0) AS BIGINT) AS c
+           FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+         bins AS (SELECT least((c + 1000000) // 200000, 9) AS bin FROM p)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM bins GROUP BY bin ORDER BY bin""",
   )
 }

@@ -679,6 +679,30 @@ object Sampling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Shard-rebalance audit for [[rendezvousShard]] — the consistent-
+    * hashing CONTRACT made measurable: going from `fromShards` to
+    * `toShards` (one added shard), a key moves iff the NEW shard wins
+    * its rendezvous — so expected movement is ~n/toShards, versus
+    * ~(1−1/toShards)·n for mod-hashing. Both assignments replay the
+    * exact fingerprint+double-squaring mix, the comparison is one
+    * equi-join on the id. Returns one row
+    * (n, moved, moved_frac). Scale: two map-side shard argmaxes +
+    * one join on the id key. */
+  def rendezvousRebalance(df: DataFrame, idCol: String,
+      fromShards: Int, toShards: Int): DataFrame = {
+    val a = rendezvousShard(df, idCol, fromShards)
+      .withColumnRenamed("shard", "s_from")
+    val b = rendezvousShard(df, idCol, toShards)
+      .withColumnRenamed("shard", "s_to")
+    a.join(b, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s_from") =!= col("s_to"), 1L).otherwise(0L))
+          .as("moved"))
+      .select(col("n"), col("moved"),
+        round(col("moved").cast("double") / col("n").cast("double"), 6)
+          .as("moved_frac"))
+  }
+
   /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
     * id expression: same char-poly fold, same double squaring mod p,
     * same w·16+s packing. */

@@ -1014,6 +1014,28 @@ object Similarity {
     * the sequential-fold norms (q_v1 kernel discipline). One
     * posexplode scan + two grouped aggregates; no shuffle grows with
     * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  /** Pairwise-cosine PROFILE without the O(n²) pair join — the
+    * distribution shape behind [[isotropy]]'s single mean-cosine
+    * number (a bimodal cosine histogram and a tight unimodal one can
+    * share a mean; retrieval behaves completely differently on them).
+    * Deterministic linear pair sample: consecutive ids (i, i+1) —
+    * id-adjacency is unrelated to embedding geometry here, so the
+    * sample is unbiased for the bulk shape and costs one self-join on
+    * the id. Cosines round 6 dp, land in ten width-0.2 bins via pure
+    * INTEGER µ-unit arithmetic ((c·10⁶ + 10⁶) div 2·10⁵, clamped) —
+    * no float binning edge cases. Returns (bin, n_pairs), bin k
+    * covering [k/5 − 1, k/5 − 0.8). */
+  def cosineProfile(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val a = emb.select(col(idCol).as("__i"), col(vecCol).as("__va"))
+    val b = emb.select((col(idCol) - 1).as("__i"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__i"))
+      .select(round(VectorFunctions.cosine(col("__va"), col("__vb")) *
+        1000000, 0).cast("long").as("__c"))
+      .select(least(expr("(__c + 1000000) div 200000"), lit(9L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Nearest-centroid classification eval — "do the embeddings
     * actually separate the labels?", the cheapest end-to-end quality
     * probe of an embedding column (Rocchio classification): per-label

@@ -941,6 +941,28 @@ object TimeSeries {
         round((col("runs").cast("double") - er) / sqrt(v), 6)).as("z"))
   }
 
+  /** Rolling 7-day distinct users per day — EXACT, via coverage
+    * expansion: distinct counts don't decompose over sliding windows
+    * (yesterday's window can't be updated, only recounted), so each
+    * (user, day) activity row fans out to the ≤7 window anchor days
+    * it covers and one hash countDistinct per day closes it. The
+    * fan-out is a fixed ×7 map-side explode — linear, shuffles once
+    * on the day key, no per-day rescan, no window-of-sets state. Days
+    * reported are the observed activity days ([[dauWau]]'s weekly
+    * buckets are the coarse cousin; this is the smooth daily line).
+    * Returns (dt, dau7). */
+  def rollingDistinctUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("d")).distinct().localCheckpoint(true)
+    val covered = ud.select(col("u"),
+      explode(sequence(col("d"), date_add(col("d"), windowDays - 1)))
+        .as("dt"))
+    covered.join(ud.select(col("d").as("dt")).distinct(), Seq("dt"))
+      .groupBy(col("dt")).agg(countDistinct(col("u")).as("dau7"))
+  }
+
   /** Median-filtered anomaly detection — days whose deviation from
     * the 7-day [[rollingMedian]] exceeds 3× the MAD of those
     * deviations (the robust x-sigma rule: median and MAD shrug off

@@ -863,4 +863,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(dc.contains("HashAggregate") && !dc.contains("CartesianProduct") &&
       !dc.contains("UDF"), s"cluster sizes agg machinery:\n$dc")
   }
+
+  test("rolling DAU, rebalance, cosine profile: explode/join/agg shapes") {
+    val rd = executedFinal(
+      SparkEntry.queries("q_t44_rolling_dau")(spark, sf0001))
+    assert(rd.contains("Generate") && rd.contains("HashAggregate") &&
+      !rd.contains("CartesianProduct") && !rd.contains("UDF"),
+      s"coverage expansion + countDistinct:\n$rd")
+    val rb = executedFinal(
+      SparkEntry.queries("q_o31_shard_rebalance")(spark, sf0001))
+    assert(rb.contains("HashAggregate") && !rb.contains("CartesianProduct") &&
+      !rb.contains("UDF"), s"rebalance argmax + equi-join:\n$rb")
+    val cp = executedFinal(
+      SparkEntry.queries("q_v13_cosine_profile")(spark, sf0001))
+    assert(cp.contains("HashAggregate") && !cp.contains("CartesianProduct") &&
+      !cp.contains("UDF"), s"cosine profile id-join + agg:\n$cp")
+  }
 }

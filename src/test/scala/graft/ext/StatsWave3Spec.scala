@@ -1111,6 +1111,43 @@ class StatsWave3Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L)), out.mkString(","))
   }
 
+  test("rolling DAU: window covers lookback days, observed days only") {
+    // A active days 1,3; B day 3 → day1 window {A}=1, day3 window
+    // {A,B}=2; day2 unobserved → not reported
+    val ev = Seq(("A", 0), ("A", 2), ("B", 2))
+      .map { case (u, d) => (u, dayTs(d, 0)) }.toDF("u", "ts")
+    val out = TimeSeries.rollingDistinctUsers(ev, "u", "ts")
+      .as[(java.sql.Date, Long)].collect().sortBy(_._1.toString)
+    assert(out.toSeq == Seq(
+      (java.sql.Date.valueOf("1970-01-01"), 1L),
+      (java.sql.Date.valueOf("1970-01-03"), 2L)), out.mkString(","))
+  }
+
+  test("rendezvous rebalance: only keys won by the NEW shard move") {
+    val df = (1L to 200L).map(Tuple1(_)).toDF("id")
+    val Array(r) = Sampling.rendezvousRebalance(df, "id", 8, 9)
+      .as[(Long, Long, Double)].collect()
+    assert(r._1 == 200L && r._2 > 0 && r._2 < 60,
+      s"~1/9 of 200 keys should move: $r")
+    // the moved keys must all land on the added shard (id 8)
+    val a = Sampling.rendezvousShard(df, "id", 8)
+      .withColumnRenamed("shard", "sa")
+    val b = Sampling.rendezvousShard(df, "id", 9)
+      .withColumnRenamed("shard", "sb")
+    val moved = a.join(b, Seq("id")).filter(col("sa") =!= col("sb"))
+      .select(col("sb")).as[Long].collect()
+    assert(moved.nonEmpty && moved.forall(_ == 8L),
+      s"moved keys must go to the new shard: ${moved.toSeq}")
+  }
+
+  test("cosine profile: parallel pair tops the scale, orthogonal mid-bin") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineProfile(emb, "vec_id", "embedding")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((5L, 1L), (9L, 1L)), out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
