@@ -3869,6 +3869,26 @@ object SparkEntry {
     "q_v13_cosine_profile" -> ((s, d) =>
       graft.ext.Similarity.cosineProfile(Tables.embeddings(s, d),
         "vec_id", "embedding").orderBy(col("bin"))),
+
+    // -- landmark-sampled Brandes betweenness (4 sources, 4 rounds):
+    // WHO SITS ON THE PATHS — the brokerage centrality degree/
+    // PageRank/Katz can't see; integer σ counts, decimal-ladder
+    // dependency backprop --
+    "q_g41_betweenness" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.select(
+          concat(lit("supplier:"), col("sk").cast("string")).as("src"),
+          concat(lit("part:"), col("pk").cast("string")).as("dst"))
+        .unionByName(hk.select(
+          concat(lit("part:"), col("pk").cast("string")).as("src"),
+          concat(lit("supplier:"), col("sk").cast("string")).as("dst")))
+        .distinct()
+      val lms = hk.select(col("sk")).distinct().orderBy(col("sk")).limit(4)
+        .select(concat(lit("supplier:"), col("sk").cast("string")).as("node"))
+      GraphQueries.landmarkBetweenness(e, lms, rounds = 4)
+        .orderBy(col("node"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8958,5 +8978,20 @@ object SparkEntry {
          SELECT CAST(bin AS BIGINT) AS bin,
                 CAST(count(*) AS BIGINT) AS n_pairs
          FROM bins GROUP BY bin ORDER BY bin""",
+    "q_g41_betweenness" ->
+      graft.query.GraphQueries.landmarkBetweennessOracleSql(
+        """SELECT 'supplier:' || CAST(s AS VARCHAR) AS src,
+                  'part:' || CAST(p AS VARCHAR) AS dst
+           FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 100 = 0)
+           UNION
+           SELECT 'part:' || CAST(p AS VARCHAR) AS src,
+                  'supplier:' || CAST(s AS VARCHAR) AS dst
+           FROM (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                 FROM lineitem WHERE l_orderkey % 100 = 0)""",
+        """SELECT 'supplier:' || CAST(s AS VARCHAR) AS node
+           FROM (SELECT DISTINCT l_suppkey AS s FROM lineitem
+                 WHERE l_orderkey % 100 = 0 ORDER BY s LIMIT 4)""",
+        rounds = 4),
   )
 }

@@ -1403,6 +1403,123 @@ object GraphQueries {
     dist
   }
 
+  /** Landmark-sampled betweenness centrality (Brandes 2001, the
+    * sampled estimator of Brandes–Pich '07) — WHO SITS ON THE PATHS:
+    * the brokerage centrality the suite's degree/PageRank/Katz/HITS
+    * family can't see (a low-degree node bridging two clusters is
+    * invisible to all of them). Per landmark s, a LEVEL-SYNCHRONOUS
+    * BFS accumulates exact INTEGER shortest-path counts σ (sums of
+    * predecessor counts — level-synchronous, not min-relaxation,
+    * because σ may only gather from a FINALIZED previous level), then
+    * the classic dependency backprop walks levels deepest-first:
+    *   δ(v) = Σ_{succ w} σ(v)/σ(w) · (1 + δ(w)),
+    * each term rounded 9 dp into DECIMAL(38,12) (the ndcg ladder —
+    * replayable), bc(v) = Σ_landmarks δ(v). Rounds-bounded like
+    * [[landmarkEccentricity]]: exact when rounds ≥ eccentricity, a
+    * documented truncation otherwise — deterministic either way.
+    * Landmarks excluded from the output (a source's own δ is not a
+    * betweenness contribution). Returns (node, bc) for every node
+    * with bc > 0. Scale per round: one frontier equi-join + one hash
+    * aggregate, state localCheckpoint'ed; landmarks batch in ONE
+    * keyed BFS (the landmarkHarmonic trick) so L sources cost L× rows,
+    * not L× rounds. */
+  def landmarkBetweenness(edges: DataFrame, landmarks: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10]: $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val lvl0 = landmarks.select(col("node").as("lm"), col("node"),
+      lit(0L).as("d"), lit(1L).as("sig")).localCheckpoint(true)
+    // forward: per-level frontiers f(0..rounds), fin = union so far
+    val levels = scala.collection.mutable.ArrayBuffer(lvl0)
+    var fin = lvl0
+    for (l <- 1 to rounds) {
+      val prev = levels.last
+      val next = prev.join(e, prev("node") === e("src"))
+        .groupBy(col("lm"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(fin.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .select(col("lm"), col("node"), lit(l.toLong).as("d"), col("sig"))
+        .localCheckpoint(true)
+      levels += next
+      fin = fin.unionByName(next).localCheckpoint(true)
+    }
+    // backward: δ per level, deepest first
+    val zero = lit(BigDecimal(0)).cast("decimal(38,12)")
+    var below = levels(rounds).select(col("lm"), col("node"), col("sig"),
+      zero.as("delta")).localCheckpoint(true)
+    val all = scala.collection.mutable.ArrayBuffer(below)
+    for (l <- (rounds - 1) to 0 by -1) {
+      val cur = levels(l)
+      val contrib = cur.join(e, cur("node") === e("src"))
+        .join(below.select(col("lm"), col("node").as("dst"),
+          col("sig").as("__sigw"), col("delta").as("__dw")), Seq("lm", "dst"))
+        .select(col("lm"), cur("node").as("node"),
+          round(cur("sig").cast("double") / col("__sigw").cast("double") *
+            (lit(1.0) + col("__dw").cast("double")), 9)
+            .cast("decimal(38,12)").as("__t"))
+        .groupBy(col("lm"), col("node")).agg(sum(col("__t")).as("__dsum"))
+      below = cur.join(contrib, Seq("lm", "node"), "left")
+        .select(col("lm"), col("node"), col("sig"),
+          coalesce(col("__dsum"), zero).as("delta"))
+        .localCheckpoint(true)
+      all += below
+    }
+    all.reduce(_ unionByName _)
+      .filter(col("node") =!= col("lm"))
+      .groupBy(col("node")).agg(sum(col("delta")).as("__bc"))
+      .filter(col("__bc") > 0)
+      .select(col("node"), round(col("__bc").cast("double"), 6).as("bc"))
+  }
+
+  /** The unrolled DuckDB oracle for [[landmarkBetweenness]] — the
+    * forward level chain + the backward dependency chain, every
+    * multiply-referenced CTE MATERIALIZED. */
+  def landmarkBetweennessOracleSql(edgeCte: String, landmarkCte: String,
+      rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED ($edgeCte),
+          f0 AS MATERIALIZED (SELECT node AS lm, node,
+            CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sig
+          FROM ($landmarkCte)),
+          fin0 AS MATERIALIZED (SELECT * FROM f0)""")
+    for (l <- 1 to rounds)
+      sb.append(s""",
+          c$l AS MATERIALIZED (SELECT f.lm, e.dst AS node,
+              CAST(sum(f.sig) AS BIGINT) AS sig
+            FROM f${l - 1} f JOIN e ON e.src = f.node
+            GROUP BY f.lm, e.dst),
+          f$l AS MATERIALIZED (SELECT c.lm, c.node,
+              CAST($l AS BIGINT) AS d, c.sig
+            FROM c$l c LEFT JOIN fin${l - 1} x
+              ON x.lm = c.lm AND x.node = c.node
+            WHERE x.node IS NULL),
+          fin$l AS MATERIALIZED (SELECT * FROM fin${l - 1}
+            UNION ALL SELECT * FROM f$l)""")
+    sb.append(s""",
+          b$rounds AS MATERIALIZED (SELECT lm, node, sig,
+            CAST(0 AS DECIMAL(38,12)) AS delta FROM f$rounds)""")
+    for (l <- (rounds - 1) to 0 by -1)
+      sb.append(s""",
+          g$l AS MATERIALIZED (SELECT f.lm, f.node,
+              sum(CAST(round(CAST(f.sig AS DOUBLE) / CAST(s.sig AS DOUBLE)
+                * (1 + CAST(s.delta AS DOUBLE)), 9) AS DECIMAL(38,12)))
+                AS dsum
+            FROM f$l f JOIN e ON e.src = f.node
+            JOIN b${l + 1} s ON s.lm = f.lm AND s.node = e.dst
+            GROUP BY f.lm, f.node),
+          b$l AS MATERIALIZED (SELECT f.lm, f.node, f.sig,
+              coalesce(g.dsum, CAST(0 AS DECIMAL(38,12))) AS delta
+            FROM f$l f LEFT JOIN g$l g
+              ON g.lm = f.lm AND g.node = f.node)""")
+    sb.append(" SELECT node, round(CAST(sum(delta) AS DOUBLE), 6) AS bc FROM (")
+    sb.append((0 to rounds).map(l => s"SELECT * FROM b$l")
+      .mkString(" UNION ALL "))
+    sb.append(""") WHERE node <> lm
+        GROUP BY node HAVING sum(delta) > 0 ORDER BY node""")
+    sb.toString
+  }
+
   /** Rounds-bounded eccentricity per landmark + the classic diameter
     * LOWER bound (Magnien et al. '09: max observed eccentricity):
     * the same [[landmarkHarmonic]] multi-source BFS, aggregated per

@@ -879,4 +879,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(cp.contains("HashAggregate") && !cp.contains("CartesianProduct") &&
       !cp.contains("UDF"), s"cosine profile id-join + agg:\n$cp")
   }
+
+  test("betweenness: relational BFS + backprop, no cartesian, no UDF") {
+    val bw = executedFinal(
+      SparkEntry.queries("q_g41_betweenness")(spark, sf0001))
+    assert(bw.contains("HashAggregate") && !bw.contains("CartesianProduct") &&
+      !bw.contains("UDF"), s"brandes machinery:\n$bw")
+  }
 }

@@ -1148,6 +1148,40 @@ class StatsWave3Spec extends SparkSpec {
     assert(out.toSeq == Seq((5L, 1L), (9L, 1L)), out.mkString(","))
   }
 
+  test("betweenness: path middle brokers both directions, ends score 0") {
+    // path a-b-c, landmarks {a, c}: each source gives delta(b)=1 →
+    // bc(b)=2; endpoints are landmarks/terminals → excluded/zero
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val lms = Seq("a", "c").map(Tuple1(_)).toDF("node")
+    val out = graft.query.GraphQueries.landmarkBetweenness(e, lms, rounds = 4)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("b" -> 2.0), out.toString)
+  }
+
+  test("betweenness: star hub brokers all leaf pairs from one landmark") {
+    // star h-{x,y,z}, landmark {x}: δ(h) = 1/1·(1+0)·2 targets = 2
+    val e = Seq("x", "y", "z").flatMap(v => Seq(("h", v), (v, "h")))
+      .toDF("src", "dst")
+    val lms = Seq(Tuple1("x")).toDF("node")
+    val out = graft.query.GraphQueries.landmarkBetweenness(e, lms, rounds = 3)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("h" -> 2.0), out.toString)
+  }
+
+  test("betweenness: split shortest paths share credit by sigma ratio") {
+    // a→{b,c}→d→e, landmark {a}: σ(d)=2, δ(b)=δ(c)=0.5·(1+1)=1,
+    // δ(d)=1 — the σ-ratio split is the Brandes signature
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"))
+    val e = pairs.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .toDF("src", "dst")
+    val lms = Seq(Tuple1("a")).toDF("node")
+    val out = graft.query.GraphQueries.landmarkBetweenness(e, lms, rounds = 4)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("b" -> 1.0, "c" -> 1.0, "d" -> 1.0), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
