@@ -3889,6 +3889,27 @@ object SparkEntry {
       GraphQueries.landmarkBetweenness(e, lms, rounds = 4)
         .orderBy(col("node"))
     }),
+
+    // -- calendar coverage gaps: zero-event day runs between min and
+    // max date — the ingestion-health check every daily metric
+    // silently assumes is empty --
+    "q_t45_calendar_gaps" -> ((s, d) =>
+      graft.ext.TimeSeries.calendarGaps(Tables.events(s, d), "ts")
+        .orderBy(col("gap_start"))),
+
+    // -- Ljung–Box Q over the first 7 ACF lags: are the
+    // autocorrelations JOINTLY zero — the whole-correlogram
+    // whiteness verdict behind q_t21's per-lag values --
+    "q_t46_ljung_box" -> ((s, d) =>
+      graft.ext.TimeSeries.ljungBox(Tables.events(s, d), "ts",
+        maxLag = 7)),
+
+    // -- triplet accuracy on deterministic (anchor, next-same-label,
+    // id+17-different-label) triplets: the local-margin embedding
+    // eval next to q_n18's class-mean eval --
+    "q_v14_triplet_eval" -> ((s, d) =>
+      graft.ext.Similarity.tripletEval(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8993,5 +9014,74 @@ object SparkEntry {
            FROM (SELECT DISTINCT l_suppkey AS s FROM lineitem
                  WHERE l_orderkey % 100 = 0 ORDER BY s LIMIT 4)""",
         rounds = 4),
+    "q_t45_calendar_gaps" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt FROM events
+                        GROUP BY 1),
+         mm AS (SELECT min(dt) AS lo, max(dt) AS hi FROM daily),
+         spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS DATE) AS dt FROM mm),
+         miss AS (SELECT s.dt FROM spine s
+                  LEFT JOIN daily d ON d.dt = s.dt WHERE d.dt IS NULL),
+         g AS (SELECT dt, date_diff('day', DATE '1970-01-01', dt)
+                 - row_number() OVER (ORDER BY dt) AS grp
+               FROM miss)
+         SELECT min(dt) AS gap_start, max(dt) AS gap_end,
+                CAST(count(*) AS BIGINT) AS n_days
+         FROM g GROUP BY grp ORDER BY gap_start""",
+    "q_t46_ljung_box" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
+              FROM events GROUP BY 1),
+         idx AS (SELECT row_number() OVER (ORDER BY dt) AS i, x FROM daily),
+         tot AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+                   sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+                 FROM idx),
+         ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+         p AS (SELECT k, count(*) AS m,
+                 sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+                 sum(CAST(a.x AS HUGEINT)) AS sa,
+                 sum(CAST(b.x AS HUGEINT)) AS sb
+               FROM idx a JOIN ks ON true JOIN idx b ON b.i = a.i + ks.k
+               GROUP BY k),
+         acf AS (SELECT CAST(k AS BIGINT) AS lag,
+                   CASE WHEN n * (n * q - s * s) > 0 THEN
+                     round(CAST(n * n * sxy - n * s * (sa + sb) + m * s * s
+                         AS DOUBLE)
+                       / CAST(n * (n * q - s * s) AS DOUBLE), 6)
+                   END AS r
+                 FROM p, tot),
+         terms AS (SELECT CAST(round(coalesce(r, 0) * coalesce(r, 0)
+               / CAST((SELECT n FROM tot) - lag AS DOUBLE), 9)
+               AS DECIMAL(38,12)) AS t
+           FROM acf)
+         SELECT CAST(n AS BIGINT) AS n, CAST(7 AS BIGINT) AS max_lag,
+                round(CAST(n AS DOUBLE) * (n + 2)
+                  * CAST((SELECT sum(t) FROM terms) AS DOUBLE), 6)
+                  AS q_stat
+         FROM tot""",
+    "q_v14_triplet_eval" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+             CAST(label AS VARCHAR) AS lab,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         a AS (SELECT id, lab, v, lead(id) OVER (PARTITION BY lab
+                 ORDER BY id) AS pos_id
+               FROM e),
+         t AS (SELECT a.id, a.lab, a.v, p.v AS pv, ng.v AS nv
+               FROM a JOIN e p ON p.id = a.pos_id
+               JOIN e ng ON ng.id = a.id + 17 AND ng.lab <> a.lab
+               WHERE a.pos_id IS NOT NULL),
+         sc AS (SELECT round(list_cosine_similarity(v, pv), 6) AS cp,
+                  round(list_cosine_similarity(v, nv), 6) AS cn
+                FROM t),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+             CAST(sum(CASE WHEN cp > cn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct
+           FROM sc)
+         SELECT n_triplets, n_correct,
+                CASE WHEN n_triplets > 0 THEN
+                  round(CAST(n_correct AS DOUBLE)
+                    / CAST(n_triplets AS DOUBLE), 6)
+                END AS acc
+         FROM agg""",
   )
 }

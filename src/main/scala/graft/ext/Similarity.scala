@@ -1014,6 +1014,42 @@ object Similarity {
     * the sequential-fold norms (q_v1 kernel discipline). One
     * posexplode scan + two grouped aggregates; no shuffle grows with
     * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  /** Triplet accuracy — the contrastive-quality eval "is an item
+    * closer to its own label than to another label's item?", scored
+    * over DETERMINISTIC triplets: anchor i, positive = the next
+    * same-label id (per-label lead window), negative = the row at
+    * id + `stride` when its label differs (dropped otherwise — a
+    * fixed modular-free rule both engines replay). Accuracy =
+    * #(cos(a,p) > cos(a,n))/n, strict inequality (a tie is a miss).
+    * Complements [[centroidEval]]: centroids test the class MEANS,
+    * triplets test the local margins that actually rank retrieval.
+    * Returns one row (n_triplets, n_correct, acc). Scale: one
+    * window + two id equi-joins, cosines map-side. */
+  def tripletEval(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, stride: Long = 17L): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("string").as("lab"), col(vecCol).as("v"))
+    val w = Window.partitionBy(col("lab")).orderBy(col("id"))
+    base.withColumn("pos_id", lead(col("id"), 1).over(w))
+      .filter(col("pos_id").isNotNull)
+      .withColumn("neg_id", col("id") + stride)
+      .join(base.select(col("id").as("pos_id"), col("v").as("__pv")),
+        Seq("pos_id"))
+      .join(base.select(col("id").as("neg_id"), col("lab").as("__nlab"),
+        col("v").as("__nv")), Seq("neg_id"))
+      .filter(col("__nlab") =!= col("lab"))
+      .select(round(VectorFunctions.cosine(col("v"), col("__pv")), 6)
+          .as("__cp"),
+        round(VectorFunctions.cosine(col("v"), col("__nv")), 6).as("__cn"))
+      .agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("__cp") > col("__cn"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_triplets"), col("n_correct"),
+        when(col("n_triplets") > 0,
+          round(col("n_correct").cast("double") /
+            col("n_triplets").cast("double"), 6)).as("acc"))
+  }
+
   /** Pairwise-cosine PROFILE without the O(n²) pair join — the
     * distribution shape behind [[isotropy]]'s single mean-cosine
     * number (a bimodal cosine histogram and a tight unimodal one can

@@ -941,6 +941,57 @@ object TimeSeries {
         round((col("runs").cast("double") - er) / sqrt(v), 6)).as("z"))
   }
 
+  /** Calendar coverage gaps — runs of days with ZERO events between
+    * the observed min and max date (gaps-and-islands over the missing
+    * set: island key = missing day minus its rank, pure date/integer
+    * arithmetic). The ingestion-health report every downstream daily
+    * metric silently assumes is empty — a 3-day hole reads as a
+    * volume crash in q_t38 and a false regime in q_t41 unless checked
+    * here first. Returns (gap_start, gap_end, n_days) per gap, empty
+    * when coverage is complete. Scale: the spine explodes from one
+    * (min, max) row — calendar-bounded, never corpus-bounded. */
+  def calendarGaps(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily.agg(min(col("dt")).as("lo"), max(col("dt")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("dt"))
+    val missing = spine.join(daily, Seq("dt"), "left_anti")
+    val w = Window.orderBy(col("dt"))
+    missing
+      .withColumn("__grp", datediff(col("dt"), to_date(lit("1970-01-01")))
+        - row_number().over(w))
+      .groupBy(col("__grp"))
+      .agg(min(col("dt")).as("gap_start"), max(col("dt")).as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .drop("__grp")
+  }
+
+  /** Ljung–Box portmanteau test — "are the first K autocorrelations
+    * JOINTLY zero?", the whole-correlogram whiteness check behind
+    * [[autocorrelation]]'s per-lag values (and the multi-lag
+    * companion to [[durbinWatson]]'s lag-1):
+    *   Q = n(n+2) Σ_{k≤K} ρ_k²/(n−k)  ~  χ²(K) under whiteness.
+    * ρ_k are the exact-sum 6-dp ACF values; each term rounds 9 dp
+    * into DECIMAL(38,12) and Q closes in one double chain. Q ≫
+    * K + 2√(2K) says the daily series is not noise. Returns one row
+    * (n, max_lag, q_stat). */
+  def ljungBox(events: DataFrame, tsCol: String,
+      maxLag: Int): DataFrame = {
+    val acf = autocorrelation(events, tsCol, maxLag)
+    val tot = events.groupBy(to_date(col(tsCol)).as("dt"))
+      .agg(count(lit(1)).as("x")).agg(count(lit(1)).as("n"))
+    acf.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(coalesce(col("r"), lit(0.0)) * coalesce(col("r"), lit(0.0)) /
+          (col("n") - col("lag")).cast("double"), 9)
+          .cast("decimal(38,12)").as("__t"))
+      .groupBy(col("n"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(col("n"), lit(maxLag.toLong).as("max_lag"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          col("__s").cast("double"), 6).as("q_stat"))
+  }
+
   /** Rolling 7-day distinct users per day — EXACT, via coverage
     * expansion: distinct counts don't decompose over sliding windows
     * (yesterday's window can't be updated, only recounted), so each

@@ -886,4 +886,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(bw.contains("HashAggregate") && !bw.contains("CartesianProduct") &&
       !bw.contains("UDF"), s"brandes machinery:\n$bw")
   }
+
+  test("calendar gaps, Ljung-Box, triplet eval: bounded machinery") {
+    val cg = executedFinal(
+      SparkEntry.queries("q_t45_calendar_gaps")(spark, sf0001))
+    assert(cg.contains("Generate") && !cg.contains("CartesianProduct") &&
+      !cg.contains("UDF"), s"calendar spine explode + anti-join:\n$cg")
+    val lb = executedFinal(
+      SparkEntry.queries("q_t46_ljung_box")(spark, sf0001))
+    assert(lb.contains("HashAggregate") && !lb.contains("SortMergeJoin") &&
+      !lb.contains("UDF"), s"ljung-box acf + one closing agg:\n$lb")
+    val te = executedFinal(
+      SparkEntry.queries("q_v14_triplet_eval")(spark, sf0001))
+    assert(te.contains("Window") && !te.contains("CartesianProduct") &&
+      !te.contains("UDF"), s"triplet lead-window + id joins:\n$te")
+  }
 }

@@ -1182,6 +1182,47 @@ class StatsWave3Spec extends SparkSpec {
     assert(out == Map("b" -> 1.0, "c" -> 1.0, "d" -> 1.0), out.toString)
   }
 
+  test("calendar gaps: missing-day runs found, complete coverage empty") {
+    // active days 1,2,5,6,9 → gaps [3,4] and [7,8]
+    val ev = Seq(0, 1, 4, 5, 8).map(d => Tuple1(dayTs(d, 0))).toDF("ts")
+    val out = TimeSeries.calendarGaps(ev, "ts")
+      .as[(java.sql.Date, java.sql.Date, Long)].collect()
+      .sortBy(_._1.toString)
+    assert(out.toSeq == Seq(
+      (java.sql.Date.valueOf("1970-01-03"), java.sql.Date.valueOf("1970-01-04"), 2L),
+      (java.sql.Date.valueOf("1970-01-07"), java.sql.Date.valueOf("1970-01-08"), 2L)),
+      out.mkString(","))
+    val full = Seq(0, 1, 2).map(d => Tuple1(dayTs(d, 0))).toDF("ts")
+    assert(TimeSeries.calendarGaps(full, "ts").isEmpty)
+  }
+
+  test("Ljung-Box: constant series scores 0, alternation scores large") {
+    val flat = (0 until 8).flatMap(d =>
+      (0 until 3).map(i => Tuple1(dayTs(d, i)))).toDF("ts")
+    val Array(f) = TimeSeries.ljungBox(flat, "ts", maxLag = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(f == ((8L, 3L, 0.0)), f.toString)
+    val alt = (0 until 10).flatMap(d =>
+      (0 until (if (d % 2 == 0) 1 else 5)).map(i => Tuple1(dayTs(d, i))))
+      .toDF("ts")
+    val Array(a) = TimeSeries.ljungBox(alt, "ts", maxLag = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(a._3 > 5.0, s"alternating series must reject whiteness: $a")
+  }
+
+  test("triplet eval: margin triplet scores correct, missing neg drops") {
+    val emb = Seq(
+      (0L, "A", Array(1f, 0f)), (1L, "A", Array(1f, 0.1f)),
+      (2L, "B", Array(0f, 1f)), (3L, "B", Array(0.1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    // anchors with positives: 0 (pos 1, neg id 2 = B: valid),
+    // 2 (pos 3, neg id 4: missing → dropped)
+    val Array(r) = Similarity.tripletEval(emb, "vec_id", "embedding",
+      "label", stride = 2L)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(r == ((1L, 1L, Some(1.0))), r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
