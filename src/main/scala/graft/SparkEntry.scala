@@ -3910,6 +3910,22 @@ object SparkEntry {
     "q_v14_triplet_eval" -> ((s, d) =>
       graft.ext.Similarity.tripletEval(Tables.embeddings(s, d),
         "vec_id", "embedding", "label")),
+
+    // -- TextRank keywords: PageRank (the proven q_g31 recurrence)
+    // over the adjacent-word co-occurrence graph — surfaces words
+    // that BRIDGE topics, not just frequent ones (RAKE's blind spot) --
+    "q_x42_textrank" -> ((s, d) =>
+      graft.ext.TextAnalysis.textRank(Tables.documents(s, d), "text",
+        iters = 3, topK = 20)),
+
+    // -- cluster purity vs true labels after one nearest-seed
+    // assignment: do the geometric clusters MEAN anything — the
+    // unsupervised mirror of q_n18's confusion grid --
+    "q_v15_cluster_purity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.ext.Similarity.clusterPurity(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label").orderBy(col("cluster"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9083,5 +9099,49 @@ object SparkEntry {
                     / CAST(n_triplets AS DOUBLE), 6)
                 END AS acc
          FROM agg""",
+    "q_x42_textrank" -> {
+      val pairBlock =
+        """SELECT string_split(bg, ' ')[1] AS a,
+                  string_split(bg, ' ')[2] AS b
+           FROM (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bg
+                 FROM (SELECT list_filter(string_split_regex(trim(text),
+                     '\s+'), x -> x <> '') AS t FROM documents)
+                 WHERE len(t) >= 2)"""
+      val edgeCte =
+        s"""SELECT least(a, b) AS src, greatest(a, b) AS dst
+            FROM ($pairBlock) WHERE a <> b GROUP BY 1, 2
+            UNION ALL
+            SELECT greatest(a, b) AS src, least(a, b) AS dst
+            FROM ($pairBlock) WHERE a <> b GROUP BY 1, 2"""
+      s"""SELECT * FROM (
+          ${graft.query.GraphQueries.pagerankDfOracleSql(edgeCte, 3)}
+          ) ORDER BY pr DESC, node LIMIT 20"""
+    },
+    "q_v15_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS VARCHAR) AS lab,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sd AS (SELECT vec_id AS seed, v AS sv FROM e WHERE vec_id < 8),
+         sc AS (SELECT e.vec_id AS id, e.lab, sd.seed,
+             round(list_cosine_similarity(e.v, sd.sv), 6) AS cos
+           FROM e, sd),
+         asg AS (SELECT id, lab, seed AS cluster FROM (
+             SELECT *, row_number() OVER (PARTITION BY id
+               ORDER BY cos DESC, seed) AS rn FROM sc)
+           WHERE rn = 1),
+         cells AS (SELECT cluster, lab, CAST(count(*) AS BIGINT) AS c
+                   FROM asg GROUP BY cluster, lab),
+         tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n FROM cells
+                 GROUP BY cluster),
+         top AS (SELECT cluster, lab, c FROM (
+             SELECT *, row_number() OVER (PARTITION BY cluster
+               ORDER BY c DESC, lab) AS rn FROM cells)
+           WHERE rn = 1)
+         SELECT t.cluster, tot.n, t.lab AS top_label, t.c AS top_n,
+                round(CAST(t.c AS DOUBLE) / CAST(tot.n AS DOUBLE), 6)
+                  AS purity
+         FROM top t JOIN tot ON tot.cluster = t.cluster
+         ORDER BY t.cluster""",
   )
 }

@@ -1014,6 +1014,40 @@ object Similarity {
     * the sequential-fold norms (q_v1 kernel discipline). One
     * posexplode scan + two grouped aggregates; no shuffle grows with
     * n². Returns one row (n, avg_norm, mean_vec_norm, avg_cos). */
+  /** Cluster-purity report — assign every vector to its nearest seed
+    * (the [[kmeansAssignRound]] struct-max rule: cosine rounded 6 dp,
+    * ties → smaller seed id) and score each cluster by its dominant
+    * TRUE label: purity answers "do the geometric clusters mean
+    * anything?", the unsupervised mirror of [[centroidEval]]'s
+    * supervised confusion. All counts integer; per-cluster dominant
+    * label ties break to the smaller label (rank window). Returns
+    * (cluster, n, top_label, top_n, purity). */
+  def clusterPurity(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val sd = seeds.select(col(idCol).as("__seed"), col(vecCol).as("__sv"))
+    val assign = corpus.select(col(idCol).as("__id"),
+        col(labelCol).cast("string").as("lab"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(sd))
+      .select(col("__id"), col("lab"),
+        struct(round(VectorFunctions.cosine(col("__v"), col("__sv")), 6)
+          .as("cos"), (-col("__seed")).as("negseed")).as("__sc"))
+      .groupBy(col("__id"), col("lab"))
+      .agg(max(col("__sc")).as("__best"))
+      .select(col("__id"), col("lab"), (-col("__best.negseed")).as("cluster"))
+    val cells = assign.groupBy(col("cluster"), col("lab"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("c").desc, col("lab"))
+    cells
+      .withColumn("__n", sum(col("c")).over(Window.partitionBy(col("cluster"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("__n").as("n"),
+        col("lab").as("top_label"), col("c").as("top_n"),
+        round(col("c").cast("double") / col("__n").cast("double"), 6)
+          .as("purity"))
+  }
+
   /** Triplet accuracy — the contrastive-quality eval "is an item
     * closer to its own label than to another label's item?", scored
     * over DETERMINISTIC triplets: anchor i, positive = the next

@@ -763,6 +763,33 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_terms").cast("double"),
           6))
 
+  /** TextRank keywords (Mihalcea & Tarau '04) — corpus-level keyword
+    * extraction by PageRank over the word co-occurrence graph, the
+    * graph-centrality alternative to [[rakePhrases]]' frequency/
+    * degree heuristic (TextRank surfaces words that BRIDGE topics,
+    * not just words in long runs). Edges are distinct adjacent-token
+    * pairs (window 2), symmetrized; ranking is the proven
+    * [[graft.query.GraphQueries.pagerankDf]] fixed-iteration
+    * recurrence (replayable 9-dp chain); the report is the top-k by
+    * (pr desc, word) — deterministic under ties. Returns (node, pr).
+    * Scale: one shingle explode + distinct (shuffle on the pair key)
+    * + the PageRank iterations — nothing quadratic in vocabulary. */
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val bi = docs.select(explode(
+        graft.functions.TextStats.shingles(col(textCol), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+    val e = bi.unionByName(
+      bi.select(col("dst").as("src"), col("src").as("dst")))
+    graft.query.GraphQueries.pagerankDf(e, iters)
+      .orderBy(col("pr").desc, col("node")).limit(topK)
+  }
+
   /** Yule's K lexical-richness statistic per group — the
     * length-INVARIANT repetitiveness characteristic (Yule, 1944):
     *   K = 10⁴ · (Σ_types c² − N) / N²

@@ -901,4 +901,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(te.contains("Window") && !te.contains("CartesianProduct") &&
       !te.contains("UDF"), s"triplet lead-window + id joins:\n$te")
   }
+
+  test("textrank and cluster purity: rank/assign machinery, no UDF") {
+    val tr = executedFinal(SparkEntry.queries("q_x42_textrank")(spark, sf0001))
+    assert(tr.contains("TakeOrderedAndProject") &&
+      !tr.contains("CartesianProduct") && !tr.contains("UDF"),
+      s"textrank pagerank + bounded top-k:\n$tr")
+    val cp = executedFinal(
+      SparkEntry.queries("q_v15_cluster_purity")(spark, sf0001))
+    assert(cp.contains("Window") && cp.contains("BroadcastNestedLoopJoin") &&
+      !cp.contains("SortMergeJoin") && !cp.contains("UDF"),
+      s"purity broadcast assignment + rank window:\n$cp")
+  }
 }

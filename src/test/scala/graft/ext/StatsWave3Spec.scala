@@ -1223,6 +1223,27 @@ class StatsWave3Spec extends SparkSpec {
     assert(r == ((1L, 1L, Some(1.0))), r.toString)
   }
 
+  test("textrank: bridging word outranks its leaf neighbors") {
+    // "a b a c": co-occurrence a-b, a-c → a has degree 2, b/c 1
+    val docs = Seq(Tuple1("a b a c")).toDF("text")
+    val out = TextAnalysis.textRank(docs, "text", iters = 3, topK = 5)
+      .as[(String, Double)].collect()
+    assert(out.length == 3 && out.head._1 == "a" &&
+      out.head._2 > out(1)._2, out.mkString(","))
+  }
+
+  test("cluster purity: dominant label ratio per nearest-seed cluster") {
+    val emb = Seq(
+      (0L, "A", Array(1f, 0f)), (1L, "B", Array(0f, 1f)),
+      (2L, "A", Array(0.9f, 0.1f)), (3L, "B", Array(0.8f, 0.2f)),
+      (4L, "B", Array(0.1f, 0.9f))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.clusterPurity(emb,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", "label")
+      .as[(Long, Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 3L, "A", 2L, 0.666667),
+      (1L, 2L, "B", 2L, 1.0)), out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
