@@ -3926,6 +3926,20 @@ object SparkEntry {
       graft.ext.Similarity.clusterPurity(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", "label").orderBy(col("cluster"))
     }),
+
+    // -- two-way ANOVA with interaction on lineitem quantity by
+    // returnflag × linestatus: the question one-way tests can't ask
+    // — do the factors INTERACT? Type-I sums, exact cell ladder --
+    "q_p46_two_way_anova" -> ((s, d) =>
+      graft.ext.Profiling.twoWayAnova(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus", "l_quantity")),
+
+    // -- Welch's unequal-variance t between src0 and src1 doc
+    // lengths + Welch–Satterthwaite df — the two-sample test that
+    // survives exactly what q_p45 detects --
+    "q_p47_welch_t" -> ((s, d) =>
+      graft.ext.Profiling.welchT(Tables.documents(s, d), "source",
+        "n_chars", "src0", "src1")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9143,5 +9157,83 @@ object SparkEntry {
                   AS purity
          FROM top t JOIN tot ON tot.cluster = t.cluster
          ORDER BY t.cluster""",
+    "q_p46_two_way_anova" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+             count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS s,
+             sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT))
+               AS q
+           FROM lineitem GROUP BY 1, 2),
+         am AS (SELECT a, sum(n) AS n, sum(s) AS s FROM cells GROUP BY a),
+         am2 AS (SELECT count(*) AS ka,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12))) AS ta
+           FROM am),
+         bm AS (SELECT b, sum(n) AS n, sum(s) AS s FROM cells GROUP BY b),
+         bm2 AS (SELECT count(*) AS kb,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12))) AS tb
+           FROM bm),
+         cl AS (SELECT count(*) AS kab,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12))) AS tab,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(q) AS DECIMAL(38,12)) AS q
+           FROM cells),
+         g AS (SELECT n, ka, kb, kab, q, tab, ta, tb,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE), 6) AS DECIMAL(38,12)) AS c0
+           FROM cl, am2, bm2),
+         h AS (SELECT n, ka, kb, kab,
+             ta - c0 AS ssa, tb - c0 AS ssb,
+             tab - ta - tb + c0 AS ssab, q - tab AS ssw
+           FROM g)
+         SELECT n, CAST(ka AS BIGINT) AS a, CAST(kb AS BIGINT) AS b,
+                round(CAST(ssa AS DOUBLE), 4) AS ssa,
+                round(CAST(ssb AS DOUBLE), 4) AS ssb,
+                round(CAST(ssab AS DOUBLE), 4) AS ssab,
+                round(CAST(ssw AS DOUBLE), 4) AS ssw,
+                CASE WHEN ka > 1 AND ssw > 0 AND n > kab THEN
+                  round((CAST(ssa AS DOUBLE) / (ka - 1))
+                    / (CAST(ssw AS DOUBLE) / (n - kab)), 6) END AS f_a,
+                CASE WHEN kb > 1 AND ssw > 0 AND n > kab THEN
+                  round((CAST(ssb AS DOUBLE) / (kb - 1))
+                    / (CAST(ssw AS DOUBLE) / (n - kab)), 6) END AS f_b,
+                CASE WHEN (ka - 1) * (kb - 1) > 0 AND ssw > 0
+                  AND n > kab THEN
+                  round((CAST(ssab AS DOUBLE) / ((ka - 1) * (kb - 1)))
+                    / (CAST(ssw AS DOUBLE) / (n - kab)), 6) END AS f_ab
+         FROM h""",
+    "q_p47_welch_t" ->
+      """WITH per AS (SELECT source AS g, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+           FROM documents WHERE source IN ('src0', 'src1')
+           GROUP BY source),
+         w AS (SELECT
+             max(CASE WHEN g = 'src0' THEN n END) AS n_a,
+             max(CASE WHEN g = 'src0' THEN s END) AS s_a,
+             max(CASE WHEN g = 'src0' THEN q END) AS q_a,
+             max(CASE WHEN g = 'src1' THEN n END) AS n_b,
+             max(CASE WHEN g = 'src1' THEN s END) AS s_b,
+             max(CASE WHEN g = 'src1' THEN q END) AS q_b
+           FROM per),
+         c AS (SELECT n_a, n_b,
+             CAST(n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+               / CAST(n_a * (n_a - 1) AS DOUBLE) / n_a AS ua,
+             CAST(n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+               / CAST(n_b * (n_b - 1) AS DOUBLE) / n_b AS ub,
+             CAST(s_a AS DOUBLE) / n_a AS ma,
+             CAST(s_b AS DOUBLE) / n_b AS mb
+           FROM w)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                CASE WHEN n_a > 1 AND n_b > 1 AND ua + ub > 0 THEN
+                  round((ma - mb) / sqrt(ua + ub), 6) END AS t,
+                CASE WHEN n_a > 1 AND n_b > 1 AND ua + ub > 0 THEN
+                  round((ua + ub) * (ua + ub)
+                    / (ua * ua / (n_a - 1) + ub * ub / (n_b - 1)), 6)
+                END AS df
+         FROM c""",
   )
 }

@@ -790,6 +790,103 @@ object Profiling {
       .select(col("grp"), col("v").as("mode"), col("n").as("n_mode"))
   }
 
+  /** Two-way ANOVA with interaction (Type-I sequential sums on the
+    * cell means) — [[anovaF]] answers "does factor A matter?"; this
+    * answers the question one-way tests CANNOT: "do A and B
+    * INTERACT?" (an interaction F ≫ 1 means per-A reports are
+    * misleading without conditioning on B). Cell/marginal sums are
+    * exact integers; every S²/n correction term rounds 6 dp into
+    * DECIMAL(38,12) (the anovaF discipline), and
+    *   SSA = Σ_a S_a²/n_a − C,   SSB = Σ_b S_b²/n_b − C,
+    *   SSAB = Σ_ab S_ab²/n_ab − SSA − SSB − C,  C = S²/n,
+    *   SSW = Σx² − Σ_ab S_ab²/n_ab.
+    * F ratios close in one double chain (dfA = a−1, dfB = b−1,
+    * dfAB = (a−1)(b−1), dfW = n − ab). Unbalanced designs make these
+    * the sequential (not marginal) sums — documented, deterministic.
+    * Returns one row (n, a, b, ssa, ssb, ssab, ssw, f_a, f_b, f_ab).
+    * Scale: ONE hash aggregation to the ab cell grid; everything
+    * after runs on ≤ a·b rows. */
+  def twoWayAnova(df: DataFrame, aCol: String, bCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,12)")
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("s"),
+        sum(d0(col(valueCol)) * d0(col(valueCol))).as("q"))
+      .localCheckpoint(true)
+    def corr(s: Column, n: Column) =
+      dec(round(s.cast("double") * s.cast("double") / n.cast("double"), 6))
+    val aMarg = cells.groupBy(col("a"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .agg(count(lit(1)).as("ka"), sum(corr(col("s"), col("n"))).as("ta"))
+    val bMarg = cells.groupBy(col("b"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .agg(count(lit(1)).as("kb"), sum(corr(col("s"), col("n"))).as("tb"))
+    val cell = cells.agg(count(lit(1)).as("kab"),
+      sum(corr(col("s"), col("n"))).as("tab"),
+      sum(col("n")).as("n"), sum(col("s")).as("s"), sum(dec(col("q"))).as("q"))
+    val j = cell.crossJoin(broadcast(aMarg)).crossJoin(broadcast(bMarg))
+      .withColumn("c0", corr(col("s"), col("n")))
+      .withColumn("ssa", col("ta") - col("c0"))
+      .withColumn("ssb", col("tb") - col("c0"))
+      .withColumn("ssab",
+        col("tab") - col("ta") - col("tb") + col("c0"))
+      .withColumn("ssw", col("q") - col("tab"))
+    val dd = (c: Column) => c.cast("double")
+    def f(ss: Column, dfx: Column) =
+      when(dfx > 0 && col("ssw") > 0 && col("n") > col("kab"),
+        round((dd(ss) / dd(dfx)) /
+          (dd(col("ssw")) / dd(col("n") - col("kab"))), 6))
+    j.select(col("n"), col("ka").as("a"), col("kb").as("b"),
+      round(dd(col("ssa")), 4).as("ssa"),
+      round(dd(col("ssb")), 4).as("ssb"),
+      round(dd(col("ssab")), 4).as("ssab"),
+      round(dd(col("ssw")), 4).as("ssw"),
+      f(col("ssa"), col("ka") - 1).as("f_a"),
+      f(col("ssb"), col("kb") - 1).as("f_b"),
+      f(col("ssab"), (col("ka") - 1) * (col("kb") - 1)).as("f_ab"))
+  }
+
+  /** Welch's unequal-variance t-test — the two-sample comparison that
+    * does NOT assume equal spreads (q_p34's z assumes big-n, q_p40's
+    * d is an effect size, pooled-variance t silently assumes
+    * homoskedasticity — exactly what [[brownForsythe]] is there to
+    * refute):
+    *   t = (m_a − m_b)/√(v_a/n_a + v_b/n_b),
+    *   df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+    * (Welch–Satterthwaite). Exact integer sums (x² in DECIMAL(38,0)),
+    * one fixed double chain, both rounded 6 dp; NULL on degenerate
+    * groups. Returns (n_a, n_b, mean_a, mean_b, t, df). */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("s"),
+        sum(d0(col(valueCol)) * d0(col(valueCol))).as("q"))
+    def pick(g: String, c: String) = max(when(col("g") === g, col(c)))
+    val w = per.agg(pick(a, "n").as("n_a"), pick(a, "s").as("s_a"),
+      pick(a, "q").as("q_a"), pick(b, "n").as("n_b"),
+      pick(b, "s").as("s_b"), pick(b, "q").as("q_b"))
+    def variance(n: Column, s: Column, q: Column) =
+      dd(d0(n) * q - d0(s) * d0(s)) / dd(n * (n - 1))
+    val va = variance(col("n_a"), col("s_a"), col("q_a"))
+    val vb = variance(col("n_b"), col("s_b"), col("q_b"))
+    val ua = va / dd(col("n_a"))
+    val ub = vb / dd(col("n_b"))
+    val ma = dd(col("s_a")) / dd(col("n_a"))
+    val mb = dd(col("s_b")) / dd(col("n_b"))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && (ua + ub) > 0
+    w.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(ok, round((ma - mb) / sqrt(ua + ub), 6)).as("t"),
+      when(ok, round((ua + ub) * (ua + ub) /
+        (ua * ua / dd(col("n_a") - 1) + ub * ub / dd(col("n_b") - 1)), 6))
+        .as("df"))
+  }
+
   /** Exact per-group percentiles — the ⌈n·q⌉-th order statistics
     * (q_t36's selection rule: integer, no interpolation, bit-exact)
     * for p25/p50/p75/p90 per group, the grouped face the global

@@ -913,4 +913,14 @@ class PlanShapeSpec extends SparkSpec {
       !cp.contains("SortMergeJoin") && !cp.contains("UDF"),
       s"purity broadcast assignment + rank window:\n$cp")
   }
+
+  test("two-way ANOVA and Welch t: one cell-grid pass, no UDF") {
+    val ta = executedFinal(
+      SparkEntry.queries("q_p46_two_way_anova")(spark, sf0001))
+    assert(ta.contains("HashAggregate") && !ta.contains("SortMergeJoin") &&
+      !ta.contains("UDF"), s"two-way cell-grid machinery:\n$ta")
+    val wt = executedFinal(SparkEntry.queries("q_p47_welch_t")(spark, sf0001))
+    assert(wt.contains("HashAggregate") && !wt.contains("Join") &&
+      !wt.contains("UDF"), s"welch is one aggregation pass:\n$wt")
+  }
 }

@@ -1244,6 +1244,30 @@ class StatsWave3Spec extends SparkSpec {
       (1L, 2L, "B", 2L, 1.0)), out.mkString(","))
   }
 
+  test("two-way ANOVA: balanced 2x2 hand case with zero interaction") {
+    // cells {1,3},{5,7},{2,4},{6,8}: SSA=2, SSB=32, SSAB=0, SSW=8 →
+    // F_a=1, F_b=16, F_ab=0
+    val df = Seq(("a1", "b1", 1), ("a1", "b1", 3), ("a1", "b2", 5),
+      ("a1", "b2", 7), ("a2", "b1", 2), ("a2", "b1", 4),
+      ("a2", "b2", 6), ("a2", "b2", 8)).toDF("fa", "fb", "v")
+    val Array(r) = Profiling.twoWayAnova(df, "fa", "fb", "v")
+      .as[(Long, Long, Long, Double, Double, Double, Double,
+        Option[Double], Option[Double], Option[Double])].collect()
+    assert(r == ((8L, 2L, 2L, 2.0, 32.0, 0.0, 8.0, Some(1.0),
+      Some(16.0), Some(0.0))), r.toString)
+  }
+
+  test("Welch t: textbook unequal-variance case with Satterthwaite df") {
+    // A={0,2}: mean 1, var 2; B={10,14}: mean 12, var 8 →
+    // t = −11/√5 = −4.91935, df = 25/17 = 1.470588
+    val df = Seq(("A", 0), ("A", 2), ("B", 10), ("B", 14)).toDF("g", "v")
+    val Array(r) = Profiling.welchT(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(r == ((2L, 2L, 1.0, 12.0, Some(-4.91935), Some(1.470588))),
+      r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
