@@ -3940,6 +3940,21 @@ object SparkEntry {
     "q_p47_welch_t" -> ((s, d) =>
       graft.ext.Profiling.welchT(Tables.documents(s, d), "source",
         "n_chars", "src0", "src1")),
+
+    // -- Cochran–Armitage trend: does the return rate RISE with
+    // quantity quintile? The ordered-dose test chi-square throws
+    // the ordering away on --
+    "q_p48_cochran_armitage" -> ((s, d) =>
+      graft.ext.Profiling.cochranArmitage(Tables.lineitem(s, d),
+        least(ceil(col("l_quantity") / 10), lit(5)).cast("long"),
+        col("l_returnflag") === "R")),
+
+    // -- pairwise source style cosine over word-bigram count
+    // vectors: symmetric "do they write the same way?" beside
+    // q_x40's asymmetric content containment --
+    "q_x43_style_cosine" -> ((s, d) =>
+      graft.ext.TextAnalysis.sourceStyleCosine(Tables.documents(s, d),
+        "source", "text").orderBy(col("src_a"), col("src_b"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9235,5 +9250,56 @@ object SparkEntry {
                     / (ua * ua / (n_a - 1) + ub * ub / (n_b - 1)), 6)
                 END AS df
          FROM c""",
+    "q_p48_cochran_armitage" ->
+      """WITH b AS (SELECT least(CAST(ceil(l_quantity / 10) AS BIGINT), 5)
+             AS w,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem),
+         per AS (SELECT w, count(*) AS n, CAST(sum(y) AS BIGINT) AS x
+                 FROM b GROUP BY w),
+         agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(x) AS BIGINT) AS xx,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(w AS HUGEINT) * x) AS swx,
+             sum(CAST(w AS HUGEINT) * n) AS swn,
+             sum(CAST(w AS HUGEINT) * w * n) AS swwn
+           FROM per),
+         c AS (SELECT nn, xx, k,
+             CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+             CAST(swx AS DOUBLE) AS swx, CAST(swn AS DOUBLE) AS swn,
+             CAST(swwn AS DOUBLE) AS swwn
+           FROM agg),
+         f AS (SELECT nn, xx, k,
+             swx - p * swn AS t,
+             p * (1 - p) * (swwn - swn * swn / CAST(nn AS DOUBLE)) AS v
+           FROM c)
+         SELECT nn AS n, xx AS n_success, k, round(t, 6) AS t,
+                CASE WHEN v > 0 THEN round(t / sqrt(v), 6) END AS z
+         FROM f""",
+    "q_x43_style_cosine" ->
+      """WITH toks AS (SELECT source AS grp,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         bg AS (SELECT grp, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS g
+           FROM toks WHERE len(t) >= 2),
+         counts AS (SELECT grp, g, CAST(count(*) AS BIGINT) AS c
+                    FROM bg GROUP BY grp, g),
+         norms AS (SELECT grp, sum(CAST(c AS HUGEINT) * c) AS q
+                   FROM counts GROUP BY grp),
+         dots AS (SELECT a.grp AS src_a, b.grp AS src_b,
+             sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+           FROM counts a JOIN counts b
+             ON a.g = b.g AND a.grp < b.grp
+           GROUP BY 1, 2)
+         SELECT src_a, src_b,
+                round(CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.q AS DOUBLE))
+                     * sqrt(CAST(nb.q AS DOUBLE))), 6) AS cos
+         FROM dots
+         JOIN norms na ON na.grp = src_a
+         JOIN norms nb ON nb.grp = src_b
+         ORDER BY src_a, src_b""",
   )
 }

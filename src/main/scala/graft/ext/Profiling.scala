@@ -887,6 +887,39 @@ object Profiling {
         .as("df"))
   }
 
+  /** Cochran–Armitage trend test — "does the success proportion RISE
+    * (or fall) with the ordered dose?": the categorical test
+    * [[chiSquare]] can't be — chi-square treats groups as unordered
+    * and throws the ordering away, exactly the information a
+    * dose-response question is about. Integer scores w (the group
+    * order), exact integer sums; with p̄ = X/N:
+    *   T = Σ wᵢxᵢ − p̄ Σ wᵢnᵢ,
+    *   V = p̄(1−p̄)(Σ nᵢwᵢ² − (Σ nᵢwᵢ)²/N),   z = T/√V.
+    * One hash aggregation to the score grid, one closing double
+    * chain, NULL on degenerate variance. Returns
+    * (n, n_success, k, t, z). */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      successCol: Column): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val per = df.select(scoreCol.cast("long").as("w"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+    val agg = per.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"),
+      count(lit(1)).as("k"),
+      sum(d0(col("w")) * d0(col("x"))).as("swx"),
+      sum(d0(col("w")) * d0(col("n"))).as("swn"),
+      sum(d0(col("w")) * d0(col("w")) * d0(col("n"))).as("swwn"))
+    val p = dd(col("xx")) / dd(col("nn"))
+    val t = dd(col("swx")) - p * dd(col("swn"))
+    val v = p * (lit(1.0) - p) *
+      (dd(col("swwn")) - dd(col("swn")) * dd(col("swn")) / dd(col("nn")))
+    agg.select(col("nn").as("n"), col("xx").as("n_success"), col("k"),
+      round(t, 6).as("t"),
+      when(v > 0, round(t / sqrt(v), 6)).as("z"))
+  }
+
   /** Exact per-group percentiles — the ⌈n·q⌉-th order statistics
     * (q_t36's selection rule: integer, no interpolation, bit-exact)
     * for p25/p50/p75/p90 per group, the grouped face the global

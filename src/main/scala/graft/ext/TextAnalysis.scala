@@ -763,6 +763,43 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") / col("n_terms").cast("double"),
           6))
 
+  /** Pairwise source STYLE cosine — count-vector cosine over word
+    * bigrams, the symmetric style fingerprint beside
+    * [[sourceOverlap]]'s asymmetric distinct-shingle containment
+    * (containment asks "is A's content inside B?"; this asks "do A
+    * and B write the same way?" — counts, not sets, so a source that
+    * repeats its patterns matches one that repeats them too).
+    *   cos = Σ cₐ·c_b / √(Σcₐ² · Σc_b²)
+    * with every sum an exact integer (products in DECIMAL(38,0)),
+    * one closing double chain rounded 6 dp. The cross term joins on
+    * the bigram key — a bigram in k sources contributes C(k,2) rows,
+    * bounded by the source count. Returns all pairs
+    * (src_a, src_b, cos). */
+  def sourceStyleCosine(docs: DataFrame, grpCol: String,
+      textCol: String): DataFrame = {
+    val d0 = (c: Column) => c.cast("decimal(38,0)")
+    val counts = docs.select(col(grpCol).as("grp"),
+        explode(graft.functions.TextStats.shingles(col(textCol), 2))
+          .as("g"))
+      .groupBy(col("grp"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val norms = counts.groupBy(col("grp"))
+      .agg(sum(d0(col("c")) * d0(col("c"))).as("q"))
+    val dots = counts.as("a").join(counts.as("b"),
+        col("a.g") === col("b.g") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(sum(d0(col("a.c")) * d0(col("b.c"))).as("dot"))
+    dots
+      .join(norms.select(col("grp").as("src_a"), col("q").as("qa")),
+        Seq("src_a"))
+      .join(norms.select(col("grp").as("src_b"), col("q").as("qb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))),
+          6).as("cos"))
+  }
+
   /** TextRank keywords (Mihalcea & Tarau '04) — corpus-level keyword
     * extraction by PageRank over the word co-occurrence graph, the
     * graph-centrality alternative to [[rakePhrases]]' frequency/

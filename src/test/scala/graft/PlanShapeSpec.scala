@@ -923,4 +923,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(wt.contains("HashAggregate") && !wt.contains("Join") &&
       !wt.contains("UDF"), s"welch is one aggregation pass:\n$wt")
   }
+
+  test("Cochran-Armitage and style cosine: agg/key-join machinery") {
+    val ca = executedFinal(
+      SparkEntry.queries("q_p48_cochran_armitage")(spark, sf0001))
+    assert(ca.contains("HashAggregate") && !ca.contains("Join") &&
+      !ca.contains("UDF"), s"trend test is two aggregation passes:\n$ca")
+    val sc = executedFinal(
+      SparkEntry.queries("q_x43_style_cosine")(spark, sf0001))
+    assert(sc.contains("HashAggregate") && !sc.contains("CartesianProduct") &&
+      !sc.contains("UDF"), s"style cosine joins on the bigram key:\n$sc")
+  }
 }

@@ -1268,6 +1268,27 @@ class StatsWave3Spec extends SparkSpec {
       r.toString)
   }
 
+  test("Cochran-Armitage: perfect dose-response scores the textbook z") {
+    // w=1:{0/2}, w=2:{1/2}, w=3:{2/2}: T = 8−6 = 2, V = 1 → z = 2
+    val df = Seq((1, false), (1, false), (2, true), (2, false),
+      (3, true), (3, true)).toDF("w", "y")
+    val Array(r) = Profiling.cochranArmitage(df, col("w"), col("y"))
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    assert(r == ((6L, 3L, 3L, 2.0, Some(2.0))), r.toString)
+  }
+
+  test("style cosine: repeated bigrams weigh in, disjoint pairs absent") {
+    // g1 "a b a b": counts {ab:2, ba:1}, ‖g1‖²=5; g2 "a b": {ab:1} →
+    // cos = 2/√5; g3 shares nothing with g1 → no row
+    val docs = Seq(("g1", "a b a b"), ("g2", "a b"), ("g3", "x y"))
+      .toDF("src", "text")
+    val out = TextAnalysis.sourceStyleCosine(docs, "src", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("g1", "g2")) == 0.894427, out.toString)
+    assert(!out.contains(("g1", "g3")), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
