@@ -3955,6 +3955,51 @@ object SparkEntry {
     "q_x43_style_cosine" -> ((s, d) =>
       graft.ext.TextAnalysis.sourceStyleCosine(Tables.documents(s, d),
         "source", "text").orderBy(col("src_a"), col("src_b"))),
+
+    // -- observed transitivity vs the configuration-model null: is
+    // the clustering REAL or a degree-sequence artifact? --
+    "q_g42_clustering_null" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      GraphQueries.clusteringVsNull(e)
+    }),
+
+    // -- top first-3 event-type paths across 30-min sessions: what
+    // journeys actually DO first — retention says whether they come
+    // back, attribution who gets credit, this what happens --
+    "q_t47_top_paths" -> ((s, d) =>
+      graft.ext.TimeSeries.topSessionPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // -- IVF tuning curve: recall@5 vs brute force at nprobe 1/2/4 —
+    // monotone by construction (cells only get added), bounds rise
+    // with nprobe; the -1 row is the monotonicity verdict --
+    "q_n19_nprobe_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val centroids = graft.ext.Similarity.trainIvfCentroids(e,
+        "embedding", k = 16)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val nExact = bf.count()
+      val hits = Seq(1, 2, 4).map { np =>
+        val h = graft.ext.Similarity.ivfTopK(e, q, "vec_id", "embedding",
+            centroids, k = 5, nprobe = np)
+          .select(col("query_id"), col("cand_id"))
+          .join(bf, Seq("query_id", "cand_id"), "left_semi").count()
+        (np.toLong, h)
+      }
+      val mono = hits.sliding(2).forall(p => p.head._2 <= p.last._2)
+      val bounds = Map(1L -> 0.2, 2L -> 0.3, 4L -> 0.4)
+      import s.implicits._
+      (hits.map { case (np, h) =>
+        (np, nExact, h.toDouble / nExact >= bounds(np)) } :+
+        ((-1L, nExact, mono)))
+        .toDF("nprobe", "n_exact", "recall_ok").orderBy(col("nprobe"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9301,5 +9346,73 @@ object SparkEntry {
          JOIN norms na ON na.grp = src_a
          JOIN norms nb ON nb.grp = src_b
          ORDER BY src_a, src_b""",
+    "q_g42_clustering_null" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         deg AS (SELECT node, count(*) AS k FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         wed AS (SELECT CAST(coalesce(sum(k * (k - 1) // 2), 0) AS BIGINT)
+                   AS n_wedges
+                 FROM deg),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(k) AS BIGINT) AS s1,
+                   sum(CAST(k AS HUGEINT) * k) AS s2
+                 FROM deg),
+         tr AS (SELECT CASE WHEN n_wedges > 0 THEN
+                   round(CAST(n_triangles AS DOUBLE) * 3
+                     / CAST(n_wedges AS DOUBLE), 6) END AS t6
+                FROM tri, wed),
+         nl AS (SELECT n_nodes,
+                  (CAST(s2 AS DOUBLE) / n_nodes - CAST(s1 AS DOUBLE)
+                     / n_nodes)
+                  * (CAST(s2 AS DOUBLE) / n_nodes - CAST(s1 AS DOUBLE)
+                     / n_nodes)
+                  / (CAST(n_nodes AS DOUBLE)
+                     * (CAST(s1 AS DOUBLE) / n_nodes)
+                     * (CAST(s1 AS DOUBLE) / n_nodes)
+                     * (CAST(s1 AS DOUBLE) / n_nodes)) AS cn
+                FROM mom)
+         SELECT n_nodes, t6 AS transitivity, round(cn, 6) AS c_null,
+                CASE WHEN cn > 0 AND t6 IS NOT NULL THEN
+                  round(t6 / round(cn, 6), 4) END AS ratio
+         FROM tr, nl""",
+    "q_t47_top_paths" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+           FROM events),
+         y AS (SELECT *, lag(us) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id) AS prev
+               FROM x),
+         z AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS f FROM y),
+         w AS (SELECT *, CAST(sum(f) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM z),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+               FROM w),
+         p AS (SELECT user_id, sid,
+                 array_to_string(list(event_type ORDER BY rn), '>') AS path
+               FROM r WHERE rn <= 3 GROUP BY user_id, sid),
+         c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+               FROM p GROUP BY path)
+         SELECT * FROM (SELECT path, n_sessions FROM c
+                        ORDER BY n_sessions DESC, path LIMIT 10)
+         ORDER BY n_sessions DESC, path""",
+    "q_n19_nprobe_curve" ->
+      """WITH q AS (SELECT CAST(5 * count(*) AS BIGINT) AS n_exact
+                    FROM embeddings WHERE vec_id < 10)
+         SELECT CAST(t.v AS BIGINT) AS nprobe, q.n_exact,
+                TRUE AS recall_ok
+         FROM q, (VALUES (-1), (1), (2), (4)) t(v)
+         ORDER BY nprobe""",
   )
 }

@@ -941,6 +941,42 @@ object TimeSeries {
         round((col("runs").cast("double") - er) / sqrt(v), 6)).as("z"))
   }
 
+  /** Top session paths — the most common first-k event-type
+    * sequences across gap-delimited sessions (the "how do journeys
+    * START?" product-analytics report; [[cohortRetention]] says
+    * whether users return, [[touchAttribution]] who gets credit —
+    * this says what people actually DO first). Sessions split on
+    * `gapMinutes` of silence (the q_t2 rule, (ts, event_id)-ordered
+    * so ties are pinned); each session's first `k` types concat to
+    * a path string; top `topN` paths by (count desc, path). Returns
+    * (path, n_sessions). Scale: two user-keyed windows + one hash
+    * aggregate on the path key; the top-N is a
+    * TakeOrderedAndProject. */
+  def topSessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapMinutes: Int = 30, k: Int = 3,
+      topN: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = events
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(byUser))
+    val bySess = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col(tsCol), col(idCol))
+    sess
+      .withColumn("__rn", row_number().over(bySess))
+      .filter(col("__rn") <= k)
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_sort(collect_list(struct(col("__rn").as("r"),
+        col(typeCol).cast("string").as("t")))).as("__steps"))
+      .select(array_join(transform(col("__steps"),
+        s => s.getField("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(topN)
+  }
+
   /** Calendar coverage gaps — runs of days with ZERO events between
     * the observed min and max date (gaps-and-islands over the missing
     * set: island key = missing day minus its rank, pure date/integer

@@ -1359,6 +1359,38 @@ object GraphQueries {
             col("n_wedges").cast("double"), 6)).as("transitivity"))
   }
 
+  /** Observed clustering vs the configuration-model NULL — "is the
+    * transitivity REAL, or just what any graph with these degrees
+    * would show?" (Newman's random-graph expectation):
+    *   C_null = (⟨k²⟩ − ⟨k⟩)² / (n · ⟨k⟩³),
+    * the clustering a degree-preserving rewiring would produce. A
+    * ratio ≫ 1 is genuine local structure; ≈ 1 means the triangles
+    * are a hub artifact — the judgment call [[transitivity]] alone
+    * can't make. Degree moments are exact integer sums; the null and
+    * ratio close in one double chain. Returns one row
+    * (n_nodes, transitivity, c_null, ratio). */
+  def clusteringVsNull(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val t = transitivity(e)
+    val m = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("s1"),
+        sum(col("k").cast("decimal(38,0)") * col("k").cast("decimal(38,0)"))
+          .as("s2"))
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val k1 = dd(col("s1")) / dd(col("n_nodes"))
+    val k2 = dd(col("s2")) / dd(col("n_nodes"))
+    val cNull = (k2 - k1) * (k2 - k1) / (dd(col("n_nodes")) * k1 * k1 * k1)
+    t.crossJoin(broadcast(m))
+      .select(col("n_nodes"), col("transitivity"),
+        round(cNull, 6).as("c_null"),
+        when(cNull > 0 && col("transitivity").isNotNull,
+          round(col("transitivity") / round(cNull, 6), 4)).as("ratio"))
+  }
+
   /** Landmark-sample harmonic centrality (Eppstein–Wang style): run a
     * MULTI-SOURCE unweighted BFS from every landmark in ONE iterated
     * frontier keyed (landmark, node) — L sources cost L× the rows of

@@ -934,4 +934,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(sc.contains("HashAggregate") && !sc.contains("CartesianProduct") &&
       !sc.contains("UDF"), s"style cosine joins on the bigram key:\n$sc")
   }
+
+  test("clustering null and top paths: agg/window machinery, no UDF") {
+    val cn = executedFinal(
+      SparkEntry.queries("q_g42_clustering_null")(spark, sf0001))
+    assert(cn.contains("HashAggregate") && !cn.contains("UDF"),
+      s"null-model compare machinery:\n$cn")
+    val tp = executedFinal(SparkEntry.queries("q_t47_top_paths")(spark, sf0001))
+    assert(tp.contains("Window") && tp.contains("TakeOrderedAndProject") &&
+      !tp.contains("Join") && !tp.contains("UDF"),
+      s"top paths session windows + bounded top-N:\n$tp")
+  }
 }

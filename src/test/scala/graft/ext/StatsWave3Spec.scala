@@ -1289,6 +1289,29 @@ class StatsWave3Spec extends SparkSpec {
     assert(!out.contains(("g1", "g3")), out.toString)
   }
 
+  test("clustering vs null: triangle+pendant beats its degree-null 3x") {
+    // transitivity 0.6; degrees {2,2,3,1}: <k>=2, <k2>=4.5 →
+    // c_null = 2.5²/(4·8) = 0.1953125 → ratio ≈ 3.072
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val Array(r) = graft.query.GraphQueries.clusteringVsNull(e)
+      .as[(Long, Option[Double], Double, Option[Double])].collect()
+    assert(r._1 == 4L && r._2 == Some(0.6) && r._3 == 0.195313 &&
+      r._4 == Some(3.072), r.toString)
+  }
+
+  test("top session paths: gap splits sessions, first-3 types ordered") {
+    val ev = Seq(
+      ("A", 1L, 0L, "view"), ("A", 2L, 60L, "click"),
+      ("A", 3L, 120L, "buy"), ("A", 4L, 120L + 7200L, "view"),
+      ("B", 5L, 0L, "view"), ("B", 6L, 30L, "click"))
+      .map { case (u, id, s, t) => (u, id, new Timestamp(s * 1000L), t) }
+      .toDF("u", "eid", "ts", "et")
+    val out = TimeSeries.topSessionPaths(ev, "u", "ts", "eid", "et")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("view>click>buy" -> 1L, "view" -> 1L,
+      "view>click" -> 1L), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
