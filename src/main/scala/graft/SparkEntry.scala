@@ -4000,6 +4000,43 @@ object SparkEntry {
         ((-1L, nExact, mono)))
         .toDF("nprobe", "n_exact", "recall_ok").orderBy(col("nprobe"))
     }),
+
+    // -- dedup impact by source: who loses what when near-dups drop
+    // — the mixture-shift check run before trusting pre-dedup
+    // weights; exact before/after counts on the q_d2 pair graph --
+    "q_d15_dedup_source_impact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val planted = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          concat(lit("duplicate marker "), col("text")).as("text")))
+      graft.ext.Dedup.dedupSourceImpact(planted, "doc_id", "source",
+        minhashPairs(s, d)).orderBy(col("source"))
+    }),
+
+    // -- power-law MLE on the co-purchase degree sequence: is the
+    // graph scale-free? q_p22's estimator pointed at degrees --
+    "q_g43_degree_powerlaw" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val deg = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      graft.ext.Profiling.powerlawFit(deg, "deg", xmin = 2L)
+    }),
+
+    // -- 2-D histogram: quantity quintile × discount percent grid
+    // over lineitem — the heatmap face beside the 1-D q_a17 --
+    "q_a32_hist2d" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(least(ceil(col("l_quantity") / 10), lit(5)).cast("long")
+            .as("qbin"),
+          round(col("l_discount") * 100, 0).cast("long").as("dbin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qbin"), col("dbin"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9414,5 +9451,77 @@ object SparkEntry {
                 TRUE AS recall_ok
          FROM q, (VALUES (-1), (1), (2), (4)) t(v)
          ORDER BY nprobe""",
+    "q_d15_dedup_source_impact" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, source, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, source,
+                         'duplicate marker ' || text
+                  FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+             AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s)
+             AS shingle
+           FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                    a.n AS n1, b.n AS n2, count(*) AS c
+                  FROM ex a JOIN ex b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         pairs AS MATERIALIZED (SELECT id1, id2 FROM cand
+                  WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         nodes AS (SELECT DISTINCT a AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.b AS id, r.lbl FROM reach r
+                   JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS c FROM reach GROUP BY id),
+         doomed AS (SELECT id FROM comp WHERE id <> c),
+         surv AS (SELECT b.* FROM base b
+                  LEFT JOIN doomed d ON d.id = b.doc_id
+                  WHERE d.id IS NULL),
+         bf AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+                FROM base GROUP BY source),
+         af AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after
+                FROM surv GROUP BY source)
+         SELECT bf.source, bf.n_before,
+                CAST(coalesce(af.n_after, 0) AS BIGINT) AS n_after,
+                round(CAST(bf.n_before - coalesce(af.n_after, 0) AS DOUBLE)
+                  * 100 / CAST(bf.n_before AS DOUBLE), 2) AS drop_pct
+         FROM bf LEFT JOIN af ON af.source = bf.source
+         ORDER BY bf.source""",
+    "q_g43_degree_powerlaw" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         t AS (SELECT CAST(deg AS DOUBLE) AS x FROM deg WHERE deg >= 2),
+         s AS (SELECT count(*) AS n_tail,
+                 sum(CAST(round(ln(x / 1.5), 9) AS DECIMAL(38,12))) AS sl
+               FROM t)
+         SELECT CAST(n_tail AS BIGINT) AS n_tail,
+                CASE WHEN sl > 0 THEN
+                  round(1.0 + CAST(n_tail AS DOUBLE) / CAST(sl AS DOUBLE), 6)
+                END AS alpha,
+                CAST(2 AS BIGINT) AS xmin
+         FROM s""",
+    "q_a32_hist2d" ->
+      """SELECT least(CAST(ceil(l_quantity / 10) AS BIGINT), 5) AS qbin,
+                CAST(round(l_discount * 100, 0) AS BIGINT) AS dbin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY qbin, dbin""",
   )
 }

@@ -338,6 +338,27 @@ object Dedup {
     multi.unionByName(singles)
   }
 
+  /** Dedup impact BY SOURCE — who loses what when near-dups drop:
+    * duplication is never uniform (template-heavy sources collapse,
+    * curated ones barely move), so the post-dedup mixture silently
+    * shifts — this report is the before/after per-source count grid
+    * with the drop rate, the check run BEFORE trusting any mixture
+    * weights computed pre-dedup. Returns
+    * (source, n_before, n_after, drop_pct). */
+  def dedupSourceImpact(docs: DataFrame, idCol: String, srcCol: String,
+      pairs: DataFrame): DataFrame = {
+    val before = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = dropNearDups(docs, idCol, pairs)
+      .groupBy(col(srcCol).as("source")).agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("source"), "left")
+      .select(col("source"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        round((col("n_before") - coalesce(col("n_after"), lit(0L)))
+          .cast("double") * 100 / col("n_before").cast("double"), 2)
+          .as("drop_pct"))
+  }
+
   /** Drop near-duplicates: keep every unpaired doc plus the canonical
     * (min-id) representative of each dup component. */
   def dropNearDups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {

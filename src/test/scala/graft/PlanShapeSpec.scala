@@ -945,4 +945,18 @@ class PlanShapeSpec extends SparkSpec {
       !tp.contains("Join") && !tp.contains("UDF"),
       s"top paths session windows + bounded top-N:\n$tp")
   }
+
+  test("source impact, degree powerlaw, hist2d: agg machinery, no UDF") {
+    val si = executedFinal(
+      SparkEntry.queries("q_d15_dedup_source_impact")(spark, sf0001))
+    assert(si.contains("HashAggregate") && !si.contains("CartesianProduct") &&
+      !si.contains("UDF"), s"source impact before/after aggs:\n$si")
+    val dp = executedFinal(
+      SparkEntry.queries("q_g43_degree_powerlaw")(spark, sf0001))
+    assert(dp.contains("HashAggregate") && !dp.contains("UDF"),
+      s"degree powerlaw agg chain:\n$dp")
+    val h2 = executedFinal(SparkEntry.queries("q_a32_hist2d")(spark, sf0001))
+    assert(h2.contains("HashAggregate") && !h2.contains("Join") &&
+      !h2.contains("UDF"), s"hist2d one aggregation:\n$h2")
+  }
 }

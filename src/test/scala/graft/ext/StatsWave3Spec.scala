@@ -1312,6 +1312,17 @@ class StatsWave3Spec extends SparkSpec {
       "view>click" -> 1L), out.toString)
   }
 
+  test("dedup source impact: template source drops, curated untouched") {
+    // pairs collapse docs 1,2,3 (src t) to one survivor; src c keeps 2
+    val docs = Seq((1L, "t"), (2L, "t"), (3L, "t"), (4L, "c"), (5L, "c"))
+      .toDF("doc_id", "src")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val out = Dedup.dedupSourceImpact(docs, "doc_id", "src", pairs)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("c", 2L, 2L, 0.0), ("t", 3L, 1L, 66.67)),
+      out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
