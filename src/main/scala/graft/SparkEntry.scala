@@ -4037,6 +4037,33 @@ object SparkEntry {
           round(col("l_discount") * 100, 0).cast("long").as("dbin"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("qbin"), col("dbin"))),
+
+    // -- stationary distribution of the event-type Markov chain: the
+    // funnel's equilibrium occupancy (raw transition counts are
+    // biased by today's traffic mix; the fixpoint isn't) --
+    "q_t48_markov_stationary" -> ((s, d) =>
+      graft.ext.TimeSeries.markovStationary(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", iters = 5)
+        .orderBy(col("state"))),
+
+    // -- IVF cell-balance health: exact corpus total + bounded cell
+    // usage and no-giant-cell verdicts — the index-health report run
+    // before trusting nprobe latency (a 90% cell defeats pruning) --
+    "q_n20_cell_balance" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = graft.ext.Similarity.trainIvfCentroids(e,
+        "embedding", k = 16)
+      val cells = e.select(element_at(
+          graft.functions.Centroids.nearestCentroids(col("embedding"),
+            centroids, 1), 1).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      cells.agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_total"),
+          max(col("n")).as("__max"))
+        .select(col("n_total"),
+          (col("n_cells") >= 2 && col("n_cells") <= 16).as("cells_ok"),
+          (col("__max").cast("double") <=
+            col("n_total").cast("double") * 0.6).as("no_giant_cell"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9523,5 +9550,11 @@ object SparkEntry {
                 CAST(round(l_discount * 100, 0) AS BIGINT) AS dbin,
                 CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY qbin, dbin""",
+    "q_t48_markov_stationary" ->
+      graft.ext.TimeSeries.markovStationaryOracleSql(iters = 5),
+    "q_n20_cell_balance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total, TRUE AS cells_ok,
+                TRUE AS no_giant_cell
+         FROM embeddings""",
   )
 }

@@ -977,6 +977,85 @@ object TimeSeries {
       .orderBy(col("n_sessions").desc, col("path")).limit(topN)
   }
 
+  /** Stationary distribution of the event-type Markov chain — "where
+    * does the journey SETTLE?": the q_t10 transition counts become a
+    * row-normalized probability matrix and a fixed number of power-
+    * iteration steps from uniform gives the long-run occupancy (the
+    * funnel's equilibrium, which raw transition counts — biased by
+    * today's traffic mix — do not show). Every probability rounds
+    * 9 dp, every v·P term rounds 12 dp into DECIMAL(38,18) (the
+    * pagerankDf ladder), so the whole recurrence replays exactly.
+    * States with no inbound mass keep an explicit 0 row. Returns
+    * (state, p) after `iters` steps, p rounded 6 dp. Scale: the
+    * state space is the event-type domain (tiny); the only
+    * corpus-scale work is the one windowed transition count. */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val cnt = events
+      .select(col(typeCol).as("f"),
+        lead(col(typeCol), 1).over(w).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+    val p = cnt
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 9)
+          .as("p"))
+      .localCheckpoint(true)
+    val st = p.select(col("f").as("state")).distinct().localCheckpoint(true)
+    val k = st.agg(count(lit(1)).as("k"))
+    var v = st.crossJoin(broadcast(k))
+      .select(col("state"), round(lit(1.0) / col("k"), 9).as("v"))
+    for (_ <- 1 to iters) {
+      val c = v.join(p, v("state") === p("f"))
+        .select(p("t").as("state"),
+          round(col("v") * col("p"), 12).cast("decimal(38,18)").as("s"))
+        .groupBy(col("state")).agg(sum(col("s")).as("s"))
+      v = st.join(c, Seq("state"), "left")
+        .select(col("state"),
+          round(coalesce(col("s").cast("double"), lit(0.0)), 9).as("v"))
+        .localCheckpoint(true)
+    }
+    v.select(col("state"), round(col("v"), 6).as("p"))
+  }
+
+  /** Unrolled DuckDB oracle for [[markovStationary]] over the events
+    * table — one MATERIALIZED CTE pair per iteration. */
+  def markovStationaryOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH x AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         tr AS (SELECT event_type AS f, lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id) AS t
+               FROM x),
+         cnt AS (SELECT f, t, count(*) AS n FROM tr WHERE t IS NOT NULL
+                 GROUP BY f, t),
+         tot AS (SELECT f, sum(n) AS tot FROM cnt GROUP BY f),
+         p AS MATERIALIZED (SELECT cnt.f, cnt.t,
+             round(CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9)
+               AS p
+           FROM cnt JOIN tot ON tot.f = cnt.f),
+         st AS MATERIALIZED (SELECT DISTINCT f AS state FROM p),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+         v0 AS (SELECT state, round(1.0 / k, 9) AS v FROM st, kk)""")
+    for (i <- 1 to iters)
+      sb.append(s""",
+         c$i AS MATERIALIZED (SELECT p.t AS state,
+             sum(CAST(round(v${i - 1}.v * p.p, 12) AS DECIMAL(38,18)))
+               AS s
+           FROM v${i - 1} JOIN p ON p.f = v${i - 1}.state
+           GROUP BY p.t),
+         v$i AS MATERIALIZED (SELECT st.state,
+             round(coalesce(CAST(c$i.s AS DOUBLE), 0), 9) AS v
+           FROM st LEFT JOIN c$i ON c$i.state = st.state)""")
+    sb.append(
+      s" SELECT state, round(v, 6) AS p FROM v$iters ORDER BY state")
+    sb.toString
+  }
+
   /** Calendar coverage gaps — runs of days with ZERO events between
     * the observed min and max date (gaps-and-islands over the missing
     * set: island key = missing day minus its rank, pure date/integer

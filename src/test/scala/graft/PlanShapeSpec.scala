@@ -959,4 +959,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(h2.contains("HashAggregate") && !h2.contains("Join") &&
       !h2.contains("UDF"), s"hist2d one aggregation:\n$h2")
   }
+
+  test("markov stationary and cell balance: iteration/agg shapes") {
+    // the power steps materialize per-round (localCheckpoint), so the
+    // final plan is just the bounded state scan + rounding
+    val ms = executedFinal(
+      SparkEntry.queries("q_t48_markov_stationary")(spark, sf0001))
+    assert(ms.contains("ExistingRDD") && !ms.contains("CartesianProduct") &&
+      !ms.contains("UDF"), s"stationary closing scan:\n$ms")
+    val cb = executedFinal(
+      SparkEntry.queries("q_n20_cell_balance")(spark, sf0001))
+    assert(cb.contains("HashAggregate") && !cb.contains("Join") &&
+      !cb.contains("SCALA_UDF"), s"cell balance one agg over cells:\n$cb")
+  }
 }

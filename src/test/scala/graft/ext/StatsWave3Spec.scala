@@ -1323,6 +1323,27 @@ class StatsWave3Spec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("markov stationary: 5 power steps close on the 4:1 equilibrium") {
+    // one user, A A A A B A: P(A→A)=3/4, P(A→B)=1/4, P(B→A)=1 →
+    // true stationary (0.8, 0.2); after 5 steps from uniform the
+    // dyadic iterates land on 0.800293 / 0.199707 exactly
+    val ev = Seq("A", "A", "A", "A", "B", "A").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, new Timestamp(i * 1000L), t) }
+      .toDF("u", "eid", "ts", "et")
+    val out = TimeSeries.markovStationary(ev, "u", "ts", "eid", "et",
+      iters = 5).as[(String, Double)].collect().toMap
+    assert(out == Map("A" -> 0.800293, "B" -> 0.199707), out.toString)
+  }
+
+  test("markov stationary: two-state alternation stays uniform") {
+    val ev = Seq("A", "B", "A", "B", "A").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, new Timestamp(i * 1000L), t) }
+      .toDF("u", "eid", "ts", "et")
+    val out = TimeSeries.markovStationary(ev, "u", "ts", "eid", "et",
+      iters = 5).as[(String, Double)].collect().toMap
+    assert(out == Map("A" -> 0.5, "B" -> 0.5), out.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
