@@ -4064,6 +4064,25 @@ object SparkEntry {
           (col("__max").cast("double") <=
             col("n_total").cast("double") * 0.6).as("no_giant_cell"))
     }),
+
+    // -- waterfill mixture quotas with budget 40% of the corpus and
+    // skewed weights: capped sources keep what they have, unused
+    // budget redistributes — the under-delivery fix for q_o8 --
+    "q_o32_waterfill" -> ((s, d) => {
+      val avail = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("avail"))
+      val total = avail.agg(sum(col("avail"))).head().getLong(0)
+      graft.ext.Sampling.waterfillQuotas(avail,
+        Seq("src0" -> 8L, "src1" -> 4L), budget = total * 2 / 5)
+        .orderBy(col("source"))
+    }),
+
+    // -- 13-gram document-frequency spectrum: how much boilerplate
+    // mass is there — the is-it-worth-running-substring-dedup
+    // histogram --
+    "q_d16_shingle_df_profile" -> ((s, d) =>
+      graft.ext.Dedup.shingleDfProfile(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 13).orderBy(col("df"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9556,5 +9575,46 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_total, TRUE AS cells_ok,
                 TRUE AS no_giant_cell
          FROM embeddings""",
+    "q_o32_waterfill" ->
+      """WITH avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail
+           FROM documents GROUP BY source),
+         bb AS (SELECT CAST(count(*) * 2 // 5 AS BIGINT) AS budget
+                FROM documents),
+         base AS (SELECT source, avail,
+             CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+               ELSE 1 END AS BIGINT) AS w
+           FROM avail),
+         sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM base),
+         r1 AS (SELECT source, avail, w,
+             least(avail, (bb.budget * w) // sw.sw) AS take1
+           FROM base, sw, bb),
+         lf AS (SELECT CAST(bb.budget - sum(take1) AS BIGINT) AS leftover,
+             CAST(sum(CASE WHEN avail > take1 THEN w ELSE 0 END)
+               AS BIGINT) AS sw2
+           FROM r1, bb GROUP BY bb.budget),
+         r2 AS MATERIALIZED (SELECT source, avail, w,
+             CASE WHEN avail > take1 AND sw2 > 0 THEN
+               least(avail, take1 + (leftover * w) // sw2)
+             ELSE take1 END AS take
+           FROM r1, lf)
+         SELECT source, avail, w, take FROM r2
+         UNION ALL
+         SELECT '__rest', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                CAST(bb.budget - (SELECT sum(take) FROM r2) AS BIGINT)
+         FROM bb
+         ORDER BY source""",
+    "q_d16_shingle_df_profile" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 11),
+               i -> array_to_string(t[i:i+12], ' ')))) AS s
+           FROM toks WHERE len(t) >= 13),
+         dfc AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh
+                 GROUP BY s)
+         SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
+         FROM dfc GROUP BY df ORDER BY df""",
   )
 }

@@ -338,6 +338,22 @@ object Dedup {
     multi.unionByName(singles)
   }
 
+  /** Shingle document-frequency profile — the boilerplate SPECTRUM:
+    * for k-token shingles, how many occur in exactly df documents
+    * (df = 1 is original text, the heavy-df tail is the template/
+    * license mass the substring and passage dedups will cut). The
+    * one-histogram summary that says whether running them is worth
+    * it, before running them. Returns (df, n_shingles). Scale: one
+    * shingle explode + two hash aggregations — the exact shape every
+    * dedup pass here already pays. */
+  def shingleDfProfile(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(array_distinct(graft.functions.TextStats.shingles(
+          col(textCol), shingleN))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+
   /** Dedup impact BY SOURCE — who loses what when near-dups drop:
     * duplication is never uniform (template-heavy sources collapse,
     * curated ones barely move), so the post-dedup mixture silently

@@ -679,6 +679,50 @@ object Sampling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Waterfill quota allocation — weighted mixture quotas with CAP
+    * AND REDISTRIBUTION: [[mixture]]'s proportional quotas silently
+    * under-deliver when a source has fewer rows than its share; here
+    * a capped source keeps everything it has and its unused budget
+    * redistributes proportionally among the others (one extra round —
+    * the standard two-pass waterfill; any residue after it is
+    * reported, not silently lost). ALL-INTEGER: floor quotas via
+    * `div`, exact leftovers, deterministic. Returns per-source
+    * (source, avail, w, take) plus a ("__rest", 0, 0, residue) row.
+    * Scale: two scalar aggregates broadcast back over the source
+    * dim — nothing corpus-scale beyond computing `avail`. */
+  def waterfillQuotas(avail: DataFrame, weights: Seq[(String, Long)],
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("source", "w")
+    val base = avail.select(col("source"), col("avail").cast("long")
+        .as("avail"))
+      .join(broadcast(wdf), Seq("source"), "left")
+      .select(col("source"), col("avail"),
+        coalesce(col("w"), lit(1L)).as("w"))
+      .localCheckpoint(true)
+    val sw = base.agg(sum(col("w")).as("sw"))
+    val r1 = base.crossJoin(broadcast(sw))
+      .select(col("source"), col("avail"), col("w"),
+        least(col("avail"), expr(s"($budget * w) div sw")).as("take1"))
+      .localCheckpoint(true)
+    val left = r1.agg((lit(budget) - sum(col("take1"))).as("leftover"),
+      sum(when(col("avail") > col("take1"), col("w"))
+        .otherwise(lit(0L))).as("sw2"))
+    val r2 = r1.crossJoin(broadcast(left))
+      .select(col("source"), col("avail"), col("w"),
+        when(col("avail") > col("take1") && col("sw2") > 0,
+          least(col("avail"),
+            col("take1") + expr("(leftover * w) div sw2")))
+          .otherwise(col("take1")).as("take"))
+      .localCheckpoint(true)
+    r2.unionByName(
+      r2.agg((lit(budget) - sum(col("take"))).as("take"))
+        .select(lit("__rest").as("source"), lit(0L).as("avail"),
+          lit(0L).as("w"), col("take")))
+  }
+
   /** Shard-rebalance audit for [[rendezvousShard]] — the consistent-
     * hashing CONTRACT made measurable: going from `fromShards` to
     * `toShards` (one added shard), a key moves iff the NEW shard wins

@@ -972,4 +972,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(cb.contains("HashAggregate") && !cb.contains("Join") &&
       !cb.contains("SCALA_UDF"), s"cell balance one agg over cells:\n$cb")
   }
+
+  test("waterfill and shingle profile: scalar-broadcast/agg shapes") {
+    val wf = executedFinal(SparkEntry.queries("q_o32_waterfill")(spark, sf0001))
+    assert(!wf.contains("SortMergeJoin") && !wf.contains("UDF"),
+      s"waterfill source-dim machinery:\n$wf")
+    val sp = executedFinal(
+      SparkEntry.queries("q_d16_shingle_df_profile")(spark, sf0001))
+    assert(sp.contains("HashAggregate") && sp.contains("Generate") &&
+      !sp.contains("Join") && !sp.contains("UDF"),
+      s"shingle profile explode + two aggs:\n$sp")
+  }
 }

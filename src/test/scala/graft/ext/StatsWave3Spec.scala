@@ -1344,6 +1344,27 @@ class StatsWave3Spec extends SparkSpec {
     assert(out == Map("A" -> 0.5, "B" -> 0.5), out.toString)
   }
 
+  test("waterfill: capped source keeps its rows, budget redistributes") {
+    // A capped at 10 of its 40-quota; the 30 unused redistribute to
+    // B and C equally; residue 0
+    val avail = Seq(("A", 10L), ("B", 100L), ("C", 100L))
+      .toDF("source", "avail")
+    val out = Sampling.waterfillQuotas(avail, Seq("A" -> 8L), budget = 50L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((10L, 8L, 10L)), out.toString)
+    assert(out("B") == ((100L, 1L, 20L)), out.toString)
+    assert(out("C") == ((100L, 1L, 20L)), out.toString)
+    assert(out("__rest") == ((0L, 0L, 0L)), out.toString)
+  }
+
+  test("shingle df profile: shared bigram counts once per doc") {
+    val docs = Seq((1L, "a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val out = Dedup.shingleDfProfile(docs, "doc_id", "text", shingleN = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)), out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
