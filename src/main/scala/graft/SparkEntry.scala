@@ -4083,6 +4083,22 @@ object SparkEntry {
     "q_d16_shingle_df_profile" -> ((s, d) =>
       graft.ext.Dedup.shingleDfProfile(Tables.documents(s, d),
         "doc_id", "text", shingleN = 13).orderBy(col("df"))),
+
+    // -- punchcard: event volume by isodow × hour — the classic
+    // weekly-rhythm heatmap behind q_t29's ANOVA verdict --
+    "q_t49_punchcard" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((weekday(to_date(col("ts"))) + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dow"), col("hod"))),
+
+    // -- entropy rate of the journey chain: bits/step of next-event
+    // unpredictability — the ceiling for any next-action model,
+    // composing the q_t48 fixpoint with the transition matrix --
+    "q_p49_markov_entropy" -> ((s, d) =>
+      graft.ext.TimeSeries.markovEntropyRate(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", iters = 5)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9616,5 +9632,12 @@ object SparkEntry {
                  GROUP BY s)
          SELECT df, CAST(count(*) AS BIGINT) AS n_shingles
          FROM dfc GROUP BY df ORDER BY df""",
+    "q_t49_punchcard" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hod,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
+    "q_p49_markov_entropy" ->
+      graft.ext.TimeSeries.markovEntropyRateOracleSql(iters = 5),
   )
 }

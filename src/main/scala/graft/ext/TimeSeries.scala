@@ -1022,9 +1022,55 @@ object TimeSeries {
     v.select(col("state"), round(col("v"), 6).as("p"))
   }
 
+  /** Entropy rate of the event-type Markov chain — "how PREDICTABLE
+    * is the next step?", the one-number ceiling on any next-event
+    * model: H = −Σ_s π_s Σ_t P(s→t) log₂ P(s→t) bits/step (0 =
+    * deterministic journeys, log₂|states| = pure noise). π comes
+    * from [[markovStationary]]'s replayable fixpoint, P from the
+    * same 9-dp row-normalized counts; each −π·P·log₂P term rounds
+    * 9 dp into DECIMAL(38,12) so the sum is order-free. Returns one
+    * row (n_states, h_bits). */
+  def markovEntropyRate(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, iters: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val p = events
+      .select(col(typeCol).as("f"), lead(col(typeCol), 1).over(w).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 9)
+          .as("p"))
+    val pi = markovStationary(events, userCol, tsCol, idCol, typeCol,
+      iters).select(col("state").as("f"), col("p").as("pi"))
+    p.join(pi, Seq("f"))
+      .select(round(-col("pi") * col("p") * log2(col("p")), 9)
+        .cast("decimal(38,12)").as("__h"))
+      .agg(count(lit(1)).as("__nt"), sum(col("__h")).as("__s"))
+      .crossJoin(broadcast(pi.agg(count(lit(1)).as("n_states"))))
+      .select(col("n_states"),
+        round(col("__s").cast("double"), 6).as("h_bits"))
+  }
+
+  /** Unrolled DuckDB oracle for [[markovEntropyRate]] — the
+    * [[markovStationaryOracleSql]] chain with the entropy tail. */
+  def markovEntropyRateOracleSql(iters: Int): String =
+    markovChainCtes(iters) +
+      s""", h AS (SELECT sum(CAST(round(-round(v.v, 6) * p.p * log2(p.p),
+              9) AS DECIMAL(38,12))) AS s
+            FROM p JOIN v$iters v ON v.state = p.f)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_states,
+                 round(CAST(h.s AS DOUBLE), 6) AS h_bits
+          FROM h"""
+
   /** Unrolled DuckDB oracle for [[markovStationary]] over the events
     * table — one MATERIALIZED CTE pair per iteration. */
-  def markovStationaryOracleSql(iters: Int): String = {
+  def markovStationaryOracleSql(iters: Int): String =
+    markovChainCtes(iters) +
+      s" SELECT state, round(v, 6) AS p FROM v$iters ORDER BY state"
+
+  private def markovChainCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH x AS (SELECT user_id, event_id, event_type,
              epoch_us(ts) AS us FROM events),
@@ -1051,8 +1097,6 @@ object TimeSeries {
          v$i AS MATERIALIZED (SELECT st.state,
              round(coalesce(CAST(c$i.s AS DOUBLE), 0), 9) AS v
            FROM st LEFT JOIN c$i ON c$i.state = st.state)""")
-    sb.append(
-      s" SELECT state, round(v, 6) AS p FROM v$iters ORDER BY state")
     sb.toString
   }
 

@@ -983,4 +983,14 @@ class PlanShapeSpec extends SparkSpec {
       !sp.contains("Join") && !sp.contains("UDF"),
       s"shingle profile explode + two aggs:\n$sp")
   }
+
+  test("punchcard and markov entropy: agg/closing-join shapes") {
+    val pc = executedFinal(SparkEntry.queries("q_t49_punchcard")(spark, sf0001))
+    assert(pc.contains("HashAggregate") && !pc.contains("Join") &&
+      !pc.contains("UDF"), s"punchcard one aggregation:\n$pc")
+    val me = executedFinal(
+      SparkEntry.queries("q_p49_markov_entropy")(spark, sf0001))
+    assert(me.contains("HashAggregate") && !me.contains("CartesianProduct") &&
+      !me.contains("UDF"), s"entropy closing agg over the tiny chain:\n$me")
+  }
 }

@@ -1365,6 +1365,27 @@ class StatsWave3Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (2L, 1L)), out.mkString(","))
   }
 
+  test("markov entropy rate: deterministic cycle carries zero bits") {
+    // A→B→A→B...: every transition certain → H = 0 exactly
+    val ev = Seq("A", "B", "A", "B", "A").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, new Timestamp(i * 1000L), t) }
+      .toDF("u", "eid", "ts", "et")
+    val Array(r) = TimeSeries.markovEntropyRate(ev, "u", "ts", "eid",
+      "et", iters = 5).as[(Long, Double)].collect()
+    assert(r == ((2L, 0.0)), r.toString)
+  }
+
+  test("markov entropy rate: fair branch from half the mass is 0.5 bit") {
+    // P(A→B)=P(A→C)=1/2, B/C →A certain; π(A)=1/2 → H = 1/2·1 = 0.5
+    // (after 5 rounded power steps π(A)=0.666667 → 0.666667 bits)
+    val ev = Seq("A", "B", "A", "C", "A", "B", "A", "C").zipWithIndex.map {
+      case (t, i) => (1L, (i + 1).toLong, new Timestamp(i * 1000L), t) }
+      .toDF("u", "eid", "ts", "et")
+    val Array(r) = TimeSeries.markovEntropyRate(ev, "u", "ts", "eid",
+      "et", iters = 5).as[(Long, Double)].collect()
+    assert(r._1 == 3L && r._2 > 0.3 && r._2 <= 1.0, r.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
