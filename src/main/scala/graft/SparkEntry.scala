@@ -4099,6 +4099,29 @@ object SparkEntry {
     "q_p49_markov_entropy" -> ((s, d) =>
       graft.ext.TimeSeries.markovEntropyRate(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", iters = 5)),
+
+    // -- component report: size + most-central node (3-iter
+    // PageRank, ties pinned) per connected component — the capstone
+    // composition of the star-CC and replayable-PR machines, the
+    // "what are the islands and who leads each" dashboard row --
+    "q_g44_component_report" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val canon = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val sym = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      val comp = GraphQueries.connectedComponentsStar(canon)
+      val pr = GraphQueries.pagerankDf(sym, iters = 3)
+      comp.join(pr, Seq("node"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_nodes"),
+          max(struct(col("pr"), (-col("node")).as("negnode"))).as("__m"))
+        .select(col("component"), col("n_nodes"),
+          (-col("__m.negnode")).as("top_node"), col("__m.pr").as("top_pr"))
+        .orderBy(col("component"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9639,5 +9662,45 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
     "q_p49_markov_entropy" ->
       graft.ext.TimeSeries.markovEntropyRateOracleSql(iters = 5),
+    "q_g44_component_report" -> {
+      val symCte =
+        """SELECT src, dst FROM (
+             SELECT a.sk AS src, b.sk AS dst
+             FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) a
+             JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) b
+               ON a.pk = b.pk AND a.sk < b.sk
+             GROUP BY 1, 2)
+           UNION ALL
+           SELECT dst, src FROM (
+             SELECT a.sk AS src, b.sk AS dst
+             FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) a
+             JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                   FROM lineitem WHERE l_orderkey % 50 = 0) b
+               ON a.pk = b.pk AND a.sk < b.sk
+             GROUP BY 1, 2)"""
+      s"""WITH RECURSIVE
+         edges AS MATERIALIZED ($symCte),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (SELECT id, id AS lbl FROM nodes
+                   UNION
+                   SELECT e.dst AS id, r.lbl FROM reach r
+                   JOIN edges e ON e.src = r.id),
+         comp AS MATERIALIZED (SELECT id AS node, min(lbl) AS component
+                               FROM reach GROUP BY id),
+         pr AS MATERIALIZED (SELECT * FROM (
+           ${graft.query.GraphQueries.pagerankDfOracleSql(symCte, 3)})),
+         j AS (SELECT c.component, c.node, p.pr
+               FROM comp c JOIN pr p ON p.node = c.node),
+         r AS (SELECT component, node, pr, row_number() OVER (
+                 PARTITION BY component ORDER BY pr DESC, node) AS rn,
+                 count(*) OVER (PARTITION BY component) AS n_nodes
+               FROM j)
+         SELECT component, CAST(n_nodes AS BIGINT) AS n_nodes,
+                node AS top_node, pr AS top_pr
+         FROM r WHERE rn = 1 ORDER BY component"""
+    },
   )
 }

@@ -992,5 +992,9 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("q_p49_markov_entropy")(spark, sf0001))
     assert(me.contains("HashAggregate") && !me.contains("CartesianProduct") &&
       !me.contains("UDF"), s"entropy closing agg over the tiny chain:\n$me")
+    val cr = executedFinal(
+      SparkEntry.queries("q_g44_component_report")(spark, sf0001))
+    assert(cr.contains("HashAggregate") && !cr.contains("CartesianProduct") &&
+      !cr.contains("UDF"), s"component report join + argmax agg:\n$cr")
   }
 }

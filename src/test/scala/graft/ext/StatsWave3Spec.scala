@@ -1386,6 +1386,25 @@ class StatsWave3Spec extends SparkSpec {
     assert(r._1 == 3L && r._2 > 0.3 && r._2 <= 1.0, r.toString)
   }
 
+  test("component report composes CC sizes with PageRank leaders") {
+    // two components: triangle {1,2,3} + edge {10,11}; the triangle's
+    // PR is symmetric so the tie pins to the smallest node
+    val canon = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val sym = canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
+    val comp = graft.query.GraphQueries.connectedComponentsStar(canon)
+    val pr = graft.query.GraphQueries.pagerankDf(sym, iters = 3)
+    val out = comp.join(pr, Seq("node"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("pr"), (-col("node")).as("nn"))).as("m"))
+      .select(col("component"), col("n"), (-col("m.nn")).as("top"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 1L), (10L, 2L, 10L)),
+      out.mkString(","))
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
