@@ -4100,6 +4100,26 @@ object SparkEntry {
       graft.ext.TimeSeries.markovEntropyRate(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", iters = 5)),
 
+    // -- Fisher-z confidence intervals for the q_p36 correlation
+    // set: the error bars point estimates ship without --
+    "q_p50_fisher_ci" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val corr = graft.ext.Profiling.corrMatrix(li, Seq(
+        "qty" -> round(col("l_quantity"), 0),
+        "price" -> round(col("l_extendedprice") * 100, 0),
+        "discount" -> round(col("l_discount") * 100, 0),
+        "tax" -> round(col("l_tax") * 100, 0)))
+      val nDf = li.agg(count(lit(1)).as("__n"))
+      graft.ext.Profiling.fisherCi(corr.crossJoin(broadcast(nDf)),
+        col("__n")).orderBy(col("x"), col("y"))
+    }),
+
+    // -- Hyndman seasonal-strength index on the q_t19 decompose:
+    // ONE number for "how seasonal is this series?" --
+    "q_t50_seasonal_strength" -> ((s, d) =>
+      graft.ext.TimeSeries.seasonalStrength(Tables.events(s, d),
+        "ts", "value")),
+
     // -- component report: size + most-central node (3-iter
     // PageRank, ties pinned) per connected component — the capstone
     // composition of the star-CC and replayable-PR machines, the
@@ -9662,6 +9682,107 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
     "q_p49_markov_entropy" ->
       graft.ext.TimeSeries.markovEntropyRateOracleSql(iters = 5),
+    "q_p50_fisher_ci" ->
+      """WITH b AS (SELECT
+             CAST(round(l_quantity, 0) AS HUGEINT) AS qty,
+             CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS price,
+             CAST(round(l_discount * 100, 0) AS HUGEINT) AS discount,
+             CAST(round(l_tax * 100, 0) AS HUGEINT) AS tax
+           FROM lineitem),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(qty) AS s_qty, sum(price) AS s_price,
+             sum(discount) AS s_discount, sum(tax) AS s_tax,
+             sum(qty * qty) AS q_qty, sum(price * price) AS q_price,
+             sum(discount * discount) AS q_discount, sum(tax * tax) AS q_tax,
+             sum(qty * price) AS x_qty_price,
+             sum(qty * discount) AS x_qty_discount,
+             sum(qty * tax) AS x_qty_tax,
+             sum(price * discount) AS x_price_discount,
+             sum(price * tax) AS x_price_tax,
+             sum(discount * tax) AS x_discount_tax
+           FROM b),
+         p AS (
+           SELECT 'qty' AS x, 'price' AS y, n * x_qty_price - s_qty * s_price
+               AS cov, n * q_qty - s_qty * s_qty AS va,
+               n * q_price - s_price * s_price AS vb FROM s
+           UNION ALL SELECT 'qty', 'discount',
+               n * x_qty_discount - s_qty * s_discount,
+               n * q_qty - s_qty * s_qty,
+               n * q_discount - s_discount * s_discount FROM s
+           UNION ALL SELECT 'qty', 'tax', n * x_qty_tax - s_qty * s_tax,
+               n * q_qty - s_qty * s_qty, n * q_tax - s_tax * s_tax FROM s
+           UNION ALL SELECT 'price', 'discount',
+               n * x_price_discount - s_price * s_discount,
+               n * q_price - s_price * s_price,
+               n * q_discount - s_discount * s_discount FROM s
+           UNION ALL SELECT 'price', 'tax', n * x_price_tax - s_price * s_tax,
+               n * q_price - s_price * s_price,
+               n * q_tax - s_tax * s_tax FROM s
+           UNION ALL SELECT 'discount', 'tax',
+               n * x_discount_tax - s_discount * s_tax,
+               n * q_discount - s_discount * s_discount,
+               n * q_tax - s_tax * s_tax FROM s),
+         cm AS (SELECT x, y, CASE WHEN va > 0 AND vb > 0 THEN
+             round(CAST(cov AS DOUBLE)
+               / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE))), 6)
+           END AS r
+           FROM p),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+         t AS (SELECT x, y, r,
+             round(0.5 * ln((1.0 + r) / (1.0 - r)), 9) AS z,
+             round(1.96 / sqrt(CAST(n - 3 AS DOUBLE)), 9) AS se,
+             abs(r) < 1 AND n > 3 AS ok
+           FROM cm, nn)
+         SELECT x, y, r,
+                CASE WHEN ok THEN
+                  round((round(exp(2.0 * (z - se)), 9) - 1)
+                    / (round(exp(2.0 * (z - se)), 9) + 1), 6) END AS lo,
+                CASE WHEN ok THEN
+                  round((round(exp(2.0 * (z + se)), 9) - 1)
+                    / (round(exp(2.0 * (z + se)), 9) + 1), 6) END AS hi
+         FROM t ORDER BY x, y""",
+    "q_t50_seasonal_strength" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS vc
+           FROM events GROUP BY 1),
+         framed AS (SELECT h, vc,
+           sum(vc) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+             AND 12 FOLLOWING) AS fs,
+           count(*) OVER (ORDER BY h ROWS BETWEEN 11 PRECEDING
+             AND 12 FOLLOWING) AS fn
+           FROM hourly),
+         d AS (SELECT h, fs, CAST(vc AS DOUBLE) / 100.0 AS v,
+                 CAST(vc AS DOUBLE) / 100.0
+                   - CAST(fs AS DOUBLE) / (100.0 * 24) AS detr,
+                 CAST(hour(h) AS BIGINT) AS hod
+               FROM framed WHERE fn = 24),
+         se AS (SELECT hod,
+                  CAST(sum(CAST(detr AS DECIMAL(30,10))) AS DOUBLE)
+                    / count(*) AS seasonal
+                FROM d GROUP BY hod),
+         rws AS (SELECT
+             round(se.seasonal + CAST(1e-9 AS DOUBLE), 4) AS seasonal,
+             round(d.detr - se.seasonal + CAST(1e-9 AS DOUBLE), 4)
+               AS residual
+           FROM d JOIN se USING (hod)),
+         dec AS (SELECT CAST(residual AS DECIMAL(20,4)) AS e,
+             CAST(round(seasonal + residual, 4) AS DECIMAL(20,4)) AS sr
+           FROM rws),
+         a AS (SELECT count(*) AS n, sum(e) AS se1, sum(e * e) AS qe,
+                 sum(sr) AS ss, sum(sr * sr) AS qs
+               FROM dec),
+         v AS (SELECT n,
+             (CAST(n AS DOUBLE) * CAST(qe AS DOUBLE)
+               - CAST(se1 AS DOUBLE) * CAST(se1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS ve,
+             (CAST(n AS DOUBLE) * CAST(qs AS DOUBLE)
+               - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vs
+           FROM a)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN n > 1 AND vs > 0 THEN
+                  round(greatest(0.0, 1.0 - ve / vs), 6) END AS strength
+         FROM v""",
     "q_g44_component_report" -> {
       val symCte =
         """SELECT src, dst FROM (

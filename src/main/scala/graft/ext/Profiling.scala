@@ -887,6 +887,29 @@ object Profiling {
         .as("df"))
   }
 
+  /** Fisher-z confidence intervals for a set of correlations — the
+    * error bars [[corrMatrix]]'s point estimates ship without (two
+    * r = 0.3's mean different things at n = 50 vs n = 5M):
+    *   z = atanh(r),  z ± 1.96/√(n−3),  back through tanh.
+    * atanh/tanh expand to ln/exp with every transcendental result
+    * rounded 9 dp before reuse (the powerlaw ln discipline), so both
+    * engines replay the chain; endpoints round 6 dp, NULL at |r| = 1
+    * or n ≤ 3. Input: rows (x, y, r) + the sample size. Returns
+    * (x, y, r, lo, hi). */
+  def fisherCi(corr: DataFrame, n: Column): DataFrame = {
+    val ok = abs(col("r")) < 1 && n > 3
+    val z = round(lit(0.5) * log((lit(1.0) + col("r")) /
+      (lit(1.0) - col("r"))), 9)
+    val se = round(lit(1.96) / sqrt((n - 3).cast("double")), 9)
+    def back(zz: Column) = {
+      val e = round(exp(lit(2.0) * zz), 9)
+      round((e - 1) / (e + 1), 6)
+    }
+    corr.select(col("x"), col("y"), col("r"),
+      when(ok, back(z - se)).as("lo"),
+      when(ok, back(z + se)).as("hi"))
+  }
+
   /** Cochran–Armitage trend test — "does the success proportion RISE
     * (or fall) with the ordered dose?": the categorical test
     * [[chiSquare]] can't be — chi-square treats groups as unordered

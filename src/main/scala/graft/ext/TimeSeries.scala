@@ -1022,6 +1022,35 @@ object TimeSeries {
     v.select(col("state"), round(col("v"), 6).as("p"))
   }
 
+  /** Seasonal-strength index (Hyndman & Athanasopoulos, FPP):
+    *   F_s = max(0, 1 − Var(residual)/Var(seasonal + residual))
+    * — ONE number for "how seasonal is this series?" on top of
+    * [[seasonalDecompose]]'s per-row columns (0 = the daily cycle
+    * explains nothing, → 1 = the series IS its cycle). The decompose
+    * columns are 4-dp-rounded doubles, so seasonal+residual is exact
+    * at 4 dp; both variances run on the DECIMAL ladder (x and x² as
+    * exact decimals of the rounded values), one double chain closes.
+    * Returns one row (n, strength). */
+  def seasonalStrength(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val d4 = (c: Column) => round(c, 4).cast("decimal(20,4)")
+    val base = seasonalDecompose(events, tsCol, valueCol)
+      .select(col("residual").cast("decimal(20,4)").as("e"),
+        d4(col("seasonal") + col("residual")).as("sr"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(col("e")).as("se"), sum(col("e") * col("e")).as("qe"),
+      sum(col("sr")).as("ss"), sum(col("sr") * col("sr")).as("qs"))
+    val dd = (c: Column) => c.cast("double")
+    def variance(s: Column, q: Column) =
+      (dd(col("n")) * dd(q) - dd(s) * dd(s)) /
+        (dd(col("n")) * dd(col("n") - 1))
+    val ve = variance(col("se"), col("qe"))
+    val vs = variance(col("ss"), col("qs"))
+    agg.select(col("n"),
+      when(col("n") > 1 && vs > 0,
+        round(greatest(lit(0.0), lit(1.0) - ve / vs), 6)).as("strength"))
+  }
+
   /** Entropy rate of the event-type Markov chain — "how PREDICTABLE
     * is the next step?", the one-number ceiling on any next-event
     * model: H = −Σ_s π_s Σ_t P(s→t) log₂ P(s→t) bits/step (0 =

@@ -996,5 +996,13 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("q_g44_component_report")(spark, sf0001))
     assert(cr.contains("HashAggregate") && !cr.contains("CartesianProduct") &&
       !cr.contains("UDF"), s"component report join + argmax agg:\n$cr")
+    val fc = executedFinal(
+      SparkEntry.queries("q_p50_fisher_ci")(spark, sf0001))
+    assert(fc.contains("HashAggregate") && !fc.contains("SortMergeJoin") &&
+      !fc.contains("UDF"), s"fisher ci one-scan corr + map chain:\n$fc")
+    val st = executedFinal(
+      SparkEntry.queries("q_t50_seasonal_strength")(spark, sf0001))
+    assert(st.contains("Window") && st.contains("HashAggregate") &&
+      !st.contains("UDF"), s"seasonal strength decompose + one agg:\n$st")
   }
 }

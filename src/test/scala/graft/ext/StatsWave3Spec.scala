@@ -1405,6 +1405,31 @@ class StatsWave3Spec extends SparkSpec {
       out.mkString(","))
   }
 
+  test("Fisher CI: symmetric around r=0, degenerate r=1 is null") {
+    val corr = Seq(("a", "b", 0.0), ("a", "c", 1.0)).toDF("x", "y", "r")
+    val out = Profiling.fisherCi(corr, lit(103L))
+      .as[(String, String, Double, Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val (_, lo, hi) = out(("a", "b"))
+    assert(lo.get < 0 && hi.get > 0 &&
+      math.abs(lo.get + hi.get) < 2e-6, out.toString)
+    assert(out(("a", "c"))._2.isEmpty && out(("a", "c"))._3.isEmpty,
+      out.toString)
+  }
+
+  test("seasonal strength: strong daily cycle near 1, flat series null") {
+    def hourly(v: Int => Double) = (0 until 72).map(h =>
+      (new Timestamp(h * 3600000L), v(h))).toDF("ts", "value")
+    val cyc = hourly(h => if (h % 24 < 12) 10.0 else 1.0)
+    val Array(c) = TimeSeries.seasonalStrength(cyc, "ts", "value")
+      .as[(Long, Option[Double])].collect()
+    assert(c._2.exists(_ > 0.8), c.toString)
+    val flat = hourly(_ => 5.0)
+    val Array(f) = TimeSeries.seasonalStrength(flat, "ts", "value")
+      .as[(Long, Option[Double])].collect()
+    assert(f._2.isEmpty, f.toString)
+  }
+
   test("MRR: first hit at rank 3 scores 1/3, no-hit query is null") {
     val df = Seq(("q1", 1, 0L), ("q1", 2, 0L), ("q1", 3, 1L), ("q1", 4, 1L),
       ("q2", 1, 0L), ("q2", 2, 0L)).toDF("query_id", "rank", "rel")
