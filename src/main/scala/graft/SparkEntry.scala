@@ -2570,10 +2570,12 @@ object SparkEntry {
     // operators end-to-end the way a corpus build runs them:
     //   quality filter (q_x2 formula) → language select (q_x1) →
     //   exact dedup (q_d1 face) → near-dup drop (q_d2 pairs + q_d7
-    //   component resolution) → PII scrub (q_x7) → token-budget
-    //   sequence packing (q_x8). The oracle replays every stage in
-    //   SQL. Corpus: documents + planted exact AND near duplicates,
-    //   so both dedup stages remove known positives. --
+    //   component resolution) → eval-suite decontamination (q_c3
+    //   bloom prefilter → q_c1 exact confirm) → PII scrub (q_x7) →
+    //   token-budget sequence packing (q_x8). The oracle replays
+    //   every stage in SQL. Corpus: documents + planted exact AND
+    //   near duplicates, so both dedup stages remove known
+    //   positives; the %97 eval slice plants contamination. --
     "q_ept_training_pipeline" -> ((s, d) => {
       // The SCORED projection is materialized once (stored-table
       // semantics like hasKeyword/EP1's staged tables), in a single
@@ -2594,7 +2596,22 @@ object SparkEntry {
       val pairs = Dedup.minHashDupPairs(exact.select(col("doc_id"), col("text")),
         "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       val deduped = Dedup.dropNearDups(exact, "doc_id", pairs)
-      val clean = deduped.withColumn("clean_len",
+      // decontamination vs the doc_id%97 eval slice: q_c3's
+      // constant-size bloom prefilter feeding q_c1's exact confirm.
+      // Bloom has NO false negatives, so the composed drop set equals
+      // the exact one and the oracle replays exact-only semantics.
+      val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(col("text"))
+      val flagged = deduped.join(
+        graft.ext.Decontaminate.bloomContaminationFlags(deduped, "doc_id",
+            "text", bench, "text", n = 8, expectedGrams = 100000L)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val confirmed = graft.ext.Decontaminate.contaminationReport(
+        flagged, "doc_id", "text", bench, "text", n = 8)
+      val decon = deduped.join(confirmed.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val clean = decon.withColumn("clean_len",
         length(TextAnalysis.redactPii(col("text"))).cast("long"))
       graft.ext.Packing.packByBudget(clean, "source", "doc_id", "clean_len", 8192L)
         .select(col("doc_id"), col("source"), col("lang_pred"), col("quality"),
@@ -3495,6 +3512,24 @@ object SparkEntry {
       GraphQueries.labelPropRound(e, seeds).orderBy(col("node"))
     }),
 
+    // -- Louvain-family community detection (mutual-best merge
+    // rounds + semi-sync refine, exact integer gain argmax) on the
+    // co-purchase graph — the
+    // modularity OPTIMIZER next to q_g29's scorer and q_g35's seeded
+    // propagation; every membership replays bit-for-bit. Mutual-best
+    // merging is monotone in Q (disjoint merges are additive); the
+    // fully synchronous local sweep oscillated (see Community
+    // scaladoc). 6 merge + 2 refine rounds converge on this graph --
+    "q_g45_louvain" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      graft.query.Community.louvainLocal(e, mergeRounds = 6,
+        refineRounds = 2).orderBy(col("node"))
+    }),
+
     // -- Neyman optimal allocation of a 100-doc budget across the 20
     // sources: quota ∝ n_h·s_h, largest-remainder integerization —
     // the variance-minimizing sampling design --
@@ -3976,7 +4011,12 @@ object SparkEntry {
 
     // -- IVF tuning curve: recall@5 vs brute force at nprobe 1/2/4 —
     // monotone by construction (cells only get added), bounds rise
-    // with nprobe; the -1 row is the monotonicity verdict --
+    // with nprobe; the -1 row is the monotonicity verdict. The
+    // oracle replays n_exact exactly (5 x |queries|); the 0.2/0.3/
+    // 0.4 recall floors are DATA-CALIBRATED smoke thresholds for the
+    // driver's synthetic embeddings (raw recall at sf0.001 is
+    // asserted with margins in SimilarityMoreSpec) — recalibrate
+    // them before pointing this gate at a different corpus --
     "q_n19_nprobe_curve" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -4048,7 +4088,10 @@ object SparkEntry {
 
     // -- IVF cell-balance health: exact corpus total + bounded cell
     // usage and no-giant-cell verdicts — the index-health report run
-    // before trusting nprobe latency (a 90% cell defeats pruning) --
+    // before trusting nprobe latency (a 90% cell defeats pruning).
+    // The oracle replays n_total exactly; the 0.6 giant-cell cap is
+    // a DATA-CALIBRATED smoke threshold for the synthetic embeddings
+    // (raw max-cell share asserted in SimilarityMoreSpec) --
     "q_n20_cell_balance" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val centroids = graft.ext.Similarity.trainIvfCentroids(e,
@@ -4063,6 +4106,29 @@ object SparkEntry {
           (col("n_cells") >= 2 && col("n_cells") <= 16).as("cells_ok"),
           (col("__max").cast("double") <=
             col("n_total").cast("double") * 0.6).as("no_giant_cell"))
+    }),
+
+    // -- kNN-graph builder recall: the ANN-composed graph (IVF cell
+    // join / LSH multi-probe band join — neither broadcasts the
+    // corpus) vs the exact brute-force edge set. The oracle replays
+    // n_exact exactly (5 x n); the recall floors are DATA-CALIBRATED
+    // smoke thresholds for the synthetic embeddings (raw recall
+    // asserted with margins in SimilarityMoreSpec) --
+    "q_n21_knn_graph" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val exact = graft.ext.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 5, via = "brute")
+        .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+      val nExact = exact.count()
+      val bounds = Map("ivf" -> 0.3, "lsh" -> 0.6)
+      import s.implicits._
+      Seq("ivf", "lsh").map { via =>
+        val hits = graft.ext.Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 5, via = via)
+          .select(col("query_id"), col("cand_id"))
+          .join(exact, Seq("query_id", "cand_id"), "left_semi").count()
+        (via, nExact, hits.toDouble / nExact >= bounds(via))
+      }.toDF("via", "n_exact", "recall_ok").orderBy(col("via"))
     }),
 
     // -- waterfill mixture quotas with budget 40% of the corpus and
@@ -6881,13 +6947,29 @@ object SparkEntry {
          comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
          deduped AS (SELECT * FROM exact
            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)),
+         dtoks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM deduped),
+         dg AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           FROM dtoks WHERE len(t) >= 8),
+         btoks AS (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '') AS t
+           FROM documents WHERE doc_id % 97 = 0),
+         bgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+           FROM btoks WHERE len(t) >= 8),
+         contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bgr USING (gram)),
+         decon AS (SELECT * FROM deduped
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
          clean AS (SELECT doc_id, source, lang_pred, quality,
              CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS BIGINT)
                AS clean_len
-           FROM deduped),
+           FROM decon),
          packed AS (SELECT *,
              coalesce(sum(clean_len) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
@@ -8687,7 +8769,7 @@ object SparkEntry {
            FROM lineitem)
          SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
-                CAST(sum(fp) AS DECIMAL(38,0)) AS sum_fp
+                CAST(sum(fp) AS BIGINT) AS sum_fp
          FROM fp""",
     "q_p41_durbin_watson" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS dt, count(*) AS x
@@ -9634,6 +9716,20 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_total, TRUE AS cells_ok,
                 TRUE AS no_giant_cell
          FROM embeddings""",
+    "q_n21_knn_graph" ->
+      """WITH q AS (SELECT CAST(5 * count(*) AS BIGINT) AS n_exact
+                    FROM embeddings)
+         SELECT t.via, q.n_exact, TRUE AS recall_ok
+         FROM q, (VALUES ('ivf'), ('lsh')) t(via)
+         ORDER BY via""",
+    "q_g45_louvain" ->
+      graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
+        """SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk"""),
     "q_o32_waterfill" ->
       """WITH avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail
            FROM documents GROUP BY source),

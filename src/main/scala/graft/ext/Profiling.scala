@@ -756,7 +756,7 @@ object Profiling {
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("g"),
-      col(valueCol).cast("long").as("v"))
+      round(col(valueCol), 0).cast("long").as("v"))
     val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("g"))
     val med = base
@@ -781,7 +781,7 @@ object Profiling {
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(grpCol).cast("string").as("grp"),
-        col(valueCol).cast("long").as("v"))
+        round(col(valueCol), 0).cast("long").as("v"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("n").desc, col("v"))
@@ -956,7 +956,7 @@ object Profiling {
     val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
     val wAll = Window.partitionBy(col("g"))
     df.select(col(grpCol).cast("string").as("g"),
-        col(valueCol).cast("long").as("v"))
+        round(col(valueCol), 0).cast("long").as("v"))
       .withColumn("__i", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(wAll))
       .groupBy(col("g").as("grp"))
@@ -1036,20 +1036,24 @@ object Profiling {
     * anything" audit that works ACROSS engines: per row the
     * replayable poly fingerprint of the '|'-joined column values,
     * folded two ways (XOR — overflow-free and order-free — and a
-    * plain sum in DECIMAL(38,0) for the second opinion: XOR misses a
-    * value appearing an even number of times, the sum doesn't; a
-    * row-hash built on xxhash would be faster but NOT replayable
-    * outside Spark, which defeats the cross-engine purpose). One
-    * aggregation pass, map-side combinable. Pass integer-castable /
-    * string columns only — float formatting differs across engines.
-    * Returns one row (n_rows, xor_fp, sum_fp). */
+    * plain sum for the second opinion: XOR misses a value appearing
+    * an even number of times, the sum doesn't; a row-hash built on
+    * xxhash would be faster but NOT replayable outside Spark, which
+    * defeats the cross-engine purpose). The sum is emitted as BIGINT:
+    * per-row fp < 2^31, so a signed 64-bit sum is exact up to ~4.3
+    * billion rows — beyond that shard the checksum and combine the
+    * per-shard rows (a DECIMAL(38,0) would survive but renders
+    * differently across engines, breaking the cross-engine compare
+    * this operator exists for). One aggregation pass, map-side
+    * combinable. Pass integer-castable / string columns only — float
+    * formatting differs across engines. Returns one row
+    * (n_rows, xor_fp, sum_fp). */
   def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.select(graft.functions.TextStats.fingerprint(
         concat_ws("|", cols: _*)).as("__fp"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__fp)").as("xor_fp"),
-        sum(col("__fp").cast("decimal(38,0)")).cast("decimal(38,0)")
-          .as("sum_fp"))
+        sum(col("__fp")).as("sum_fp"))
 
   /** Top-decile concentration per group — "what share of the value
     * sits in the top p% of items?", the Pareto readout next to

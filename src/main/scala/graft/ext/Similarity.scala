@@ -581,8 +581,17 @@ object Similarity {
     * exact-oracle. Returns (n_nodes, n_directed, n_mutual,
     * mutuality). */
   def mutualKnnStats(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val knn = bruteForceTopK(corpus, corpus, idCol, vecCol, k)
+      k: Int): DataFrame =
+    mutualKnnStatsFromEdges(bruteForceTopK(corpus, corpus, idCol, vecCol, k))
+
+  /** The scale face of [[mutualKnnStats]]: the audit itself over a
+    * PREBUILT kNN edge set — (query_id, cand_id) from any builder
+    * ([[knnGraph]] at scale, [[bruteForceTopK]] as the exact oracle
+    * baseline). The self-join on the swapped key and the two count
+    * combines are shuffle-on-pair only; nothing here broadcasts the
+    * corpus. */
+  def mutualKnnStatsFromEdges(edges: DataFrame): DataFrame = {
+    val knn = edges
       .select(col("query_id").as("a"), col("cand_id").as("b"))
       .localCheckpoint(true)
     val mutual = knn
@@ -594,6 +603,49 @@ object Similarity {
       .select(col("n_nodes"), col("n_directed"), col("n_mutual"),
         round(col("n_mutual").cast("double") * 2 /
           col("n_directed").cast("double"), 6).as("mutuality"))
+  }
+
+  /** kNN-GRAPH builder — every point is a query against the whole
+    * corpus, the primitive semdedup / mutual-kNN audits / density
+    * clustering build on. The scale problem is that the exact form
+    * is O(n²); this composes the existing ANN machinery so the graph
+    * costs what one ANN batch costs:
+    *
+    *  - `via = "ivf"`: corpus assigns map-side to its nearest
+    *    trained centroid cell; the SAME corpus as the query side
+    *    probes its `nprobe` nearest cells; candidates come from the
+    *    cell equi-join (shuffle-partitioned on cell id — at 100 TB
+    *    the index is bucketed at rest on cell and the join is
+    *    co-located, each point scoring ~nprobe/nCells of the corpus,
+    *    never all of it).
+    *  - `via = "lsh"`: seeded hyperplane signatures, band equi-join
+    *    with Hamming-1 multi-probe on the query side — no training
+    *    step, the right pick when the corpus churns faster than
+    *    centroids stay fresh.
+    *  - `via = "brute"`: the exact O(n²) baseline (query side
+    *    broadcast) — the RECALL ORACLE at gate scale; never the
+    *    production path.
+    *
+    * Neither ANN path broadcasts the corpus (plan-asserted in
+    * SimilarityMoreSpec); both end in the native bounded-heap
+    * TopKPerKey. Returns (query_id, cand_id, cos, rank) — k rows per
+    * point (fewer only if the ANN candidates run dry). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      via: String = "ivf", dim: Int = 64, nCells: Int = 16,
+      nprobe: Int = 2, nBits: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = via match {
+    case "ivf" =>
+      val centroids = trainIvfCentroids(corpus, vecCol, k = nCells,
+        seed = seed)
+      ivfTopK(corpus, corpus, idCol, vecCol, centroids, k, nprobe)
+    case "lsh" =>
+      lshTopK(corpus, corpus, idCol, vecCol, dim, k, nBits, bands, seed,
+        multiProbe = true)
+    case "brute" =>
+      bruteForceTopK(corpus, corpus, idCol, vecCol, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"via must be ivf|lsh|brute: $other")
   }
 
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes

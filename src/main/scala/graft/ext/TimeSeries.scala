@@ -985,7 +985,13 @@ object TimeSeries {
     * today's traffic mix — do not show). Every probability rounds
     * 9 dp, every v·P term rounds 12 dp into DECIMAL(38,18) (the
     * pagerankDf ladder), so the whole recurrence replays exactly.
-    * States with no inbound mass keep an explicit 0 row. Returns
+    * States with no inbound mass keep an explicit 0 row. SEMANTICS
+    * NOTE: the state space is the set of types that appear as a
+    * transition SOURCE — a type that only ever appears as a target
+    * (a terminal sink) is not a state, so mass flowing into it is
+    * discarded each step and Σp may settle below 1; the returned p
+    * is the occupancy of the non-terminal sub-chain, not a full
+    * distribution (the oracle replays the same convention). Returns
     * (state, p) after `iters` steps, p rounded 6 dp. Scale: the
     * state space is the event-type domain (tiny); the only
     * corpus-scale work is the one windowed transition count. */
@@ -1267,8 +1273,11 @@ object TimeSeries {
       Window.unboundedFollowing)
     per.withColumn("__i", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
-      .groupBy(col("__n").as("n_users"))
-      .agg(min(when(col("__i") * 2 >= col("__n"), col("mg"))).as("p50_us"),
+      // plain aggregate (not GROUP BY __n) so a corpus with no user
+      // holding >=2 events still yields ONE row of NULLs — matching
+      // the oracle's shape on degenerate input
+      .agg(max(col("__n")).as("n_users"),
+        min(when(col("__i") * 2 >= col("__n"), col("mg"))).as("p50_us"),
         min(when(col("__i") * 10 >= col("__n") * 9, col("mg"))).as("p90_us"),
         max(col("mg")).as("max_us"))
   }

@@ -576,7 +576,7 @@ class StatsWave3Spec extends SparkSpec {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     def sums(d: org.apache.spark.sql.DataFrame) =
       Profiling.tableChecksum(d, Seq(col("k"), col("v")))
-        .as[(Long, Long, java.math.BigDecimal)].collect().head
+        .as[(Long, Long, Long)].collect().head
     val base = sums(df)
     assert(sums(df.repartition(5)) == base, "layout must not matter")
     val changed = sums(Seq((1L, "a"), (2L, "b"), (3L, "d")).toDF("k", "v"))
