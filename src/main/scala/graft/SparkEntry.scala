@@ -4131,6 +4131,82 @@ object SparkEntry {
       }.toDF("via", "n_exact", "recall_ok").orderBy(col("via"))
     }),
 
+    // -- IVF-PQ composed ANN (the faiss IVFPQ shape): IVF bounds
+    // which vectors a query touches, PQ bounds the bytes each one
+    // costs; both approximations stack, so the recall floor sits
+    // below q_n3/q_n5's (measured in SimilarityMoreSpec; bound 0.25
+    // is the data-calibrated smoke threshold) --
+    "q_n22_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = DerivedCache.any(s, s"ivfcents16:$d") {
+        graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      }
+      val cb = DerivedCache.any(s, s"pqcb:$d") {
+        Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 8, k = 16)
+      }
+      val ann = graft.ext.Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        cents, dim = 64, m = 8, kCentroids = 16, codebooks = cb, k = 5,
+        nprobe = 4, oversample = 8)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = ann.select(col("query_id"), col("cand_id"))
+        .join(bf.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_semi")
+      bf.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_exact"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.25)
+            .as("recall_ok"))
+    }),
+
+    // -- Gopher within-doc repetition: duplicate 5-gram char
+    // fraction — catches self-repeating pages corpus-wide dedup
+    // can't; %13 docs planted with a full self-repeat --
+    "q_x44_repetition" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat_ws(" ", col("text"), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.ext.TextAnalysis.dupNgramStats(planted, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- Luhn mod-10 validation over synthesized digit runs (custkey
+    // + acctbal cents — the driver's customer table has no phone
+    // column): the exact-integer check a PII scrubber runs behind
+    // its card-number regex (most shape-matched digit runs are NOT
+    // cards, and ~1 in 10 random runs passes Luhn) --
+    "q_x45_luhn" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          concat(col("c_custkey").cast("string"),
+            abs(round(col("c_acctbal") * 100, 0)).cast("long").cast("string"))
+            .as("dg"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(graft.ext.TextAnalysis.luhnValid(col("dg")), 1L)
+            .otherwise(0L)).as("n_luhn_valid"))
+        .orderBy(col("nation"))),
+
+    // -- domain-blocklist URL filter with suffix semantics (C4/
+    // RefinedWeb convention: blocking bad.com blocks cdn.bad.com;
+    // a full-host entry blocks only that host) over synthesized
+    // per-source URLs — the oracle independently derives the
+    // expected outcome from the URL construction rule --
+    "q_c6_domain_blocklist" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit(".example.com/doc/"), col("doc_id")).as("url"))
+      urls.withColumn("blocked", graft.etl.UrlFunctions.blockedByDomainList(
+          col("url"),
+          Seq("src3.example.com", "src7.example.com", "cdn.src5.example.com")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy(col("source"))
+    }),
+
     // -- waterfill mixture quotas with budget 40% of the corpus and
     // skewed weights: capped sources keep what they have, unused
     // budget redistributes — the under-delivery fix for q_o8 --
@@ -9722,6 +9798,63 @@ object SparkEntry {
          SELECT t.via, q.n_exact, TRUE AS recall_ok
          FROM q, (VALUES ('ivf'), ('lsh')) t(via)
          ORDER BY via""",
+    "q_n22_ivfpq" ->
+      """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
+    "q_x44_repetition" ->
+      """WITH planted AS (SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+           FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM planted),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> array_to_string(t[i:i+4], ' '))) AS gram
+           FROM toks WHERE len(t) >= 5),
+         pg AS (SELECT doc_id, gram, count(*) AS c
+                FROM g GROUP BY doc_id, gram),
+         per AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+             round(sum(CASE WHEN c >= 2 THEN c * length(gram)
+                       ELSE 0 END) * 1.0 / sum(c * length(gram)), 6)
+               AS dup_char_frac
+           FROM pg GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                coalesce(n_dup_grams, 0) AS n_dup_grams,
+                coalesce(dup_char_frac, 0.0) AS dup_char_frac
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         ORDER BY d.doc_id""",
+    "q_x45_luhn" ->
+      """WITH dg AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(c_custkey AS VARCHAR) ||
+               CAST(CAST(abs(round(c_acctbal * 100, 0)) AS BIGINT) AS VARCHAR)
+               AS s
+           FROM customer),
+         sc AS (SELECT nation,
+             CASE WHEN length(s) > 0 AND list_sum(
+                 list_transform(range(1, length(s) + 1), i ->
+                   CASE WHEN i % 2 = 0 THEN
+                     CASE WHEN 2 * (ord(substring(reverse(s), i, 1)) - 48) > 9
+                          THEN 2 * (ord(substring(reverse(s), i, 1)) - 48) - 9
+                          ELSE 2 * (ord(substring(reverse(s), i, 1)) - 48) END
+                   ELSE ord(substring(reverse(s), i, 1)) - 48 END))
+                 % 10 = 0
+               THEN 1 ELSE 0 END AS ok
+           FROM dg)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(ok) AS BIGINT) AS n_luhn_valid
+         FROM sc GROUP BY nation ORDER BY nation""",
+    "q_c6_domain_blocklist" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE
+                  WHEN source IN ('src3', 'src7') THEN 1
+                  WHEN source = 'src5' AND doc_id % 3 = 0 THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_blocked
+         FROM documents GROUP BY source ORDER BY source""",
     "q_g45_louvain" ->
       graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
         """SELECT DISTINCT a.sk AS src, b.sk AS dst

@@ -64,4 +64,24 @@ object UrlFunctions {
       .when(publicSld, array_join(slice(labels, n - 2, lit(3)), "."))
       .otherwise(array_join(slice(labels, n - 1, lit(2)), "."))
   }
+
+  /** Domain-blocklist membership with SUFFIX semantics — the C4/
+    * RefinedWeb URL-filter convention where blocking `bad.com` also
+    * blocks `cdn.bad.com`: true iff any dot-suffix of the URL's host
+    * with ≥ 2 labels (including the full host) is in the list. The
+    * list is a compile-time literal array (blocklists are small
+    * curated artifacts; a corpus-sized list would join instead), so
+    * the whole predicate is one codegen'd Column — map-side,
+    * pushdown-eligible, no UDF, no shuffle. */
+  def blockedByDomainList(url: Column, blocklist: Seq[String]): Column = {
+    val labels = split(host(url), "\\.")
+    val n = size(labels)
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    // n < 2 guard: Spark's sequence(1, 0) DESCENDS instead of
+    // returning empty, which would feed slice() an illegal 0 start
+    when(n >= 2, exists(
+      transform(sequence(lit(1), n - 1),
+        i => array_join(slice(labels, i, n - i + 1), ".")),
+      sfx => array_contains(bl, sfx))).otherwise(lit(false))
+  }
 }

@@ -1008,6 +1008,57 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** IVF-PQ composed ANN (the faiss IVFPQ shape, which is what
+    * actually ships at billion-vector scale — IVF bounds WHICH
+    * vectors a query touches, PQ bounds the BYTES each touched
+    * vector costs):
+    *
+    *  1. corpus assigns map-side to its nearest centroid cell AND
+    *     encodes to m small ints — the resting index is
+    *     (cell, id, m codes), bucketable on cell, 8× narrower than
+    *     raw floats;
+    *  2. each query probes its `nprobe` nearest cells with its
+    *     precomputed ADC table; candidates come from the cell
+    *     equi-join, scored by m table lookups;
+    *  3. the `k·oversample` PQ survivors join back to raw vectors
+    *     for the exact-cosine refine (point lookups).
+    *
+    * This encodes RAW vectors, not per-cell residuals (classic
+    * IVFADC subtracts the cell centroid first; that needs per-cell
+    * ADC tables — m·k·nprobe entries per query — for a recall gain
+    * that is minor at these dims, so the shared [[pqTopK]] kernels
+    * are reused unchanged). Both approximations stack, so recall
+    * sits below either alone; the gate and spec measure it against
+    * [[bruteForceTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Float]], dim: Int, m: Int,
+      kCentroids: Int, codebooks: Array[Double], k: Int, nprobe: Int = 2,
+      oversample: Int = 8): DataFrame = {
+    val dsub = dim / m
+    val norm2 = graft.functions.PqKernel.centroidNorm2(codebooks, m, dsub, kCentroids)
+    val cellOf = graft.functions.Centroids.nearestCentroids(col(vecCol), centroids, 1)
+    val probeCells = graft.functions.Centroids.nearestCentroids(col(vecCol), centroids, nprobe)
+    val codes = corpus.select(col(idCol).as("cand_id"),
+      explode(cellOf).as("cell"),
+      graft.functions.Pq.pqEncode(col(vecCol), codebooks, m, dsub, kCentroids).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeCells).as("cell"),
+      graft.functions.Pq.pqAdcTable(col(vecCol), codebooks, m, dsub, kCentroids).as("adc"))
+    // candidate lives in exactly one cell, so pairs are already unique
+    val scored = codes.join(q, Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("pq_score",
+        graft.functions.Pq.pqTableScore(col("adc"), col("codes"), norm2, kCentroids))
+    val cands = graft.plans.TopK.topKPerKey(scored,
+        Seq(col("query_id")), Seq(col("pq_score").desc, col("cand_id")), k * oversample)
+      .select(col("query_id"), col("cand_id"))
+    val rescored = cands
+      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")), Seq("cand_id"))
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v")), Seq("query_id"))
+      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+    rankTopK(rescored, k)
+  }
+
   /** ANN top-k via LSH buckets: score only same-bucket candidates,
     * then per-query top-k. Approximate — recall depends on nBits /
     * bands; the ScalaTest suite measures it against brute force.

@@ -957,4 +957,57 @@ object TextAnalysis {
         col("n_a"), col("n_b"),
         round(col("__jsd").cast("double"), 6).as("jsd"))
   }
+
+  /** Within-document repetition report — the Gopher repetition rules
+    * (Rae et al. '21 §A1.1: "duplicate n-gram character fraction")
+    * that catch the pathological pages intra-corpus dedup can't (a
+    * page repeating its own nav block 40 times is unique corpus-wide
+    * but garbage): per document, the word n-gram multiset and the
+    * share of n-gram characters sitting in n-grams that occur ≥2
+    * times IN THIS DOCUMENT. All counts exact integers, one division
+    * rounded 6 dp. Documents shorter than n tokens report zeros.
+    * Scale: text never shuffles — the explode+count group key is
+    * (doc_id, gram), map-side combinable; the report is one row per
+    * doc. Returns (doc_id, n_grams, n_dup_grams, dup_char_frac). */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val per = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"),
+        sum(col("c") * length(col("gram")).cast("long")).as("__tot"),
+        sum(when(col("c") >= 2, col("c") * length(col("gram")).cast("long"))
+          .otherwise(0L)).as("__dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("__dup").cast("double") / col("__tot").cast("double"), 6)
+          .as("dup_char_frac"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_char_frac"), lit(0.0)).as("dup_char_frac"))
+  }
+
+  /** Luhn checksum validity of a digit string (Luhn '60, the mod-10
+    * check every payment-card number carries) — the VALIDATOR a PII
+    * scrubber runs behind its 13-16-digit regex, because most digit
+    * runs that shape-match a card number are order ids and phone
+    * numbers, and Luhn rejects 90% of them: from the right, double
+    * every second digit (subtracting 9 when that doubles past 9);
+    * valid iff the digit sum ≡ 0 (mod 10). Pure integer Column over
+    * `sequence` — codegen'd, no UDF, exact in any engine. NULL-safe:
+    * empty/non-digit input → false. */
+  def luhnValid(digits: Column): Column = {
+    // index i counts 1.. from the RIGHTMOST digit; even i doubles
+    val arr = transform(split(reverse(digits), ""), ch => ascii(ch) - lit(48))
+    val contrib = zip_with(arr, sequence(lit(1), size(arr)), (d, i) =>
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d))
+    val s = aggregate(contrib, lit(0), (acc, x) => acc + x)
+    length(coalesce(digits, lit(""))) > 0 && s % 10 === 0
+  }
 }
