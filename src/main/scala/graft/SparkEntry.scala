@@ -4207,6 +4207,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- Fellegi–Sunter record linkage: integer log-odds scoring
+    // (fuzzy name agree +3/−1, segment agree +2/−1) over nation-
+    // blocked candidate pairs, planted typo'd copies; the gate is
+    // the exact score histogram --
+    "q_f17_record_linkage" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val base = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("s1"))
+      val planted = c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("id2"),
+          concat(substring(col("c_name"), 1, 17), lit("X")).as("n2"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("s2"))
+      val pairs = base.join(planted, Seq("nk"))
+      graft.ext.FuzzyJoin.fellegiSunter(pairs, Seq(
+          (levenshtein(col("n1"), col("n2")) <= 1, 3, -1),
+          (col("s1") === col("s2"), 2, -1)))
+        .groupBy(col("fs_score")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("fs_score"))
+    }),
+
+    // -- calibration / reliability report: is the quality score's
+    // confidence honest about language-ID correctness? decile bins,
+    // mean-conf vs accuracy, n-weighted ECE --
+    "q_x46_calibration" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        round(TextAnalysis.qualityScore(col("text")), 4).as("conf"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("ok"))
+      graft.ext.Profiling.calibrationReport(scored, col("conf"), col("ok"),
+        bins = 10).orderBy(col("bin"))
+    }),
+
     // -- waterfill mixture quotas with budget 40% of the corpus and
     // skewed weights: capped sources keep what they have, unused
     // budget redistributes — the under-delivery fix for q_o8 --
@@ -9848,6 +9879,67 @@ object SparkEntry {
          SELECT nation, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(ok) AS BIGINT) AS n_luhn_valid
          FROM sc GROUP BY nation ORDER BY nation""",
+    "q_f17_record_linkage" ->
+      """WITH base AS (SELECT c_custkey AS id1, c_name AS n1,
+             c_nationkey AS nk, c_mktsegment AS s1 FROM customer),
+         p AS (SELECT c_custkey + 1000000 AS id2,
+             substring(c_name, 1, 17) || 'X' AS n2,
+             c_nationkey AS nk, c_mktsegment AS s2
+           FROM customer WHERE c_custkey % 10 = 0),
+         sc AS (SELECT
+             CASE WHEN levenshtein(n1, n2) <= 1 THEN 3 ELSE -1 END +
+             CASE WHEN s1 = s2 THEN 2 ELSE -1 END AS fs_score
+           FROM base JOIN p USING (nk))
+         SELECT CAST(fs_score AS BIGINT) AS fs_score,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM sc GROUP BY 1 ORDER BY 1""",
+    "q_x46_calibration" ->
+      """WITH toks AS (SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         met AS (SELECT doc_id, lang, text,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                 * 1.0 / length(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+                 * 1.0 / len(t) ELSE 0.0 END AS sr,
+             CASE WHEN len(t) > 0 THEN
+               CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS awl,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS h_en,
+             len(list_filter(t, x -> list_contains(['el','los','y','es','un','una','que'], x))) AS h_es,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS h_fr,
+             len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我'], x))) AS h_zh
+           FROM toks),
+         q AS (SELECT
+             round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+               + least(sr * 4.0, 1.0) * 0.2
+               + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS conf,
+             (CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END) = lang AS ok
+           FROM met),
+         b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+                 conf, ok FROM q),
+         per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             round(CAST(sum(CAST(conf AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS mean_conf,
+             round(sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS acc
+           FROM b GROUP BY bin),
+         g AS (SELECT *, round(abs(acc - mean_conf), 6) AS gap FROM per),
+         t AS (SELECT round(CAST(sum(CAST(gap AS DECIMAL(38,12)) * n)
+               AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ece FROM g)
+         SELECT bin, n, n_pos, mean_conf, acc, gap, t.ece
+         FROM g, t ORDER BY bin""",
     "q_c6_domain_blocklist" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CASE

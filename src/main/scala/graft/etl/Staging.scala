@@ -253,6 +253,41 @@ object Staging {
       .select(col("url").as("src"), explode(col("keywords")).as("dst")).distinct()
     StagedGraph(links, categories, keywords, belongsTo, hasKeyword)
   }
+
+  /** Small-file compaction — the table-maintenance pass every long-
+    * lived 100 TB dataset needs (streaming sinks and per-epoch
+    * appends accrete thousands of KB-scale files; each costs a task
+    * + an open + a footer read, so scan latency degrades linearly in
+    * FILE count, not byte count). Rewrites a parquet directory into
+    * ⌈total_bytes / targetBytes⌉ files: the rewrite streams through
+    * a round-robin repartition (parallel, no skew — compaction has
+    * no key), lands in `<dir>.__compact_tmp`, and swaps in via two
+    * renames so readers never observe a half-written directory (the
+    * same swap discipline as the CSV sinks' overwrite mode). Data is
+    * preserved as a multiset; row order is NOT (compaction is a
+    * layout operation — order-bearing exports use the sharded
+    * writers). Returns (files_before, files_after, bytes). */
+  def compactParquet(spark: SparkSession, dir: String,
+      targetBytes: Long): (Int, Int, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__compact_old")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(path, old), s"compact: could not move $dir aside")
+    require(fs.rename(tmp, path), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+    (before.size, dataFiles(path).size, totalBytes)
+  }
 }
 
 final case class StagedGraph(

@@ -58,4 +58,36 @@ object FuzzyJoin {
       .distinct()
       .filter(levenshtein(col("s1"), col("s2")) <= 1)
   }
+
+  /** Fellegi–Sunter match scoring (Fellegi & Sunter 1969, the
+    * probabilistic-record-linkage framework every entity-resolution
+    * system descends from): each field comparison contributes its
+    * log-odds weight — log(m/u) on agreement, log((1−m)/(1−u)) on
+    * disagreement, where m = P(agree | same entity) and
+    * u = P(agree | different entities) — and the pair's total score
+    * ranks match likelihood.
+    *
+    * Weights are taken as INTEGER log-odds inputs rather than raw
+    * m/u probabilities: callers pick parameters whose odds ratios
+    * are powers of two (m/u = 8 → +3, (1−m)/(1−u) = ½ → −1), so the
+    * whole score is exact integer arithmetic that replays in any
+    * engine — runtime logs would pin the gate to one libm. (EM
+    * estimation of m/u from unlabeled pairs is a separate training
+    * concern; production linkage commonly runs reviewed, fixed
+    * weights exactly like this.)
+    *
+    * `fields` supplies (agreement-predicate, wAgree, wDisagree) —
+    * the predicate is any Column (exact equality, levenshtein ≤ 1,
+    * same-decile numeric band…), evaluated map-side over candidate
+    * pairs that a blocking join already bounded (the
+    * [[selfJoinWithin1]] / q_f16 shape; never all n² pairs).
+    * Appends `fs_score` to the pair rows. */
+  def fellegiSunter(pairs: DataFrame,
+      fields: Seq[(Column, Int, Int)]): DataFrame = {
+    require(fields.nonEmpty, "at least one field comparison required")
+    val score = fields.map { case (agree, wa, wd) =>
+      when(agree, lit(wa.toLong)).otherwise(lit(wd.toLong)) }
+      .reduce(_ + _)
+    pairs.withColumn("fs_score", score)
+  }
 }

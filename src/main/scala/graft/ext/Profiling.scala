@@ -1356,4 +1356,44 @@ object Profiling {
           round((col("n") * (col("n00") + col("n11")) - e).cast("double") /
             (col("n") * col("n") - e).cast("double"), 6)).as("kappa"))
   }
+
+  /** Calibration / reliability report (the ECE decomposition of
+    * Naeini '15 / Guo '17): bin a confidence column into `bins`
+    * equal-width buckets and compare each bucket's MEAN CONFIDENCE
+    * to its EMPIRICAL ACCURACY — the audit run on every learned
+    * scorer (a quality classifier whose 0.9-confidence slice is
+    * right 60% of the time poisons every threshold set from it).
+    * Confidence is pre-rounded to 4 dp and summed in DECIMAL(38,12)
+    * (exact, order-free); counts are integers; each row carries its
+    * |acc − conf| gap and the n-weighted total is the expected
+    * calibration error, repeated per row via the 1-row broadcast
+    * crossJoin convention. One hash aggregation over the corpus.
+    * Returns (bin, n, n_pos, mean_conf, acc, gap, ece) per non-empty
+    * bin, bin = ⌊conf·bins⌋ clamped to bins−1. */
+  def calibrationReport(df: DataFrame, confCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100]: $bins")
+    val conf = round(confCol, 4)
+    val per = df.select(
+        least(floor(conf * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        conf.cast("decimal(38,12)").as("__c"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__c")).as("__sc"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sc").cast("double") / col("n").cast("double"), 6)
+          .as("mean_conf"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("acc"))
+      .withColumn("gap", round(abs(col("acc") - col("mean_conf")), 6))
+    // exact decimal numerator, then ONE double division — a decimal
+    // divide would hit engine-specific result-scale rules
+    val tot = per.agg(
+      round(sum(col("gap").cast("decimal(38,12)") * col("n")).cast("double") /
+        sum(col("n")).cast("double"), 6).as("ece"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_conf"),
+        col("acc"), col("gap"), col("ece"))
+  }
 }

@@ -59,6 +59,52 @@ class PipelineGuardsSpec extends SparkSpec {
       assert(out(u) == want, s"blocked($u) = ${out(u)}, want $want")
   }
 
+  test("compactParquet: many small files collapse, data survives as a multiset") {
+    import graft.etl.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    df.repartition(37).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    val (nBefore, nAfter, bytes) = Staging.compactParquet(spark, dir,
+      targetBytes = 512L * 1024)
+    info(s"compact: $nBefore files -> $nAfter ($bytes bytes)")
+    assert(nBefore == 37 && nAfter < nBefore && bytes > 0)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeRows)
+    assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
+  test("fellegiSunter: integer log-odds compose per field") {
+    val pairs = Seq(
+      ("ann", "ann", "a"),
+      ("ann", "anx", "a"),
+      ("ann", "xyz", "b")).toDF("n1", "n2", "s")
+    val out = FuzzyJoin.fellegiSunter(pairs, Seq(
+        (levenshtein($"n1", $"n2") <= 1, 3, -1),
+        ($"s" === "a", 2, -1)))
+      .select($"fs_score").as[Long].collect().toSeq
+    assert(out == Seq(5L, 5L, -2L), out.toString)
+  }
+
+  test("calibrationReport: perfectly calibrated bins give zero ECE, skew does not") {
+    // bin 0.25: 4 rows conf .25, 1 positive -> acc .25, gap 0
+    // bin 0.75: 4 rows conf .75, 3 positive -> acc .75, gap 0
+    val good = (Seq.fill(3)((0.25, false)) ++ Seq((0.25, true)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq((0.75, false))).toDF("conf", "ok")
+    val g = Profiling.calibrationReport(good, $"conf", $"ok", bins = 4)
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(g.map(_._1).toSeq == Seq(1L, 3L))
+    assert(g.forall(_._6 == 0.0) && g.forall(_._7 == 0.0), g.mkString(","))
+    // overconfident: conf .75 but only 25% correct -> gap 0.5
+    val bad = (Seq.fill(3)((0.75, false)) ++ Seq((0.75, true))).toDF("conf", "ok")
+    val b = Profiling.calibrationReport(bad, $"conf", $"ok", bins = 4)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(b._6 == 0.5 && b._7 == 0.5, b.toString)
+  }
+
   test("ivfPqTopK: recall vs brute clears the q_n22 floor with margin") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
