@@ -274,49 +274,24 @@ object Dedup {
   }
 
   /** Resolve near-dup pairs into components with a canonical (min-id)
-    * representative: iterative min-label propagation over the pair
-    * graph, pure DataFrame joins (each iteration one shuffle; dup
-    * clusters have tiny diameter, so this converges in a couple of
-    * rounds — maxIter is a safety bound, with a fail-fast if a
-    * pathological chain exceeds it).
+    * representative. Delegates to the alternating-star connected
+    * components ([[graft.query.GraphQueries.connectedComponentsStar]],
+    * Kiveris SoCC'14): O(log n) rounds instead of the O(diameter)
+    * min-label propagation this used to run — the round-7 full-suite
+    * sf1 bench caught a SimHash near-dup CHAIN whose diameter blew
+    * past label propagation's 20-round cap (chains are exactly what
+    * transitive near-dup closure produces on replicated corpora; at
+    * 100 TB they are the norm, not the pathology). The result is
+    * identical — every node labeled with its component's minimum id —
+    * so every oracle's recursive-reachability replay still matches.
     *
     * @return (id, rep) for every id that appears in a pair
     */
-  def resolveDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager), not persist: each round's plan would
-    // otherwise reference the previous round's whole tree, so the
-    // logical plan deepens linearly with iterations and analysis /
-    // optimization cost compounds — the same reason GraphX checkpoints
-    // Pregel state. Checkpointing truncates lineage to O(1) per round.
-    var labels = edges.groupBy("a")
-      .agg(min(col("b")).as("minb"))
-      .select(col("a").as("id"), least(col("a"), col("minb")).as("rep"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // candidate label for id = min over neighbors of their label
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("rep")).as("nrep"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
-        .filter(col("rep") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    require(converged, s"dup-group propagation did not converge in $maxIter rounds")
-    edges.unpersist(blocking = false)
-    labels
-  }
+  def resolveDupGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    graft.query.GraphQueries.connectedComponentsStar(
+        pairs.select(col("id1").as("u"), col("id2").as("v")),
+        maxRounds = maxIter)
+      .select(col("node").as("id"), col("component").as("rep"))
 
   /** Near-dup cluster-size histogram — the corpus-shape report the
     * pair list hides: "is duplication a few giant template families

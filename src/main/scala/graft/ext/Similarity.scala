@@ -621,7 +621,13 @@ object Similarity {
     *  - `via = "lsh"`: seeded hyperplane signatures, band equi-join
     *    with Hamming-1 multi-probe on the query side — no training
     *    step, the right pick when the corpus churns faster than
-    *    centroids stay fresh.
+    *    centroids stay fresh. Band width AUTO-SCALES with corpus
+    *    size (`nBits = 0`): bits-per-band ≈ log2(n/64), so bucket
+    *    occupancy — and with it the band join's candidate count —
+    *    stays ~constant per point as the corpus grows. Fixed bits
+    *    would go quadratic (the round-7 sf1 sweep measured exactly
+    *    that: 4-bit bands at 40× the calibration corpus ≈ n²/16
+    *    collisions per band).
     *  - `via = "brute"`: the exact O(n²) baseline (query side
     *    broadcast) — the RECALL ORACLE at gate scale; never the
     *    production path.
@@ -632,14 +638,20 @@ object Similarity {
     * point (fewer only if the ANN candidates run dry). */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       via: String = "ivf", dim: Int = 64, nCells: Int = 16,
-      nprobe: Int = 2, nBits: Int = 16, bands: Int = 4,
+      nprobe: Int = 2, nBits: Int = 0, bands: Int = 4,
       seed: Long = 42L): DataFrame = via match {
     case "ivf" =>
       val centroids = trainIvfCentroids(corpus, vecCol, k = nCells,
         seed = seed)
       ivfTopK(corpus, corpus, idCol, vecCol, centroids, k, nprobe)
     case "lsh" =>
-      lshTopK(corpus, corpus, idCol, vecCol, dim, k, nBits, bands, seed,
+      val nb = if (nBits > 0) nBits else {
+        val n = corpus.count()
+        val bitsPerBand = math.max(4,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64)))
+        math.min(64, bands * bitsPerBand)
+      }
+      lshTopK(corpus, corpus, idCol, vecCol, dim, k, nb, bands, seed,
         multiProbe = true)
     case "brute" =>
       bruteForceTopK(corpus, corpus, idCol, vecCol, k)

@@ -1005,4 +1005,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(st.contains("Window") && st.contains("HashAggregate") &&
       !st.contains("UDF"), s"seasonal strength decompose + one agg:\n$st")
   }
+
+  test("round-7 additions: expected machinery, no UDF, no cartesian") {
+    for (q <- Seq("q_g45_louvain", "q_n22_ivfpq", "q_x44_repetition",
+        "q_x45_luhn", "q_c6_domain_blocklist", "q_f17_record_linkage",
+        "q_x46_calibration")) {
+      val plan = executedFinal(SparkEntry.queries(q)(spark, sf0001))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$q has a UDF in the plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degenerated to a cross product:\n$plan")
+    }
+    // the blocklist predicate is map-side: the only exchange is the
+    // final per-source aggregation's
+    val bl = executedFinal(
+      SparkEntry.queries("q_c6_domain_blocklist")(spark, sf0001))
+    val blExchanges = "Exchange hashpartitioning".r.findAllIn(bl).size
+    assert(blExchanges == 1,
+      s"blocklist filter must not shuffle before the agg ($blExchanges):\n$bl")
+    // repetition stats: text reduces to (doc_id, gram) before any
+    // exchange — no window over data-sized partitions
+    val rep = executedFinal(
+      SparkEntry.queries("q_x44_repetition")(spark, sf0001))
+    assert(rep.contains("HashAggregate") && !rep.contains("Window"),
+      s"dup-ngram stats is pure aggregation:\n$rep")
+  }
 }
