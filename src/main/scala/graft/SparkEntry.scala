@@ -4213,6 +4213,38 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- ordered multi-step funnel: view → click → purchase, each
+    // step's first qualifying occurrence at-or-after the previous
+    // step's time; per-step users + step and cumulative conversion --
+    "q_t51_funnel" -> ((s, d) =>
+      graft.ext.TimeSeries.funnelConversion(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("step"))),
+
+    // -- deterministic salted pseudonymization: PII join keys
+    // replaced by stable fingerprint tokens, referential integrity
+    // preserved — the governance transform before sharing; the gate
+    // proves the orders⋈customer join survives tokenization and
+    // counts collisions (zero here) instead of assuming them away --
+    "q_s12_pseudonymize" -> ((s, d) => {
+      import graft.ext.TextAnalysis.pseudonymize
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), pseudonymize(col("c_custkey"), "salt7").as("tk"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), pseudonymize(col("o_custkey"), "salt7").as("tk"))
+      val rawJoin = o.join(c, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_join_raw"))
+      val tokJoin = o.select(col("tk"))
+        .join(c.select(col("tk")), Seq("tk"))
+        .agg(count(lit(1)).as("n_join_tok"))
+      c.agg(countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("tk")).as("n_tokens"))
+        .crossJoin(broadcast(rawJoin))
+        .crossJoin(broadcast(tokJoin))
+        .select(col("n_customers"), col("n_tokens"),
+          col("n_join_raw"), col("n_join_tok"))
+    }),
+
     // -- Fellegi–Sunter record linkage: integer log-odds scoring
     // (fuzzy name agree +3/−1, segment agree +2/−1) over nation-
     // blocked candidate pairs, planted typo'd copies; the gate is
@@ -9885,6 +9917,53 @@ object SparkEntry {
          SELECT nation, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(ok) AS BIGINT) AS n_luhn_valid
          FROM sc GROUP BY nation ORDER BY nation""",
+    "q_t51_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.u
+                WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.u
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+         n AS (SELECT 1 AS step, 'view' AS step_type,
+                 (SELECT count(*) FROM s1) AS n_users
+               UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+               UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)),
+         f AS (SELECT CAST(step AS BIGINT) AS step, step_type,
+                 CAST(n_users AS BIGINT) AS n_users,
+                 lag(n_users) OVER (ORDER BY step) AS prev,
+                 first_value(n_users) OVER (ORDER BY step) AS n1
+               FROM n)
+         SELECT step, step_type, n_users,
+                CASE WHEN step = 1 THEN 1.0 WHEN prev = 0 THEN 0.0
+                     ELSE round(n_users * 1.0 / prev, 6) END AS conv_prev,
+                CASE WHEN n1 = 0 THEN 0.0
+                     ELSE round(n_users * 1.0 / n1, 6) END AS conv_first
+         FROM f ORDER BY step""",
+    "q_s12_pseudonymize" ->
+      """WITH tk AS (SELECT c_custkey,
+             'tok_' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split('salt7|' ||
+                 CAST(c_custkey AS VARCHAR), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS VARCHAR) AS tk
+           FROM customer),
+         ot AS (SELECT o_custkey,
+             'tok_' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split('salt7|' ||
+                 CAST(o_custkey AS VARCHAR), ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS VARCHAR) AS tk
+           FROM orders),
+         rj AS (SELECT count(*) AS n_join_raw FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey),
+         tj AS (SELECT count(*) AS n_join_tok FROM ot JOIN tk USING (tk))
+         SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+                CAST(count(DISTINCT tk.tk) AS BIGINT) AS n_tokens,
+                CAST(rj.n_join_raw AS BIGINT) AS n_join_raw,
+                CAST(tj.n_join_tok AS BIGINT) AS n_join_tok
+         FROM tk, rj, tj GROUP BY rj.n_join_raw, tj.n_join_tok""",
     "q_f17_record_linkage" ->
       """WITH base AS (SELECT c_custkey AS id1, c_name AS n1,
              c_nationkey AS nk, c_mktsegment AS s1 FROM customer),

@@ -276,6 +276,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     graft.functions.TextStats.fingerprint(text)
 
+  /** Deterministic salted pseudonymization — the governance
+    * transform that ships a dataset with PII join keys REPLACED but
+    * referential integrity PRESERVED: the same (salt, value) always
+    * maps to the same token, so joins/groupBys on the tokenized key
+    * behave exactly as on the raw key, while the raw value never
+    * leaves the cluster. Token = "tok_" + the salted polynomial
+    * [[fingerprint]] — replayable in any engine (same kernel the
+    * checksum/manifest gates replay), map-side, codegen'd, no UDF.
+    * NOT cryptographic: the fingerprint is 31 bits, so collisions
+    * are birthday-bounded (~50% at 54k distinct values) and a
+    * determined adversary with the salt can dictionary-invert;
+    * production-grade privacy swaps this Column for an HMAC kernel
+    * with the same plumbing. The gate measures collisions on its
+    * corpus (zero) rather than assuming them away. */
+  def pseudonymize(value: Column, salt: String): Column =
+    concat(lit("tok_"),
+      fingerprint(concat(lit(salt), lit("|"), value.cast("string")))
+        .cast("string"))
+
   /** Sliding token-window chunking — the context-window prep step of
     * a training/RAG pipeline: each document becomes ceil((n-w)/s)+1
     * overlapping chunks of `window` tokens at `stride` starts (the

@@ -775,6 +775,60 @@ object TimeSeries {
         min(when(col("__i") * 4 >= col("__n") * 3, col("lat"))).as("q3_us"))
   }
 
+  /** Multi-step ORDERED funnel conversion — the product-analytics
+    * report [[stepLatencyQuartiles]]'s two-step latency face doesn't
+    * give: how many users progress through EVERY prefix of
+    * step1 → step2 → … → stepK in order, where step k counts only if
+    * its first qualifying occurrence is at-or-after the user's step
+    * k−1 time (the conditional-min censoring rule — out-of-order
+    * events don't count, repeat visits use the earliest qualifying
+    * one). Emits one row per step with the user count, step-to-step
+    * conversion and cumulative conversion from step 1 (6 dp).
+    *
+    * Shape: the step list is a bounded pipeline parameter, so the
+    * funnel unrolls to K−1 equi-joins on the user key + one
+    * conditional-min aggregate each — no window over the event
+    * corpus, no driver data; each stage's table shrinks
+    * monotonically. Returns (step, step_type, n_users, conv_prev,
+    * conv_first) ordered by step. */
+  def funnelConversion(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 6,
+      s"funnel needs 2-6 steps: ${steps.size}")
+    val spark = events.sparkSession
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .localCheckpoint(true)
+    val perStep = scala.collection.mutable.ArrayBuffer(
+      (1, steps.head, cur.count()))
+    for (k <- 1 until steps.size) {
+      val ev = events.filter(col(typeCol) === steps(k))
+        .select(col(userCol).as("u"), col(tsCol).as("__ts"))
+      cur = cur.join(ev, Seq("u"))
+        .groupBy(col("u"), col("t"))
+        .agg(min(when(col("__ts") >= col("t"), col("__ts"))).as("__t2"))
+        .filter(col("__t2").isNotNull)
+        .select(col("u"), col("__t2").as("t"))
+        .localCheckpoint(true)
+      perStep += ((k + 1, steps(k), cur.count()))
+    }
+    import spark.implicits._
+    val n1 = perStep.head._3
+    // rates via Spark round() (HALF_UP, the engines' shared rule) —
+    // a driver-side rint would half-even where the oracle half-ups
+    perStep.toSeq.zip(0L +: perStep.toSeq.map(_._3).init)
+      .map { case ((i, tp, n), prev) => (i.toLong, tp, n, prev, n1) }
+      .toDF("step", "step_type", "n_users", "__prev", "__n1")
+      .select(col("step"), col("step_type"), col("n_users"),
+        when(col("step") === 1, 1.0)
+          .when(col("__prev") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") /
+            col("__prev").cast("double"), 6)).as("conv_prev"),
+        when(col("__n1") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") /
+            col("__n1").cast("double"), 6)).as("conv_first"))
+  }
+
   /** Local-maximum detection on the daily count series — the peak
     * catalogue (strict: a day beating BOTH neighbors; boundary days
     * can't qualify, plateaus don't double-count), top-`topK` by

@@ -105,6 +105,36 @@ class PipelineGuardsSpec extends SparkSpec {
     assert(b._6 == 0.5 && b._7 == 0.5, b.toString)
   }
 
+  test("funnelConversion: ordered steps, out-of-order events don't count") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "view"), (2L, ts(2), "click"),
+      (3L, ts(2), "view"), (3L, ts(1), "click"),  // click BEFORE view
+      (4L, ts(5), "click")                        // never viewed
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ext.TimeSeries.funnelConversion(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy($"step")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(out(0) == ((1L, "view", 3L, 1.0, 1.0)), out(0).toString)
+    assert(out(1) == ((2L, "click", 2L, 0.666667, 0.666667)), out(1).toString)
+    assert(out(2) == ((3L, "purchase", 1L, 0.5, 0.333333)), out(2).toString)
+  }
+
+  test("pseudonymize: stable, salt-sensitive, join-preserving") {
+    val tok = TextAnalysis.pseudonymize($"k", "s1")
+    val df = Seq(1L, 2L, 1L).toDF("k").select($"k", tok.as("t"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows(0)._2 == rows(2)._2, "same key must map to same token")
+    assert(rows(0)._2 != rows(1)._2, "different keys must differ here")
+    assert(rows(0)._2.startsWith("tok_"))
+    val other = Seq(1L).toDF("k")
+      .select(TextAnalysis.pseudonymize($"k", "s2")).head().getString(0)
+    assert(other != rows(0)._2, "salt must change the token")
+  }
+
   test("ivfPqTopK: recall vs brute clears the q_n22 floor with margin") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
