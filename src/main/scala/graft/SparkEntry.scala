@@ -4165,6 +4165,22 @@ object SparkEntry {
             .as("recall_ok"))
     }),
 
+    // -- kNN-distance outlier audit (LOF ratio form): mean neighbor
+    // distance vs neighbors' own means, top-10. On this near-uniform
+    // synthetic corpus every point is roughly equidistant (lof ≈
+    // 1.0–1.12 — the documented ANN worst case), so the gate is the
+    // bit-exact machinery audit; the density-CONTRAST behavior
+    // (tight cluster vs lone point → lof ≫ 1) is proven on a
+    // constructed corpus in PipelineGuardsSpec. Brute edges = the
+    // exact oracle; ANN edges are the same-code scale face --
+    "q_n23_knn_outliers" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val edges = graft.ext.Similarity.knnGraph(e, "vec_id",
+        "embedding", k = 5, via = "brute")
+      graft.ext.Similarity.knnOutlierScores(edges)
+        .orderBy(col("lof").desc, col("node")).limit(10)
+    }),
+
     // -- Gopher within-doc repetition: duplicate 5-gram char
     // fraction — catches self-repeating pages corpus-wide dedup
     // can't; %13 docs planted with a full self-repeat --
@@ -9870,6 +9886,32 @@ object SparkEntry {
     "q_n22_ivfpq" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q_n23_knn_outliers" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sc AS (SELECT q.vec_id AS a, c.vec_id AS b,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cos
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+         knn AS (SELECT a, b, cos FROM (SELECT *, row_number() OVER (
+             PARTITION BY a ORDER BY cos DESC, b) AS rn FROM sc)
+           WHERE rn <= 5),
+         per AS (SELECT a AS node,
+             round(CAST(sum(CAST(1.0 - cos AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS avg_d
+           FROM knn GROUP BY a),
+         ng AS (SELECT k.a AS node,
+             round(CAST(sum(CAST(p.avg_d AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS neigh_avg_d
+           FROM knn k JOIN per p ON k.b = p.node GROUP BY k.a),
+         l AS (SELECT per.node, per.avg_d, ng.neigh_avg_d,
+             CASE WHEN ng.neigh_avg_d = 0 THEN
+                    CASE WHEN per.avg_d = 0 THEN 1.0 ELSE NULL END
+                  ELSE round(per.avg_d / ng.neigh_avg_d, 6) END AS lof
+           FROM per JOIN ng USING (node))
+         SELECT * FROM (SELECT node, avg_d, neigh_avg_d, lof FROM l
+                        ORDER BY lof DESC, node LIMIT 10)
+         ORDER BY lof DESC, node""",
     "q_x44_repetition" ->
       """WITH planted AS (SELECT doc_id,
              CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text

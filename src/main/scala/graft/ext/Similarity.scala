@@ -660,6 +660,49 @@ object Similarity {
         s"via must be ivf|lsh|brute: $other")
   }
 
+  /** kNN-distance outlier scores (the LOF shape of Breunig '00,
+    * simplified to the ratio form distributed systems actually ship):
+    * per point, the mean cosine DISTANCE (1 − cos) to its k nearest
+    * neighbors, divided by the mean of its NEIGHBORS' own mean
+    * distances — a point in a dense region scores ≈ 1, an isolated
+    * point ≫ 1. This is the embedding-space "what doesn't belong"
+    * audit run before trusting retrieval or clustering on a new
+    * corpus, and the reason [[knnGraph]] exists as a primitive:
+    * score any prebuilt edge set (brute at gate scale = the exact
+    * oracle; IVF/LSH edges at 100 TB — same code path).
+    *
+    * Exactness: cos is 6-dp rounded upstream, per-point sums ride
+    * DECIMAL(38,12), each mean is one division rounded 9 dp, the
+    * final ratio one division rounded 6 dp. Two hash aggregations +
+    * one self-join on the neighbor key — shuffle-on-id only.
+    * Returns (node, avg_d, neigh_avg_d, lof). */
+  def knnOutlierScores(edges: DataFrame): DataFrame = {
+    val per = edges.select(col("query_id").as("node"),
+        (lit(1.0) - col("cos")).cast("decimal(38,12)").as("__d"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("__k"), sum(col("__d")).as("__s"))
+      .select(col("node"),
+        round(col("__s").cast("double") / col("__k").cast("double"), 9)
+          .as("avg_d"))
+      .localCheckpoint(true)
+    val neigh = edges.select(col("query_id").as("node"),
+        col("cand_id").as("nb"))
+      .join(per.select(col("node").as("nb"), col("avg_d").as("__nd")),
+        Seq("nb"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("__nd").cast("decimal(38,12)")).as("__s"))
+      .select(col("node"),
+        round(col("__s").cast("double") / col("__k").cast("double"), 9)
+          .as("neigh_avg_d"))
+    per.join(neigh, Seq("node"))
+      .select(col("node"), col("avg_d"), col("neigh_avg_d"),
+        when(col("neigh_avg_d") === 0.0,
+          when(col("avg_d") === 0.0, 1.0).otherwise(lit(null).cast("double")))
+          .otherwise(round(col("avg_d") / col("neigh_avg_d"), 6))
+          .as("lof"))
+  }
+
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able

