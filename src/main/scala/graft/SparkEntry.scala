@@ -4229,6 +4229,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- split-leakage audit: near-dup pairs classified by the
+    // split-pair they land in — a NAIVE id-mod split over the
+    // planted corpus leaks eval signal across the boundary and the
+    // audit must count it (leakageSafeSplit's verification mirror;
+    // its own zero-cross property is spec-asserted) --
+    "q_o33_split_leak_audit" -> ((s, d) => {
+      val naive = plantedDocs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "eval")
+          .otherwise("train").as("split"))
+      graft.ext.Sampling.splitLeakAudit(naive, "doc_id", "split",
+          minhashPairs(s, d))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // -- ordered multi-step funnel: view → click → purchase, each
     // step's first qualifying occurrence at-or-after the previous
     // step's time; per-step users + step and cumulative conversion --
@@ -9959,6 +9973,37 @@ object SparkEntry {
          SELECT nation, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(ok) AS BIGINT) AS n_luhn_valid
          FROM sc GROUP BY nation ORDER BY nation""",
+    "q_o33_split_leak_audit" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, 'duplicate marker ' || text
+                       FROM documents WHERE doc_id % 10 = 0),
+         toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM base),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          a.n AS n1, b.n AS n2, count(*) AS c
+                   FROM ex a JOIN ex b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM pairs
+               WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         cl AS (SELECT
+             least(CASE WHEN id1 % 3 = 0 THEN 'eval' ELSE 'train' END,
+                   CASE WHEN id2 % 3 = 0 THEN 'eval' ELSE 'train' END)
+               AS split_a,
+             greatest(CASE WHEN id1 % 3 = 0 THEN 'eval' ELSE 'train' END,
+                      CASE WHEN id2 % 3 = 0 THEN 'eval' ELSE 'train' END)
+               AS split_b
+           FROM p)
+         SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                split_a <> split_b AS is_cross
+         FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_t51_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                      WHERE event_type = 'view' GROUP BY 1),

@@ -660,6 +660,28 @@ object Sampling {
           col("n_obs").cast("double").as("expected"), col("term")))
   }
 
+  /** Split-leakage audit — the check run AFTER any train/eval split
+    * of a deduplicated-but-not-perfectly corpus: given split
+    * assignments and the near-dup pair graph, count pairs by the
+    * (canonical) split-pair they land in. Any row with two different
+    * split names is LEAKED eval signal (the documented failure mode
+    * [[leakageSafeSplit]] exists to prevent — this is its
+    * verification mirror, usable on ANY split including ones made
+    * elsewhere). Two broadcast-or-shuffle joins of the pair list
+    * against the assignment + one hash aggregation; pair volume is
+    * candidates-only (never n²). Returns (split_a, split_b, n_pairs,
+    * is_cross) with split_a ≤ split_b. */
+  def splitLeakAudit(assign: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame): DataFrame = {
+    val a = assign.select(col(idCol).as("id1"), col(splitCol).as("__sa"))
+    val b = assign.select(col(idCol).as("id2"), col(splitCol).as("__sb"))
+    pairs.join(a, Seq("id1")).join(b, Seq("id2"))
+      .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("split_a") =!= col("split_b"))
+  }
+
   /** Deterministic k-fold cross-validation assignment + balance
     * report: fold = fingerprint(id) mod k (the [[chronoSplit]]/q_o11
     * replayable-hash discipline — no rand(), no layout dependence,

@@ -170,6 +170,25 @@ class PipelineGuardsSpec extends SparkSpec {
       "ANN-edge lof must stay in a sane band on uniform data")
   }
 
+  test("splitLeakAudit: naive split leaks, leakageSafeSplit audits clean") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    // naive split cuts straight through pairs (1,2) and (5,6)
+    val naive = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0, "eval").otherwise("train").as("split"))
+    val leaked = Sampling.splitLeakAudit(naive, "doc_id", "split", pairs)
+      .filter($"is_cross").agg(sum($"n_pairs")).as[Long].head()
+    assert(leaked == 3L, s"all three pairs cross the naive split: $leaked")
+    // the component-aware split keeps every pair on one side
+    val safe = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 80, "eval" -> 20))
+    val clean = Sampling.splitLeakAudit(safe, "doc_id", "split", pairs)
+      .filter($"is_cross").count()
+    assert(clean == 0L, "leakage-safe split must audit cross-free")
+  }
+
   test("ivfPqTopK: recall vs brute clears the q_n22 floor with margin") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
