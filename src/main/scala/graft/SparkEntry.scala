@@ -4243,6 +4243,13 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // -- split-conformal prediction interval on the daily trend:
+    // 60/20/20 chrono split, OLS on fit, calibration-residual order
+    // statistic as the band, guaranteed-coverage check on the tail --
+    "q_t52_conformal" -> ((s, d) =>
+      graft.ext.TimeSeries.conformalInterval(Tables.events(s, d), "ts",
+        alphaPct = 20)),
+
     // -- ordered multi-step funnel: view → click → purchase, each
     // step's first qualifying occurrence at-or-after the previous
     // step's time; per-step users + step and cumulative conversion --
@@ -10004,6 +10011,47 @@ object SparkEntry {
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
                 split_a <> split_b AS is_cross
          FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_t52_conformal" ->
+      """WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(ts AS DATE)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         idx AS (SELECT x, y, row_number() OVER (ORDER BY x) AS i,
+                 count(*) OVER () AS n FROM daily),
+         parts AS (SELECT x, y,
+             CASE WHEN i * 5 <= n * 3 THEN 'fit'
+                  WHEN i * 5 <= n * 4 THEN 'cal'
+                  ELSE 'test' END AS part
+           FROM idx),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+           FROM parts WHERE part = 'fit'),
+         ab AS (SELECT n_fit,
+             round(CAST(n_fit * sxy - sx * sy AS DOUBLE)
+               / CAST(n_fit * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+               - CAST(n_fit * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_fit * sxx - sx * sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE)) / n_fit, 6) AS intercept
+           FROM f),
+         r AS (SELECT part, x,
+             round(abs(y - (intercept + slope * x)), 6) AS r
+           FROM parts, ab),
+         calr AS (SELECT r, row_number() OVER (ORDER BY r, x) AS ri,
+                 count(*) OVER () AS nc
+               FROM r WHERE part = 'cal'),
+         q AS (SELECT CAST(max(nc) AS BIGINT) AS n_cal, min(r) AS qhat
+               FROM calr
+               WHERE ri * 100 >= least((nc + 1) * 80, nc * 100)),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN r.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+           FROM r, q WHERE part = 'test')
+         SELECT ab.n_fit, q.n_cal, t.n_test, ab.slope, ab.intercept,
+                q.qhat, t.n_covered
+         FROM ab, q, t""",
     "q_t51_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                      WHERE event_type = 'view' GROUP BY 1),

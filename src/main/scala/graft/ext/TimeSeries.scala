@@ -775,6 +775,78 @@ object TimeSeries {
         min(when(col("__i") * 4 >= col("__n") * 3, col("lat"))).as("q3_us"))
   }
 
+  /** Split-conformal prediction interval for the daily-count trend
+    * (Vovk's conformal framework in the split form of Lei et al.
+    * '18 — THE distribution-free way to put honest error bars on any
+    * point forecaster): chronological thirds-style split (60% fit /
+    * 20% calibrate / 20% test), OLS trend on the fit window (the
+    * exact five-sum ladder), calibration residuals' ⌈(n+1)(1−α)⌉-th
+    * smallest absolute value as the band half-width q̂, and the
+    * guaranteed-coverage check on the held-out tail — finite-sample
+    * ≥ 1−α coverage with NO distributional assumption, which the
+    * Gaussian ±2σ bands everywhere else in a dashboard do not give.
+    *
+    * Exactness: day index and counts are integers, the five OLS sums
+    * are DECIMAL(38,0), slope/intercept round 6 dp, every residual
+    * rounds 6 dp before the order-statistic selection, q̂ is an
+    * actual observed residual. The day axis is post-aggregation tiny,
+    * so the ordered windows are bounded by the calendar. Returns one
+    * row (n_fit, n_cal, n_test, slope, intercept, qhat, n_covered).
+    * `alphaPct` is α·100 (integer, keeps ⌈·⌉ exact). */
+  def conformalInterval(events: DataFrame, tsCol: String,
+      alphaPct: Int = 20): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct in [1,50]: $alphaPct")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wOrd = Window.orderBy(col("x"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val daily = events
+      .groupBy(datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__part",
+        when(col("__i") * 5 <= col("__n") * 3, "fit")
+          .when(col("__i") * 5 <= col("__n") * 4, "cal")
+          .otherwise("test"))
+      .localCheckpoint(true)
+    val fit = daily.filter(col("__part") === "fit")
+      .agg(count(lit(1)).as("n_fit"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val varx = (dec(col("n_fit")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val num = (dec(col("n_fit")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val ab = fit.select(col("n_fit"),
+      round(num / varx, 6).as("slope"),
+      round((col("sy").cast("double") -
+        num / varx * col("sx").cast("double")) /
+        col("n_fit").cast("double"), 6).as("intercept"))
+    val withResid = daily.crossJoin(broadcast(ab))
+      .withColumn("__r", round(abs(col("y").cast("double") -
+        (col("intercept") + col("slope") * col("x").cast("double"))), 6))
+    val wCal = Window.orderBy(col("__r"), col("x"))
+    val qhat = withResid.filter(col("__part") === "cal")
+      .withColumn("__ri", row_number().over(wCal))
+      .withColumn("__nc", count(lit(1)).over(wAll))
+      // k = ceil((n_cal+1)(100-alpha)/100), capped at n_cal
+      .filter(col("__ri") * 100 >=
+        least((col("__nc") + 1) * (100 - alphaPct), col("__nc") * 100))
+      .agg(max(col("__nc")).as("n_cal"), min(col("__r")).as("qhat"))
+    val test = withResid.filter(col("__part") === "test")
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__r") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+    ab.crossJoin(broadcast(test))
+      .select(col("n_fit"), col("n_cal"), col("n_test"), col("slope"),
+        col("intercept"), col("qhat"), col("n_covered"))
+  }
+
   /** Multi-step ORDERED funnel conversion — the product-analytics
     * report [[stepLatencyQuartiles]]'s two-step latency face doesn't
     * give: how many users progress through EVERY prefix of

@@ -189,6 +189,40 @@ class PipelineGuardsSpec extends SparkSpec {
     assert(clean == 0L, "leakage-safe split must audit cross-free")
   }
 
+  test("conformalInterval: exact line gives zero band and full coverage") {
+    import java.sql.Timestamp
+    // 20 days, exactly y = 100 + 2d events per day
+    val ev = (0 until 20).flatMap { d =>
+      (0 until 100 + 2 * d).map { i =>
+        Tuple1(Timestamp.valueOf(f"2026-02-${d + 1}%02d 0${i % 9}:00:00")) }
+    }.toDF("ts")
+    val r = graft.ext.TimeSeries.conformalInterval(ev, "ts", alphaPct = 20)
+      .as[(Long, Long, Long, Double, Double, Double, Long)].head()
+    val (nFit, nCal, nTest, slope, _, qhat, nCov) = r
+    assert(nFit == 12 && nCal == 4 && nTest == 4, r.toString)
+    assert(slope == 2.0, s"slope $slope")
+    assert(qhat == 0.0, s"perfect line needs no band: $qhat")
+    assert(nCov == nTest, "zero-residual tail must be fully covered")
+  }
+
+  test("conformalInterval: noisy series still covers the tail at >= 1 - alpha - slack") {
+    import java.sql.Timestamp
+    // linear trend + deterministic bounded noise (pseudo-random via d*7%5)
+    val ev = (0 until 30).flatMap { d =>
+      (0 until 50 + d + (d * 7 % 5)).map { i =>
+        Tuple1(Timestamp.valueOf(f"2026-03-${d + 1}%02d 0${i % 9}:10:00")) }
+    }.toDF("ts")
+    val r = graft.ext.TimeSeries.conformalInterval(ev, "ts", alphaPct = 20)
+      .as[(Long, Long, Long, Double, Double, Double, Long)].head()
+    val (_, nCal, nTest, _, _, qhat, nCov) = r
+    info(s"conformal: $r")
+    assert(nCal == 6 && nTest == 6)
+    assert(qhat > 0.0)
+    // finite-sample guarantee is on exchangeable data; this bounded-
+    // noise series should still cover most of the tail
+    assert(nCov >= nTest - 2, s"covered $nCov of $nTest")
+  }
+
   test("ivfPqTopK: recall vs brute clears the q_n22 floor with margin") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 10)
