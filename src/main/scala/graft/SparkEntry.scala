@@ -4243,6 +4243,72 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // -- tokenizer fertility by language: BPE-ish tokens per
+    // whitespace word — the tokenizer-equity audit (a high-fertility
+    // language pays more compute per word); exact integer sums, one
+    // division --
+    "q_x47_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("__w"),
+          TextAnalysis.bpeishCount(col("text")).as("__b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("ws_tokens"),
+          sum(col("__b")).as("bpeish_tokens"))
+        .withColumn("fertility",
+          when(col("ws_tokens") > 0,
+            round(col("bpeish_tokens").cast("double") /
+              col("ws_tokens").cast("double"), 6)))
+        .orderBy(col("lang"))),
+
+    // -- language-ID confusion matrix: ground-truth lang x predicted
+    // lang counts — the per-class face behind q_x1's argmax and
+    // q_x46's calibration --
+    "q_x48_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    // -- rich-club coefficient of the co-purchase graph (Zhou &
+    // Mondragon '04): density among nodes of degree > k for rising k
+    // — do the hubs form their own dense club? exact integers + one
+    // division per k --
+    "q_g46_rich_club" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      import s.implicits._
+      val ks = Seq(2L, 4L, 8L).toDF("k")
+      val rich = broadcast(ks).join(deg, col("deg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+      val inner = e
+        .join(deg.select(col("node").as("src"), col("deg").as("ds")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dd")),
+          Seq("dst"))
+        .crossJoin(broadcast(ks))
+        .filter(col("ds") > col("k") && col("dd") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_inner"))
+      broadcast(ks).join(rich, Seq("k"), "left")
+        .join(inner, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+          coalesce(col("n_inner"), lit(0L)).as("n_inner"),
+          when(coalesce(col("n_rich"), lit(0L)) >= 2,
+            round(coalesce(col("n_inner"), lit(0L)).cast("double") * 2 /
+              (col("n_rich") * (col("n_rich") - 1)).cast("double"), 6))
+            .as("phi"))
+        .orderBy(col("k"))
+    }),
+
     // -- split-conformal prediction interval on the daily trend:
     // 60/20/20 chrono split, OLS on fit, calibration-residual order
     // statistic as the band, guaranteed-coverage check on the tail --
@@ -10011,6 +10077,65 @@ object SparkEntry {
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
                 split_a <> split_b AS is_cross
          FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_x47_fertility" ->
+      """WITH per AS (SELECT lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS b
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(w) AS BIGINT) AS ws_tokens,
+                CAST(sum(b) AS BIGINT) AS bpeish_tokens,
+                CASE WHEN sum(w) > 0 THEN
+                  round(sum(b) * 1.0 / sum(w), 6) END AS fertility
+         FROM per GROUP BY lang ORDER BY lang""",
+    "q_x48_confusion" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         h AS (SELECT doc_id, lang,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein'], x))) AS h_de,
+             len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x))) AS h_en,
+             len(list_filter(t, x -> list_contains(['el','los','y','es','un','una','que'], x))) AS h_es,
+             len(list_filter(t, x -> list_contains(['le','la','et','les','des','un','est'], x))) AS h_fr,
+             len(list_filter(t, x -> list_contains(['的','是','在','了','和','有','我'], x))) AS h_zh
+           FROM toks),
+         p AS (SELECT lang,
+             CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM h)
+         SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""",
+    "q_g46_rich_club" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.sk AS src, b.sk AS dst
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                   SELECT src AS node FROM e
+                   UNION ALL SELECT dst FROM e) GROUP BY node),
+         ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+         rich AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+                  FROM ks JOIN deg ON deg.deg > ks.k GROUP BY k),
+         inner_e AS (SELECT k, CAST(count(*) AS BIGINT) AS n_inner
+                  FROM e JOIN deg ds ON e.src = ds.node
+                  JOIN deg dd ON e.dst = dd.node
+                  CROSS JOIN ks
+                  WHERE ds.deg > ks.k AND dd.deg > ks.k GROUP BY k)
+         SELECT ks.k, coalesce(n_rich, 0) AS n_rich,
+                coalesce(n_inner, 0) AS n_inner,
+                CASE WHEN coalesce(n_rich, 0) >= 2 THEN
+                  round(coalesce(n_inner, 0) * 2.0
+                    / (n_rich * (n_rich - 1)), 6) END AS phi
+         FROM ks LEFT JOIN rich USING (k) LEFT JOIN inner_e USING (k)
+         ORDER BY k""",
     "q_t52_conformal" ->
       """WITH daily AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
                CAST(ts AS DATE)) AS BIGINT) AS x,
