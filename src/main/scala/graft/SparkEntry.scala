@@ -4243,6 +4243,53 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // -- EP-3, the DATASET CARD: one long-format report (section,
+    // key, value) a corpus publisher ships — composition counts by
+    // source and language, token totals, the quality histogram,
+    // PII incidence, and the near-dup pair/cluster footprint of the
+    // RAW corpus (no planting — this one describes the data as-is).
+    // Every section is an already-gated operator; the oracle
+    // replays each fragment and unions them --
+    "q_ep3_corpus_card" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("__w"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("__q"),
+        (TextAnalysis.redactPii(col("text")) =!= col("text")).as("__pii"))
+      val bySource = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("__w")).as("t"))
+      val pairs = DerivedCache.dataFrame(s, s"cardPairs:$d")(
+        Dedup.minHashDupPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", shingleN = 3, k = 32, bands = 16,
+          threshold = 0.5))
+      def row(sec: String, key: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column) =
+        Seq(lit(sec).as("section"), key.cast("string").as("key"),
+          v.cast("long").as("value"))
+      bySource.select(row("docs_per_source", col("source"), col("n")): _*)
+        .unionByName(bySource
+          .select(row("tokens_per_source", col("source"), col("t")): _*))
+        .unionByName(scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(row("docs_per_lang", col("lang"), col("n")): _*))
+        .unionByName(scored
+          .groupBy(least(floor(col("__q") * 10), lit(9)).cast("long")
+            .as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .select(row("quality_decile", col("bin"), col("n")): _*))
+        .unionByName(scored
+          .agg(sum(when(col("__pii"), 1L).otherwise(0L)).as("n"))
+          .select(row("pii", lit("docs_with_pii"), col("n")): _*))
+        .unionByName(pairs.agg(count(lit(1)).as("n"))
+          .select(row("dedup", lit("near_dup_pairs"), col("n")): _*))
+        .unionByName(Dedup.resolveDupGroups(pairs)
+          .agg(countDistinct(col("rep")).as("n"))
+          .select(row("dedup", lit("dup_clusters"), col("n")): _*))
+        .unionByName(scored.agg(count(lit(1)).as("n"))
+          .select(row("total", lit("docs"), col("n")): _*))
+        .orderBy(col("section"), col("key"))
+    }),
+
     // -- tokenizer fertility by language: BPE-ish tokens per
     // whitespace word — the tokenizer-equity audit (a high-fertility
     // language pays more compute per word); exact integer sums, one
@@ -10077,6 +10124,70 @@ object SparkEntry {
          SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
                 split_a <> split_b AS is_cross
          FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ep3_corpus_card" ->
+      """WITH RECURSIVE
+         toks AS (SELECT doc_id, source, lang, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         met AS (SELECT doc_id, source, lang, text,
+             CAST(len(t) AS BIGINT) AS w,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                 * 1.0 / length(text) ELSE 0.0 END AS pr,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(['the','a','and','of','to','is','in'], x)))
+                 * 1.0 / len(t) ELSE 0.0 END AS sr,
+             CASE WHEN len(t) > 0 THEN
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+             ELSE 0.0 END AS awl
+           FROM toks),
+         sc AS (SELECT doc_id, source, lang, w,
+             round(least(length(text) * 1.0 / 500.0, 1.0) * 0.3
+               + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+               + least(sr * 4.0, 1.0) * 0.2
+               + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+               4) AS q,
+             (regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') <> text) AS pii
+           FROM met),
+         sh AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+         cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  a.n AS n1, b.n AS n2, count(*) AS c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         p AS (SELECT id1, id2 FROM cand
+           WHERE round(c * 1.0 / (n1 + n2 - c), 4) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM p
+           UNION SELECT id2, id1 FROM p),
+         reach AS (SELECT DISTINCT a AS id, a AS lbl FROM edges
+           UNION
+           SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+         comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id)
+         SELECT * FROM (
+           SELECT 'docs_per_source' AS section, source AS key,
+                  CAST(count(*) AS BIGINT) AS value FROM sc GROUP BY source
+           UNION ALL SELECT 'tokens_per_source', source,
+                  CAST(sum(w) AS BIGINT) FROM sc GROUP BY source
+           UNION ALL SELECT 'docs_per_lang', lang,
+                  CAST(count(*) AS BIGINT) FROM sc GROUP BY lang
+           UNION ALL SELECT 'quality_decile',
+                  CAST(least(CAST(floor(q * 10) AS BIGINT), 9) AS VARCHAR),
+                  CAST(count(*) AS BIGINT) FROM sc GROUP BY 2
+           UNION ALL SELECT 'pii', 'docs_with_pii',
+                  CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) FROM sc
+           UNION ALL SELECT 'dedup', 'near_dup_pairs',
+                  CAST(count(*) AS BIGINT) FROM p
+           UNION ALL SELECT 'dedup', 'dup_clusters',
+                  CAST(count(DISTINCT rep) AS BIGINT) FROM comp
+           UNION ALL SELECT 'total', 'docs',
+                  CAST(count(*) AS BIGINT) FROM sc)
+         ORDER BY section, key""",
     "q_x47_fertility" ->
       """WITH per AS (SELECT lang,
              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
