@@ -4174,7 +4174,13 @@ object SparkEntry {
     // constructed corpus in PipelineGuardsSpec. Brute edges = the
     // exact oracle; ANN edges are the same-code scale face --
     "q_n23_knn_outliers" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // deterministic 1-in-4 universe: the exact-brute audit face is
+      // O(|universe|²), so the gate bounds it (the q_n21 sampling
+      // lesson — the ANN edge path in PipelineGuardsSpec is the
+      // full-corpus scale face)
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
       val edges = graft.ext.Similarity.knnGraph(e, "vec_id",
         "embedding", k = 5, via = "brute")
       graft.ext.Similarity.knnOutlierScores(edges)
@@ -10023,7 +10029,7 @@ object SparkEntry {
     "q_n23_knn_outliers" ->
       """WITH e AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
+           FROM embeddings WHERE vec_id % 4 = 0),
          sc AS (SELECT q.vec_id AS a, c.vec_id AS b,
              round(list_cosine_similarity(q.v, c.v), 6) AS cos
            FROM e q JOIN e c ON c.vec_id <> q.vec_id),
