@@ -1030,4 +1030,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(rep.contains("HashAggregate") && !rep.contains("Window"),
       s"dup-ngram stats is pure aggregation:\n$rep")
   }
+
+  test("round-7 wave 3-4: expected machinery, no UDF, no cartesian blowup") {
+    for (q <- Seq("q_t51_funnel", "q_s12_pseudonymize", "q_t52_conformal",
+        "q_o33_split_leak_audit", "q_x47_fertility", "q_x48_confusion",
+        "q_n23_knn_outliers", "q_ep3_corpus_card")) {
+      val plan = executedFinal(SparkEntry.queries(q)(spark, sf0001))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$q has a UDF in the plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q degenerated to a cross product:\n$plan")
+    }
+    // fertility and confusion are one aggregation pass each: the
+    // fused TokenStats kernel means text is read once per row
+    val fert = executedFinal(SparkEntry.queries("q_x47_fertility")(spark, sf0001))
+    assert(fert.contains("HashAggregate") && !fert.contains("Join"),
+      s"fertility is one scan + agg:\n$fert")
+    // pseudonymize: the token is computed map-side (project), the
+    // only joins are the two count faces
+    val ps = executedFinal(SparkEntry.queries("q_s12_pseudonymize")(spark, sf0001))
+    assert(!ps.contains("SortMergeJoin") || ps.contains("BroadcastHashJoin"),
+      s"pseudonymize joins should hash:\n$ps")
+  }
 }
