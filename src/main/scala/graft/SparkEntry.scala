@@ -3530,6 +3530,21 @@ object SparkEntry {
         refineRounds = 2).orderBy(col("node"))
     }),
 
+    // -- WEIGHTED Louvain: same co-purchase projection but each edge
+    // weighted by its shared-part count — the form co-occurrence
+    // graphs need (12 shared parts pull 12x harder than 1); same
+    // exact two-phase engine with weight sums --
+    "q_g47_louvain_weighted" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("src"), col("b.sk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.query.Community.louvainWeighted(e, "w", mergeRounds = 6,
+        refineRounds = 2).orderBy(col("node"))
+    }),
+
     // -- Neyman optimal allocation of a 100-doc budget across the 20
     // sources: quota ∝ n_h·s_h, largest-remainder integerization —
     // the variance-minimizing sampling design --
@@ -10411,12 +10426,21 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
     "q_g45_louvain" ->
       graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
-        """SELECT DISTINCT a.sk AS src, b.sk AS dst
+        """SELECT DISTINCT a.sk AS src, b.sk AS dst, 1 AS w
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                  FROM lineitem WHERE l_orderkey % 50 = 0) a
            JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                  FROM lineitem WHERE l_orderkey % 50 = 0) b
              ON a.pk = b.pk AND a.sk < b.sk"""),
+    "q_g47_louvain_weighted" ->
+      graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
+        """SELECT a.sk AS src, b.sk AS dst, count(*) AS w
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk
+           GROUP BY 1, 2"""),
     "q_o32_waterfill" ->
       """WITH avail AS (SELECT source, CAST(count(*) AS BIGINT) AS avail
            FROM documents GROUP BY source),

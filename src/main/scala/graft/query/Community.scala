@@ -60,21 +60,40 @@ object Community {
     * community. Returns (node, community) for every node with at
     * least one edge; community labels are min-winning node ids. */
   def louvainLocal(edges: DataFrame, mergeRounds: Int = 6,
-      refineRounds: Int = 2): DataFrame = {
+      refineRounds: Int = 2): DataFrame =
+    louvainWeighted(edges.select(col("src"), col("dst"))
+        .distinct().withColumn("w", lit(1L)),
+      "w", mergeRounds, refineRounds)
+
+  /** The WEIGHTED face: modularity over integral edge weights — the
+    * form co-occurrence projections actually need (an edge "shared
+    * 12 parts" must pull 12x harder than "shared 1"). Identical
+    * two-phase engine with every count replaced by a weight sum —
+    * node strength s(u) = sum of incident w, 2W = sum of strengths,
+    * merge gain 2W*w12 - s1*s2, move gain 2W*k_w - s_u*tot_excl.
+    * Parallel input edges collapse by SUMMING weights. All exact
+    * integers, same oracle generator ([[louvainOracleSql]] takes a
+    * (src, dst, w) CTE). */
+  def louvainWeighted(edges: DataFrame, weightCol: String,
+      mergeRounds: Int = 6, refineRounds: Int = 2): DataFrame = {
     require(mergeRounds >= 1 && mergeRounds <= 12,
       s"mergeRounds must be in [1,12]: $mergeRounds")
     require(refineRounds >= 0 && refineRounds <= 8,
       s"refineRounds must be in [0,8]: $refineRounds")
     val canon = edges.select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
-    val e2 = canon.select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(canon.select(col("dst").as("u"), col("src").as("v")))
+        greatest(col("src"), col("dst")).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .localCheckpoint(true)
-    val deg = e2.groupBy(col("u").as("node")).agg(count(lit(1)).as("s"))
+    val e2 = canon.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionByName(canon.select(col("dst").as("u"), col("src").as("v"),
+        col("w")))
       .localCheckpoint(true)
-    // the 1-row 2m scalar, broadcast into every score
-    val tm = canon.agg(dec(count(lit(1)) * 2).as("tm"))
+    val deg = e2.groupBy(col("u").as("node")).agg(sum(col("w")).as("s"))
+      .localCheckpoint(true)
+    // the 1-row 2W scalar (= sum of strengths), broadcast everywhere
+    val tm = deg.agg(dec(sum(col("s"))).as("tm"))
     var cur = deg.select(col("node"), col("node").as("comm"))
     var r = 0
     while (r < mergeRounds) {
@@ -88,7 +107,7 @@ object Community {
         .filter(col("ca") =!= col("cb"))
         .groupBy(least(col("ca"), col("cb")).as("c1"),
           greatest(col("ca"), col("cb")).as("c2"))
-        .agg(count(lit(1)).as("w"))
+        .agg(sum(col("w")).as("w"))
       // merge gain ∝ 2m·e12 − d1·d2, strictly positive only
       val sp = ee
         .join(ds.select(col("comm").as("c1"), col("ds").as("d1")), Seq("c1"))
@@ -120,7 +139,7 @@ object Community {
       val kuc = e2.join(cur.select(col("node").as("v"), col("comm")),
           Seq("v"))
         .groupBy(col("u").as("node"), col("comm"))
-        .agg(dec(count(lit(1))).as("k"))
+        .agg(dec(sum(col("w"))).as("k"))
       val stay = cur.join(kuc, Seq("node", "comm"), "left_anti")
         .select(col("node"), col("comm"), dec(lit(0)).as("k"))
       // semi-synchronous: only this round's parity class may move
@@ -148,22 +167,25 @@ object Community {
     cur.select(col("node"), col("comm").cast("long").as("community"))
   }
 
-  /** DuckDB replay of [[louvainLocal]]: the unrolled merge + refine
-    * round chain over a caller-supplied canonical-edge CTE body
-    * (src < dst, distinct). HUGEINT carries the exact score
-    * products. */
+  /** DuckDB replay of [[louvainLocal]] / [[louvainWeighted]]: the
+    * unrolled merge + refine round chain over a caller-supplied
+    * canonical-edge CTE body producing (src, dst, w) with src < dst
+    * (unweighted graphs pass `1 AS w`; parallel edges are summed
+    * here). HUGEINT carries the exact score products. */
   def louvainOracleSql(mergeRounds: Int, refineRounds: Int,
       graphSql: String): String = {
     require(mergeRounds >= 1 && mergeRounds <= 12)
     require(refineRounds >= 0 && refineRounds <= 8)
     val sb = new StringBuilder
     sb.append(
-      s"""WITH canon AS MATERIALIZED ($graphSql),
-         |e2 AS MATERIALIZED (SELECT src AS u, dst AS v FROM canon
-         |  UNION ALL SELECT dst, src FROM canon),
+      s"""WITH canon AS MATERIALIZED (SELECT src, dst,
+         |    CAST(sum(w) AS BIGINT) AS w
+         |  FROM ($graphSql) GROUP BY src, dst),
+         |e2 AS MATERIALIZED (SELECT src AS u, dst AS v, w FROM canon
+         |  UNION ALL SELECT dst, src, w FROM canon),
          |deg AS MATERIALIZED (SELECT u AS node,
-         |    CAST(count(*) AS BIGINT) AS s FROM e2 GROUP BY u),
-         |mm AS (SELECT CAST(2 * count(*) AS HUGEINT) AS tm FROM canon),
+         |    CAST(sum(w) AS BIGINT) AS s FROM e2 GROUP BY u),
+         |mm AS (SELECT CAST(sum(s) AS HUGEINT) AS tm FROM deg),
          |cur0 AS (SELECT node, node AS comm FROM deg)""".stripMargin)
     for (i <- 1 to mergeRounds) {
       val p = i - 1
@@ -172,7 +194,7 @@ object Community {
            |ds$i AS MATERIALIZED (SELECT comm, CAST(sum(s) AS HUGEINT) AS ds
            |  FROM cur$p JOIN deg USING (node) GROUP BY comm),
            |ee$i AS MATERIALIZED (SELECT least(a.comm, b.comm) AS c1,
-           |    greatest(a.comm, b.comm) AS c2, CAST(count(*) AS HUGEINT) AS w
+           |    greatest(a.comm, b.comm) AS c2, CAST(sum(e.w) AS HUGEINT) AS w
            |  FROM canon e JOIN cur$p a ON e.src = a.node
            |  JOIN cur$p b ON e.dst = b.node
            |  WHERE a.comm <> b.comm GROUP BY 1, 2),
@@ -201,7 +223,7 @@ object Community {
            |tot$i AS MATERIALIZED (SELECT comm, CAST(sum(s) AS HUGEINT) AS tot
            |  FROM cur$p JOIN deg USING (node) GROUP BY comm),
            |kuc$i AS MATERIALIZED (SELECT e2.u AS node, c.comm AS comm,
-           |    CAST(count(*) AS HUGEINT) AS k
+           |    CAST(sum(e2.w) AS HUGEINT) AS k
            |  FROM e2 JOIN cur$p c ON e2.v = c.node GROUP BY 1, 2),
            |cand$i AS MATERIALIZED (SELECT node, comm, k FROM kuc$i
            |  UNION ALL

@@ -88,6 +88,22 @@ class CommunitySpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("weighted louvain: a heavy bridge overrides the clique split") {
+    // two triangles, weight-1 intra edges, one bridge edge
+    val tri = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (10L, 12L, 1L))
+    val light = (tri :+ ((2L, 10L, 1L))).toDF("src", "dst", "w")
+    val heavy = (tri :+ ((2L, 10L, 50L))).toDF("src", "dst", "w")
+    val mLight = Community.louvainWeighted(light, "w")
+      .as[(Long, Long)].collect().toMap
+    val mHeavy = Community.louvainWeighted(heavy, "w")
+      .as[(Long, Long)].collect().toMap
+    assert(mLight(0L) != mLight(12L),
+      s"weight-1 bridge must not merge the triangles: $mLight")
+    assert(mHeavy(2L) == mHeavy(10L),
+      s"a weight-50 bridge dominates the graph and must bind its endpoints: $mHeavy")
+  }
+
   test("louvain handles self-contained degenerate input") {
     val single = Seq((1L, 2L)).toDF("src", "dst")
     val mem = Community.louvainLocal(single, mergeRounds = 2, refineRounds = 1)
