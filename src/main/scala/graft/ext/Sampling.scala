@@ -527,17 +527,18 @@ object Sampling {
     * answer). Everything is integer: ticks-below(x) = min(k,
     * ⌈x·k/W⌉) via (x·k + W − 1) div W, multiplicity the difference
     * at the interval ends — no randomness, no floats, bit-exact
-    * replay. One ordered cumulative window + a 1-row total. Returns
-    * selected items only: (id, w, n_ticks). */
+    * replay. The cumulative pass is [[OrderedPrefix.withPrefixSum]]
+    * (two-level distributed scan — the input is corpus-sized by
+    * definition, so a global ordered window would single-task the
+    * whole corpus) + a 1-row total. Returns selected items only:
+    * (id, w, n_ticks). */
   def ppsSystematic(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1)
     val base = df.select(col(idCol).as("id"), weight.cast("long").as("w"))
       .filter(col("w") > 0)
-    val wCum = Window.orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = base.agg(sum(col("w")).as("tw"))
-    base.withColumn("ce", sum(col("w")).over(wCum))
+    OrderedPrefix.withPrefixSum(base, Seq(col("id")), col("w"), "ce")
       .crossJoin(broadcast(tot))
       .withColumn("__b_end",
         least(lit(k.toLong), expr(s"(ce * $k + tw - 1) div tw")))

@@ -749,7 +749,11 @@ object TimeSeries {
     * integers replay bit-for-bit). Per user: t_view = min view,
     * t_conv = min conversion ≥ t_view (the conditional-min censoring
     * rule from [[kmSurvival]]); converters only enter the latency
-    * pool. Selection via one ordered window over the per-user rows.
+    * pool. Selection indices come from
+    * [[OrderedPrefix.withRowIndex]] — one row per CONVERTING USER is
+    * still data-sized, so the global rank is a two-level distributed
+    * scan, not a single-task ordered window; the ⌈n·q⌉-th-element
+    * selection is tie-order-invariant, so the result is bit-exact.
     * Returns one row (n_users, q1_us, med_us, q3_us). */
   def stepLatencyQuartiles(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, fromType: String,
@@ -763,11 +767,7 @@ object TimeSeries {
       .agg(min(when(col("tp") >= col("tv"), col("tp"))).as("tpf"))
       .filter(col("tpf").isNotNull)
       .select((unix_micros(col("tpf")) - unix_micros(col("tv"))).as("lat"))
-    val w = Window.orderBy(col("lat"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    lat.withColumn("__i", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    OrderedPrefix.withRowIndex(lat, Seq(col("lat")), "__i", "__n")
       .select(col("__n"), col("__i"), col("lat"))
       .groupBy(col("__n").as("n_users"))
       .agg(min(when(col("__i") * 4 >= col("__n"), col("lat"))).as("q1_us"),
@@ -1384,7 +1384,10 @@ object TimeSeries {
     * per-user lag window is deterministic without a tiebreak column.
     * Returns one row (n_users, p50_us, p90_us, max_us) over users
     * with ≥2 events. Scale: one per-user window + one hash agg; the
-    * closing order-statistic window runs over one row per user. */
+    * closing order-statistic pass runs over one row per user — still
+    * data-sized, so it rides [[OrderedPrefix.withRowIndex]] (two-level
+    * distributed rank), never a global single-task ordered window; the
+    * ⌈n·q⌉-th-element selection is tie-order-invariant. */
   def longestGapStats(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val wu = Window.partitionBy(col("u")).orderBy(col("ts"))
@@ -1394,11 +1397,7 @@ object TimeSeries {
       .select(col("u"),
         (unix_micros(col("ts")) - unix_micros(col("__prev"))).as("gap"))
       .groupBy(col("u")).agg(max(col("gap")).as("mg"))
-    val w = Window.orderBy(col("mg"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    per.withColumn("__i", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
+    OrderedPrefix.withRowIndex(per, Seq(col("mg")), "__i", "__n")
       // plain aggregate (not GROUP BY __n) so a corpus with no user
       // holding >=2 events still yields ONE row of NULLs — matching
       // the oracle's shape on degenerate input

@@ -639,17 +639,19 @@ object GraphQueries {
     * matching the reference algorithm (word2vec does not exclude). */
   def negativeSamples(pairs: DataFrame, centerCol: String,
       contextCol: String, k: Int, power: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
     val dist = pairs.groupBy(col(contextCol).as("node"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("mass",
         round(pow(col("cnt").cast("double"), power) * 1000).cast("long"))
       .filter(col("mass") > 0)
-    val w = Window.orderBy(col("node"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = dist
-      .withColumn("lo", coalesce(sum(col("mass")).over(w), lit(0L)))
+    // cumulative mass over every distinct context node is vocab-sized
+    // (data-sized in the worst case) → two-level distributed prefix
+    // sum, not a global single-task ordered window; node is unique so
+    // the intervals are bit-exact
+    val cum = graft.ext.OrderedPrefix
+      .withPrefixSum(dist, Seq(col("node")), col("mass"), "__ci")
+      .withColumn("lo", col("__ci") - col("mass")).drop("__ci")
       .withColumn("hi", col("lo") + col("mass"))
     val tot = cum.agg(max(col("hi")).as("m"), count(lit(1)).as("v"))
     val banded = cum.crossJoin(tot)

@@ -788,9 +788,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(mo.contains("Window") && mo.contains("HashAggregate") &&
       !mo.contains("Join") && !mo.contains("UDF"),
       s"mode top-1 window over the value grid:\n$mo")
+    // post-refit onto OrderedPrefix the global rank is a partitioned
+    // window + a broadcast offsets join-back — a hash join is now
+    // expected; a sort-merge join would mean the tiny offsets side
+    // shuffled
     val lg = executedFinal(
       SparkEntry.queries("q_t39_longest_gap")(spark, sf0001))
-    assert(lg.contains("Window") && !lg.contains("Join") &&
+    assert(lg.contains("Window") && !lg.contains("SortMergeJoin") &&
       !lg.contains("UDF"), s"longest gap machinery:\n$lg")
     val rm = executedFinal(
       SparkEntry.queries("q_t40_rolling_median")(spark, sf0001))
@@ -1049,7 +1053,67 @@ class PlanShapeSpec extends SparkSpec {
     // pseudonymize: the token is computed map-side (project), the
     // only joins are the two count faces
     val ps = executedFinal(SparkEntry.queries("q_s12_pseudonymize")(spark, sf0001))
-    assert(!ps.contains("SortMergeJoin") || ps.contains("BroadcastHashJoin"),
+    assert(!ps.contains("SortMergeJoin"),
       s"pseudonymize joins should hash:\n$ps")
+  }
+
+  // ---- distributed ordered-selection / prefix-sum (round 8) ----
+
+  /** Every physical node, descending through AQE wrappers and query
+    * stages (plain `collect` stops at AdaptiveSparkPlanExec). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  test("order-statistic gates: every unpartitioned window is partition-count-sized") {
+    // The four round-7 perf_weak gates used to sort a DATA-sized row
+    // set in one unpartitioned window task. Post-refit onto
+    // OrderedPrefix, the only legal unpartitioned windows left in
+    // these plans are the offset windows over the per-range-partition
+    // totals — input bounded by the CLUSTER (one row per shuffle
+    // partition), recognizable by the __op_pid grouping beneath them.
+    val gates = Seq("q_o28_pps", "q_t36_step_latency",
+      "q_t39_longest_gap", "q_g17_negative_samples")
+    for (q <- gates) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val wins = allNodes(df.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      for (w <- global) {
+        val bounded = allNodes(w.child).exists {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+          case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+          case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+          case _ => false
+        }
+        assert(bounded,
+          s"$q: unpartitioned window over non-pid-aggregated (data-sized?) input:\n$w")
+      }
+    }
+  }
+
+  test("OrderedPrefix: local cumsum window is partitioned by the range-partition id") {
+    val df = spark.range(1000).selectExpr("concat('k', id) AS id", "id % 7 + 1 AS w")
+    val out = graft.ext.OrderedPrefix.withPrefixSum(df, Seq($"id"), $"w", "c", 8)
+    out.collect()
+    val wins = allNodes(out.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.exists(_.partitionSpec.exists(_.toString.contains("__op_pid"))),
+      "expected a __op_pid-partitioned local window")
+    assert(wins.filter(_.partitionSpec.isEmpty).forall(w =>
+      allNodes(w.child).exists {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+        case _ => false
+      }), "unpartitioned window not bounded by the pid aggregate")
   }
 }
