@@ -3545,6 +3545,23 @@ object SparkEntry {
         refineRounds = 2).orderBy(col("node"))
     }),
 
+    // -- Leiden-style connectivity refinement over the q_g45
+    // membership: split every community into the connected components
+    // of its induced subgraph (Louvain merges can leave a community
+    // internally disconnected — the defect Leiden fixes); splitting
+    // separated parts can only RAISE modularity (zero cross edges),
+    // asserted in CommunitySpec --
+    "q_g48_leiden_refine" -> ((s, d) => {
+      val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val e = hk.as("a").join(hk.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      val mem = graft.query.Community.louvainLocal(e, mergeRounds = 6,
+        refineRounds = 2)
+      graft.query.Community.leidenRefine(e, mem).orderBy(col("node"))
+    }),
+
     // -- Neyman optimal allocation of a 100-doc budget across the 20
     // sources: quota ∝ n_h·s_h, largest-remainder integerization —
     // the variance-minimizing sampling design --
@@ -10101,7 +10118,7 @@ object SparkEntry {
                AS s
            FROM customer),
          sc AS (SELECT nation,
-             CASE WHEN length(s) > 0 AND list_sum(
+             CASE WHEN regexp_matches(s, '^[0-9]+$') AND list_sum(
                  list_transform(range(1, length(s) + 1), i ->
                    CASE WHEN i % 2 = 0 THEN
                      CASE WHEN 2 * (ord(substring(reverse(s), i, 1)) - 48) > 9
@@ -10426,6 +10443,14 @@ object SparkEntry {
          FROM documents GROUP BY source ORDER BY source""",
     "q_g45_louvain" ->
       graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
+        """SELECT DISTINCT a.sk AS src, b.sk AS dst, 1 AS w
+           FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) a
+           JOIN (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0) b
+             ON a.pk = b.pk AND a.sk < b.sk"""),
+    "q_g48_leiden_refine" ->
+      graft.query.Community.leidenOracleSql(mergeRounds = 6, refineRounds = 2,
         """SELECT DISTINCT a.sk AS src, b.sk AS dst, 1 AS w
            FROM (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
                  FROM lineitem WHERE l_orderkey % 50 = 0) a

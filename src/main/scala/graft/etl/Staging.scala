@@ -262,24 +262,39 @@ object Staging {
     * ⌈total_bytes / targetBytes⌉ files: the rewrite streams through
     * a round-robin repartition (parallel, no skew — compaction has
     * no key), lands in `<dir>.__compact_tmp`, and swaps in via two
-    * renames so readers never observe a half-written directory (the
-    * same swap discipline as the CSV sinks' overwrite mode). Data is
-    * preserved as a multiset; row order is NOT (compaction is a
-    * layout operation — order-bearing exports use the sharded
-    * writers). Returns (files_before, files_after, bytes). */
+    * renames. Data is preserved as a multiset; row order is NOT
+    * (compaction is a layout operation — order-bearing exports use
+    * the sharded writers). Returns (files_before, files_after, bytes).
+    *
+    * CONCURRENCY CONTRACT — compaction requires EXCLUSIVE access to
+    * the directory (the maintenance-window discipline every
+    * rename-based table format shares short of a transaction log):
+    * the two-rename swap has a window between rename(path→old) and
+    * rename(tmp→path) where `dir` does not exist, so a concurrent
+    * reader can fail, and files appended to `dir` between the
+    * snapshot read and the swap are dropped with the old copy.
+    * Crash recovery: if the process dies inside the window, the full
+    * pre-compaction data survives at `<dir>.__compact_old` — rename
+    * it back (this method does so automatically on the next run over
+    * the same dir when `dir` is missing but the `.__compact_old`
+    * sibling exists). */
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long): (Int, Int, Long) = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".__compact_old")
+    // crash recovery: a previous run died mid-swap → restore the
+    // moved-aside original before proceeding
+    if (!fs.exists(path) && fs.exists(old))
+      require(fs.rename(old, path), s"compact: could not restore $old")
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).toSeq.filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + ".__compact_old")
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)

@@ -1369,13 +1369,17 @@ object Profiling {
     * calibration error, repeated per row via the 1-row broadcast
     * crossJoin convention. One hash aggregation over the corpus.
     * Returns (bin, n, n_pos, mean_conf, acc, gap, ece) per non-empty
-    * bin, bin = ⌊conf·bins⌋ clamped to bins−1. */
+    * bin, bin = ⌊conf·bins⌋ clamped into [0, bins−1] (a confidence
+    * outside [0,1] — a buggy scorer — lands in the edge bin instead
+    * of minting phantom negative/overflow bins that would skew the
+    * n-weighted ECE). */
   def calibrationReport(df: DataFrame, confCol: Column, labelCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 100, s"bins must be in [2,100]: $bins")
     val conf = round(confCol, 4)
     val per = df.select(
-        least(floor(conf * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        greatest(lit(0L),
+          least(floor(conf * bins).cast("long"), lit(bins - 1L))).as("bin"),
         conf.cast("decimal(38,12)").as("__c"),
         when(labelCol, 1L).otherwise(0L).as("__y"))
       .groupBy(col("bin"))

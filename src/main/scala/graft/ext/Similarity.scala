@@ -639,14 +639,16 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       via: String = "ivf", dim: Int = 64, nCells: Int = 16,
       nprobe: Int = 2, nBits: Int = 0, bands: Int = 4,
-      seed: Long = 42L): DataFrame = via match {
+      seed: Long = 42L, knownN: Long = -1L): DataFrame = via match {
     case "ivf" =>
       val centroids = trainIvfCentroids(corpus, vecCol, k = nCells,
         seed = seed)
       ivfTopK(corpus, corpus, idCol, vecCol, centroids, k, nprobe)
     case "lsh" =>
       val nb = if (nBits > 0) nBits else {
-        val n = corpus.count()
+        // auto-sizing needs n; pass knownN (or nBits directly) to
+        // skip this extra corpus-count job on repeated builds
+        val n = if (knownN >= 0) knownN else corpus.count()
         val bitsPerBand = math.max(4,
           64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64)))
         math.min(64, bands * bitsPerBand)

@@ -1019,7 +1019,9 @@ object TextAnalysis {
     * every second digit (subtracting 9 when that doubles past 9);
     * valid iff the digit sum ≡ 0 (mod 10). Pure integer Column over
     * `sequence` — codegen'd, no UDF, exact in any engine. NULL-safe:
-    * empty/non-digit input → false. */
+    * empty/non-digit input → false (the digit-only rlike guard is
+    * load-bearing: without it a non-digit char would flow through
+    * ascii(ch)−48 as a bogus digit value and could sum to 0 mod 10). */
   def luhnValid(digits: Column): Column = {
     // index i counts 1.. from the RIGHTMOST digit; even i doubles
     val arr = transform(split(reverse(digits), ""), ch => ascii(ch) - lit(48))
@@ -1027,6 +1029,6 @@ object TextAnalysis {
       when(i % 2 === 0,
         when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d))
     val s = aggregate(contrib, lit(0), (acc, x) => acc + x)
-    length(coalesce(digits, lit(""))) > 0 && s % 10 === 0
+    coalesce(digits, lit("")).rlike("^[0-9]+$") && s % 10 === 0
   }
 }

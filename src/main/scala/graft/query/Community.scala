@@ -167,18 +167,51 @@ object Community {
     cur.select(col("node"), col("comm").cast("long").as("community"))
   }
 
-  /** DuckDB replay of [[louvainLocal]] / [[louvainWeighted]]: the
-    * unrolled merge + refine round chain over a caller-supplied
-    * canonical-edge CTE body producing (src, dst, w) with src < dst
-    * (unweighted graphs pass `1 AS w`; parallel edges are summed
-    * here). HUGEINT carries the exact score products. */
-  def louvainOracleSql(mergeRounds: Int, refineRounds: Int,
-      graphSql: String): String = {
-    require(mergeRounds >= 1 && mergeRounds <= 12)
-    require(refineRounds >= 0 && refineRounds <= 8)
+  /** Leiden-style connectivity refinement (the Traag et al. 2019 fix
+    * for the Louvain-family defect: agglomerative merges can leave a
+    * community internally DISCONNECTED — its parts are only "together"
+    * through the label, not the graph). Post-pass over any membership:
+    * split every community into the connected components of its
+    * induced subgraph, relabeling each node with its component's
+    * minimum node id (a node sharing a community but no intra-
+    * community path becomes its own singleton community).
+    *
+    * Modularity can only go UP: separated parts share zero edges, so
+    * splitting a community into components a, b changes Q by
+    * +2·d_a·d_b/(2m)² ≥ 0 per separated pair (e_ab = 0 and
+    * −(d_a+d_b)² → −d_a²−d_b²) — asserted with [[GraphQueries
+    * .modularity]] in CommunitySpec on a planted disconnected
+    * community. Scale: two edge⋈membership equi-joins to keep intra
+    * edges + [[GraphQueries.connectedComponentsStar]] (O(log n)
+    * alternating-star rounds) — no window, nothing driver-side.
+    * Returns (node, community) for every membership row. */
+  def leidenRefine(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val m = membership.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    val canon = edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val intra = canon
+      .join(m.select(col("node").as("src"), col("community").as("ca")),
+        Seq("src"))
+      .join(m.select(col("node").as("dst"), col("community").as("cb")),
+        Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val comp = graft.query.GraphQueries.connectedComponentsStar(intra)
+    m.join(comp.select(col("node"), col("component")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).cast("long").as("community"))
+  }
+
+  /** The shared unrolled CTE chain behind [[louvainOracleSql]] and
+    * [[leidenOracleSql]]: returns the CTE text (starting at `canon`,
+    * no WITH keyword) and the name of the final membership CTE. */
+  private def louvainChainSql(mergeRounds: Int, refineRounds: Int,
+      graphSql: String): (String, String) = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH canon AS MATERIALIZED (SELECT src, dst,
+      s"""canon AS MATERIALIZED (SELECT src, dst,
          |    CAST(sum(w) AS BIGINT) AS w
          |  FROM ($graphSql) GROUP BY src, dst),
          |e2 AS MATERIALIZED (SELECT src AS u, dst AS v, w FROM canon
@@ -248,10 +281,45 @@ object Community {
            |  SELECT node, comm FROM cur$p
            |  WHERE ((node % 2) + 2) % 2 <> $par)""".stripMargin)
     }
-    sb.append(
-      s"""
-         |SELECT node, CAST(comm AS BIGINT) AS community
-         |FROM cur${mergeRounds + refineRounds} ORDER BY node""".stripMargin)
-    sb.toString
+    (sb.toString, s"cur${mergeRounds + refineRounds}")
+  }
+
+  /** DuckDB replay of [[louvainLocal]] / [[louvainWeighted]]: the
+    * unrolled merge + refine round chain over a caller-supplied
+    * canonical-edge CTE body producing (src, dst, w) with src < dst
+    * (unweighted graphs pass `1 AS w`; parallel edges are summed
+    * here). HUGEINT carries the exact score products. */
+  def louvainOracleSql(mergeRounds: Int, refineRounds: Int,
+      graphSql: String): String = {
+    require(mergeRounds >= 1 && mergeRounds <= 12)
+    require(refineRounds >= 0 && refineRounds <= 8)
+    val (chain, last) = louvainChainSql(mergeRounds, refineRounds, graphSql)
+    s"""WITH $chain
+       |SELECT node, CAST(comm AS BIGINT) AS community
+       |FROM $last ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB replay of louvain + [[leidenRefine]]: the louvain chain,
+    * then intra-community edges and a recursive min-label reachability
+    * (the q_gx_connected_components oracle pattern — sound here
+    * because the symmetric edge set only contains INTRA-community
+    * edges, so labels never leak across communities). */
+  def leidenOracleSql(mergeRounds: Int, refineRounds: Int,
+      graphSql: String): String = {
+    require(mergeRounds >= 1 && mergeRounds <= 12)
+    require(refineRounds >= 0 && refineRounds <= 8)
+    val (chain, last) = louvainChainSql(mergeRounds, refineRounds, graphSql)
+    s"""WITH RECURSIVE $chain,
+       |lmem AS MATERIALIZED (SELECT node, comm FROM $last),
+       |lintra AS MATERIALIZED (SELECT e.src AS a, e.dst AS b
+       |  FROM canon e JOIN lmem x ON e.src = x.node
+       |  JOIN lmem y ON e.dst = y.node WHERE x.comm = y.comm),
+       |lsym AS MATERIALIZED (SELECT a, b FROM lintra
+       |  UNION SELECT b AS a, a AS b FROM lintra),
+       |lreach AS (SELECT node AS id, node AS lbl FROM lmem
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM lreach r JOIN lsym e ON e.a = r.id)
+       |SELECT id AS node, CAST(min(lbl) AS BIGINT) AS community
+       |FROM lreach GROUP BY id ORDER BY node""".stripMargin
   }
 }

@@ -33,6 +33,9 @@ class PipelineGuardsSpec extends SparkSpec {
       ("79927398713", true),        // the textbook Luhn example
       ("79927398710", false),
       ("4111111111111112", false),
+      (":", false),                 // ascii(':')-48 = 10 ≡ 0 mod 10 — the
+                                    // non-digit that fooled the unguarded form
+      ("4111a11111111111", false),  // embedded non-digit
       ("", false))
     val out = cases.map(_._1).toDF("dg")
       .select($"dg", TextAnalysis.luhnValid($"dg").as("ok"))
@@ -74,6 +77,32 @@ class PipelineGuardsSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
     assert(after.count() == beforeRows)
     assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
+  test("compactParquet: crash mid-swap is recovered on the next run") {
+    import graft.etl.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_cr")
+      .toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    df.repartition(3).write.parquet(dir)
+    // simulate a crash inside the swap window: dir moved aside, no dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__compact_old")))
+    val (nb, na, _) = Staging.compactParquet(spark, dir, 1L << 20)
+    assert(nb == 3 && na == 1)
+    assert(spark.read.parquet(dir).exceptAll(df).isEmpty &&
+      df.exceptAll(spark.read.parquet(dir)).isEmpty)
+  }
+
+  test("calibrationReport: out-of-range confidence clamps into the edge bins") {
+    val df = Seq((-0.2, false), (0.1, false), (1.4, true), (0.9, true))
+      .toDF("conf", "ok")
+    val bins = Profiling.calibrationReport(df, $"conf", $"ok", bins = 4)
+      .select($"bin", $"n").as[(Long, Long)].collect().toMap
+    assert(bins.keySet == Set(0L, 3L), bins.toString)
+    assert(bins(0L) == 2L && bins(3L) == 2L, bins.toString)
   }
 
   test("fellegiSunter: integer log-odds compose per field") {

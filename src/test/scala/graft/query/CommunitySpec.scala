@@ -104,6 +104,50 @@ class CommunitySpec extends SparkSpec {
       s"a weight-50 bridge dominates the graph and must bind its endpoints: $mHeavy")
   }
 
+  test("leidenRefine splits a planted disconnected community; Q never drops") {
+    // two separate triangles + a far-away edge, membership FORCED to
+    // lump both triangles into one community (the Louvain defect
+    // Leiden fixes: label-together, graph-apart)
+    val tri1 = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val tri2 = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (tri1 ++ tri2 :+ ((20L, 21L))).toDF("src", "dst")
+    val planted = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 0L), (11L, 0L), (12L, 0L),   // disconnected from {0,1,2}
+      (20L, 20L), (21L, 20L)).toDF("node", "community")
+    val refined = Community.leidenRefine(edges, planted)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 2L).map(refined).distinct == Seq(0L), refined.toString)
+    assert((10L to 12L).map(refined).distinct == Seq(10L), refined.toString)
+    assert(refined(20L) == refined(21L))
+    // modularity must not decrease (components share zero edges, so
+    // splitting strictly adds 2·d_a·d_b/(2m)² per separated pair)
+    val qBefore = modularityOf(edges, planted)
+    val qAfter = modularityOf(edges,
+      Community.leidenRefine(edges, planted))
+    assert(qAfter >= qBefore, s"Q dropped: $qBefore -> $qAfter")
+    assert(qAfter > qBefore, "planted split must strictly raise Q here")
+  }
+
+  test("leidenRefine is identity on an already-connected membership; gate face sane") {
+    val e = gateGraph.localCheckpoint(true)
+    val mem = Community.louvainLocal(e, mergeRounds = 6, refineRounds = 2)
+      .localCheckpoint(true)
+    val refined = Community.leidenRefine(e, mem).localCheckpoint(true)
+    // refinement can relabel (component min-id) but never lowers Q
+    val qBefore = modularityOf(e, mem)
+    val qAfter = modularityOf(e, refined)
+    assert(qAfter >= qBefore, s"Q dropped on the gate graph: $qBefore -> $qAfter")
+    // same node universe, and every refined community is a subset of
+    // one original community (refinement only ever SPLITS)
+    assert(refined.count() == mem.count())
+    val crossed = refined.select($"node", $"community".as("rc"))
+      .join(mem.select($"node", $"community".as("oc")), Seq("node"))
+      .groupBy($"rc").agg(countDistinct($"oc").as("k"))
+      .filter($"k" > 1).count()
+    assert(crossed == 0L, "a refined community crossed an original boundary")
+  }
+
   test("louvain handles self-contained degenerate input") {
     val single = Seq((1L, 2L)).toDF("src", "dst")
     val mem = Community.louvainLocal(single, mergeRounds = 2, refineRounds = 1)
