@@ -3163,6 +3163,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // -- wide-vector (128-d) Hamming ANN: the multi-word sign-pack
+    // path production embedding widths need — vectors concat-derived
+    // to 128 dims, packed into TWO BIGINT words, scored by
+    // XOR+popcount folded over the word array; exact given the
+    // signs, full top-10 replays bit-for-bit --
+    "q_n24_hamming_wide" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          concat(col("embedding"), reverse(col("embedding"))).as("wide"))
+      graft.ext.Similarity.hammingTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "wide", k = 10, dim = 128)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // -- Cramér's V of lang × source: effect size atop the χ²
     // machinery — n makes χ² "significant", V says whether the
     // association is actually material --
@@ -8031,6 +8045,19 @@ object SparkEntry {
          h AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              CAST(len(list_filter(range(0, 64), i ->
                (c.embedding[i + 1] >= 0) <> (q.embedding[i + 1] >= 0)))
+               AS BIGINT) AS hamming
+           FROM e c JOIN q ON c.vec_id <> q.vec_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, cand_id) AS rank FROM h)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, hamming
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_n24_hamming_wide" ->
+      """WITH e AS (SELECT vec_id,
+             embedding || list_reverse(embedding) AS wide FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id < 5),
+         h AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(len(list_filter(range(0, 128), i ->
+               (c.wide[i + 1] >= 0) <> (q.wide[i + 1] >= 0)))
                AS BIGINT) AS hamming
            FROM e c JOIN q ON c.vec_id <> q.vec_id),
          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id

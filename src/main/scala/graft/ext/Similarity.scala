@@ -708,14 +708,38 @@ object Similarity {
   /** Sign-bit packing for [[hammingTopK]]: dimension i contributes
     * bit i (set iff vec[i] ≥ 0), folded into ONE BIGINT with a
     * lambda-aggregate over `sequence(0, dim−1)` — pure codegen-able
-    * Column, no UDF. dim ≤ 64 (one word; wider vectors would pack
-    * into an array of words). */
+    * Column, no UDF. dim ≤ 64 (one word); production-width vectors
+    * (384–1024-d) use [[signPackWords]]. */
   def signPack(vecCol: String, dim: Int): Column = {
     require(dim >= 1 && dim <= 64, s"one 64-bit word packs <= 64 dims: $dim")
     expr(s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT), " +
       s"(acc, i) -> acc | IF(element_at(`$vecCol`, i + 1) >= 0D, " +
       "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
   }
+
+  /** Multi-word sign packing — [[signPack]] generalized past 64 dims:
+    * ⌈dim/64⌉ BIGINT words, word w carrying dims [64w, 64w+63] in the
+    * same bit layout as the single-word form (word 0 of a ≤64-d pack
+    * is bit-identical to [[signPack]]). Still a pure codegen-able
+    * Column — transform over the word index, lambda-aggregate per
+    * word — so a 1024-d embedding compresses to 16 longs with no
+    * UDF. */
+  def signPackWords(vecCol: String, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val nWords = (dim + 63) / 64
+    expr(s"transform(sequence(0, ${nWords - 1}), w -> " +
+      s"aggregate(sequence(w * 64, least(w * 64 + 63, ${dim - 1})), " +
+      s"CAST(0 AS BIGINT), " +
+      s"(acc, i) -> acc | IF(element_at(`$vecCol`, i + 1) >= 0D, " +
+      "shiftleft(CAST(1 AS BIGINT), i - w * 64), CAST(0 AS BIGINT))))")
+  }
+
+  /** Hamming distance between two same-length sign-word arrays:
+    * XOR + popcount folded over the words — the array form of
+    * `bit_count(a XOR b)`. */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
 
   /** 1-bit sign-quantization ANN (binary hashing à la Charikar '02's
     * hyperplane LSH with the identity projections): each vector
@@ -724,19 +748,26 @@ object Similarity {
     * pair, the cheapest candidate scorer there is. Exact and fully
     * deterministic given the signs, so the gate replays it bit-for-
     * bit (unlike the seeded-projection LSH face `q_n2`). At 100 TB
-    * the corpus rides as (id, one long) — the packed scan is what a
+    * the corpus rides as (id, one long) — ⌈dim/64⌉ longs past 64
+    * dims via [[signPackWords]], so production-width 384–1024-d
+    * embeddings still compress 32× — the packed scan is what a
     * re-rank pipeline feeds its exact-scoring tail. Top-k per query
     * by (hamming asc, cand_id). Returns
     * (query_id, rank, cand_id, hamming). */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val pack: String => Column =
+      if (dim <= 64) signPack(_, dim) else signPackWords(_, dim)
     val c = corpus.select(col(idCol).as("cand_id"),
-      signPack(vecCol, dim).as("cand_sig"))
+      pack(vecCol).as("cand_sig"))
     val q = queries.select(col(idCol).as("query_id"),
-      signPack(vecCol, dim).as("query_sig"))
+      pack(vecCol).as("query_sig"))
+    val dist: Column =
+      if (dim <= 64)
+        bit_count(col("cand_sig").bitwiseXOR(col("query_sig"))).cast("long")
+      else hammingWords(col("cand_sig"), col("query_sig"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
-      .withColumn("hamming",
-        bit_count(col("cand_sig").bitwiseXOR(col("query_sig"))).cast("long"))
+      .withColumn("hamming", dist)
     val topk = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
       Seq(col("hamming").asc, col("cand_id")), k)
     val w = Window.partitionBy(col("query_id"))

@@ -121,6 +121,28 @@ class StatsWave3Spec extends SparkSpec {
       (0L, 3L, 2L, 2L)), out.mkString(","))
   }
 
+  test("multi-word sign packing: word 0 matches signPack, wide hamming exact") {
+    // 70-dim vectors: 2 words; dims 0..63 in word 0, 64..69 in word 1
+    def vec(flipAt: Set[Int]) =
+      (0 until 70).map(i => if (flipAt(i)) -1f else 1f).toArray
+    val df = Seq(
+      (0L, vec(Set.empty)),
+      (1L, vec(Set(0, 65))),          // differs at dim 0 (word 0) + 65 (word 1)
+      (2L, vec((0 until 70).toSet)))  // all flipped
+      .toDF("vec_id", "embedding")
+    // word 0 of the multi-word pack == the single-word pack of dims 0..63
+    val both = df.select(
+        Similarity.signPackWords("embedding", 70).as("w"),
+        Similarity.signPack("embedding", 64).as("s"))
+      .collect().map(r => (r.getSeq[Long](0), r.getLong(1)))
+    assert(both.forall { case (w, s) => w.length == 2 && w.head == s })
+    val out = Similarity.hammingTopK(df, df.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 2, dim = 70)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((0L, 1L, 1L, 2L), (0L, 2L, 2L, 70L)),
+      out.mkString(","))
+  }
+
   test("Cramér's V: perfect association scores 1, degenerate table nulls") {
     val perfect = (Seq.fill(6)(("x", "p")) ++ Seq.fill(4)(("y", "q")))
       .toDF("a", "b")
