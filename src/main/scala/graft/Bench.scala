@@ -46,6 +46,23 @@ object Bench {
     // remain comparable round-over-round; cross-run min-filtering is
     // the judge's established method for noise.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    // SPARK_GRAFT_PREWARM=1: materialize the session-shared derived
+    // chains FIRST and report each build as its own `cache:` line
+    // (excluded from total). Isolated smokes of gates that merely
+    // reuse a shared chain are then comparable cold-vs-cold — the
+    // alternative is the round-7 q_o33 artifact, where an isolated
+    // sf1 smoke silently paid the whole minhashPairs build.
+    val prewarm = sys.env.get("SPARK_GRAFT_PREWARM").contains("1")
+    val cacheTimes: Seq[(String, Double)] =
+      if (!prewarm) Seq.empty
+      else SparkEntry.sharedCaches.toSeq.sortBy(_._1).map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case t: Throwable =>
+            System.err.println(s"BENCH PREWARM FAIL $n: ${t.getMessage}"); false
+        }
+        s"cache:$n" -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     // a failed query reports -1.0, not its elapsed-until-failure time —
     // otherwise an env problem (e.g. missing JDK17 --add-opens) reads
     // as a suspiciously fast bench instead of a broken one
@@ -110,7 +127,12 @@ object Bench {
       System.err.println(f"BENCH rerun $n: ${minMap(n)}%.2fs vs stored min ${priorQueries(n)._2}%.2fs")
       minMap(n) = math.min(minMap(n), timeQuery(n, fn))
     }
-    val results = minMap.toSeq
+    // cache: build lines ride along in the per-query map (and the
+    // merged BENCH_FULL_LATEST) but never in the headline total —
+    // they are accounting lines, not gate costs
+    cacheTimes.foreach { case (n, t) =>
+      firstMap(n) = t; minMap(n) = t }
+    val results = minMap.toSeq.filterNot(_._1.startsWith("cache:"))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full-precision per-query {first, min} map goes to a file: the
     // driver keeps only the last 2000 chars of output, which truncated

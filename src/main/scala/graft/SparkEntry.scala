@@ -154,6 +154,27 @@ object SparkEntry {
       Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, k = 32, bands = 16, threshold = 0.5))
 
+  /** MinHash pair chain over the RAW documents table (no planting),
+    * shared by the dataset card q_ep3 — session-cached like
+    * [[minhashPairs]]. */
+  private def cardPairs(s: SparkSession, d: String): DataFrame =
+    DerivedCache.dataFrame(s, s"cardPairs:$d")(
+      Dedup.minHashDupPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, k = 32, bands = 16,
+        threshold = 0.5))
+
+  /** The expensive session-shared derived chains, exposed so Bench
+    * can pre-materialize each under SPARK_GRAFT_PREWARM=1 and report
+    * the build as its own `cache:` line. Without this, whichever gate
+    * happens to touch a shared chain first in an ISOLATED smoke pays
+    * the whole build inside its own number — the round-7 q_o33
+    * "119.7× at sf1" was exactly this accounting artifact, not a plan
+    * defect. Keys mirror the DerivedCache keys. */
+  def sharedCaches: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhashPairs" -> ((s, d) => minhashPairs(s, d)),
+    "cardPairs" -> ((s, d) => cardPairs(s, d)))
+
   /** Full-width corpus for the training-pipeline flagship EP-T: the
     * documents table plus planted *exact* duplicates (doc_id%10==5 →
     * +2000000, same text) and planted *near* duplicates (doc_id%10==0
@@ -2600,15 +2621,25 @@ object SparkEntry {
       // constant-size bloom prefilter feeding q_c1's exact confirm.
       // Bloom has NO false negatives, so the composed drop set equals
       // the exact one and the oracle replays exact-only semantics.
+      // The eval-slice bloom is session-cached like the pair chain —
+      // eval sets don't change between pipeline runs, so rebuilding
+      // the sketch inside every run re-paid the bench scan each time
       val bench = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
         .select(col("text"))
+      val bloom = DerivedCache.dataFrame(s, s"eptBenchBloom:$d") {
+        graft.ext.Decontaminate.benchmarkBloom(bench, "text", n = 8,
+          expectedGrams = 100000L)
+      }
       val flagged = deduped.join(
-        graft.ext.Decontaminate.bloomContaminationFlags(deduped, "doc_id",
-            "text", bench, "text", n = 8, expectedGrams = 100000L)
+        graft.ext.Decontaminate.bloomContaminationFlagsWith(deduped,
+            "doc_id", "text", bloom, n = 8)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      val confirmed = graft.ext.Decontaminate.contaminationReport(
-        flagged, "doc_id", "text", bench, "text", n = 8)
+      val benchGrams = DerivedCache.dataFrame(s, s"eptBenchGrams:$d") {
+        graft.ext.Decontaminate.benchmarkGrams(bench, "text", n = 8)
+      }
+      val confirmed = graft.ext.Decontaminate.contaminationReportWith(
+        flagged, "doc_id", "text", benchGrams, n = 8)
       val decon = deduped.join(confirmed.select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       val clean = decon.withColumn("clean_len",
@@ -4310,11 +4341,7 @@ object SparkEntry {
         (TextAnalysis.redactPii(col("text")) =!= col("text")).as("__pii"))
       val bySource = scored.groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("__w")).as("t"))
-      val pairs = DerivedCache.dataFrame(s, s"cardPairs:$d")(
-        Dedup.minHashDupPairs(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", shingleN = 3, k = 32, bands = 16,
-          threshold = 0.5))
+      val pairs = cardPairs(s, d)
       def row(sec: String, key: org.apache.spark.sql.Column,
           v: org.apache.spark.sql.Column) =
         Seq(lit(sec).as("section"), key.cast("string").as("key"),

@@ -35,10 +35,18 @@ object Decontaminate {
     * @return (idCol, n_hits)
     */
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
-    val grams = docs.select(col(idCol),
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame =
+    contaminationReportWith(docs, idCol, textCol,
+      benchmarkGrams(bench, benchTextCol, n), n)
+
+  /** [[contaminationReport]] against a prebuilt (possibly persisted)
+    * [[benchmarkGrams]] set — lets a pipeline derive the benchmark
+    * side once per session instead of once per run. */
+  def contaminationReportWith(docs: DataFrame, idCol: String,
+      textCol: String, grams: DataFrame, n: Int): DataFrame = {
+    val docGrams = docs.select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
-    grams.join(broadcast(benchmarkGrams(bench, benchTextCol, n)), Seq("gram"))
+    docGrams.join(broadcast(grams), Seq("gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
@@ -71,22 +79,40 @@ object Decontaminate {
     */
   def bloomContaminationFlags(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    bloomContaminationFlagsWith(docs, idCol, textCol,
+      benchmarkBloom(bench, benchTextCol, n, expectedGrams, fpp), n)
+
+  /** The benchmark-side Bloom sketch as a reusable 1-row DataFrame —
+    * split out so callers can build it ONCE (e.g. via
+    * [[graft.DerivedCache]]) and probe it from many pipeline runs;
+    * rebuilding it inside every run re-pays the full benchmark scan +
+    * shingle explode each time. BloomFilterAggregate is constructed
+    * directly (Catalyst keeps bloom_filter_agg off the public
+    * registry); xxhash64 (seed 42) on both sides keeps build and
+    * probe aligned. Bit count is the standard −n·ln p/(ln 2)² of
+    * Bloom '70. */
+  def benchmarkBloom(bench: DataFrame, benchTextCol: String, n: Int,
       expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // optimal bit count for (n, p) — the standard -n·ln p / (ln 2)² of
-    // Bloom'70, the same sizing the sketch library derives from fpp
     val numBits = math.max(64L, math.ceil(
       -expectedGrams.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // build side: distinct benchmark grams → one binary sketch row.
-    // BloomFilterAggregate is constructed directly (Catalyst keeps
-    // bloom_filter_agg off the public registry); xxhash64 (seed 42)
-    // on both sides keeps build and probe aligned.
-    val benchBloom = benchmarkGrams(bench, benchTextCol, n)
+    benchmarkGrams(bench, benchTextCol, n)
       .agg(GraftBridge.column(new BloomFilterAggregate(
           new XxHash64(Seq(UnresolvedAttribute("gram")), 42L),
           Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
         .as("bf"))
+  }
+
+  /** Probe face of [[bloomContaminationFlags]] against a prebuilt
+    * [[benchmarkBloom]] sketch (possibly persisted — Spark's cache
+    * manager substitutes cached relations inside scalar subqueries,
+    * so a persisted 1-row bloom is read, not rebuilt). The corpus
+    * side explodes its grams map-side and probes the codegen'd
+    * `BloomFilterMightContain` over the scalar subquery. */
+  def bloomContaminationFlagsWith(docs: DataFrame, idCol: String,
+      textCol: String, bloom: DataFrame, n: Int): DataFrame = {
     val probe = GraftBridge.column(BloomFilterMightContain(
-      ScalarSubquery(benchBloom.queryExecution.analyzed),
+      ScalarSubquery(bloom.queryExecution.analyzed),
       new XxHash64(Seq(UnresolvedAttribute("gram")), 42L)))
     docs.select(col(idCol),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("gram"))
