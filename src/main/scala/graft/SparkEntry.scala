@@ -164,6 +164,31 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, k = 32, bands = 16,
         threshold = 0.5))
 
+  /** EP1's parquet-backed graph store, built once per session: write
+    * the metadata CSV (S3 single-file contract), multiLine-parse it
+    * back (S2), validity-filter (P8), stage (S9) and load. Shared by
+    * the EP1 flagship gate and the S10 export gate. */
+  private def ep1Store(s: SparkSession, d: String): GraphStore =
+    DerivedCache.any(s, s"ep1:$d") {
+      val root = java.nio.file.Files.createTempDirectory("graft_ep1").toString
+      Staging.writeCsvSingle(ep1Metadata(s, d), s"$root/links_with_metadata")
+      // persist the parsed stage: multiLine CSV parsing is the
+      // pipeline's most expensive scan (unsplittable), and the five
+      // staged-table writes below would each re-parse it otherwise
+      val meta = Staging.readCsv(s, s"$root/links_with_metadata",
+          graft.model.GraphSchema.metadataCsv)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val staged = Staging.stageMetadata(Staging.validRows(meta))
+      val st = new GraphStore(s, s"$root/graph")
+      st.writeNodes("link", staged.links)
+      st.writeNodes("category", staged.categories)
+      st.writeNodes("keyword", staged.keywords)
+      st.writeEdges("BELONGS_TO", staged.belongsTo)
+      st.writeEdges("HAS_KEYWORD", staged.hasKeyword)
+      meta.unpersist(blocking = false) // store is loaded; stage can go
+      st
+    }
+
   /** The expensive session-shared derived chains, exposed so Bench
     * can pre-materialize each under SPARK_GRAFT_PREWARM=1 and report
     * the build as its own `cache:` line. Without this, whichever gate
@@ -319,27 +344,49 @@ object SparkEntry {
       // Edits.ipynb Cells 1→7): metadata → CSV stage (S3/S2 multiLine
       // round-trip) → validity filter (P8) → stage/explode (S9) →
       // store load → flagship J3 over the loaded store.
-      val store = DerivedCache.any(s, s"ep1:$d") {
-        val root = java.nio.file.Files.createTempDirectory("graft_ep1").toString
-        Staging.writeCsvSingle(ep1Metadata(s, d), s"$root/links_with_metadata")
-        // persist the parsed stage: multiLine CSV parsing is the
-        // pipeline's most expensive scan (unsplittable), and the five
-        // staged-table writes below would each re-parse it otherwise
-        val meta = Staging.readCsv(s, s"$root/links_with_metadata",
-            graft.model.GraphSchema.metadataCsv)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val staged = Staging.stageMetadata(Staging.validRows(meta))
-        val st = new GraphStore(s, s"$root/graph")
-        st.writeNodes("link", staged.links)
-        st.writeNodes("category", staged.categories)
-        st.writeNodes("keyword", staged.keywords)
-        st.writeEdges("BELONGS_TO", staged.belongsTo)
-        st.writeEdges("HAS_KEYWORD", staged.hasKeyword)
-        meta.unpersist(blocking = false) // store is loaded; stage can go
-        st
-      }
+      val store = ep1Store(s, d)
       GraphQueries.interconnections(store.edges("HAS_KEYWORD"),
         store.edges("BELONGS_TO"), canonicalPairs = true, limit = 100)
+    }),
+
+    "q_s_graph_csv_export" -> ((s, d) => { // S10 graph → 7-col CSV
+      // snapshot (save_to_csv, main.py:157-178) as an oracle gate:
+      // export the EP1 store's link table through writeCsvSingle,
+      // read the file back, and hash-compare the full 7 columns
+      // against a DuckDB replay of the staged link table
+      val dir = DerivedCache.any(s, s"ep1Export:$d") {
+        val p = java.nio.file.Files.createTempDirectory("graft_export")
+          .toString + "/links"
+        val st = ep1Store(s, d)
+        Staging.writeCsvSingle(st.nodes("link").select(
+          col("url"), col("title"), col("cleanedContent").as("content"),
+          col("category"),
+          Staging.keywordString(col("keywords")).as("keyword"),
+          col("categoryExplanation").as("category_explanation"),
+          col("keywordExplanation").as("keyword_explanation")), p)
+        p
+      }
+      Staging.readCsv(s, dir, graft.model.GraphSchema.metadataCsv)
+        .orderBy(col("url"))
+    }),
+
+    "q_s_csv_append" -> ((s, d) => { // S4 append-mode CSV sink
+      // (failed-URLs accumulation, Edits.ipynb:512) as an oracle
+      // gate: two appended batches, read back as one table — the
+      // union proves append neither clobbers nor duplicates
+      val dir = DerivedCache.any(s, s"csvAppend:$d") {
+        val p = java.nio.file.Files.createTempDirectory("graft_append")
+          .toString + "/rejects"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+        Staging.appendCsv(docs.filter(col("doc_id") % 7 === 0), p)
+        Staging.appendCsv(docs.filter(col("doc_id") % 7 === 1), p)
+        p
+      }
+      Staging.readCsv(s, dir,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, lang STRING, source STRING"))
+        .orderBy(col("doc_id"))
     }),
     "q_j4_semi_existing" -> ((s, d) => {
       val store = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -4714,6 +4761,29 @@ object SparkEntry {
          WHERE b1.dst <> b2.dst
          ORDER BY shared_keyword, category1, category2, url1, url2
          LIMIT 100""",
+    "q_s_graph_csv_export" ->
+      """WITH meta AS (
+           SELECT 'https://site' || doc_id || '.example/page' AS url,
+                  'Doc ' || doc_id AS title,
+                  lang AS category,
+                  source || ',' || string_split(text, ' ')[1] AS keyword,
+                  text AS content
+           FROM documents),
+         valid AS (
+           SELECT * FROM meta
+           WHERE content IS NOT NULL AND length(trim(content)) >= 100
+             AND lower(category) <> 'uncategorized'
+             AND lower(keyword) <> 'none')
+         SELECT url, title, content, category,
+                array_to_string(list_filter(list_transform(
+                  string_split(keyword, ','), k -> trim(k)),
+                  k -> k <> '')[1:3], ', ') AS keyword,
+                'lang-derived' AS category_explanation,
+                'source-derived' AS keyword_explanation
+         FROM valid ORDER BY url""",
+    "q_s_csv_append" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE doc_id % 7 IN (0, 1) ORDER BY doc_id""",
     "q_j4_semi_existing" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
