@@ -3866,6 +3866,18 @@ object SparkEntry {
       graft.ext.Profiling.modePerGroup(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity").orderBy(col("grp"))),
 
+    // -- EXACT distributed quantiles of the price distribution by
+    // order-statistic selection (OrderedPrefix two-level rank, the
+    // q_t36 selection rule as a first-class operator): actual
+    // observed integer cents, not approx_percentile's sketch, not
+    // percentile()'s in-memory value map --
+    "q_a29_exact_quantiles" -> ((s, d) =>
+      graft.ext.Profiling.exactQuantiles(
+        Tables.lineitem(s, d).select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        col("cents"), Seq(250, 500, 750, 900, 990))
+        .orderBy(col("q_permille"))),
+
     // -- longest dark-gap per user, summarized as exact p50/p90/max
     // order statistics — how long users actually disappear, which
     // calendar-bucket retention can't see --
@@ -4084,6 +4096,29 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       graft.ext.Similarity.clusterPurity(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", "label").orderBy(col("cluster"))
+    }),
+
+    // -- DBSCAN over embeddings: planted perturbation cliques (the
+    // float-exact +0.001f/+0.002f shift both engines replay
+    // bit-for-bit) become core clusters, unreplicated vectors are
+    // noise; ε-pairs by brute at gate scale (the oracle face — LSH
+    // is the same downstream code at 100 TB), clusters via star-CC
+    // over core-core edges, border→min core neighbor (spec-covered;
+    // this universe yields core/noise only) --
+    "q_v16_dbscan" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 150)
+        .select(col("vec_id"), col("embedding"))
+      val u = base
+        .unionByName(base.filter(col("vec_id") % 3 =!= 0)
+          .select((col("vec_id") + 1000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001f)).as("embedding")))
+        .unionByName(base.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + 2000).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.002f)).as("embedding")))
+      val pairs = graft.ext.Density.epsNeighborPairs(u, "vec_id",
+        "embedding", simMin = 0.999, via = "brute")
+      graft.ext.Density.dbscan(u, "vec_id", pairs, minPts = 2)
+        .orderBy(col("id"))
     }),
 
     // -- two-way ANOVA with interaction on lineitem quantity by
@@ -9459,6 +9494,17 @@ object SparkEntry {
                     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)), 6)
                 END AS f
          FROM c""",
+    "q_a29_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+                    FROM lineitem),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS i,
+                      count(*) OVER () AS n FROM v),
+         q(q_permille) AS (VALUES (250), (500), (750), (900), (990))
+         SELECT CAST(q.q_permille AS BIGINT) AS q_permille,
+                CAST(max(r.n) AS BIGINT) AS n,
+                min(CASE WHEN r.i * 1000 >= r.n * q.q_permille
+                         THEN r.v END) AS value
+         FROM r, q GROUP BY q.q_permille ORDER BY q_permille""",
     "q_a27_mode" ->
       """WITH c AS (SELECT l_returnflag AS grp,
              CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
@@ -9759,6 +9805,47 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*), 6) AS moved_frac
          FROM j""",
+    "q_v16_dbscan" ->
+      """WITH RECURSIVE
+         base AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 150),
+         u AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM base
+           UNION ALL
+           SELECT vec_id + 1000, list_transform(embedding, x ->
+             CAST(CAST(CAST(x AS DOUBLE) + 0.0010000000474974513 AS REAL)
+               AS DOUBLE))
+           FROM base WHERE vec_id % 3 <> 0
+           UNION ALL
+           SELECT vec_id + 2000, list_transform(embedding, x ->
+             CAST(CAST(CAST(x AS DOUBLE) + 0.0020000000949949026 AS REAL)
+               AS DOUBLE))
+           FROM base WHERE vec_id % 3 = 1),
+         pr AS MATERIALIZED (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM u a JOIN u b ON a.vec_id <> b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999),
+         deg AS (SELECT a AS id, count(*) AS deg FROM pr GROUP BY a),
+         core AS MATERIALIZED (SELECT id FROM deg WHERE deg >= 2),
+         ce AS MATERIALIZED (SELECT p.a AS cu, p.b AS cv FROM pr p
+           JOIN core x ON p.a = x.id JOIN core y ON p.b = y.id),
+         reach AS (SELECT id, id AS lbl FROM core
+                   UNION
+                   SELECT e.cv, r.lbl FROM reach r JOIN ce e ON e.cu = r.id),
+         comp AS MATERIALIZED (SELECT id, min(lbl) AS cluster
+                               FROM reach GROUP BY id),
+         brd AS MATERIALIZED (SELECT p.a AS id, min(c.cluster) AS bc
+           FROM pr p JOIN comp c ON p.b = c.id GROUP BY p.a)
+         SELECT u.vec_id AS id,
+                CASE WHEN c.id IS NOT NULL THEN 'core'
+                     WHEN b.id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CAST(coalesce(c.cluster, b.bc) AS BIGINT) AS cluster
+         FROM u LEFT JOIN comp c ON u.vec_id = c.id
+         LEFT JOIN brd b ON u.vec_id = b.id
+         ORDER BY id""",
     "q_v13_cosine_profile" ->
       """WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

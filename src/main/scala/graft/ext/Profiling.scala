@@ -1086,6 +1086,39 @@ object Profiling {
             col("total_cents").cast("double"), 6)).as("share"))
   }
 
+  /** EXACT distributed quantiles by order-statistic selection — the
+    * first-class face of [[OrderedPrefix]]'s two-level rank: for each
+    * requested per-mille point q, the ⌈n·q/1000⌉-th smallest VALUE
+    * (type-1 quantile — an actual observed element, no interpolation,
+    * so integer inputs replay bit-for-bit in any engine; the q_t36
+    * selection rule promoted from a gate-internal trick to an
+    * operator). `approx_percentile` trades exactness for one pass;
+    * Spark's exact `percentile` buffers per-group value maps in
+    * memory; this face is exact AND distributed: global rank via
+    * range-repartitioned partitioned windows + a cluster-bounded
+    * offsets table, selection via one tie-invariant aggregate, output
+    * unpivoted from the single wide row (the stack runs over |qs|
+    * columns, never data). Returns (q_permille, n, value), NULL value
+    * on empty input. */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+      qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille points must be in [1,1000]: $qsPermille")
+    val qs = qsPermille.distinct.sorted
+    val idx = OrderedPrefix.withRowIndex(
+      df.select(valueCol.cast("long").as("v")), Seq(col("v")), "__i", "__n")
+    val wide = idx.agg(
+      max(col("__n")).as("n"),
+      qs.map(q => min(when(col("__i") * 1000 >= col("__n") * q, col("v")))
+        .as(s"__q$q")): _*)
+    val stacked = qs.map(q => s"$q, __q$q").mkString(", ")
+    wide.select(col("n"),
+        expr(s"stack(${qs.size}, $stacked) AS (q_permille, value)"))
+      .select(col("q_permille").cast("long").as("q_permille"), col("n"),
+        col("value"))
+  }
+
   /** Exact higher moments per group — skewness and excess kurtosis
     * from the four integer power sums (x² through x⁴ in
     * DECIMAL(38,0); Spark's built-in skewness/kurtosis stream floats

@@ -35,6 +35,27 @@ class OrderedPrefixSpec extends SparkSpec {
     assert(out.forall { case (v, i, _) => sorted(i.toInt - 1) == v })
   }
 
+  test("exactQuantiles: selections match the sorted array, ties included") {
+    val vals = (1L to 100L) ++ Seq.fill(50)(42L)   // heavy tie block at 42
+    val df = vals.toDF("v")
+    val got = Profiling.exactQuantiles(df, $"v", Seq(100, 500, 900, 1000))
+      .select($"q_permille", $"n", $"value")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val sorted = vals.sorted.toIndexedSeq
+    def sel(q: Int) = sorted(math.ceil(sorted.size * q / 1000.0).toInt - 1)
+    assert(got.map(_._2).forall(_ == 150L))
+    assert(got.map(t => t._1 -> t._3).toSeq ==
+      Seq(100L -> sel(100), 500L -> sel(500), 900L -> sel(900),
+        1000L -> sel(1000)), got.mkString(","))
+  }
+
+  test("exactQuantiles: empty input yields NULL values, not zero rows") {
+    val out = Profiling.exactQuantiles(
+      spark.range(0).select($"id".as("v")), $"v", Seq(500))
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.isNullAt(2))
+  }
+
   test("empty and single-row inputs") {
     val empty = spark.range(0).selectExpr("cast(id as string) AS k", "id AS w")
     assert(OrderedPrefix.withPrefixSum(empty, Seq($"k"), $"w", "c").count() == 0L)
