@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   *        SPARK_GRAFT_REPLICAS=10 runMain graft.ScaleGen
   */
 object ScaleGen {
-  private final val Shift = 10000000L
-
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/sf1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    // per-replica key shift MUST exceed the source's max id, or replicas
+    // collide — chaining ScaleGen (sf1 → sf10) needs 10× the default
+    val Shift = sys.env.getOrElse("SPARK_GRAFT_SHIFT", "10000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3878,6 +3878,46 @@ object SparkEntry {
         col("cents"), Seq(250, 500, 750, 900, 990))
         .orderBy(col("q_permille"))),
 
+    // -- HDR log-linear quantile sketch vs the exact order statistics:
+    // the MERGEABLE fixed-error alternative to q_a29's exact selection
+    // (63·2⁶ buckets per group forever, integer-only math — no libm
+    // bucket knife-edges), gated on containment (the true quantile
+    // provably lies inside the estimate's bucket) and exact estimate
+    // replay --
+    "q_a31_hdr_quantiles" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      val est = graft.ext.Sketches.hdrQuantiles(
+        graft.ext.Sketches.hdrSketch(cents, "g", col("cents"), 6),
+        Seq(500, 950, 990), 6)
+      val ex = graft.ext.Profiling.exactQuantilesPerGroup(
+          cents, col("g"), col("cents"), Seq(500, 950, 990))
+        .select(col("grp"), col("q_permille"), col("value").as("exact"))
+      est.join(ex, Seq("grp", "q_permille"))
+        .select(col("grp"), col("q_permille"), col("n"), col("est"),
+          col("exact"),
+          (col("exact") >= col("low") && col("exact") < col("high"))
+            .as("contained"),
+          round(abs(col("est") - col("exact")) / col("exact"), 6)
+            .as("rel_err"))
+        .orderBy(col("grp"), col("q_permille"))
+    }),
+
+    // -- KMV set-operation estimates: intersection cardinality and
+    // Jaccard of two order-key sets from their bottom-256 sketches
+    // alone, with the exact intersection as the audit column — the
+    // "how much do these two corpus slices overlap?" question answered
+    // without ever joining the slices --
+    "q_a33_kmv_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ext.Sketches.kmvIntersect(
+        li.filter(col("l_quantity") > 25).select(col("l_orderkey")),
+        "l_orderkey",
+        li.filter(col("l_discount") > 0.05).select(col("l_orderkey")),
+        "l_orderkey", k = 256)
+    }),
+
     // -- longest dark-gap per user, summarized as exact p50/p90/max
     // order statistics — how long users actually disappear, which
     // calendar-bucket retention can't see --
@@ -4524,6 +4564,25 @@ object SparkEntry {
       graft.ext.TimeSeries.conformalInterval(Tables.events(s, d), "ts",
         alphaPct = 20)),
 
+    // -- Markov removal-effect attribution: the data-driven credit
+    // model beside q_t16's positional rules — per channel, the
+    // relative drop in START's first-passage probability into
+    // `purchase` when that channel becomes a dead end; 12 pinned
+    // value-iteration steps on the (removal × state) grid --
+    "q_t53_markov_attribution" -> ((s, d) =>
+      graft.ext.TimeSeries.markovRemovalEffect(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "purchase", iters = 12)
+        .orderBy(col("channel"))),
+
+    // -- iterative proportional fitting (raking): per-(lang, source)
+    // cell weights pulling BOTH marginals toward uniform at once —
+    // the two-constraint corpus balancing single-dimension quotas
+    // (q_o19/q_o27) can't express; 5 A-then-B rounds on the nano-unit
+    // integer weight ladder --
+    "q_o34_raking" -> ((s, d) =>
+      graft.ext.Sampling.rake(Tables.documents(s, d), "lang", "source",
+        iters = 5).orderBy(col("a"), col("b"))),
+
     // -- ordered multi-step funnel: view → click → purchase, each
     // step's first qualifying occurrence at-or-after the previous
     // step's time; per-step users + step and cumulative conversion --
@@ -4554,6 +4613,28 @@ object SparkEntry {
         .crossJoin(broadcast(tokJoin))
         .select(col("n_customers"), col("n_tokens"),
           col("n_join_raw"), col("n_join_tok"))
+    }),
+
+    // -- ε-differentially-private language counts: Laplace(1/ε) noise
+    // drawn by inverse CDF from the seeded kmvHash uniform — the
+    // release-side governance face beside q_s12's pseudonymization;
+    // reproducible (and oracle-replayable) because the draw is a pure
+    // function of (seed, cell) --
+    "q_s13_dp_counts" -> ((s, d) =>
+      graft.ext.Profiling.dpNoisyCounts(Tables.documents(s, d), "lang",
+        eps = 1.0).orderBy(col("grp"))),
+
+    // -- graph-layout audit: edge-cut fraction + endpoint balance of
+    // 16-way hash vs contiguous-range node placement on the
+    // supplier–part graph — the measured answer to "is id-range
+    // bucketing worth it before an iterative graph job?" (cut
+    // fraction × rounds is the superstep shuffle bill) --
+    "q_g49_partition_cut" -> ((s, d) => {
+      val e = hasKeywordSparse(s, d).select(
+        (col("src") * 2).cast("long").as("src"),
+        (col("dst") * 2 + 1).cast("long").as("dst"))
+      graft.query.GraphQueries.partitionCutAudit(e, k = 16)
+        .orderBy(col("scheme"))
     }),
 
     // -- Fellegi–Sunter record linkage: integer log-odds scoring
@@ -9505,6 +9586,157 @@ object SparkEntry {
                 min(CASE WHEN r.i * 1000 >= r.n * q.q_permille
                          THEN r.v END) AS value
          FROM r, q GROUP BY q.q_permille ORDER BY q_permille""",
+    "q_a31_hdr_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+           FROM lineitem),
+         bk AS (SELECT grp, v, CAST(length(to_base(v, 2)) AS INT) AS m,
+                greatest(CAST(length(to_base(v, 2)) AS INT) - 6, 0) AS sh
+              FROM v),
+         sk AS (SELECT grp, m, v >> sh AS sub, count(*) AS c
+              FROM bk GROUP BY 1, 2, 3),
+         cm AS (SELECT grp, m, sub, c,
+                sum(c) OVER (PARTITION BY grp ORDER BY m, sub) AS cum,
+                sum(c) OVER (PARTITION BY grp) AS n,
+                greatest(m - 6, 0) AS sh FROM sk),
+         b AS (SELECT grp, cum, n, sub << sh AS low,
+               (sub + 1) << sh AS high FROM cm),
+         q(q_permille) AS (VALUES (500), (950), (990)),
+         e AS (SELECT b.grp, q.q_permille, CAST(max(b.n) AS BIGINT) AS n,
+                min((b.low + b.high) >> 1) AS est, min(b.low) AS low,
+                min(b.high) AS high
+              FROM b, q WHERE b.cum * 1000 >= b.n * q.q_permille
+              GROUP BY 1, 2),
+         r AS (SELECT grp, v,
+                row_number() OVER (PARTITION BY grp ORDER BY v) AS i,
+                count(*) OVER (PARTITION BY grp) AS ng FROM v),
+         x AS (SELECT r.grp, q.q_permille,
+                min(CASE WHEN r.i * 1000 >= r.ng * q.q_permille
+                         THEN r.v END) AS exact
+              FROM r, q GROUP BY 1, 2)
+         SELECT e.grp, CAST(e.q_permille AS BIGINT) AS q_permille, e.n,
+                e.est, x.exact,
+                (x.exact >= e.low AND x.exact < e.high) AS contained,
+                round(abs(e.est - x.exact) / x.exact, 6) AS rel_err
+         FROM e JOIN x ON x.grp = e.grp AND x.q_permille = e.q_permille
+         ORDER BY e.grp, e.q_permille""",
+    "q_a33_kmv_intersect" ->
+      """WITH h1a AS (SELECT DISTINCT
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(CAST(l_orderkey AS VARCHAR), ''),
+                  ch -> CAST(ord(ch) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 2147483647)
+              * 48271 + 11) % 2147483647 AS h1
+           FROM lineitem WHERE l_quantity > 25),
+         h1b AS (SELECT DISTINCT
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(CAST(l_orderkey AS VARCHAR), ''),
+                  ch -> CAST(ord(ch) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 2147483647)
+              * 48271 + 11) % 2147483647 AS h1
+           FROM lineitem WHERE l_discount > 0.05),
+         ha AS (SELECT DISTINCT
+             ((h1 * h1) % 2147483647 * 48271 + 11) % 2147483647 AS h
+           FROM h1a),
+         hb AS (SELECT DISTINCT
+             ((h1 * h1) % 2147483647 * 48271 + 11) % 2147483647 AS h
+           FROM h1b),
+         ska AS (SELECT h FROM (SELECT h,
+               row_number() OVER (ORDER BY h) AS rn FROM ha)
+             WHERE rn <= 256),
+         skb AS (SELECT h FROM (SELECT h,
+               row_number() OVER (ORDER BY h) AS rn FROM hb)
+             WHERE rn <= 256),
+         sku AS (SELECT h FROM (SELECT h,
+               row_number() OVER (ORDER BY h) AS rn FROM
+               (SELECT DISTINCT h FROM (SELECT h FROM ska
+                                        UNION ALL SELECT h FROM skb)))
+             WHERE rn <= 256),
+         ea AS (SELECT count(*) AS n_sk, max(h) AS kth FROM ska),
+         eb AS (SELECT count(*) AS n_sk, max(h) AS kth FROM skb),
+         eu AS (SELECT count(*) AS n_sk, max(h) AS kth FROM sku),
+         mo AS (SELECT count(*) AS m FROM sku
+                JOIN ska USING (h) JOIN skb USING (h)),
+         ex AS (SELECT count(*) AS exact_inter FROM
+                (SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_quantity > 25) a
+                JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+                      WHERE l_discount > 0.05) b USING (l_orderkey)),
+         est AS (SELECT
+             CASE WHEN ea.n_sk < 256 THEN CAST(ea.n_sk AS DOUBLE)
+                  ELSE round(255 * CAST(2147483647 AS DOUBLE) / ea.kth, 4)
+             END AS est_a,
+             CASE WHEN eb.n_sk < 256 THEN CAST(eb.n_sk AS DOUBLE)
+                  ELSE round(255 * CAST(2147483647 AS DOUBLE) / eb.kth, 4)
+             END AS est_b,
+             CASE WHEN eu.n_sk < 256 THEN CAST(eu.n_sk AS DOUBLE)
+                  ELSE round(255 * CAST(2147483647 AS DOUBLE) / eu.kth, 4)
+             END AS est_union,
+             CAST(eu.n_sk AS BIGINT) AS k_used,
+             CAST(mo.m AS BIGINT) AS m_overlap,
+             CAST(ex.exact_inter AS BIGINT) AS exact_inter
+           FROM ea, eb, eu, mo, ex)
+         SELECT est_a, est_b, est_union, k_used, m_overlap,
+                round(CAST(m_overlap AS DOUBLE) / k_used * est_union, 4)
+                  AS est_inter,
+                round(CAST(m_overlap AS DOUBLE) / k_used, 4) AS est_jaccard,
+                exact_inter,
+                CASE WHEN exact_inter > 0 THEN
+                  round(abs(m_overlap / CAST(k_used AS DOUBLE) * est_union
+                    - exact_inter) / exact_inter, 4) END AS rel_err
+         FROM est""",
+    "q_o34_raking" ->
+      graft.ext.Sampling.rakeOracleSql("documents", "lang", "source",
+        iters = 5),
+    "q_t53_markov_attribution" ->
+      graft.ext.TimeSeries.markovRemovalOracleSql("purchase", iters = 12),
+    "q_s13_dp_counts" ->
+      """WITH cc AS (SELECT CAST(lang AS VARCHAR) AS grp, count(*) AS n
+           FROM documents GROUP BY 1),
+         h AS (SELECT grp, n,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split('dp1:' || grp, ''),
+                  ch -> CAST(ord(ch) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 2147483647)
+              * 48271 + 11) % 2147483647 AS hv
+           FROM cc),
+         z AS (SELECT grp, n,
+               (hv + 0.5) / 2147483647.0 - 0.5 AS z FROM h)
+         SELECT grp,
+                round(n + (-1.0) * sign(z) * ln(1.0 - 2.0 * abs(z)), 4)
+                  AS n_noisy,
+                CAST(1.0 AS DOUBLE) AS eps
+         FROM z ORDER BY grp""",
+    "q_g49_partition_cut" ->
+      """WITH hk AS (SELECT DISTINCT CAST(l_suppkey * 2 AS BIGINT) AS src,
+             CAST(l_partkey * 2 + 1 AS BIGINT) AS dst
+           FROM lineitem WHERE l_orderkey % 100 = 0),
+         sp AS (SELECT min(least(src, dst)) AS lo,
+                max(greatest(src, dst)) AS hi FROM hk),
+         t AS (SELECT 'hash' AS scheme, src % 16 AS ps, dst % 16 AS pd
+               FROM hk
+               UNION ALL
+               SELECT 'range' AS scheme,
+                 least(((src - lo) * 16) // (hi - lo + 1), 15) AS ps,
+                 least(((dst - lo) * 16) // (hi - lo + 1), 15) AS pd
+               FROM hk, sp),
+         cut AS (SELECT scheme, count(*) AS n_edges,
+                 sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut_edges
+               FROM t GROUP BY scheme),
+         ld AS (SELECT scheme, p, count(*) AS c FROM
+                (SELECT scheme, ps AS p FROM t
+                 UNION ALL SELECT scheme, pd AS p FROM t)
+               GROUP BY 1, 2),
+         mx AS (SELECT scheme, max(c) AS max_c, sum(c) AS tot_c
+               FROM ld GROUP BY scheme)
+         SELECT cut.scheme, CAST(16 AS BIGINT) AS k,
+                CAST(cut.n_edges AS BIGINT) AS n_edges,
+                CAST(cut.cut_edges AS BIGINT) AS cut_edges,
+                round(CAST(cut.cut_edges AS DOUBLE) / cut.n_edges, 6)
+                  AS cut_frac,
+                round(CAST(mx.max_c AS DOUBLE) / mx.tot_c, 6)
+                  AS max_load_share
+         FROM cut JOIN mx ON mx.scheme = cut.scheme ORDER BY cut.scheme""",
     "q_a27_mode" ->
       """WITH c AS (SELECT l_returnflag AS grp,
              CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n

@@ -1119,6 +1119,42 @@ object Profiling {
         col("value"))
   }
 
+  /** [[exactQuantiles]] per group WITHOUT per-group windows: a window
+    * partitioned by a low-cardinality group column still funnels each
+    * group — potentially corpus-sized — through one task. Instead the
+    * GLOBAL [[OrderedPrefix]] rank over the composite order
+    * (grp, value) is computed once (every partition stays
+    * range-balanced regardless of group skew), and each group's
+    * internal rank is recovered by subtracting the group's starting
+    * offset — a groups-sized aggregate, broadcast back. Selection is
+    * then the same tie-invariant ⌈n_g·q/1000⌉ rule per (group, q).
+    * Returns (grp, q_permille, n, value), integer-exact. */
+  def exactQuantilesPerGroup(df: DataFrame, grpCol: Column,
+      valueCol: Column, qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille points must be in [1,1000]: $qsPermille")
+    val qs = qsPermille.distinct.sorted
+    val idx = OrderedPrefix.withRowIndex(
+      df.select(grpCol.cast("string").as("grp"),
+        valueCol.cast("long").as("v")),
+      Seq(col("grp"), col("v")), "__i", "__n")
+    val offsets = idx.groupBy(col("grp"))
+      .agg(min(col("__i")).as("__start"), count(lit(1)).as("__ng"))
+    val ranked = idx.join(broadcast(offsets), Seq("grp"))
+      .select(col("grp"), col("v"),
+        (col("__i") - col("__start") + 1).as("__r"), col("__ng"))
+    val wide = ranked.groupBy(col("grp")).agg(
+      max(col("__ng")).as("n"),
+      qs.map(q => min(when(col("__r") * 1000 >= col("__ng") * q, col("v")))
+        .as(s"__q$q")): _*)
+    val stacked = qs.map(q => s"$q, __q$q").mkString(", ")
+    wide.select(col("grp"), col("n"),
+        expr(s"stack(${qs.size}, $stacked) AS (q_permille, value)"))
+      .select(col("grp"), col("q_permille").cast("long").as("q_permille"),
+        col("n"), col("value"))
+  }
+
   /** Exact higher moments per group — skewness and excess kurtosis
     * from the four integer power sums (x² through x⁴ in
     * DECIMAL(38,0); Spark's built-in skewness/kurtosis stream floats
@@ -1432,5 +1468,35 @@ object Profiling {
     per.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"), col("n_pos"), col("mean_conf"),
         col("acc"), col("gap"), col("ece"))
+  }
+
+  /** ε-differentially-private category counts via the Laplace
+    * mechanism (Dwork et al. '06): each cell count is released as
+    * n + Lap(Δ/ε) with sensitivity Δ = 1 (one row changes one cell by
+    * one) — the governance face next to [[graft.ext.TextAnalysis]]'s
+    * pseudonymization: pseudonyms protect identities INSIDE the data,
+    * noisy counts protect them in released AGGREGATES. The noise is
+    * drawn by inverse-CDF from a SEEDED uniform — the
+    * [[Sketches.kmvHash]] of `seed:cell` mapped to u ∈ (0,1) via
+    * (h + 0.5)/2³¹−1 — so a release is reproducible, an oracle
+    * replays it bit-for-bit, and re-running a report does NOT spend
+    * privacy budget again (same seed → same draw; a FRESH release
+    * needs a fresh seed and pays another ε). Same-seed determinism is
+    * a feature for replay but means the ε guarantee holds per seed:
+    * publishing two different-seed releases of the same cells costs
+    * 2ε (standard sequential composition — the caller's ledger).
+    * One data-sized hash aggregation; the noise math is a pure Column
+    * over the cell table. Returns (grp, n_noisy, eps). */
+  def dpNoisyCounts(df: DataFrame, dimCol: String, eps: Double,
+      seed: String = "dp1"): DataFrame = {
+    require(eps > 0, s"eps must be positive: $eps")
+    val cells = df.groupBy(col(dimCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"))
+    val u = (Sketches.kmvHash(concat(lit(seed + ":"), col("grp"))) +
+      lit(0.5)) / lit(2147483647.0)
+    val z = u - lit(0.5)
+    val noise = lit(-1.0 / eps) * signum(z) * log(lit(1.0) - lit(2.0) * abs(z))
+    cells.select(col("grp"), round(col("n") + noise, 4).as("n_noisy"),
+      lit(eps).as("eps"))
   }
 }

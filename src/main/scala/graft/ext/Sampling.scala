@@ -770,6 +770,90 @@ object Sampling {
           .as("moved_frac"))
   }
 
+  /** Iterative proportional fitting ("raking", Deming & Stephan '40)
+    * over two categorical dimensions: per-cell weights that pull BOTH
+    * marginals toward uniform targets — the survey-statistics move a
+    * corpus build uses to balance languages AND sources
+    * simultaneously when per-cell quotas ([[Sampling.apportion]]-
+    * style) can't hit two marginals at once. Each iteration scales
+    * every cell weight by (target_A / current_A-marginal), then the
+    * same for B; the fixpoint matches both marginals exactly when one
+    * exists (classical IPF convergence).
+    *
+    * Scale shape: ONE data-sized aggregation (the (a, b) cell
+    * counts); every iteration then runs on the cell table — bounded
+    * by |A|·|B|, never the data — with broadcast marginal joins.
+    * Determinism: weights live on the integer ladder as nano-unit
+    * BIGINTs (w9 = w·10⁹), so marginal sums are exact integer sums
+    * (order-independent, ≈10¹⁸ headroom at the tested scales — swap
+    * to DECIMAL(38,0) beyond ~10² cells × 10⁷ rows/cell), and each
+    * update is ONE fixed double chain — w9/1e9 · (N/k) / (s9/1e9) ·
+    * 1e9, rounded half-up to the next integer weight — mirrored
+    * token-for-token in [[rakeOracleSql]]. Returns one row per cell:
+    * (a, b, n, w, wn) with w the 9-dp weight and wn = round(n·w, 4)
+    * the reweighted mass. */
+  def rake(df: DataFrame, dimA: String, dimB: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8]: $iters")
+    val cells = df.groupBy(col(dimA).cast("string").as("a"),
+        col(dimB).cast("string").as("b"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val tot = cells.agg(sum(col("n")).as("Ntot"),
+      count_distinct(col("a")).as("ka"),
+      count_distinct(col("b")).as("kb"))
+    var w = cells.crossJoin(broadcast(tot))
+      .withColumn("w9", lit(1000000000L))
+    def step(dim: String, kCol: String): Unit = {
+      val s9 = s"s9_$dim"
+      val marg = w.groupBy(col(dim)).agg(sum(col("n") * col("w9")).as(s9))
+      w = w.join(broadcast(marg), Seq(dim))
+        .withColumn("w9",
+          round(col("w9") / lit(1e9) * (col("Ntot") / col(kCol)) /
+            (col(s9) / lit(1e9)) * lit(1e9), 0).cast("long"))
+        .drop(s9)
+    }
+    for (_ <- 1 to iters) {
+      step("a", "ka")
+      step("b", "kb")
+      w = w.localCheckpoint(true)
+    }
+    w.select(col("a"), col("b"), col("n"),
+      round(col("w9") / lit(1e9), 9).as("w"),
+      round((col("n") * col("w9")) / lit(1e9), 4).as("wn"))
+  }
+
+  /** DuckDB replay of [[rake]]: the same cell counts, the same
+    * nano-unit integer weights, the same per-iteration A-then-B
+    * double chain, unrolled into one CTE per half-step. */
+  def rakeOracleSql(table: String, dimA: String, dimB: String,
+      iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH c0 AS (SELECT CAST($dimA AS VARCHAR) AS a,
+             CAST($dimB AS VARCHAR) AS b, count(*) AS n
+           FROM $table GROUP BY 1, 2),
+         t AS (SELECT sum(n) AS N, count(DISTINCT a) AS ka,
+                      count(DISTINCT b) AS kb FROM c0),
+         w0 AS (SELECT a, b, n, CAST(1000000000 AS BIGINT) AS w9 FROM c0)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         ma$i AS (SELECT a, sum(n * w9) AS s9 FROM w${i - 1} GROUP BY a),
+         wa$i AS (SELECT w.a, w.b, w.n,
+             CAST(round(w.w9 / 1e9 * (t.N / t.ka) / (m.s9 / 1e9) * 1e9, 0)
+               AS BIGINT) AS w9
+           FROM w${i - 1} w, t, ma$i m WHERE m.a = w.a),
+         mb$i AS (SELECT b, sum(n * w9) AS s9 FROM wa$i GROUP BY b),
+         w$i AS (SELECT w.a, w.b, w.n,
+             CAST(round(w.w9 / 1e9 * (t.N / t.kb) / (m.s9 / 1e9) * 1e9, 0)
+               AS BIGINT) AS w9
+           FROM wa$i w, t, mb$i m WHERE m.b = w.b)""")
+    }
+    sb.append(s"""
+         SELECT a, b, n, round(w9 / 1e9, 9) AS w,
+                round((n * w9) / 1e9, 4) AS wn
+         FROM w$iters ORDER BY a, b""")
+    sb.toString
+  }
+
   /** DuckDB replay of the [[rendezvousShard]] packed-argmax for one
     * id expression: same char-poly fold, same double squaring mod p,
     * same w·16+s packing. */

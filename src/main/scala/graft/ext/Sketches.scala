@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequency sketches, expressed relationally.
@@ -76,6 +76,23 @@ object Sketches {
   def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.functions.TextStats.fingerprint(key.cast("string")) *
       lit(48271L) + lit(11L), lit(2147483647L))
+
+  /** [[kmvHash]] + one square-then-affine scramble:
+    * h₂ = ((h₁² mod M)·48271 + 11) mod M. The affine-only finalizer is
+    * enough for kth-minimum ESTIMATES (only the coarse magnitude of
+    * the kth value matters) but NOT for sketch-overlap estimators:
+    * affine maps send consecutive integer keys to a lattice, and two
+    * contiguous key ranges can land their entire bottom-k sets in
+    * DISJOINT hash intervals (measured: keys 1–1000 vs 501–1500 under
+    * [[kmvHash]] share ZERO bottom-256 hashes despite 500 common
+    * keys). Squaring mod a prime breaks the linearity; the 2:1
+    * quadratic-residue fold is the standard negligible-collision
+    * trade. Still one integer chain — DuckDB replays it. */
+  def kmvHashStrong(key: Column): Column = {
+    val h1 = kmvHash(key)
+    pmod(pmod(h1 * h1, lit(2147483647L)) * lit(48271L) + lit(11L),
+      lit(2147483647L))
+  }
 
   def kmvSketch(df: DataFrame, grpCol: String, keyCol: String,
       k: Int): DataFrame = {
@@ -167,4 +184,126 @@ object Sketches {
       .agg(bit_or(col("__mask")).as("__bm"))
       .groupBy(col("grp"))
       .agg(sum(bit_count(col("__bm")).cast("long")).as("n_distinct"))
+
+  /** HDR-style log-linear quantile sketch (Tene's HdrHistogram /
+    * DDSketch family): bucket positive integer values by (bit-length,
+    * top `subBits` mantissa bits) — a MERGEABLE fixed-error quantile
+    * structure whose every step is INTEGER arithmetic, so unlike
+    * DDSketch's `ceil(ln x / ln γ)` (one libm call from a knife-edge
+    * bucket flip between engines) the sketch AND its quantiles replay
+    * bit-for-bit in any engine:
+    *   m     = bit_length(v)            (length of the base-2 digits)
+    *   shift = max(m − subBits, 0)
+    *   sub   = v >> shift               (bucket id within the decade)
+    *   [low, high) = [sub << shift, (sub+1) << shift)
+    * Values with m ≤ subBits get singleton buckets (exact); wider
+    * values land in buckets of relative width 1/sub ≤ 2^(1−subBits)
+    * (sub ≥ 2^(subBits−1) once m > subBits) — the DDSketch guarantee
+    * with γ = 1 + 2^(1−subBits). Bucket count per group is bounded by
+    * 63·2^subBits regardless of data size; `(grp, m, sub)` counts are
+    * one map-side-combined hash aggregation, and two sketches merge
+    * by adding counts. Requires v ≥ 1. Returns (grp, m, sub, c). */
+  def hdrSketch(df: DataFrame, grpCol: String, valueCol: Column,
+      subBits: Int = 6): DataFrame = {
+    require(subBits >= 1 && subBits <= 20, s"subBits in [1,20]: $subBits")
+    df.select(col(grpCol).as("grp"), valueCol.cast("long").as("__v"))
+      .withColumn("__m", length(conv(col("__v"), 10, 2)).cast("int"))
+      .withColumn("__sh", greatest(col("__m") - lit(subBits), lit(0)))
+      .select(col("grp"), col("__m").as("m"),
+        expr("shiftright(__v, __sh)").as("sub"))
+      .groupBy(col("grp"), col("m"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-mille quantile estimates from a [[hdrSketch]]: cumulative
+    * counts over the bucket axis (ascending (m, sub) IS value order
+    * for v ≥ 1), then for each q the FIRST bucket whose cumulative
+    * count reaches ⌈n·q/1000⌉ — the same type-1 selection rule as
+    * [[Profiling.exactQuantiles]], applied to buckets. The window is
+    * partitioned by group over ≤ 63·2^subBits bucket rows (bounded by
+    * the sketch geometry, never the data — the legal window shape).
+    * Estimate = bucket midpoint (low+high) >> 1, still integer-exact;
+    * the true quantile provably lies in [low, high). Returns
+    * (grp, q_permille, n, est, low, high). */
+  def hdrQuantiles(sketch: DataFrame, qsPermille: Seq[Int],
+      subBits: Int = 6): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"per-mille points must be in [1,1000]: $qsPermille")
+    import org.apache.spark.sql.expressions.Window
+    val cum = sketch
+      .withColumn("__cum", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("m"), col("sub"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .withColumn("__sh",
+        greatest(col("m") - lit(subBits), lit(0)))
+      .withColumn("__low", expr("shiftleft(sub, __sh)"))
+      .withColumn("__high", expr("shiftleft(sub + 1, __sh)"))
+    val qdf = cum.sparkSession.createDataFrame(
+      qsPermille.distinct.sorted.map(q => Tuple1(q.toLong)))
+      .toDF("q_permille")
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("__cum") * 1000 >= col("__n") * col("q_permille"))
+      .groupBy(col("grp"), col("q_permille"))
+      .agg(max(col("__n")).as("n"),
+        min(expr("shiftright(__low + __high, 1)")).as("est"),
+        min(col("__low")).as("low"),
+        min(col("__high")).as("high"))
+  }
+
+  /** KMV set-operation estimates — intersection and Jaccard of two
+    * key sets from their bottom-k sketches alone (Beyer et al.
+    * SIGMOD'07 §4; the sketch-union trick in [[kmvMerge]] gives the
+    * union estimate, and the fraction ρ of the union sketch's hashes
+    * present in BOTH input sketches is an unbiased estimate of
+    * J = |A∩B| / |A∪B|, so |A∩B| ≈ ρ · est(|A∪B|)). When the merged
+    * sketch is not full every distinct hash is retained and the
+    * "estimates" are exact — one formula covers both regimes because
+    * [[kmvEstimate]] already switches on sketch fullness and ρ's
+    * denominator is the retained-hash count. Everything downstream of
+    * the two bottom-k scans touches ≤ 3k rows (broadcast-sized); the
+    * exact intersection for the audit column is one distinct
+    * semi-join. Deterministic via [[kmvHash]], so an oracle replays
+    * every number. Returns one row: (est_a, est_b, est_union,
+    * k_used, m_overlap, est_inter, est_jaccard, exact_inter,
+    * rel_err). */
+  def kmvIntersect(dfA: DataFrame, keyA: String, dfB: DataFrame,
+      keyB: String, k: Int): DataFrame = {
+    // sketches hash with [[kmvHashStrong]] — the overlap estimator
+    // needs the lattice-free finalizer (see its scaladoc)
+    val a = dfA.select(lit("A").as("grp"), kmvHashStrong(col(keyA)).as("h"))
+    val b = dfB.select(lit("B").as("grp"), kmvHashStrong(col(keyB)).as("h"))
+    val sk = graft.plans.TopK.topKPerKey(
+        a.unionByName(b).distinct(), Seq(col("grp")), Seq(col("h").asc), k)
+      .localCheckpoint(true)
+    val merged = kmvMerge(sk, k).localCheckpoint(true)
+    val estAB = kmvEstimate(sk, k)
+    val estU = kmvEstimate(merged, k)
+    val inBoth = merged.select(col("h"))
+      .join(sk.filter(col("grp") === "A").select(col("h")), Seq("h"))
+      .join(sk.filter(col("grp") === "B").select(col("h")), Seq("h"))
+      .agg(count(lit(1)).as("m_overlap"))
+    val kUsed = merged.agg(count(lit(1)).as("k_used"))
+    val exact = dfA.select(col(keyA).as("__k")).distinct()
+      .join(dfB.select(col(keyB).as("__k")).distinct(), Seq("__k"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val estA = estAB.filter(col("grp") === "A").select(col("est").as("est_a"))
+    val estB = estAB.filter(col("grp") === "B").select(col("est").as("est_b"))
+    estA.crossJoin(broadcast(estB))
+      .crossJoin(broadcast(estU.select(col("est").as("est_union"))))
+      .crossJoin(broadcast(kUsed)).crossJoin(broadcast(inBoth))
+      .crossJoin(broadcast(exact))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("k_used"),
+        col("m_overlap"),
+        round(col("m_overlap").cast("double") / col("k_used") *
+          col("est_union"), 4).as("est_inter"),
+        round(col("m_overlap").cast("double") / col("k_used"), 4)
+          .as("est_jaccard"),
+        col("exact_inter"),
+        when(col("exact_inter") > 0,
+          round(abs(col("m_overlap") / col("k_used").cast("double") *
+            col("est_union") - col("exact_inter")) /
+            col("exact_inter"), 4)).as("rel_err"))
+  }
 }

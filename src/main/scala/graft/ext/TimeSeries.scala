@@ -1261,6 +1261,145 @@ object TimeSeries {
     sb.toString
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016's
+    * data-driven alternative to [[touchAttribution]]'s positional
+    * rules): how much of the conversion probability does each channel
+    * actually CARRY? The journey chain gets two virtual states — a
+    * per-user `__START` before the first event and an `__END` after
+    * the last — and the conversion value of a state is its
+    * first-passage probability into `convState` (value iteration,
+    * `iters` steps: conv pinned to 1, END to 0, the rest fold one
+    * transition). A channel's removal effect is the relative drop in
+    * START's conversion value when every visit to that channel is
+    * made a dead end (its value pinned to 0 — equivalent to routing
+    * its inbound edges to END).
+    *
+    * Scale shape: ONE data-sized pass (the per-user lead window +
+    * first-event rows, both partitioned by user) builds the
+    * transition counts; everything after lives on the (removal ×
+    * state) grid — |types|² rows, iterated `iters` times with tiny
+    * broadcast joins. Determinism: probabilities are 9-dp-rounded
+    * count ratios; each iteration's products round 12 dp into
+    * DECIMAL(38,18) (order-free sums) and the new values round 9 dp —
+    * the [[markovStationary]] ladder — so [[markovRemovalOracleSql]]
+    * replays bit-for-bit. Truncation at `iters` steps is part of the
+    * operator contract (journeys longer than `iters` transitions
+    * contribute only their prefix), mirrored in the oracle. Returns
+    * one row per removable channel: (channel, base_p, removed_p,
+    * removal_effect = (base−removed)/base, 6 dp). */
+  def markovRemovalEffect(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, convState: String,
+      iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val seq0 = events.select(col(typeCol).as("f"),
+      coalesce(lead(col(typeCol), 1).over(w), lit("__END")).as("t"),
+      row_number().over(w).as("__rn"))
+    val trans = seq0.select(col("f"), col("t"))
+      .unionByName(seq0.filter(col("__rn") === 1)
+        .select(lit("__START").as("f"), col("f").as("t")))
+    val p = trans.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy(col("f"))))
+      .select(col("f"), col("t"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 9)
+          .as("p"))
+      .localCheckpoint(true)
+    val states = p.select(col("f").as("state"))
+      .unionByName(p.select(col("t").as("state"))).distinct()
+      .localCheckpoint(true)
+    val channels = states
+      .filter(!col("state").isin("__START", "__END", convState))
+      .select(col("state").as("removal"))
+    val removals = channels.unionByName(
+      channels.sparkSession.range(1).select(lit("__NONE").as("removal")))
+      .localCheckpoint(true)
+    def pin(vc: Column): Column =
+      when(col("state") === convState, lit(1.0))
+        .when(col("state") === col("removal") ||
+          col("state") === "__END", lit(0.0))
+        .otherwise(vc)
+    val grid = removals.crossJoin(states).localCheckpoint(true)
+    var v = grid.select(col("removal"), col("state"),
+      pin(lit(0.0)).as("v")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val c = v.join(p, v("state") === p("t"))
+        .select(col("removal"), p("f").as("state"),
+          round(col("v") * col("p"), 12).cast("decimal(38,18)").as("s"))
+        .groupBy(col("removal"), col("state")).agg(sum(col("s")).as("s"))
+      v = grid.join(c, Seq("removal", "state"), "left")
+        .select(col("removal"), col("state"),
+          pin(round(coalesce(col("s").cast("double"), lit(0.0)), 9)).as("v"))
+        .localCheckpoint(true)
+    }
+    val starts = v.filter(col("state") === "__START")
+    val base = starts.filter(col("removal") === "__NONE")
+      .select(col("v").as("base_p"))
+    starts.filter(col("removal") =!= "__NONE")
+      .crossJoin(broadcast(base))
+      .select(col("removal").as("channel"), col("base_p"),
+        col("v").as("removed_p"),
+        when(col("base_p") > 0,
+          round((col("base_p") - col("v")) / col("base_p"), 6))
+          .as("removal_effect"))
+  }
+
+  /** Unrolled DuckDB oracle for [[markovRemovalEffect]]: the same
+    * START/END-augmented transition table, the same (removal × state)
+    * grid, one MATERIALIZED CTE pair per value-iteration step with
+    * the same pin/round ladder. */
+  def markovRemovalOracleSql(convState: String, iters: Int): String = {
+    val pinSql = (expr: String) =>
+      s"""CASE WHEN g.state = '$convState' THEN 1.0
+              WHEN g.state = g.removal OR g.state = '__END' THEN 0.0
+              ELSE $expr END"""
+    val sb = new StringBuilder(
+      s"""WITH x AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us FROM events),
+         sq AS (SELECT event_type AS f,
+             coalesce(lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY us, event_id), '__END') AS t,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY us, event_id) AS rn
+           FROM x),
+         tr AS (SELECT f, t FROM sq
+                UNION ALL SELECT '__START' AS f, f AS t FROM sq WHERE rn = 1),
+         cnt AS (SELECT f, t, count(*) AS n FROM tr GROUP BY f, t),
+         tot AS (SELECT f, sum(n) AS tot FROM cnt GROUP BY f),
+         p AS MATERIALIZED (SELECT cnt.f, cnt.t,
+             round(CAST(cnt.n AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9)
+               AS p
+           FROM cnt JOIN tot ON tot.f = cnt.f),
+         st AS MATERIALIZED (SELECT DISTINCT state FROM
+           (SELECT f AS state FROM p UNION ALL SELECT t AS state FROM p)),
+         rm AS MATERIALIZED (SELECT state AS removal FROM st
+             WHERE state NOT IN ('__START', '__END', '$convState')
+           UNION ALL SELECT '__NONE' AS removal),
+         g AS MATERIALIZED (SELECT rm.removal, st.state FROM rm, st),
+         v0 AS (SELECT g.removal, g.state,
+             ${pinSql("0.0")} AS v FROM g)""")
+    for (i <- 1 to iters)
+      sb.append(s""",
+         c$i AS MATERIALIZED (SELECT v.removal, p.f AS state,
+             sum(CAST(round(v.v * p.p, 12) AS DECIMAL(38,18))) AS s
+           FROM v${i - 1} v JOIN p ON p.t = v.state
+           GROUP BY v.removal, p.f),
+         v$i AS MATERIALIZED (SELECT g.removal, g.state,
+             ${pinSql(s"round(coalesce(CAST(c$i.s AS DOUBLE), 0), 9)")} AS v
+           FROM g LEFT JOIN c$i
+             ON c$i.removal = g.removal AND c$i.state = g.state)""")
+    sb.append(s"""
+         SELECT v.removal AS channel, b.v AS base_p, v.v AS removed_p,
+                CASE WHEN b.v > 0 THEN round((b.v - v.v) / b.v, 6) END
+                  AS removal_effect
+         FROM v$iters v,
+              (SELECT v FROM v$iters
+               WHERE removal = '__NONE' AND state = '__START') b
+         WHERE v.state = '__START' AND v.removal <> '__NONE'
+         ORDER BY channel""")
+    sb.toString
+  }
+
   /** Calendar coverage gaps — runs of days with ZERO events between
     * the observed min and max date (gaps-and-islands over the missing
     * set: island key = missing day minus its rank, pure date/integer

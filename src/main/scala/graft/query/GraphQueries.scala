@@ -1954,4 +1954,52 @@ object GraphQueries {
             (col("n_nodes").cast("double") * (col("n_nodes") - 1).cast("double")),
             6)))
   }
+
+  /** Graph-layout audit: what fraction of edges would CROSS executor
+    * boundaries under k-way hash partitioning vs. contiguous range
+    * partitioning of the node ids? Every distributed graph operator
+    * in this repo (GraphX supersteps, the star-CC rounds, Pregel
+    * SSSP) pays one network hop per cut edge per round — so cut
+    * fraction × rounds IS the shuffle bill, and choosing a layout
+    * before a 100-iteration PageRank is a measured decision, not a
+    * guess. Hash assigns node → pmod(id, k) (the default shuffle
+    * placement); range splits the observed id span into k equal
+    * strips (what `repartitionByRange` + Z-order bucketing would
+    * give — wins exactly when edge locality correlates with id
+    * locality, e.g. crawl-order or community-renumbered ids).
+    * Per scheme: cut fraction and the max partition's share of edge
+    * endpoints (balance — a 0-cut layout that parks 90% of endpoints
+    * on one executor still stalls). Two bounded aggregations over the
+    * edge list; the id-span row broadcasts. Integer arithmetic
+    * throughout → oracle replays exactly. Returns
+    * (scheme, k, n_edges, cut_edges, cut_frac, max_load_share). */
+  def partitionCutAudit(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val span = e.agg(min(least(col("src"), col("dst"))).as("lo"),
+      max(greatest(col("src"), col("dst"))).as("hi"))
+    val tagged = e.crossJoin(broadcast(span))
+    // SQL-string partition functions so the range strip uses `div`
+    // (integer division — long `/` would round-trip through double)
+    def audit(scheme: String, part: String => String) = {
+      val t = tagged.selectExpr(s"${part("src")} AS ps",
+        s"${part("dst")} AS pd")
+      val cut = t.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("ps") =!= col("pd"), 1L).otherwise(0L)).as("cut_edges"))
+      val load = t.select(explode(array(col("ps"), col("pd"))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_c"), sum(col("c")).as("tot_c"))
+      cut.crossJoin(broadcast(load))
+        .select(lit(scheme).as("scheme"), lit(k.toLong).as("k"),
+          col("n_edges"), col("cut_edges"),
+          round(col("cut_edges").cast("double") /
+            col("n_edges").cast("double"), 6).as("cut_frac"),
+          round(col("max_c").cast("double") /
+            col("tot_c").cast("double"), 6).as("max_load_share"))
+    }
+    audit("hash", c => s"pmod($c, ${k}L)")
+      .unionByName(audit("range", c =>
+        s"least((($c - lo) * ${k}L) div (hi - lo + 1), ${k - 1}L)"))
+  }
 }
