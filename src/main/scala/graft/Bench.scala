@@ -110,16 +110,13 @@ object Bench {
     // gets one automatic re-run, and min takes the better of the two —
     // this host's multi-second contention windows have eaten diagnostic
     // effort in four rounds (`first` still records the raw cold pass).
-    // Iteration-heavy queries (GraphX supersteps, DataFrame fixpoints,
-    // multi-second chains) absorb 1.5-2.5x contention that slips under
-    // 3x — they made three GraphX queries look regressed in r6 when
-    // isolated runs showed flat timings — so anything with a stored
-    // min >= 2 s or a q_gx_ prefix triggers at 2x instead.
+    // r8 showed sub-2s queries drifting 1.9-2.7x on untouched code
+    // (host contention) and slipping under the old 3x small-query
+    // trigger, so EVERY query now re-runs at 2x its stored min.
     // Only when this run's sf matches the stored map's: cross-sf time
     // ratios are real scaling, not contention (found via the sf1 run).
     val sameSf = priorSf.forall(_ == sfDir)
-    def rerunFactor(n: String, pm: Double): Double =
-      if (pm >= 2.0 || n.startsWith("q_gx_")) 2.0 else 3.0
+    def rerunFactor(n: String, pm: Double): Double = 2.0
     val suspects = if (!sameSf) Seq.empty else selected.filter { case (n, _) =>
       priorQueries.get(n).exists { case (_, pm) =>
         pm > 0 && minMap(n) > rerunFactor(n, pm) * pm } }
@@ -144,10 +141,19 @@ object Bench {
     // a partial run at a DIFFERENT sf than the stored full map must not
     // mix into it — those numbers aren't comparable; side-file it
     val sfMismatch = partial && priorSf.exists(_ != sfDir)
+    // same-sf merge keeps the BETTER of {this run's min, stored min}:
+    // a contended full run must never erase a previously-measured
+    // floor (r8 clobbered q_a5's 0.77s floor with a 2.06s contended
+    // pass). `first` always records THIS run's raw cold pass. Cache
+    // build lines are accounting, not measurements — they overwrite.
     val merged: Seq[(String, (Double, Double))] =
       if (sfMismatch) minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n)))
       else (priorQueries -- minMap.keys).toSeq ++
-        minMap.keys.map(n => n -> (firstMap(n), minMap(n)))
+        minMap.keys.map { n =>
+          val floor = if (sameSf && !n.startsWith("cache:"))
+            priorQueries.get(n).map(_._2).filter(_ > 0) else None
+          n -> (firstMap(n), floor.fold(minMap(n))(p => math.min(minMap(n), p)))
+        }
     val fullJson = merged.sortBy(_._1).map { case (k, (f, m)) =>
       s"""\"$k\":{\"first\":$f,\"min\":$m}""" }.mkString("{", ",", "}")
     val fullLine =

@@ -3038,21 +3038,24 @@ object SparkEntry {
         .limit(100)
     }),
 
-    // -- equi-depth (decile) binning: exact percentile cutoffs,
-    // rounded onto the price's 2-decimal grid (q_a9 precedent: that's
-    // where Spark percentile and DuckDB quantile_cont provably agree)
-    // then broadcast as a literal array — rows classify map-side by
-    // counting cutoffs below (no second shuffle, IVF-centroid
-    // pattern for driver-held small state) --
+    // -- equi-depth (decile) binning: exact TYPE-1 decile cutoffs on
+    // integer cents via Profiling.exactQuantiles (OrderedPrefix
+    // two-level rank — Spark's built-in percentile() buffers an
+    // in-memory value map per group, data-sized at 100 TB), collected
+    // into ONE 9-element array row and broadcast — rows then classify
+    // map-side by counting cutoffs strictly below (no second shuffle,
+    // IVF-centroid pattern for bounded small state) --
     "q_a18_equidepth" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val cuts = li.agg(expr(
-          "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("c")).head().getSeq[Double](0)
-        .map(c => BigDecimal(c).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      val arr = array(cuts.map(lit): _*)
-      li.select(col("l_extendedprice").as("p"),
-          size(filter(arr, c => col("l_extendedprice") > c)).cast("long").as("decile"))
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+        col("l_extendedprice").as("p"))
+      val cuts = graft.ext.Profiling.exactQuantiles(
+          li.select(col("c").as("v")), col("v"),
+          Seq(100, 200, 300, 400, 500, 600, 700, 800, 900))
+        .agg(sort_array(collect_list(col("value"))).as("cuts"))
+      li.crossJoin(broadcast(cuts))
+        .select(col("p"),
+          size(filter(col("cuts"), x => col("c") > x)).cast("long").as("decile"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           round(min(col("p")), 2).as("lo"), round(max(col("p")), 2).as("hi"))
@@ -7994,15 +7997,20 @@ object SparkEntry {
          FROM hk a JOIN hk b ON a.src = b.src AND a.dst < b.dst
          GROUP BY 1, 2 ORDER BY weight DESC, kw1, kw2 LIMIT 100""",
     "q_a18_equidepth" ->
-      """WITH c AS (SELECT list_transform(
-                quantile_cont(l_extendedprice,
-                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-                x -> round(x, 2)) AS cuts
-           FROM lineitem),
-         b AS (SELECT CAST(len(list_filter(c.cuts,
-                  x -> l.l_extendedprice > x)) AS BIGINT) AS decile,
-                l.l_extendedprice AS p
-           FROM lineitem l CROSS JOIN c)
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+                    l_extendedprice AS p FROM lineitem),
+         r AS (SELECT c AS val, row_number() OVER (ORDER BY c) AS i,
+                      count(*) OVER () AS n FROM v),
+         q(qp) AS (VALUES (100), (200), (300), (400), (500), (600),
+                          (700), (800), (900)),
+         cl AS (SELECT list(cut ORDER BY cut) AS cuts FROM
+                 (SELECT min(CASE WHEN r.i * 1000 >= r.n * q.qp
+                             THEN r.val END) AS cut
+                  FROM r, q GROUP BY q.qp)),
+         b AS (SELECT CAST(len(list_filter(cl.cuts,
+                  x -> v.c > x)) AS BIGINT) AS decile,
+                v.p AS p
+           FROM v CROSS JOIN cl)
          SELECT decile, count(*) AS n, round(min(p), 2) AS lo,
                 round(max(p), 2) AS hi
          FROM b GROUP BY decile ORDER BY decile""",

@@ -54,19 +54,41 @@ object OrderedPrefix {
   /** Adds `cumCol` = inclusive prefix sum of `value` over the global
     * `order`. All other input columns pass through. */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
-      cumCol: String, nParts: Int = 0): DataFrame = {
-    val st = stamped(df.withColumn("__op_v", value), order, nParts)
-    val local = st.withColumn("__op_loc",
-      sum(col("__op_v")).over(Window.partitionBy(col(PID)).orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = st.groupBy(col(PID)).agg(sum(col("__op_v")).as("__op_tot"))
-      .withColumn("__op_off",
-        coalesce(sum(col("__op_tot")).over(Window.orderBy(col(PID))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(PID), col("__op_off"))
-    local.join(broadcast(offsets), Seq(PID))
-      .withColumn(cumCol, col("__op_loc") + col("__op_off"))
-      .drop(PID, "__op_v", "__op_loc", "__op_off")
+      cumCol: String, nParts: Int = 0): DataFrame =
+    withPrefixSums(df, order, Seq(value -> cumCol), nParts)
+
+  /** One inclusive prefix sum PER (value, cumCol) pair over the same
+    * global `order` — a whole family of cumulative counts (e.g. the
+    * two-sample CDFs a KS test compares) pays ONE range shuffle and
+    * ONE checkpoint instead of one per column. All other input
+    * columns pass through. */
+  def withPrefixSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)], nParts: Int = 0): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, cumCol) pair")
+    val vn = values.indices.map(i => s"__op_v$i")
+    val withVals = values.zip(vn).foldLeft(df) {
+      case (d, ((v, _), n)) => d.withColumn(n, v) }
+    val st = stamped(withVals, order, nParts)
+    val wLoc = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vn.zipWithIndex.foldLeft(st) { case (d, (n, i)) =>
+      d.withColumn(s"__op_loc$i", sum(col(n)).over(wLoc)) }
+    val wOff = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = st.groupBy(col(PID))
+      .agg(sum(col(vn.head)).as("__op_tot0"),
+        vn.tail.zipWithIndex.map { case (n, i) =>
+          sum(col(n)).as(s"__op_tot${i + 1}") }: _*)
+      .select(col(PID) +: values.indices.map(i =>
+        coalesce(sum(col(s"__op_tot$i")).over(wOff), lit(0L))
+          .as(s"__op_off$i")): _*)
+    val joined = local.join(broadcast(offsets), Seq(PID))
+    val withCums = values.zipWithIndex.foldLeft(joined) {
+      case (d, ((_, cumCol), i)) =>
+        d.withColumn(cumCol, col(s"__op_loc$i") + col(s"__op_off$i")) }
+    val temps = PID +: values.indices.flatMap(i =>
+      Seq(s"__op_v$i", s"__op_loc$i", s"__op_off$i"))
+    withCums.drop(temps: _*)
   }
 
   /** Adds `idxCol` = global 1-based row index over `order` and `nCol`

@@ -250,11 +250,12 @@ object Profiling {
     * cross-multiplied integer counts (|c₁·n₂ − c₂·n₁|, DECIMAL(38,0)
     * so 10¹³-row samples cannot overflow), so the max is found on
     * exact integers and only the final D divides — both engines agree
-    * bit-for-bit. One hash aggregate to per-value counts, one ordered
-    * window over DISTINCT values (the a18/equidepth sort class), one
-    * scalar combine. */
+    * bit-for-bit. One hash aggregate to per-value counts, then BOTH
+    * cumulative CDFs ride one [[OrderedPrefix.withPrefixSums]] pass —
+    * distinct values of a continuous column are data-sized at corpus
+    * scale, so the cumulative counts must never funnel through a
+    * single unpartitioned window task — and one scalar combine. */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pv = a.select(col(valueCol).cast("double").as("v"))
       .withColumn("g", lit(1))
       .unionByName(b.select(col(valueCol).cast("double").as("v"))
@@ -263,11 +264,12 @@ object Profiling {
       sum(when(col("g") === 1, 1L).otherwise(0L)).as("k1"),
       sum(when(col("g") === 2, 1L).otherwise(0L)).as("k2"))
     val tot = perV.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
-    val dn = perV.crossJoin(broadcast(tot))
+    val cum = OrderedPrefix.withPrefixSums(perV, Seq(col("v")),
+      Seq(col("k1") -> "c1", col("k2") -> "c2"))
+    val dn = cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
-        abs(sum(col("k1")).over(w).cast("decimal(38,0)") * col("n2") -
-          sum(col("k2")).over(w).cast("decimal(38,0)") * col("n1")).as("dnum"))
+        abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1")).as("dnum"))
       .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
         max(col("dnum")).as("dn"))
     dn.select(col("n1"), col("n2"),
@@ -432,18 +434,17 @@ object Profiling {
     * cumulative-count window gives each tie-group's doubled average
     * rank 2·r̄ = 2·cum_before + k_tot + 1, and 2U = Σ k_pos·2r̄ −
     * n_pos·(n_pos+1) accumulates in DECIMAL(38,0) — AUC = 2U / (2·
-    * n_pos·n_neg) is one exact-integer division. One groupBy plus a
-    * single-partition window over DISTINCT SCORES (bounded by score
-    * cardinality, not row count — the q_p20 CDF shape). Returns
-    * (n_pos, n_neg, auc). */
+    * n_pos·n_neg) is one exact-integer division. One groupBy, then
+    * the cumulative count over DISTINCT SCORES runs through
+    * [[OrderedPrefix.withPrefixSum]] — a continuous score column has
+    * data-sized distinct cardinality, so the rank pass must never be
+    * one unpartitioned window task. Returns (n_pos, n_neg, auc). */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perS = df.select(col(scoreCol).cast("double").as("s"),
         when(labelCol, 1L).otherwise(0L).as("y"))
       .groupBy(col("s")).agg(count(lit(1)).as("kt"), sum(col("y")).as("kp"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = perS.withColumn("cum", sum(col("kt")).over(w))
+    val ranked = OrderedPrefix
+      .withPrefixSum(perS, Seq(col("s")), col("kt"), "cum")
       .select(col("kt"), col("kp"),
         (lit(2) * (col("cum") - col("kt")) + col("kt") + 1)
           .cast("decimal(38,0)").as("r2"))
@@ -503,19 +504,18 @@ object Profiling {
     * tie-averaged ranks — the monotone-association screen that
     * ignores outliers Pearson would chase. Doubled average ranks
     * (2·cum_before + k + 1, integers even at half-rank ties) come
-    * from one cumulative window per column over DISTINCT VALUES and
-    * join back to rows; ρ is then Pearson on integer doubled ranks
-    * with the [[graft.query.GraphQueries.degreeAssortativity]]
+    * from one [[OrderedPrefix.withPrefixSum]] pass per column over
+    * DISTINCT VALUES (data-sized for a continuous column — never a
+    * single unpartitioned window task) and join back to rows; ρ is
+    * then Pearson on integer doubled ranks with the
+    * [[graft.query.GraphQueries.degreeAssortativity]]
     * DECIMAL(38,0) five-sum discipline — exact until the final
     * sqrt/divide. Returns (n, rho). */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def ranks(c: String) = {
       val perV = df.select(col(c).cast("double").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("k"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perV.withColumn("cum", sum(col("k")).over(w))
+      OrderedPrefix.withPrefixSum(perV, Seq(col("v")), col("k"), "cum")
         .select(col("v"), (lit(2) * (col("cum") - col("k")) + col("k") + 1).as("r2"))
     }
     val rows = df.select(col(xCol).cast("double").as("vx"),
@@ -573,8 +573,10 @@ object Profiling {
 
   /** Kruskal–Wallis H across ALL groups at once — the multi-group
     * generalization of the rank tests ([[rocAuc]] is the two-group
-    * face): global tie-averaged doubled ranks from one cumulative
-    * window over DISTINCT VALUES, per-group rank sums, then
+    * face): global tie-averaged doubled ranks from one
+    * [[OrderedPrefix.withPrefixSum]] pass over DISTINCT VALUES
+    * (data-sized for a continuous column — never one unpartitioned
+    * window task), per-group rank sums, then
     *   H = [ 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1) ] / C,
     * with the tie divisor C = 1 − Σ(t³−t)/(n³−n). Per-group terms
     * R_g²/(4·n_g) are rounded to 9 dp and summed in DECIMAL(38,12)
@@ -582,13 +584,11 @@ object Profiling {
     * is exact integers until the closing divisions. Returns
     * (n, n_groups, dof, h) rounded to 6 dp. */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
     val perV = rows.groupBy(col("v")).agg(count(lit(1)).as("k"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = perV.withColumn("cum", sum(col("k")).over(w))
+    val ranked = OrderedPrefix
+      .withPrefixSum(perV, Seq(col("v")), col("k"), "cum")
       .select(col("v"),
         (lit(2) * (col("cum") - col("k")) + col("k") + 1).as("r2"),
         col("k"))
@@ -1141,7 +1141,11 @@ object Profiling {
       Seq(col("grp"), col("v")), "__i", "__n")
     val offsets = idx.groupBy(col("grp"))
       .agg(min(col("__i")).as("__start"), count(lit(1)).as("__ng"))
-    val ranked = idx.join(broadcast(offsets), Seq("grp"))
+      .withColumnRenamed("grp", "__g")
+    // null-safe join: a NULL group is a real group (groupBy keeps it;
+    // a plain equi-join would silently drop all its rows)
+    val ranked = idx.join(broadcast(offsets), col("grp") <=> col("__g"))
+      .drop("__g")
       .select(col("grp"), col("v"),
         (col("__i") - col("__start") + 1).as("__r"), col("__ng"))
     val wide = ranked.groupBy(col("grp")).agg(
@@ -1470,23 +1474,30 @@ object Profiling {
         col("acc"), col("gap"), col("ece"))
   }
 
-  /** ε-differentially-private category counts via the Laplace
-    * mechanism (Dwork et al. '06): each cell count is released as
-    * n + Lap(Δ/ε) with sensitivity Δ = 1 (one row changes one cell by
-    * one) — the governance face next to [[graft.ext.TextAnalysis]]'s
-    * pseudonymization: pseudonyms protect identities INSIDE the data,
-    * noisy counts protect them in released AGGREGATES. The noise is
-    * drawn by inverse-CDF from a SEEDED uniform — the
-    * [[Sketches.kmvHash]] of `seed:cell` mapped to u ∈ (0,1) via
-    * (h + 0.5)/2³¹−1 — so a release is reproducible, an oracle
-    * replays it bit-for-bit, and re-running a report does NOT spend
-    * privacy budget again (same seed → same draw; a FRESH release
-    * needs a fresh seed and pays another ε). Same-seed determinism is
-    * a feature for replay but means the ε guarantee holds per seed:
-    * publishing two different-seed releases of the same cells costs
-    * 2ε (standard sequential composition — the caller's ledger).
-    * One data-sized hash aggregation; the noise math is a pure Column
-    * over the cell table. Returns (grp, n_noisy, eps). */
+  /** SIMULATED differentially-private category counts — the Laplace
+    * mechanism's SHAPE (Dwork et al. '06: n + Lap(Δ/ε), sensitivity
+    * Δ = 1), with the noise drawn by inverse-CDF from a SEEDED
+    * deterministic uniform (the [[Sketches.kmvHash]] of `seed:cell`
+    * mapped to u ∈ (0,1)) so a release replays bit-for-bit and an
+    * oracle can verify it.
+    *
+    * NOT a privacy guarantee as shipped: because the noise is a
+    * deterministic public function of (seed, cell), anyone who knows
+    * the seed recomputes the noise exactly and recovers the true
+    * counts — for a FIXED KNOWN seed, neighboring datasets produce
+    * outputs that differ deterministically by exactly 1, so no finite
+    * ε holds. This operator is the replayable MECHANICS demo (the
+    * pipeline plumbing, sensitivity accounting and inverse-CDF math
+    * are real); a production release needs `seed` to be a
+    * caller-supplied SECRET high-entropy value that is never
+    * published — then the guarantee is computational DP under the
+    * assumption that the seeded hash is a PRF — and each published
+    * release must use a fresh secret seed (sequential composition:
+    * k releases cost k·ε on the caller's ledger). The gate oracle
+    * (q_s13) intentionally pins a public demo seed; do NOT reuse it
+    * with real data. One data-sized hash aggregation; the noise math
+    * is a pure Column over the cell table. Returns
+    * (grp, n_noisy, eps). */
   def dpNoisyCounts(df: DataFrame, dimCol: String, eps: Double,
       seed: String = "dp1"): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")

@@ -207,6 +207,12 @@ object Sketches {
       subBits: Int = 6): DataFrame = {
     require(subBits >= 1 && subBits <= 20, s"subBits in [1,20]: $subBits")
     df.select(col(grpCol).as("grp"), valueCol.cast("long").as("__v"))
+      // enforce the v ≥ 1 contract at runtime: v ≤ 0 would silently
+      // corrupt buckets (conv treats negatives as huge unsigned) —
+      // fail fast instead of returning wrong quantiles
+      .withColumn("__v", when(col("__v") >= 1, col("__v"))
+        .otherwise(raise_error(concat(
+          lit("hdrSketch requires v >= 1, got "), col("__v")))))
       .withColumn("__m", length(conv(col("__v"), 10, 2)).cast("int"))
       .withColumn("__sh", greatest(col("__m") - lit(subBits), lit(0)))
       .select(col("grp"), col("__m").as("m"),

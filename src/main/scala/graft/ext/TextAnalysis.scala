@@ -620,19 +620,20 @@ object TextAnalysis {
     * language follows freq ∝ rank^s with s ≈ −1; a slope far from −1
     * flags template spam, boilerplate floods or tokenizer damage):
     * least-squares fit of ln(freq) on ln(rank) over the unigram
-    * vocabulary. One distributed count aggregation; the rank window
-    * and the regression run over VOCABULARY-sized data (the q_a17
-    * documented-small precedent — a vocabulary is millions of rows at
-    * web scale, never corpus-sized).
+    * vocabulary. One distributed count aggregation; the vocabulary is
+    * smaller than the corpus but NOT bounded — naive tokenization at
+    * web scale mints 10⁸–10⁹ distinct strings (typos, numbers, URLs;
+    * Heaps growth) — so the rank comes from
+    * [[OrderedPrefix.withRowIndex]]'s two-level scan, never one
+    * unpartitioned window task over the whole vocabulary.
     *
     * @return one row: (n_vocab, slope, intercept), 4 dp
     */
   def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val ranked = freq.withColumn("r",
-      row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+    val ranked = OrderedPrefix.withRowIndex(freq,
+      Seq(col("f").desc, col("tok")), "r", "__zn").drop("__zn")
     val xy = ranked.select(log(col("r").cast("double")).as("x"),
       log(col("f").cast("double")).as("y"))
     val agg = xy.agg(count(lit(1)).cast("double").as("n"),

@@ -3,26 +3,41 @@ package graft.ext
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
+/** Regression for the lattice pathology that motivated
+  * [[Sketches.kmvHashStrong]]: the affine-only [[Sketches.kmvHash]]
+  * maps consecutive integer keys onto a lattice, so two overlapping
+  * CONTIGUOUS key ranges can land their entire bottom-k sets in
+  * disjoint hash intervals — keys 1–1000 vs 501–1500 share ZERO
+  * bottom-256 hashes despite 500 common keys, which would make any
+  * sketch-overlap estimator report zero intersection. The
+  * square-then-affine scramble breaks the linearity and the shared
+  * bottom-k hashes reappear. */
 class DebugKmvSpec extends SparkSpec {
 
-  test("debug kmv intersect internals") {
-    val a = spark.range(1, 1001).toDF("k")
-      .select(lit("A").as("grp"), col("k").as("__k"))
-    val b = spark.range(501, 1501).toDF("k")
-      .select(lit("B").as("grp"), col("k").as("__k"))
-    val sk = Sketches.kmvSketch(a.unionByName(b), "grp", "__k", 256)
-    sk.groupBy("grp").agg(count(lit(1)), min("h"), max("h")).show()
-    val merged = Sketches.kmvMerge(sk, 256)
-    merged.agg(count(lit(1)), min("h"), max("h")).show()
-    val skA = sk.filter(col("grp") === "A").select(col("h"))
-    val skB = sk.filter(col("grp") === "B").select(col("h"))
-    println("A∩B sketch hashes: " + skA.join(skB, Seq("h")).count())
-    println("merged∩A: " + merged.select(col("h")).join(skA, Seq("h")).count())
-    println("merged∩B: " + merged.select(col("h")).join(skB, Seq("h")).count())
-    // how many of the 500 common KEYS have hashes in each bottom set?
-    val common = spark.range(501, 1001).toDF("k")
-      .select(Sketches.kmvHash(col("k")).as("h"))
-    println("common keys in A's sketch: " + common.join(skA, Seq("h")).count())
-    println("common keys in B's sketch: " + common.join(skB, Seq("h")).count())
+  private def sharedBottomK(hash: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Long = {
+    val k = 256
+    def bottom(lo: Long, hi: Long) =
+      spark.range(lo, hi).toDF("k")
+        .select(hash(col("k")).as("h"))
+        .orderBy(col("h")).limit(k)
+    bottom(1, 1001).join(bottom(501, 1501), Seq("h")).count()
+  }
+
+  test("kmvHash lattice: overlapping contiguous ranges share zero bottom-k hashes") {
+    // the documented pathology — if this ever becomes non-zero the
+    // scaladoc's "measured: ZERO shared" claim needs re-verifying
+    assert(sharedBottomK(Sketches.kmvHash) === 0L,
+      "affine-only kmvHash was expected to exhibit the disjoint-lattice pathology")
+  }
+
+  test("kmvHashStrong breaks the lattice: shared bottom-k hashes reappear") {
+    // 500 common keys out of 1000 per side: a well-mixed hash puts
+    // ~half of each bottom-256 on common keys, and a common key in
+    // A's bottom-k has high probability of making B's bottom-k too —
+    // assert a conservative floor, not the exact expectation
+    val shared = sharedBottomK(Sketches.kmvHashStrong)
+    assert(shared >= 40L,
+      s"kmvHashStrong bottom-256 overlap collapsed to $shared (< 40) — lattice regression?")
   }
 }
