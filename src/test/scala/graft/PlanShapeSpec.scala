@@ -1101,6 +1101,103 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Does this physical plan contain an unpartitioned WindowExec whose
+    * input is NOT bounded by an OrderedPrefix `__op_pid` aggregate
+    * (one row per shuffle partition — cluster-sized, never
+    * data-sized)? Returns the offending window nodes. */
+  private def unboundedGlobalWindows(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    def pidBounded(w: org.apache.spark.sql.execution.window.WindowExec) =
+      allNodes(w.child).exists {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+        case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+        case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("__op_pid"))
+        case _ => false
+      }
+    allNodes(p)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .filter(_.partitionSpec.isEmpty)
+      .filterNot(pidBounded)
+  }
+
+  test("suite sweep: no gate plans a data-sized unpartitioned window") {
+    // r7 found four gates and r8 found six more that funneled a
+    // data-sized row set through ONE unpartitioned window task — each
+    // time because a new operator re-decided the question. This sweep
+    // makes the class structurally impossible: EVERY gate plan is
+    // walked, and an unpartitioned WindowExec is legal only when (a)
+    // its input is the OrderedPrefix per-partition-totals aggregate
+    // (≤ shuffle-partition rows) or (b) the gate is on the explicit
+    // allowlist below with a written proof of why its axis is bounded
+    // BY CONSTRUCTION. Adding a name here is a reviewed decision, not
+    // a default.
+    val boundedAxis: Map[String, String] = Map(
+      // fixed bucket / grid axes — window input is a constant-sized
+      // aggregate regardless of corpus size
+      "q_a17_histogram" -> "fixed-width histogram buckets (constant bucket count)",
+      "q_x35_heaps" -> "10 ingest-order deciles (log-spaced checkpoints)",
+      "q_g33_hop_histogram" -> "BFS hop-distance axis, <= k pinned rounds",
+      "q_o18_skyline" -> "distinct 4-dp-rounded quality scores, <= 10^4 grid points",
+      // calendar axes — input pre-aggregated to days/hours BEFORE the
+      // window; bounded by the time span, never the corpus
+      "q_o24_chrono_split" -> "daily counts (to_date groupBy first)",
+      "q_p41_durbin_watson" -> "daily-trend residuals (days axis)",
+      "q_t19_seasonal" -> "hourly series (calendar hours)",
+      "q_t23_spike" -> "daily series",
+      "q_t26_streaks" -> "daily series",
+      "q_t33_survival" -> "durations in whole days, <= calendar span",
+      "q_t34_binseg" -> "daily series",
+      "q_t35_cumulative_uniques" -> "daily first-seen counts",
+      "q_t37_peaks" -> "daily series",
+      "q_t38_max_drawdown" -> "daily series",
+      "q_t40_rolling_median" -> "daily series",
+      "q_t41_runs_test" -> "daily series",
+      "q_t42_wow_growth" -> "weekly series",
+      "q_t43_median_anomaly" -> "daily series",
+      "q_t45_calendar_gaps" -> "daily series",
+      "q_t50_seasonal_strength" -> "hourly series",
+      "q_t52_conformal" -> "daily-trend calibration residuals (days axis)",
+      // group axes — one row per group, groups are a dimension
+      "q_o19_apportion" -> "one row per source (dimension-sized)",
+      "q_o27_neyman" -> "one row per stratum (dimension-sized)",
+      "q_p21_gini" -> "one row per source (dimension-sized)",
+      // top-k axes — inputs are LIMIT-ed lists by construction
+      "q_n6_rrf_fusion" -> "fuses two top-100 lists (<= 200 rows)",
+      // series-derived pair axes — bounded by the pre-aggregated
+      // series length squared (~2.4k days -> ~2.9M pairs), documented
+      // in theilSen's scaladoc as the documented-small class
+      "q_p29_theil_sen" -> "pairwise slopes of the daily series (days^2)")
+    val stale = boundedAxis.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist names unknown gates: $stale")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val unused = scala.collection.mutable.Set[String](boundedAxis.keys.toSeq: _*)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val dfOpt =
+        try Some(fn(spark, sf0001))
+        catch { case e: Throwable =>
+          failures += s"$name: gate failed to build: ${e.getMessage}"
+          None
+        }
+      dfOpt.foreach { df =>
+        val bad = unboundedGlobalWindows(df.queryExecution.executedPlan)
+        if (bad.nonEmpty) unused -= name
+        if (bad.nonEmpty && !boundedAxis.contains(name))
+          failures += s"$name: ${bad.size} unpartitioned window(s) over " +
+            s"non-pid-bounded input; first: ${bad.head.windowExpression.mkString(",")}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"data-sized unpartitioned windows (add to allowlist ONLY with a boundedness proof):\n" +
+        failures.mkString("\n"))
+    // an entry whose gate no longer plans an unpartitioned window is
+    // stale — prune it so the allowlist stays an honest audit record
+    assert(unused.isEmpty, s"allowlist entries no longer needed: $unused")
+  }
+
   test("OrderedPrefix: local cumsum window is partitioned by the range-partition id") {
     val df = spark.range(1000).selectExpr("concat('k', id) AS id", "id % 7 + 1 AS w")
     val out = graft.ext.OrderedPrefix.withPrefixSum(df, Seq($"id"), $"w", "c", 8)
