@@ -146,14 +146,38 @@ object Bench {
     // floor (r8 clobbered q_a5's 0.77s floor with a 2.06s contended
     // pass). `first` always records THIS run's raw cold pass. Cache
     // build lines are accounting, not measurements — they overwrite.
-    val merged: Seq[(String, (Double, Double))] =
-      if (sfMismatch) minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n)))
-      else (priorQueries -- minMap.keys).toSeq ++
+    // An sf-mismatched partial run merges into BENCH_PARTIAL_LATEST
+    // the same way when THAT file's sf matches (an isolated sf1 smoke
+    // of a few new gates must not erase the stored sf1 suite).
+    def mergeInto(prior: Map[String, (Double, Double)],
+        priorMatches: Boolean): Seq[(String, (Double, Double))] =
+      (prior -- minMap.keys).toSeq ++
         minMap.keys.map { n =>
-          val floor = if (sameSf && !n.startsWith("cache:"))
-            priorQueries.get(n).map(_._2).filter(_ > 0) else None
+          val floor = if (priorMatches && !n.startsWith("cache:"))
+            prior.get(n).map(_._2).filter(_ > 0) else None
           n -> (firstMap(n), floor.fold(minMap(n))(p => math.min(minMap(n), p)))
         }
+    val merged: Seq[(String, (Double, Double))] =
+      if (sfMismatch) {
+        val pPath = java.nio.file.Paths.get("BENCH_PARTIAL_LATEST.json")
+        val (pPrior, pSf) =
+          if (java.nio.file.Files.exists(pPath)) {
+            try {
+              val root = mapper.readTree(java.nio.file.Files.readAllBytes(pPath))
+              val buf = scala.collection.mutable.Map[String, (Double, Double)]()
+              root.path("queries").properties().forEach { e =>
+                val v = e.getValue
+                if (v.isNumber) buf(e.getKey) = (v.asDouble(), v.asDouble())
+                else buf(e.getKey) = (v.path("first").asDouble(-1.0), v.path("min").asDouble(-1.0))
+              }
+              (buf.toMap, Option(root.path("sf").asText(null)))
+            } catch { case t: Throwable =>
+              System.err.println(s"BENCH partial prior parse: $t")
+              (Map.empty[String, (Double, Double)], None) }
+          } else (Map.empty[String, (Double, Double)], None)
+        if (pSf.contains(sfDir)) mergeInto(pPrior, priorMatches = true)
+        else minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n)))
+      } else mergeInto(priorQueries, priorMatches = sameSf)
     val fullJson = merged.sortBy(_._1).map { case (k, (f, m)) =>
       s"""\"$k\":{\"first\":$f,\"min\":$m}""" }.mkString("{", ",", "}")
     val fullLine =

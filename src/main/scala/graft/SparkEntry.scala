@@ -198,7 +198,12 @@ object SparkEntry {
     * defect. Keys mirror the DerivedCache keys. */
   def sharedCaches: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhashPairs" -> ((s, d) => minhashPairs(s, d)),
-    "cardPairs" -> ((s, d) => cardPairs(s, d)))
+    "cardPairs" -> ((s, d) => cardPairs(s, d)),
+    // the EP1 store build (CSV write + multiLine parse + stage + 5
+    // table loads) is shared by q_ep1_pipeline and the S10 export
+    // gate — an isolated smoke of the export alone otherwise pays the
+    // whole build (the r9 sf1 smoke measured 38s, 108x, exactly this)
+    "ep1Store" -> ((s, d) => ep1Store(s, d).nodes("link")))
 
   /** Full-width corpus for the training-pipeline flagship EP-T: the
     * documents table plus planted *exact* duplicates (doc_id%10==5 →
@@ -387,6 +392,69 @@ object SparkEntry {
           org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id LONG, lang STRING, source STRING"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_s8_show_tables" -> ((s, d) => { // S8 DDL + catalog round-trip
+      // (CREATE NODE/REL TABLE + show_tables, Edits.ipynb:1139,1157):
+      // one node table per distinct order priority — the table SET is
+      // data-derived, so the FS-listing read-back is a real oracle,
+      // not a constant — each created TWICE (idempotence is part of
+      // the DDL contract), plus a rel table
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+      val store = new GraphStore(s, root)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("url STRING")
+      val prios = Tables.orders(s, d).select(col("o_orderpriority"))
+        .distinct().collect().map(_.getString(0)) // dimension-sized: 5
+      prios.foreach { p =>
+        val label = "prio_" + p.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        store.createNodeTable(label, schema)
+        store.createNodeTable(label, schema) // no-op: already exists
+      }
+      store.createRelTable("LINKED_TO")
+      store.showTables().toDF("table_name", "kind")
+        .orderBy(col("kind"), col("table_name"))
+    }),
+
+    "q_o4_guarded_ingest" -> ((s, d) => { // P9/O4 guard filters +
+      // batch cap through the SERVICE path (uploadMetadataCsv,
+      // main.py:229): preload every doc_id%3==0, then ingest the
+      // first 200 urls — the batch cap (O4), url normalization (F8),
+      // novel anti-join guard (J4/P9) and validity filter (P8) all
+      // gate what lands; the read-back link table is the oracle
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_o4").toString
+      val store = new GraphStore(s, root)
+      val svc = new graft.api.GraphService(s, store,
+        new graft.etl.Enrich.DeterministicFetcher(failEvery = 0),
+        new graft.etl.Enrich.PassThroughCleaner,
+        new graft.etl.Enrich.DeterministicClassifier)
+      new graft.etl.Pipeline(s,
+        new graft.etl.Enrich.DeterministicFetcher(failEvery = 0),
+        new graft.etl.Enrich.PassThroughCleaner,
+        new graft.etl.Enrich.DeterministicClassifier)
+        .run(s.emptyDataset[String].toDF("url"), store) // bootstrap tables
+      def meta(df: DataFrame) = df.select(
+        // deliberately un-normalized: mixed-case host + trailing
+        // slash, zero-padded id so string order == numeric order
+        concat(lit("https://Site"), lpad(col("doc_id"), 6, "0"),
+          lit(".Example/page/")).as("url"),
+        concat(lit("Doc "), col("doc_id")).as("title"),
+        col("text").as("content"),
+        col("lang").as("category"),
+        concat(col("source"), lit(","),
+          element_at(split(col("text"), " "), 1)).as("keyword"),
+        lit("ce").as("category_explanation"),
+        lit("ke").as("keyword_explanation"))
+      val docs = Tables.documents(s, d)
+      svc.uploadMetadataCsv(meta(docs.filter(col("doc_id") % 3 === 0)),
+        batchSize = Int.MaxValue) // preload: the "already stored" set
+      svc.uploadMetadataCsv(meta(docs).orderBy(col("doc_id")),
+        batchSize = 200)
+      store.nodes("link")
+        .select(col("url"), col("title"), col("category"),
+          Staging.keywordString(col("keywords")).as("keywords"))
+        .orderBy(col("url"))
     }),
     "q_j4_semi_existing" -> ((s, d) => {
       val store = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -4903,6 +4971,37 @@ object SparkEntry {
     "q_s_csv_append" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE doc_id % 7 IN (0, 1) ORDER BY doc_id""",
+    "q_s8_show_tables" ->
+      """SELECT table_name, kind FROM (
+           SELECT DISTINCT 'prio_' || regexp_replace(lower(o_orderpriority),
+                    '[^a-z0-9]+', '_', 'g') AS table_name,
+                  'NODE' AS kind
+           FROM orders
+           UNION ALL SELECT 'LINKED_TO' AS table_name, 'REL' AS kind)
+         ORDER BY kind, table_name""",
+    "q_o4_guarded_ingest" ->
+      """WITH meta AS (SELECT doc_id,
+             'https://site' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+               || '.example/page' AS url,
+             'Doc ' || doc_id AS title, text AS content,
+             lang AS category,
+             source || ',' || split_part(text, ' ', 1) AS keyword
+           FROM documents),
+         valid AS (SELECT * FROM meta
+           WHERE content IS NOT NULL AND length(trim(content)) >= 100
+             AND lower(category) <> 'uncategorized'
+             AND lower(keyword) <> 'none'),
+         batch AS (SELECT doc_id FROM meta ORDER BY doc_id LIMIT 200),
+         final AS (
+           SELECT * FROM valid WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT * FROM valid WHERE doc_id % 3 <> 0
+             AND doc_id IN (SELECT doc_id FROM batch))
+         SELECT url, title, category,
+                array_to_string(list_filter(list_transform(
+                  string_split(keyword, ','), k -> trim(k)),
+                  k -> k <> '')[1:3], ', ') AS keywords
+         FROM final ORDER BY url""",
     "q_j4_semi_existing" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
