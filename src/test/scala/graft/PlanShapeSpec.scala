@@ -1183,11 +1183,24 @@ class PlanShapeSpec extends SparkSpec {
           None
         }
       dfOpt.foreach { df =>
-        val bad = unboundedGlobalWindows(df.queryExecution.executedPlan)
+        val plan = df.queryExecution.executedPlan
+        val bad = unboundedGlobalWindows(plan)
         if (bad.nonEmpty) unused -= name
         if (bad.nonEmpty && !boundedAxis.contains(name))
           failures += s"$name: ${bad.size} unpartitioned window(s) over " +
             s"non-pid-bounded input; first: ${bad.head.windowExpression.mkString(",")}"
+        // two more scale-killer classes, suite-wide: a true cartesian
+        // (both sides data-sized — crossJoin(broadcast(1-row)) plans
+        // as BroadcastNestedLoopJoin and stays legal) and any UDF
+        // (breaks whole-stage codegen; this repo is zero-UDF by
+        // charter)
+        val nodes = allNodes(plan)
+        if (nodes.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.CartesianProductExec]))
+          failures += s"$name: CartesianProduct in the physical plan"
+        val planStr = plan.toString
+        if (planStr.contains("ScalaUDF") || planStr.contains("BatchEvalPython"))
+          failures += s"$name: UDF node in the physical plan"
       }
     }
     assert(failures.isEmpty,
