@@ -34,22 +34,64 @@ object ScaleGen {
     // Tables.events' nanos→micros conversion works on the output too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // SPARK_GRAFT_FAMSIZE: dup-FAMILY size for multi-decade scale-up.
+    // Naive replication makes every replica a near-dup of every other
+    // (suffix-only text edits, 1e-3 embedding shifts), so chaining
+    // decades grows family SIZE: at replicas=100 each doc sits in a
+    // 100-member near-dup family and pair machinery (LSH buckets, eps
+    // graphs) pays Σ size² — the interrupted first sf10 run measured
+    // the cardPairs build at 2819 s vs 18.9 s at sf1 (~150×) from
+    // exactly this. Real 10× web growth adds more families, not
+    // deeper ones. With famSize = F, replica r joins family r/F:
+    // family 0 keeps today's near-dup construction byte-for-byte
+    // (replicas < F are IDENTICAL to the sf1 output, so sf10 ⊃ sf1),
+    // and each family f > 0 is DEcorrelated from all others —
+    //  • text: a token unique per (family, doc, position) is spliced
+    //    after every 2nd word, so no word 3-gram survives across
+    //    families (the minhash chains shingle at n = 3) while
+    //    within-family members still differ only by the light suffix;
+    //  • embeddings: a per-family sign-flip of a hash-chosen half of
+    //    the dimensions — an isometry, so within-family geometry is
+    //    EXACT while cross-family cosines collapse to ~0.
+    // Default famSize = replicas ⇒ one family ⇒ today's behavior.
+    val famSize = sys.env.getOrElse("SPARK_GRAFT_FAMSIZE", replicas.toString).toInt
+    require(famSize >= 1 && replicas % famSize == 0,
+      s"famSize must divide replicas: $famSize / $replicas")
+
     def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(r => f(df, r)).reduce(_ unionByName _)
+
+    def decorrelateText(text: org.apache.spark.sql.Column,
+        id: org.apache.spark.sql.Column, fam: Int): org.apache.spark.sql.Column =
+      if (fam == 0) text
+      else array_join(flatten(transform(split(text, " "), (w, i) =>
+        when(i % 2 === 1, array(w, concat(lit(s"uf${fam}x"),
+          pmod(xxhash64(id, i, lit(fam)), lit(999983)))))
+          .otherwise(array(w)))), " ")
 
     val docs = Tables.documents(spark, src)
     replicate(docs, (d, r) =>
       if (r == 0) d
-      else d.select((col("doc_id") + r * Shift).as("doc_id"),
-        concat(col("text"), lit(s" uniq$r"), col("doc_id")).as("text"),
-        col("lang"), col("source"), col("n_chars")))
+      else {
+        val fam = r / famSize
+        d.select((col("doc_id") + r * Shift).as("doc_id"),
+          concat(decorrelateText(col("text"), col("doc_id"), fam),
+            lit(s" uniq$r"), col("doc_id")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      })
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    def flipDims(emb: org.apache.spark.sql.Column, fam: Int): org.apache.spark.sql.Column =
+      if (fam == 0) emb
+      else transform(emb, (x, i) =>
+        when(pmod(xxhash64(lit(fam), i), lit(2)) === 0, x).otherwise(-x))
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     replicate(emb, (e, r) =>
       if (r == 0) e
       else e.select((col("vec_id") + r * Shift).as("vec_id"),
-        transform(col("embedding"), x => x + lit(r * 1e-3f)).as("embedding"),
+        transform(flipDims(col("embedding"), r / famSize),
+          x => x + lit((r % famSize) * 1e-3f)).as("embedding"),
         col("label")))
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

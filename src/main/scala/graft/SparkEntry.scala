@@ -132,6 +132,18 @@ object SparkEntry {
           concat(lit("duplicate marker "), col("text")).as("text")))
   }
 
+  /** Re-crawl-planted corpus for the CDC chunking gates: every %4 doc
+    * gains a copy (id+1000000) with a PREFIX edit — the shift case
+    * content-defined boundaries exist to survive and fixed-offset
+    * blocking cannot. */
+  private def cdcCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("recrawl banner inserted "), col("text")).as("text")))
+  }
+
   /** EP1 metadata analog: the reference's 7-col links_with_metadata
     * contract (SURVEY §1.1) derived deterministically from documents —
     * url ← doc_id, category ← lang, keyword ← "source,firstToken"
@@ -4505,6 +4517,56 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // -- content-defined chunking dedup (LBFS/FastCDC lineage):
+    // every %4 doc gets a re-crawled copy with a PREFIX edit — the
+    // exact case fixed-offset blocking misses and CDC exists for —
+    // and the per-doc profile must attribute ownership to the
+    // original while both copies carry the shared-tail dup mass --
+    "q_c7_cdc_chunks" -> ((s, d) => {
+      graft.ext.ChunkDedup.docDedupStats(cdcCorpus(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- CDC corpus accounting: the single-row savings quote a chunk
+    // store gives for the same re-crawl-planted corpus --
+    "q_c8_cdc_savings" -> ((s, d) =>
+      graft.ext.ChunkDedup.corpusSavings(cdcCorpus(s, d), "doc_id", "text")),
+
+    // -- CDC incremental re-crawl accounting: the %4 prefix-edited
+    // copies probe the ORIGINAL corpus's chunk store — most of each
+    // re-crawl's mass must come back `hit` (already held, no
+    // transfer), only the edited head shows as `new` --
+    "q_c9_cdc_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("recrawl banner inserted "), col("text")).as("text"))
+      graft.ext.ChunkDedup.incrementalStats(docs, batch, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- encoding-health audit: decode-QA before any text filter —
+    // planted U+FFFD replacement chars + a C0 control (%5) and the
+    // UTF-8-as-Latin-1 'Ã©'/'Ã¯' mojibake signature (%7, %5 wins
+    // ties) must surface in the per-source counters --
+    "q_x49_encoding_audit" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("source"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\uFFFD\uFFFD\u0007")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" caf\u00C3\u00A9s na\u00C3\u00AFve")))
+        .otherwise(col("text")).as("text"))
+      graft.ext.TextAnalysis.encodingAudit(aug, "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    // -- EWMA smoothing of the per-type daily count series: α = 1/2
+    // closed-formed onto one PARTITIONED cumulative window, so every
+    // term is an exact double and the oracle replays bit-identically --
+    "q_t54_ewma" -> ((s, d) =>
+      graft.ext.TimeSeries.ewmaDaily(Tables.events(s, d), "ts", "event_type")
+        .orderBy(col("event_type"), col("day"))),
+
     // -- split-leakage audit: near-dup pairs classified by the
     // split-pair they land in — a NAIVE id-mod split over the
     // planted corpus leaks eval signal across the boundary and the
@@ -4817,6 +4879,50 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
   )
+
+  /** Shared DuckDB CTE chain replaying [[graft.ext.ChunkDedup]] on the
+    * re-crawl-planted [[cdcCorpus]]: ASCII normal form, char codes,
+    * rolling-window base-31 boundaries (w = 8, divisor = 32, mod
+    * 2^31−1), the cut list, per-chunk fingerprints, and the global
+    * chunk table `g` — both CDC oracles select from it. */
+  private val cdcChunkCtes: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id,
+                'recrawl banner inserted ' || text AS text
+         FROM documents WHERE doc_id % 4 = 0),
+       d1 AS (SELECT doc_id,
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nrm
+              FROM corpus),
+       d2 AS (SELECT doc_id, nrm, length(nrm) AS n
+              FROM d1 WHERE length(nrm) > 0),
+       cdc AS (SELECT doc_id, n,
+                 list_transform(range(1, n + 1),
+                   j -> CAST(ord(substr(nrm, CAST(j AS INT), 1)) AS BIGINT))
+                   AS c
+               FROM d2),
+       bnd AS (SELECT doc_id, n, c,
+                 list_filter(range(8, n + 1), i ->
+                   (list_reduce(list_prepend(CAST(0 AS BIGINT), c[i-7:i]),
+                     (a, x) -> (a * 31 + x) % 2147483647)
+                    * 1103515245) % 2147483647 % 32 = 0) AS bs
+               FROM cdc),
+       ct AS (SELECT doc_id, n, c,
+                CASE WHEN len(bs) > 0 AND bs[-1] = n
+                     THEN list_prepend(CAST(0 AS BIGINT), bs)
+                     ELSE list_prepend(CAST(0 AS BIGINT), list_append(bs, n))
+                END AS cuts
+              FROM bnd),
+       ch AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  c[CAST(cuts[CAST(j AS INT)] + 1 AS INT)
+                    : CAST(cuts[CAST(j AS INT) + 1] AS INT)]),
+                  (a, x) -> (a * 31 + x) % 2147483647) AS fp,
+                cuts[CAST(j AS INT) + 1] - cuts[CAST(j AS INT)] AS clen
+              FROM ct, unnest(range(1, len(cuts))) AS u(j)),
+       g AS (SELECT fp, clen, count(*) AS cnt, min(doc_id) AS owner
+             FROM ch GROUP BY fp, clen)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -10991,6 +11097,95 @@ object SparkEntry {
                   WHEN source = 'src5' AND doc_id % 3 = 0 THEN 1
                   ELSE 0 END) AS BIGINT) AS n_blocked
          FROM documents GROUP BY source ORDER BY source""",
+    "q_c7_cdc_chunks" -> (cdcChunkCtes +
+      """,
+         per AS (SELECT ch.doc_id, count(*) AS n_chunks,
+                   sum(ch.clen) AS total_len,
+                   sum(CASE WHEN g.cnt > 1 THEN ch.clen ELSE 0 END) AS dup_len
+                 FROM ch JOIN g USING (fp, clen) GROUP BY ch.doc_id),
+         own AS (SELECT owner AS doc_id, count(*) AS n_owned
+                 FROM g GROUP BY owner)
+         SELECT corpus.doc_id AS doc_id,
+                CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(per.total_len, 0) AS BIGINT) AS total_len,
+                CAST(coalesce(own.n_owned, 0) AS BIGINT) AS n_owned,
+                CAST(coalesce(per.dup_len, 0) AS BIGINT) AS dup_len
+         FROM corpus LEFT JOIN per ON corpus.doc_id = per.doc_id
+                     LEFT JOIN own ON corpus.doc_id = own.doc_id
+         ORDER BY corpus.doc_id"""),
+    "q_c8_cdc_savings" -> (cdcChunkCtes +
+      """
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                CAST(count(*) AS BIGINT) AS n_distinct,
+                CAST(sum(cnt * clen) AS BIGINT) AS raw_mass,
+                CAST(sum(clen) AS BIGINT) AS dedup_mass,
+                round(1.0 - CAST(sum(clen) AS DOUBLE)
+                  / CAST(sum(cnt * clen) AS DOUBLE), 6) AS savings
+         FROM g"""),
+    "q_c9_cdc_incremental" -> (cdcChunkCtes +
+      """,
+         held AS (SELECT DISTINCT fp, clen, 1 AS hitm
+                  FROM ch WHERE doc_id < 1000000),
+         bt AS (SELECT ch.doc_id, ch.clen,
+                  CASE WHEN held.hitm IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM ch LEFT JOIN held USING (fp, clen)
+                WHERE ch.doc_id >= 1000000),
+         agg AS (SELECT doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN hit = 1 THEN clen ELSE 0 END) AS hit_len,
+                   sum(CASE WHEN hit = 0 THEN clen ELSE 0 END) AS new_len
+                 FROM bt GROUP BY doc_id),
+         bdocs AS (SELECT doc_id + 1000000 AS doc_id
+                   FROM documents WHERE doc_id % 4 = 0)
+         SELECT bdocs.doc_id AS doc_id,
+                CAST(coalesce(agg.n_chunks, 0) AS BIGINT) AS n_chunks,
+                CAST(coalesce(agg.hit_len, 0) AS BIGINT) AS hit_len,
+                CAST(coalesce(agg.new_len, 0) AS BIGINT) AS new_len
+         FROM bdocs LEFT JOIN agg ON bdocs.doc_id = agg.doc_id
+         ORDER BY bdocs.doc_id"""),
+    "q_x49_encoding_audit" ->
+      """WITH aug AS (SELECT source,
+             CASE WHEN doc_id % 5 = 0
+                    THEN text || chr(65533) || chr(65533) || chr(7)
+                  WHEN doc_id % 7 = 0
+                    THEN text || ' caf' || chr(195) || chr(169)
+                         || 's na' || chr(195) || chr(175) || 've'
+                  ELSE text END AS text
+           FROM documents),
+         m AS (SELECT source,
+             length(text) - length(replace(text, chr(65533), '')) AS repl,
+             length(text) - length(regexp_replace(text,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
+             length(text) - length(replace(text, chr(195), '')) AS moji
+           FROM aug)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_repl_docs,
+                CAST(sum(repl) AS BIGINT) AS repl_chars,
+                CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+                CAST(sum(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_moji_docs
+         FROM m GROUP BY source ORDER BY source""",
+    "q_t54_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         i AS (SELECT event_type, day, n,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+                   AS t
+               FROM daily),
+         s AS (SELECT event_type, day, n, t,
+                 sum(CAST(n AS DOUBLE) * power(2.0, t))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s1,
+                 first_value(CAST(n AS DOUBLE))
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS x0
+               FROM i)
+         SELECT event_type, day, n,
+                round(power(0.5, t) * (0.5 * (s1 - x0) + x0), 4) AS ewma
+         FROM s ORDER BY event_type, day""",
     "q_g45_louvain" ->
       graft.query.Community.louvainOracleSql(mergeRounds = 6, refineRounds = 2,
         """SELECT DISTINCT a.sk AS src, b.sk AS dst, 1 AS w

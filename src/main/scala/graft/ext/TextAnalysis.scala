@@ -1032,4 +1032,32 @@ object TextAnalysis {
     val s = aggregate(contrib, lit(0), (acc, x) => acc + x)
     coalesce(digits, lit("")).rlike("^[0-9]+$") && s % 10 === 0
   }
+
+  /** Encoding-health audit per source — the decode-QA gate a crawl
+    * pipeline runs before any text filter (damaged decoding poisons
+    * every downstream heuristic): counts of U+FFFD replacement chars
+    * (a decoder already gave up), C0 control chars outside
+    * tab/newline/CR (binary bleed-through), and the 'Ã' (U+00C3)
+    * lead byte of UTF-8-read-as-Latin-1 mojibake ('é' → 'Ã©' — the
+    * single most common real-world corruption signature). Pure
+    * integer counts (char-length deltas after strip), so the oracle
+    * replay is exact; one hash aggregate on the source key, all
+    * per-doc work map-side. Returns (source, n_docs, n_repl_docs,
+    * repl_chars, ctrl_chars, n_moji_docs). */
+  def encodingAudit(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def occurrences(stripped: Column): Column =
+      (length(t) - length(stripped)).cast("long")
+    val repl = occurrences(replace(t, lit("\uFFFD"), lit("")))
+    val ctrl = occurrences(
+      regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val moji = occurrences(replace(t, lit("\u00C3"), lit("")))
+    docs.groupBy(col(srcCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(repl > 0, 1L).otherwise(0L)).as("n_repl_docs"),
+      sum(repl).as("repl_chars"),
+      sum(ctrl).as("ctrl_chars"),
+      sum(when(moji > 0, 1L).otherwise(0L)).as("n_moji_docs"))
+  }
 }

@@ -1575,4 +1575,41 @@ object TimeSeries {
         col("x").as("trough_x"), (col("runmax") - col("x")).as("drawdown"))
       .orderBy(col("drawdown").desc, col("trough_dt")).limit(1)
   }
+
+  /** Exponentially weighted moving average of the per-type daily
+    * count series (the classic smoother y_t = α·x_t + (1−α)·y_{t−1},
+    * y_0 = x_0; Holt–Winters' level-only component). The recursion
+    * is closed-formed onto ONE cumulative window:
+    *
+    *   s_t   = Σ_{i=0..t} x_i·r^{−i}        (r = 1−α, cumulative sum)
+    *   y_t   = r^t·( α·(s_t − x_0) + x_0 )
+    *
+    * The default α = 1/2 makes every product x_i·2^i an exact double
+    * (a count's mantissa merely shifts exponent), and a cumulative
+    * window sum adds in window order on any engine — so the oracle
+    * replay is bit-identical, not merely close. r^{−t} grows as 2^t:
+    * safe while a key's series stays under ~1000 days (double
+    * overflow at 2^1024) — the calendar axis bound the windows here
+    * already rely on; a longer horizon would re-anchor s_t per epoch.
+    *
+    * Scale shape: one hash aggregate to days, then windows
+    * PARTITIONED by the type key over the calendar-bounded day axis —
+    * never a data-sized window. Returns (event_type, day, n, ewma). */
+  def ewmaDaily(events: DataFrame, tsCol: String, typeCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
+    val r = 1.0 - alpha
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__t", row_number().over(w) - 1)
+      .withColumn("__s", sum(col("n").cast("double") *
+        pow(lit(1.0 / r), col("__t"))).over(cum))
+      .withColumn("__x0", first(col("n").cast("double")).over(cum))
+      .select(col("event_type"), col("day"), col("n"),
+        round(pow(lit(r), col("__t")) *
+          (lit(alpha) * (col("__s") - col("__x0")) + col("__x0")), 4).as("ewma"))
+  }
 }

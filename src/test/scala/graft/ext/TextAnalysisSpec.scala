@@ -335,4 +335,19 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 1L, 0L, 0L, -3.912),   // ln 0.02
       (7L, 0L, 0L, 0L, 0.0)), out.mkString(", "))
   }
+
+  test("encodingAudit: planted corruption counted exactly per source") {
+    val docs = Seq(
+      ("a", "clean text"),
+      ("a", "bad \uFFFD here \uFFFD\uFFFD"),          // 3 replacement chars
+      ("a", "ctrl\u0007and\u0001two"),                // 2 C0 controls
+      ("b", "moji caf\u00C3\u00A9 na\u00C3\u00AFve"), // 2 mojibake leads
+      ("b", "tab\tand\nnewline are fine")             // whitelisted controls
+    ).toDF("source", "text")
+    val out = TextAnalysis.encodingAudit(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("a", 3L, 1L, 3L, 2L, 0L),
+      ("b", 2L, 0L, 0L, 0L, 1L)), out.mkString(", "))
+  }
 }

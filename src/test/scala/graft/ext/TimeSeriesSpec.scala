@@ -178,4 +178,22 @@ class TimeSeriesSpec extends SparkSpec {
       ("(none)", 1L, 1L), ("click", 1L, 1L), ("view", 1L, 1L)),
       out.mkString(", "))
   }
+
+  test("ewmaDaily: matches the hand-unrolled recursion y_t = (x_t + y_prev) / 2") {
+    // one type, daily counts 4, 2, 8 -> y = 4, 3, 5.5
+    val ev = Seq.tabulate(4)(i => (i.toLong, "2024-01-01 0" + i + ":00:00", "a")) ++
+      Seq((10L, "2024-01-02 01:00:00", "a"), (11L, "2024-01-02 02:00:00", "a")) ++
+      Seq.tabulate(8)(i => (20L + i, "2024-01-03 0" + i + ":00:00", "a")) ++
+      Seq((40L, "2024-01-01 00:30:00", "b")) // second key: independent series
+    val df = ev.toDF("event_id", "ts0", "event_type")
+      .withColumn("ts", to_timestamp(col("ts0")))
+    val out = TimeSeries.ewmaDaily(df, "ts", "event_type")
+      .select(col("event_type"), col("day").cast("string"), col("n"), col("ewma"))
+      .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01", 4L, 4.0),
+      ("a", "2024-01-02", 2L, 3.0),
+      ("a", "2024-01-03", 8L, 5.5),
+      ("b", "2024-01-01", 1L, 1.0)), out.mkString(", "))
+  }
 }
