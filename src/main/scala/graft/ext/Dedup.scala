@@ -96,20 +96,17 @@ object Dedup {
   }
 
   /** Exact Jaccard over candidate pairs: join both token arrays, then
-    * shingle + |A∩B| / |A∪B| computed only for candidates. */
+    * one fused kernel pass per pair ([[graft.functions.JaccardKernel]]
+    * — the HOF shingle-array formulation was interpreted and
+    * dominated the sf10 pair builds; same string-set semantics,
+    * bit-identical results). */
   private def exactJaccard(pairs: DataFrame, base: DataFrame, shingleN: Int,
       threshold: Double): DataFrame = {
-    def sh(c: Column) = array_distinct(
-      transform(sequence(lit(0), size(c) - shingleN),
-        i => array_join(slice(c, i + 1, lit(shingleN)), " ")))
     val a = base.select(col("id").as("id1"), col("toks").as("t1"))
     val b = base.select(col("id").as("id2"), col("toks").as("t2"))
     pairs.join(a, Seq("id1")).join(b, Seq("id2"))
-      .withColumn("sh1", sh(col("t1")))
-      .withColumn("sh2", sh(col("t2")))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .withColumn("jaccard", round(graft.functions.Jaccard
+        .tokenShingleJaccard(col("t1"), col("t2"), shingleN), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -214,7 +211,8 @@ object Dedup {
         col("sz").as("n1")), Seq("id1"))
       .join(sets.select(col("id").as("id2"), col("sh").as("sh2"),
         col("sz").as("n2")), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter",
+        graft.functions.Jaccard.intersectSize(col("sh1"), col("sh2")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -267,8 +265,8 @@ object Dedup {
         col("sz").as("n_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("containment",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          col("n_a"), 4))
+        round(graft.functions.Jaccard.intersectSize(col("sh_a"), col("sh_b"))
+          .cast("double") / col("n_a"), 4))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
