@@ -186,9 +186,15 @@ object SparkEntry {
       Staging.writeCsvSingle(ep1Metadata(s, d), s"$root/links_with_metadata")
       // persist the parsed stage: multiLine CSV parsing is the
       // pipeline's most expensive scan (unsplittable), and the five
-      // staged-table writes below would each re-parse it otherwise
+      // staged-table writes below would each re-parse it otherwise.
+      // The single-file contract makes the PARSE one task — fan out
+      // IMMEDIATELY after it so the staging transforms (regex
+      // normalization, keyword explode) and the five table loads run
+      // wide instead of inheriting the parse's one-partition layout
+      // until their first shuffle
       val meta = Staging.readCsv(s, s"$root/links_with_metadata",
           graft.model.GraphSchema.metadataCsv)
+        .repartition(s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val staged = Staging.stageMetadata(Staging.validRows(meta))
       val st = new GraphStore(s, s"$root/graph")
