@@ -10,7 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -20,7 +20,12 @@ object Bench {
       // flagship variant) serialize per-record; Kryo is the standard
       // GraphX deployment setting (SQL/Tungsten paths are unaffected)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .getOrCreate()
+    // SPARK_GRAFT_LOCAL_DIR: shuffle/spill scratch root for long smoke
+    // runs — points spills at the roomiest volume and gives the run a
+    // single directory to clean, instead of scattering block files
+    // under the default /tmp (the round-9 sf10 ENOSPC accounting).
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(v => builder.config("spark.local.dir", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch the hot tables + exercise codegen once
     try {
@@ -75,10 +80,28 @@ object Bench {
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    def runOnce(): Seq[(String, Double)] = selected.map { case (name, fn) =>
-      name -> timeQuery(name, fn)
+    // SPARK_GRAFT_RELEASE="qname=cacheKey[+cacheKey...],...": after the
+    // named query's timing completes on the FINAL pass, unpersist the
+    // named DerivedCache chains (keys are the sharedCaches names; the
+    // session key is `name:sfDir`). This is the smoke-run disk budget:
+    // each shared chain lives only until its last consumer, so peak
+    // storage is the largest chain, not the sum of all of them.
+    val releaseAfter: Map[String, Seq[String]] =
+      sys.env.get("SPARK_GRAFT_RELEASE").map(_.split(",").toSeq
+        .map(_.trim).filter(_.contains("="))
+        .map { kv =>
+          val Array(q, cs) = kv.split("=", 2)
+          q.trim -> cs.split("\\+").toSeq.map(_.trim).filter(_.nonEmpty)
+        }.toMap).getOrElse(Map.empty)
+    def runOnce(doRelease: Boolean): Seq[(String, Double)] = selected.map { case (name, fn) =>
+      val t = timeQuery(name, fn)
+      if (doRelease) releaseAfter.getOrElse(name, Seq.empty).foreach { c =>
+        System.err.println(s"BENCH release $c after $name")
+        DerivedCache.release(spark, s"$c:$sfDir")
+      }
+      name -> t
     }
-    val passResults = (1 to passes).map(_ => runOnce())
+    val passResults = (1 to passes).map(i => runOnce(doRelease = i == passes))
     // per query: first = cold first-pass time (pay-once materialization
     // stays visible), min = noise-filtered floor over in-session passes
     val firstMap = scala.collection.mutable.LinkedHashMap(passResults.head: _*)
@@ -90,22 +113,41 @@ object Bench {
     // bisection run destroyed it twice across rounds before this.
     // Old-format numeric entries normalize to {first: v, min: v}.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL_LATEST.json")
-    val (priorQueries: Map[String, (Double, Double)], priorSf: Option[String]) =
-      if (java.nio.file.Files.exists(fullPath)) {
+    // floor provenance: every min floor is stamped with the git HEAD it
+    // was measured at, so a floor recorded against older code is
+    // distinguishable from current evidence (the r9 q_ep1 case: its
+    // 0.83 s floor predated the round's repartition change and was
+    // presented as current). Entries merged from pre-provenance files
+    // get "pre-r10". SPARK_GRAFT_INVALIDATE=q1,q2 additionally DROPS
+    // the stored floors of named gates before the merge — the re-pin
+    // mechanism for gates whose implementing code changed in-round.
+    def gitShort(cmd: Seq[String]): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else ""
+      } catch { case _: Throwable => "" }
+    val currentHead = gitShort(Seq("git", "rev-parse", "--short", "HEAD"))
+    val invalidate: Set[String] = sys.env.get("SPARK_GRAFT_INVALIDATE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def parsePrior(path: java.nio.file.Path): (Map[String, (Double, Double, String)], Option[String]) =
+      if (java.nio.file.Files.exists(path)) {
         try {
-          val root = mapper.readTree(java.nio.file.Files.readAllBytes(fullPath))
-          val qn = root.path("queries")
-          val buf = scala.collection.mutable.Map[String, (Double, Double)]()
-          qn.properties().forEach { e =>
+          val root = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+          val buf = scala.collection.mutable.Map[String, (Double, Double, String)]()
+          root.path("queries").properties().forEach { e =>
             val v = e.getValue
-            if (v.isNumber) buf(e.getKey) = (v.asDouble(), v.asDouble())
-            else buf(e.getKey) = (v.path("first").asDouble(-1.0), v.path("min").asDouble(-1.0))
+            if (v.isNumber) buf(e.getKey) = (v.asDouble(), v.asDouble(), "pre-r10")
+            else buf(e.getKey) = (v.path("first").asDouble(-1.0),
+              v.path("min").asDouble(-1.0), v.path("at").asText("pre-r10"))
           }
           (buf.toMap, Option(root.path("sf").asText(null)))
         } catch { case t: Throwable =>
-          System.err.println(s"BENCH prior parse ${fullPath}: $t"); (Map.empty[String, (Double, Double)], None) }
-      } else (Map.empty[String, (Double, Double)], None)
+          System.err.println(s"BENCH prior parse ${path}: $t")
+          (Map.empty[String, (Double, Double, String)], None) }
+      } else (Map.empty[String, (Double, Double, String)], None)
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL_LATEST.json")
+    val (priorQueries, priorSf) = parsePrior(fullPath)
     // contention self-defense: any query measuring >3x its stored min
     // gets one automatic re-run, and min takes the better of the two —
     // this host's multi-second contention windows have eaten diagnostic
@@ -118,7 +160,7 @@ object Bench {
     val sameSf = priorSf.forall(_ == sfDir)
     def rerunFactor(n: String, pm: Double): Double = 2.0
     val suspects = if (!sameSf) Seq.empty else selected.filter { case (n, _) =>
-      priorQueries.get(n).exists { case (_, pm) =>
+      priorQueries.get(n).exists { case (_, pm, _) =>
         pm > 0 && minMap(n) > rerunFactor(n, pm) * pm } }
     suspects.foreach { case (n, fn) =>
       System.err.println(f"BENCH rerun $n: ${minMap(n)}%.2fs vs stored min ${priorQueries(n)._2}%.2fs")
@@ -130,7 +172,12 @@ object Bench {
     cacheTimes.foreach { case (n, t) =>
       firstMap(n) = t; minMap(n) = t }
     val results = minMap.toSeq.filterNot(_._1.startsWith("cache:"))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a failed query reports -1.0; summing the sentinel into the
+    // headline total would silently UNDERstate measured time — failed
+    // runs are excluded from the total and counted separately instead
+    val measured = results.filter(_._2 >= 0)
+    val total = measured.map(_._2).sum
+    val nFailed = results.size - measured.size
     // Full-precision per-query {first, min} map goes to a file: the
     // driver keeps only the last 2000 chars of output, which truncated
     // the 86-query JSON line in every round so far (BENCH_r*.json
@@ -149,39 +196,41 @@ object Bench {
     // An sf-mismatched partial run merges into BENCH_PARTIAL_LATEST
     // the same way when THAT file's sf matches (an isolated sf1 smoke
     // of a few new gates must not erase the stored sf1 suite).
-    def mergeInto(prior: Map[String, (Double, Double)],
-        priorMatches: Boolean): Seq[(String, (Double, Double))] =
+    // A kept prior floor keeps its recorded provenance; a floor this
+    // run sets (better, new, or invalidated) is stamped with the
+    // current HEAD. SPARK_GRAFT_INVALIDATE'd gates never inherit a
+    // prior floor — that is the re-pin path for gates whose
+    // implementing code changed since the floor was recorded.
+    def mergeInto(prior: Map[String, (Double, Double, String)],
+        priorMatches: Boolean): Seq[(String, (Double, Double, String))] =
       (prior -- minMap.keys).toSeq ++
         minMap.keys.map { n =>
-          val floor = if (priorMatches && !n.startsWith("cache:"))
-            prior.get(n).map(_._2).filter(_ > 0) else None
-          n -> (firstMap(n), floor.fold(minMap(n))(p => math.min(minMap(n), p)))
+          val floor = if (priorMatches && !n.startsWith("cache:") && !invalidate.contains(n))
+            prior.get(n).filter(_._2 > 0) else None
+          floor match {
+            case Some((_, pm, pAt)) if pm <= minMap(n) => n -> (firstMap(n), pm, pAt)
+            case _ => n -> (firstMap(n), minMap(n), currentHead)
+          }
         }
-    val merged: Seq[(String, (Double, Double))] =
+    val merged: Seq[(String, (Double, Double, String))] =
       if (sfMismatch) {
-        val pPath = java.nio.file.Paths.get("BENCH_PARTIAL_LATEST.json")
-        val (pPrior, pSf) =
-          if (java.nio.file.Files.exists(pPath)) {
-            try {
-              val root = mapper.readTree(java.nio.file.Files.readAllBytes(pPath))
-              val buf = scala.collection.mutable.Map[String, (Double, Double)]()
-              root.path("queries").properties().forEach { e =>
-                val v = e.getValue
-                if (v.isNumber) buf(e.getKey) = (v.asDouble(), v.asDouble())
-                else buf(e.getKey) = (v.path("first").asDouble(-1.0), v.path("min").asDouble(-1.0))
-              }
-              (buf.toMap, Option(root.path("sf").asText(null)))
-            } catch { case t: Throwable =>
-              System.err.println(s"BENCH partial prior parse: $t")
-              (Map.empty[String, (Double, Double)], None) }
-          } else (Map.empty[String, (Double, Double)], None)
+        val (pPrior, pSf) = parsePrior(java.nio.file.Paths.get("BENCH_PARTIAL_LATEST.json"))
         if (pSf.contains(sfDir)) mergeInto(pPrior, priorMatches = true)
-        else minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n)))
+        else minMap.keys.toSeq.map(n => n -> (firstMap(n), minMap(n), currentHead))
       } else mergeInto(priorQueries, priorMatches = sameSf)
-    val fullJson = merged.sortBy(_._1).map { case (k, (f, m)) =>
-      s"""\"$k\":{\"first\":$f,\"min\":$m}""" }.mkString("{", ",", "}")
+    // staleness flag: a floor recorded at a HEAD after which src/main
+    // changed is marked stale — it remains the best measured number,
+    // but cannot be presented as evidence about CURRENT code. Computed
+    // once per distinct provenance hash (one git call each).
+    val staleAt: Map[String, Boolean] =
+      merged.map(_._2._3).distinct.filter(a => a.nonEmpty && a != "pre-r10" && a != currentHead)
+        .map { a => a -> gitShort(Seq("git", "log", "--format=%h",
+          s"$a..HEAD", "--", "src/main")).nonEmpty }.toMap
+    val fullJson = merged.sortBy(_._1).map { case (k, (f, m, at)) =>
+      val staleTag = if (staleAt.getOrElse(at, false)) ""","stale":true""" else ""
+      s"""\"$k\":{\"first\":$f,\"min\":$m,\"at\":\"$at\"$staleTag}""" }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullJson,"sf":"$sfDir","passes":$passes,"partial":$partial}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$fullJson,"sf":"$sfDir","passes":$passes,"partial":$partial,"head":"$currentHead"}"""
     val outPath = if (sfMismatch) java.nio.file.Paths.get("BENCH_PARTIAL_LATEST.json") else fullPath
     try java.nio.file.Files.write(outPath, (fullLine + "\n").getBytes("UTF-8"))
     catch { case t: Throwable => System.err.println(s"BENCH write ${outPath}: $t") }
@@ -203,7 +252,7 @@ object Bench {
     val resultMap = results.toMap
     val qs = headline.flatMap(n => resultMap.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"n_queries":${results.size},"full":"BENCH_FULL_LATEST.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir","passes":$passes,"n_queries":${results.size},"full":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
   }
 }

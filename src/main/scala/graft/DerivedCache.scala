@@ -44,4 +44,19 @@ object DerivedCache {
     * .cache() on RDD-bearing values inside `build`. */
   def any[T](s: SparkSession, key: String)(build: => T): T =
     slot(s, key)(build).asInstanceOf[T]
+
+  /** Drop a cached entry and free its storage (blocking, so the
+    * executor blocks are actually gone before the caller proceeds).
+    * The scale analog of `UNCACHE TABLE`: a long-running smoke over
+    * many shared chains unpersists each one after its LAST consumer,
+    * bounding peak storage by the largest chain instead of their sum —
+    * the round-9 sf10 ENOSPC came from two ~2.8 ks pair caches pinned
+    * for the whole run. No-op if the key was never built. */
+  def release(s: SparkSession, key: String): Unit = sessions.synchronized {
+    val m = sessions.get(s)
+    if (m != null) m.remove(key).foreach {
+      case ds: org.apache.spark.sql.Dataset[_] => ds.unpersist(blocking = true)
+      case _ => // non-Dataset values (stores, graphs) own their own storage
+    }
+  }
 }
