@@ -498,6 +498,46 @@ object SparkEntry {
           Staging.keywordString(col("keywords")).as("keywords"))
         .orderBy(col("url"))
     }),
+    "q_o4b_partitioned_ingest" -> ((s, d) => { // the SAME guarded
+      // ingest flow as q_o4 against a hash-partitioned store
+      // (storeBuckets=16): each upsert rewrites only the bucket dirs
+      // the batch touches (O(touched partitions) ingest I/O — the
+      // 100 TB write shape; untouched-partition file identity is
+      // asserted by GraphStorePartitionedSpec). Oracle UNCHANGED from
+      // q_o4 — the layout must be invisible to every read
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_o4b").toString
+      val store = new GraphStore(s, root)
+      val svc = new graft.api.GraphService(s, store,
+        new graft.etl.Enrich.DeterministicFetcher(failEvery = 0),
+        new graft.etl.Enrich.PassThroughCleaner,
+        new graft.etl.Enrich.DeterministicClassifier,
+        storeBuckets = Some(16))
+      new graft.etl.Pipeline(s,
+        new graft.etl.Enrich.DeterministicFetcher(failEvery = 0),
+        new graft.etl.Enrich.PassThroughCleaner,
+        new graft.etl.Enrich.DeterministicClassifier)
+        .run(s.emptyDataset[String].toDF("url"), store) // bootstrap tables
+      def meta(df: DataFrame) = df.select(
+        concat(lit("https://Site"), lpad(col("doc_id"), 6, "0"),
+          lit(".Example/page/")).as("url"),
+        concat(lit("Doc "), col("doc_id")).as("title"),
+        col("text").as("content"),
+        col("lang").as("category"),
+        concat(col("source"), lit(","),
+          element_at(split(col("text"), " "), 1)).as("keyword"),
+        lit("ce").as("category_explanation"),
+        lit("ke").as("keyword_explanation"))
+      val docs = Tables.documents(s, d)
+      svc.uploadMetadataCsv(meta(docs.filter(col("doc_id") % 3 === 0)),
+        batchSize = Int.MaxValue)
+      svc.uploadMetadataCsv(meta(docs).orderBy(col("doc_id")),
+        batchSize = 200)
+      store.nodes("link")
+        .select(col("url"), col("title"), col("category"),
+          Staging.keywordString(col("keywords")).as("keywords"))
+        .orderBy(col("url"))
+    }),
     "q_j4_semi_existing" -> ((s, d) => {
       val store = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
       GraphQueries.existing(
@@ -5194,6 +5234,29 @@ object SparkEntry {
            UNION ALL SELECT 'LINKED_TO' AS table_name, 'REL' AS kind)
          ORDER BY kind, table_name""",
     "q_o4_guarded_ingest" ->
+      """WITH meta AS (SELECT doc_id,
+             'https://site' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+               || '.example/page' AS url,
+             'Doc ' || doc_id AS title, text AS content,
+             lang AS category,
+             source || ',' || split_part(text, ' ', 1) AS keyword
+           FROM documents),
+         valid AS (SELECT * FROM meta
+           WHERE content IS NOT NULL AND length(trim(content)) >= 100
+             AND lower(category) <> 'uncategorized'
+             AND lower(keyword) <> 'none'),
+         batch AS (SELECT doc_id FROM meta ORDER BY doc_id LIMIT 200),
+         final AS (
+           SELECT * FROM valid WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT * FROM valid WHERE doc_id % 3 <> 0
+             AND doc_id IN (SELECT doc_id FROM batch))
+         SELECT url, title, category,
+                array_to_string(list_filter(list_transform(
+                  string_split(keyword, ','), k -> trim(k)),
+                  k -> k <> '')[1:3], ', ') AS keywords
+         FROM final ORDER BY url""",
+    "q_o4b_partitioned_ingest" ->
       """WITH meta AS (SELECT doc_id,
              'https://site' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
                || '.example/page' AS url,

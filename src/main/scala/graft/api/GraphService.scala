@@ -32,7 +32,17 @@ final class GraphService(
     /** When set, every mutation ends with a 7-col CSV snapshot to this
       * path — the reference calls save_to_csv() after each write
       * (main.py:350,:427,:492). */
-    snapshotPath: Option[String] = None) {
+    snapshotPath: Option[String] = None,
+    /** When set, the corpus-scale tables (link nodes, both edge sets)
+      * live hash-partitioned into this many buckets and each upsert
+      * rewrites ONLY the buckets the batch touches — O(touched
+      * partitions) ingest I/O instead of the flat layout's O(store)
+      * full rewrite per micro-batch. The dimension tables (category,
+      * keyword: bounded vocabularies) stay flat single-footer datasets
+      * so Catalyst keeps broadcast-joining them for free. Results are
+      * bit-identical to the flat path — same J7 merge semantics, the
+      * layout column never escapes the store. */
+    storeBuckets: Option[Int] = None) {
 
   import spark.implicits._
 
@@ -153,16 +163,25 @@ final class GraphService(
       GraphStore.materialize(spark, lazyStaged.keywords),
       GraphStore.materialize(spark, lazyStaged.belongsTo),
       GraphStore.materialize(spark, lazyStaged.hasKeyword))
-    store.writeNodes("link",
-      GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
+    storeBuckets match {
+      case Some(b) =>
+        // partition-pruned path: only buckets the batch touches are
+        // rewritten; dimensions below still take the (small) flat merge
+        store.upsertNodesPartitioned("link", staged.links, "url", b)
+        store.upsertEdgesPartitioned(EdgeTypes.BelongsTo, staged.belongsTo, b)
+        store.upsertEdgesPartitioned(EdgeTypes.HasKeyword, staged.hasKeyword, b)
+      case None =>
+        store.writeNodes("link",
+          GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
+        store.writeEdges(EdgeTypes.BelongsTo,
+          store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo))
+        store.writeEdges(EdgeTypes.HasKeyword,
+          store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword))
+    }
     store.writeNodes("category",
       GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
     store.writeNodes("keyword",
       GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
-    store.writeEdges(EdgeTypes.BelongsTo,
-      store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo))
-    store.writeEdges(EdgeTypes.HasKeyword,
-      store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword))
     snapshot()
     staged.links.count()
   }

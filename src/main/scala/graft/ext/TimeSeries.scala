@@ -1578,38 +1578,89 @@ object TimeSeries {
 
   /** Exponentially weighted moving average of the per-type daily
     * count series (the classic smoother y_t = α·x_t + (1−α)·y_{t−1},
-    * y_0 = x_0; Holt–Winters' level-only component). The recursion
-    * is closed-formed onto ONE cumulative window:
+    * y_0 = x_0; Holt–Winters' level-only component). The recursion is
+    * a first-order linear recurrence, closed-formed onto cumulative
+    * windows with EPOCH RE-ANCHORING so the horizon is unbounded:
     *
-    *   s_t   = Σ_{i=0..t} x_i·r^{−i}        (r = 1−α, cumulative sum)
-    *   y_t   = r^t·( α·(s_t − x_0) + x_0 )
+    * Within an epoch of at most L observed days (local index j),
+    *   s_j = Σ_{i=0..j} x_i·r^{−i}           (r = 1−α, cumulative sum)
+    *   pre-carry value  v_j = r^j·( α·(s_j − x̂_0) + x̂_0 )
+    * where x̂_0 is the series head x_0 inside epoch 0 (the y_0 = x_0
+    * boundary) and 0 in later epochs (pure α·Σ r^{j−i}·x_i tail).
+    * L is sized so r^{−(L−1)} ≤ 2^512 (L = 512 at the default
+    * α = 1/2) — the within-epoch cumulative can never overflow, which
+    * the single-window form did past ~1024 days (Σ x_i·2^i hits Inf
+    * at 2^1024, then r^t·Inf → NaN; ~308 days at α = 0.9).
+    *
+    * Across epochs the recurrence COMPOSES linearly: an epoch with
+    * n_e observed days acts on the incoming level as
+    * y ↦ A_e·y + B_e with A_e = r^{n_e} ≤ 1 and B_e = its last
+    * pre-carry value — so the carry into epoch e is the left fold of
+    * the preceding epochs' (A, B) pairs from 0. A_e ≤ 1 and
+    * B_e ≤ max x keep the fold finite at ANY horizon (r^{n} merely
+    * underflows to 0 — old mass genuinely negligible — never Inf),
+    * and the fold runs over the per-key EPOCH list: calendar/L
+    * entries, a few structs even for a century of days. Final value:
+    *   y_t = v_j + r^{j+1}·carry_{e−1}.
     *
     * The default α = 1/2 makes every product x_i·2^i an exact double
     * (a count's mantissa merely shifts exponent), and a cumulative
-    * window sum adds in window order on any engine — so the oracle
-    * replay is bit-identical, not merely close. r^{−t} grows as 2^t:
-    * safe while a key's series stays under ~1000 days (double
-    * overflow at 2^1024) — the calendar axis bound the windows here
-    * already rely on; a longer horizon would re-anchor s_t per epoch.
+    * window sum adds in window order on any engine — so for series
+    * within one epoch (epoch 0: carry ≡ 0, and +0.0 is exact) the
+    * oracle's single-window replay is bit-identical, not merely
+    * close, exactly as before the re-anchoring.
     *
     * Scale shape: one hash aggregate to days, then windows
-    * PARTITIONED by the type key over the calendar-bounded day axis —
-    * never a data-sized window. Returns (event_type, day, n, ewma). */
+    * PARTITIONED by (type, epoch) over the calendar-bounded day
+    * axis — never a data-sized window; the epoch summary table and
+    * the per-key fold arrays are calendar/L-bounded (tiny). Returns
+    * (event_type, day, n, ewma). */
   def ewmaDaily(events: DataFrame, tsCol: String, typeCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1): $alpha")
     val r = 1.0 - alpha
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+    // largest L with r^{-(L-1)} ≤ 2^512: within-epoch terms are
+    // bounded by max(x)·2^512, half the double exponent range
+    val epochLen = math.max(1, (512.0 * math.log(2.0) / math.log(1.0 / r)).toInt)
+    val wKey = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wEp = Window.partitionBy(col("event_type"), col("__e")).orderBy(col("day"))
+    val cumEp = wEp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = events
       .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("__t", row_number().over(w) - 1)
+      .withColumn("__t", row_number().over(wKey) - 1)
+      .withColumn("__e", (col("__t") / epochLen).cast("int"))
+      .withColumn("__j", col("__t") % epochLen)
       .withColumn("__s", sum(col("n").cast("double") *
-        pow(lit(1.0 / r), col("__t"))).over(cum))
-      .withColumn("__x0", first(col("n").cast("double")).over(cum))
+        pow(lit(1.0 / r), col("__j"))).over(cumEp))
+      .withColumn("__x0", when(col("__e") === 0,
+        first(col("n").cast("double")).over(cumEp)).otherwise(lit(0.0)))
+    // per-(key, epoch) summary: A = r^{rows}, B = last pre-carry value
+    // (max over the j-headed struct picks the epoch's last row)
+    val eps = scored
+      .groupBy(col("event_type"), col("__e"))
+      .agg(count(lit(1)).as("__rows"),
+        max(struct(col("__j"), col("__s"), col("__x0"))).as("__last"))
+      .select(col("event_type"), col("__e"),
+        pow(lit(r), col("__rows")).as("__A"),
+        (pow(lit(r), col("__last.__j")) *
+          (lit(alpha) * (col("__last.__s") - col("__last.__x0")) +
+            col("__last.__x0"))).as("__B"))
+    // carry into epoch e = fold of the first e (A, B) pairs; the
+    // per-key epoch array is calendar/L-bounded, so collect + slice
+    // per epoch row is a few structs even at century horizons
+    val arrs = eps.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("__e"), col("__A"), col("__B"))))
+        .as("__eps"))
+    val carries = eps.join(arrs, Seq("event_type"))
+      .select(col("event_type"), col("__e"),
+        aggregate(slice(col("__eps"), lit(1), col("__e")), lit(0.0),
+          (acc, x) => x.getField("__A") * acc + x.getField("__B"))
+          .as("__carryPrev"))
+    scored.join(carries, Seq("event_type", "__e"))
       .select(col("event_type"), col("day"), col("n"),
-        round(pow(lit(r), col("__t")) *
-          (lit(alpha) * (col("__s") - col("__x0")) + col("__x0")), 4).as("ewma"))
+        round(pow(lit(r), col("__j")) *
+          (lit(alpha) * (col("__s") - col("__x0")) + col("__x0")) +
+          pow(lit(r), col("__j") + 1) * col("__carryPrev"), 4).as("ewma"))
   }
 }

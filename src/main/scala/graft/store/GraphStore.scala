@@ -59,8 +59,15 @@ final class GraphStore(spark: SparkSession, root: String) {
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath)
   }
 
-  def nodes(label: String): DataFrame = spark.read.parquet(nodePath(label))
-  def edges(relType: String): DataFrame = spark.read.parquet(edgePath(relType))
+  /** Reads hide the physical layout: a table stored hash-partitioned
+    * (see [[upsertNodesPartitioned]]) carries a `__bucket` hive
+    * partition column that is layout metadata, not graph data — every
+    * consumer sees the same logical schema either way. */
+  private def dropLayout(df: DataFrame): DataFrame =
+    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+
+  def nodes(label: String): DataFrame = dropLayout(spark.read.parquet(nodePath(label)))
+  def edges(relType: String): DataFrame = dropLayout(spark.read.parquet(edgePath(relType)))
 
   def writeNodes(label: String, df: DataFrame): Unit =
     overwriteSafely(df, nodePath(label))
@@ -97,6 +104,100 @@ final class GraphStore(spark: SparkSession, root: String) {
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
     spark.catalog.refreshByPath(path)
+  }
+
+  // ---- partition-pruned upsert (the 100 TB write path) ----
+
+  private val BucketCol = "__bucket"
+
+  private def bucketExpr(pk: String, buckets: Int): Column =
+    pmod(xxhash64(col(pk)), lit(buckets)).cast("int")
+
+  /** Hash-partitioned node upsert: the table lives hive-partitioned by
+    * `__bucket` = hash(pk) mod `buckets`, and a batch REWRITES ONLY the
+    * bucket directories its keys hash into — dynamic partition
+    * overwrite replaces exactly the partitions present in the merged
+    * output, so untouched buckets' files are never opened, rewritten,
+    * or re-committed. This is the scale-safe form of the
+    * merge-then-overwrite in [[GraphService.upsertStaged]]: a 5-row
+    * upload against a 100 TB link table costs O(5 buckets of data),
+    * not O(store) (the reference's save_to_csv-after-every-write is
+    * O(store) per mutation, main.py:157-178 — parity-faithful but not
+    * the shape you deploy).
+    *
+    * Merge semantics are IDENTICAL to [[GraphStore.mergeByKey]] (the
+    * J7 last-writer-wins contract): a key's rows all hash to one
+    * bucket, so per-bucket merge == global merge. A table still in the
+    * flat layout is migrated on first use (one full rewrite, one-time).
+    * The merged batch is staged through a scratch parquet before the
+    * overwrite (same WAL discipline as [[overwriteSafely]]) because
+    * its plan reads the very partition files the commit replaces. */
+  def upsertNodesPartitioned(label: String, incoming: DataFrame, pk: String,
+      buckets: Int): Unit = {
+    val path = nodePath(label)
+    val current = spark.read.parquet(path)
+    if (!current.columns.contains(BucketCol)) {
+      // one-time layout migration: flat → hash-partitioned. An empty
+      // merge stays flat — a zero-row partitionBy write leaves a
+      // directory with no footer to infer a schema from.
+      val all = GraphStore.materialize(spark,
+        GraphStore.mergeByKey(current, incoming, Seq(pk))
+          .withColumn(BucketCol, bucketExpr(pk, buckets)))
+      if (!all.isEmpty) writeNodesPartitioned(label, all, BucketCol)
+    } else {
+      val inc = incoming.withColumn(BucketCol, bucketExpr(pk, buckets))
+      // the touched-bucket set is ≤ min(batch, buckets) ints — bounded
+      // by the layout constant, never the corpus
+      val touched = inc.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val existingTouched = current.filter(col(BucketCol).isin(touched: _*))
+        val merged = GraphStore.materialize(spark,
+          GraphStore.mergeByKey(existingTouched, inc, Seq(pk)))
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(path)
+        spark.catalog.refreshByPath(path)
+      }
+    }
+  }
+
+  /** Edge-table analog of [[upsertNodesPartitioned]]: edges live
+    * hash-partitioned by `__bucket` = hash(src) mod `buckets`, and the
+    * set-union-distinct MERGE ([[mergeEdges]]) runs per touched bucket
+    * only. Same one-time flat→partitioned migration. */
+  def upsertEdgesPartitioned(relType: String, incoming: DataFrame,
+      buckets: Int): Unit = {
+    val path = edgePath(relType)
+    val current = spark.read.parquet(path)
+    val inc = incoming.select(col("src"), col("dst"))
+    if (!current.columns.contains(BucketCol)) {
+      val all = GraphStore.materialize(spark,
+        mergeEdges(current, inc).withColumn(BucketCol, bucketExpr("src", buckets)))
+      if (!all.isEmpty) {
+        val tmp = path + "__staging"
+        all.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+        spark.catalog.refreshByPath(path)
+      }
+    } else {
+      val incB = inc.withColumn(BucketCol, bucketExpr("src", buckets))
+      val touched = incB.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val existingTouched = current.filter(col(BucketCol).isin(touched: _*))
+        val merged = GraphStore.materialize(spark,
+          existingTouched.select(col("src"), col("dst"), col(BucketCol))
+            .unionByName(incB).distinct())
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BucketCol).parquet(path)
+        spark.catalog.refreshByPath(path)
+      }
+    }
   }
 
   // ---- bucketed physical layout (SURVEY §4) ----

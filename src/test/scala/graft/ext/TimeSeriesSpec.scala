@@ -196,4 +196,33 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", "2024-01-03", 8L, 5.5),
       ("b", "2024-01-01", 1L, 1.0)), out.mkString(", "))
   }
+
+  test("ewmaDaily: 1200-day horizon stays finite and matches the sequential recurrence") {
+    // REGRESSION: the single-window closed form overflowed past ~1024
+    // days at α=0.5 (Σ x_i·2^i → Inf at 2^1024, then r^t·Inf → NaN);
+    // the epoch re-anchored form must stay finite and correct across
+    // three 512-day epochs. Counts cycle 1..7 so the steady state is
+    // a nontrivial double, and the Scala loop is the ground truth.
+    val days = 1200
+    val counts = Array.tabulate(days)(i => (i % 7) + 1)
+    val ev = (0 until days).flatMap { i =>
+      (0 until counts(i)).map(k => ((i.toLong * 100) + k, i))
+    }.toDF("event_id", "__d")
+      .withColumn("ts", to_timestamp(
+        date_add(to_date(lit("2020-01-01")), col("__d").cast("int"))))
+      .withColumn("event_type", lit("a"))
+    val out = TimeSeries.ewmaDaily(ev, "ts", "event_type")
+      .select($"day".cast("string"), $"n", $"ewma")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == days, s"rows: ${out.length}")
+    // sequential reference: y_0 = x_0, y = α·x + (1−α)·y
+    var y = counts(0).toDouble
+    val ref = counts.map { x => y = 0.5 * x + 0.5 * y; y }
+    // (ref(0) deliberately re-derives y_0: 0.5·x0 + 0.5·x0 = x0)
+    out.zipWithIndex.foreach { case ((d, n, e), i) =>
+      assert(java.lang.Double.isFinite(e), s"day $d ($i): ewma=$e not finite")
+      assert(n == counts(i), s"day $d: n=$n want ${counts(i)}")
+      assert(math.abs(e - ref(i)) < 1e-3, s"day $d ($i): ewma=$e want ${ref(i)}")
+    }
+  }
 }
