@@ -58,10 +58,24 @@ object DataSelection {
     * non-grid-double convention). Docs with no tokens report
     * (0, 0.0). `targetPred` marks the target-domain slice WITHIN
     * `docs` — the raw LM counts every doc, the target LM only the
-    * marked ones, both from one aggregate. */
+    * marked ones, both from one aggregate.
+    *
+    * `hashBuckets` switches on the paper's hashed-feature face
+    * (Xie et al. §3: grams hashed into 10⁴ buckets): the LM keys on
+    * `hash(gram) mod B` instead of the gram string, bounding the
+    * count-table to B rows regardless of corpus vocabulary — the
+    * 100 TB shape, where the unhashed gram table is ~10⁹ rows. Same
+    * code path; only the feature key changes (smoothing vocabulary
+    * becomes the occupied-bucket count). The unhashed face stays the
+    * oracle face: both engines replay its exact counts, while a hash
+    * choice is an engine fingerprint DuckDB cannot reproduce —
+    * selection agreement between the faces is measured by
+    * DataSelectionSpec at gate scale. */
   def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column): DataFrame = {
-    val g = gramOccurrences(docs, idCol, textCol, targetPred)
+      targetPred: Column, hashBuckets: Option[Int] = None): DataFrame = {
+    val g0 = gramOccurrences(docs, idCol, textCol, targetPred)
+    val g = hashBuckets.fold(g0)(b =>
+      g0.withColumn("gram", pmod(xxhash64(col("gram")), lit(b.toLong))))
     val counts = g.groupBy(col("gram")).agg(
       count(lit(1)).as("__c_raw"),
       sum(when(col("__is_t"), 1L).otherwise(0L)).as("__c_t"))
@@ -89,10 +103,11 @@ object DataSelection {
     * fixed-point weights), keeping ties at the threshold (≥ quota,
     * deterministic). Returns the selected (doc_id, log_w). */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, keepPermille: Int): DataFrame = {
+      targetPred: Column, keepPermille: Int,
+      hashBuckets: Option[Int] = None): DataFrame = {
     require(keepPermille >= 1 && keepPermille <= 999,
       s"keepPermille in [1,999]: $keepPermille")
-    val w = dsirLogWeights(docs, idCol, textCol, targetPred)
+    val w = dsirLogWeights(docs, idCol, textCol, targetPred, hashBuckets)
       .withColumn("__wfp", round(col("log_w") * 10000, 0).cast("long"))
       .localCheckpoint(true)
     val thr = Profiling.exactQuantiles(w, col("__wfp"),

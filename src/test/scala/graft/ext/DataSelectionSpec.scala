@@ -53,6 +53,30 @@ class DataSelectionSpec extends SparkSpec {
     assert(math.abs(w(2L) - exp2) < 1e-9, s"got ${w(2L)} want $exp2")
   }
 
+  test("hashed-feature face (10k buckets) agrees with the exact face at gate scale") {
+    // the 100 TB face: grams hashed into 10^4 buckets bound the LM
+    // count table regardless of vocabulary. Hash collisions perturb
+    // individual weights, so the contract is SELECTION agreement with
+    // the exact face at the gate's own settings (q_o35: target = src1,
+    // keep top 200 permille) on the gate-scale corpus — the q_n21
+    // recall convention (brute face as ground truth).
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    def ids(sel: org.apache.spark.sql.DataFrame) =
+      sel.select("doc_id").as[Long].collect().toSet
+    val exact = ids(DataSelection.dsirSelect(docs, "doc_id", "text",
+      col("source") === "src1", keepPermille = 200))
+    val hashed = ids(DataSelection.dsirSelect(docs, "doc_id", "text",
+      col("source") === "src1", keepPermille = 200,
+      hashBuckets = Some(10000)))
+    val overlap = (exact intersect hashed).size.toDouble / exact.size
+    info(f"selection overlap exact-vs-hashed: $overlap%.4f " +
+      s"(exact ${exact.size}, hashed ${hashed.size})")
+    assert(overlap >= 0.9, f"overlap $overlap%.4f below 0.9")
+    // the hashed face keeps a comparable-size slice (ties differ)
+    assert(hashed.size <= exact.size * 2 && hashed.size * 2 >= exact.size,
+      s"sizes diverged: exact ${exact.size}, hashed ${hashed.size}")
+  }
+
   test("dsirSelect: keeps the top-weight slice, ties at threshold included") {
     val sel = DataSelection.dsirSelect(corpus, "doc_id", "text",
       col("is_t"), keepPermille = 500)
