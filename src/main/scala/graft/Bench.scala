@@ -20,6 +20,15 @@ object Bench {
       // flagship variant) serialize per-record; Kryo is the standard
       // GraphX deployment setting (SQL/Tungsten paths are unaffected)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // A multi-hour smoke session accumulates DEAD shuffle files in
+      // spark.local.dir: local-mode shuffle files are only deleted when
+      // the ContextCleaner sees their ShuffleDependency get JVM-GC'd,
+      // and with a large heap there is almost no GC pressure — the r10
+      // sf10 run piled up ~70 GB of dead shuffle, slowed late queries
+      // (q_x15 24 s → 19 min against the SAME code/data as r9's smoke)
+      // and ENOSPC'd q_n21 a second time. Tighten the periodic-GC
+      // safety net and additionally System.gc() between queries below.
+      .config("spark.cleaner.periodicGC.interval", "2min")
     // SPARK_GRAFT_LOCAL_DIR: shuffle/spill scratch root for long smoke
     // runs — points spills at the roomiest volume and gives the run a
     // single directory to clean, instead of scattering block files
@@ -78,7 +87,12 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           false
       }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // between timings (untimed): give the ContextCleaner a chance to
+      // reclaim the finished query's shuffle files before the next one
+      // starts — see the periodicGC comment on the builder
+      System.gc()
+      t
     }
     // SPARK_GRAFT_RELEASE="qname=cacheKey[+cacheKey...],...": after the
     // named query's timing completes on the FINAL pass, unpersist the
@@ -192,7 +206,11 @@ object Bench {
     // a contended full run must never erase a previously-measured
     // floor (r8 clobbered q_a5's 0.77s floor with a 2.06s contended
     // pass). `first` always records THIS run's raw cold pass. Cache
-    // build lines are accounting, not measurements — they overwrite.
+    // build lines min-merge the same way: this host's noise bursts
+    // run 2-4x on identical code+data (measured: the same cardPairs
+    // build 17.2/18.6/63.2 s back-to-back), and a burst landing on a
+    // prewarm line used to clobber the good stored build time —
+    // provenance + the staleness flag cover the code-change case.
     // An sf-mismatched partial run merges into BENCH_PARTIAL_LATEST
     // the same way when THAT file's sf matches (an isolated sf1 smoke
     // of a few new gates must not erase the stored sf1 suite).
@@ -205,7 +223,7 @@ object Bench {
         priorMatches: Boolean): Seq[(String, (Double, Double, String))] =
       (prior -- minMap.keys).toSeq ++
         minMap.keys.map { n =>
-          val floor = if (priorMatches && !n.startsWith("cache:") && !invalidate.contains(n))
+          val floor = if (priorMatches && !invalidate.contains(n.stripPrefix("cache:")))
             prior.get(n).filter(_._2 > 0) else None
           floor match {
             case Some((_, pm, pAt)) if pm <= minMap(n) => n -> (firstMap(n), pm, pAt)

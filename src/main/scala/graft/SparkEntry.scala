@@ -4454,21 +4454,33 @@ object SparkEntry {
     // asserted with margins in SimilarityMoreSpec) --
     "q_n21_knn_graph" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      val total = e.count()
       // the ANN graphs build over the WHOLE corpus (that's the
       // operator); the exact side is only recall's measuring stick,
-      // so it runs on a deterministic 1-in-5 query sample — at 40x
-      // corpora the unsampled brute baseline was the sweep's most
-      // expensive query, for zero extra statistical power
-      val sample = e.filter(col("vec_id") % 5 === 0)
+      // so it runs on a deterministic FIXED-COUNT query sample
+      // (~2000): a fixed FRACTION (the old 1-in-5) keeps the brute
+      // baseline O(N²/5) — at sf10 that is 5·10¹⁰ cosine rows and it
+      // ENOSPC'd twice; 2000 queries give the same statistical power
+      // at any corpus size and make the measuring stick O(N)
+      val every = math.max(1L, total / 2000L)
+      val sample = e.filter(col("vec_id") % every === 0)
       val exact = Similarity.bruteForceTopK(e, sample, "vec_id",
           "embedding", k = 5)
         .select(col("query_id"), col("cand_id")).localCheckpoint(true)
       val nExact = exact.count()
+      // IVF cells scale ~√N (the faiss nlist convention): fixed
+      // nCells makes cell population — and so per-query scored pairs
+      // — grow linearly with the corpus, i.e. total pair work grows
+      // quadratically; √N balances assignment cost (N·nCells) against
+      // probe cost (N·nprobe·N/nCells), both ~N^1.5. Floor 16 keeps
+      // the small-sf gates on their established geometry.
+      val nCells = math.min(4096, math.max(16,
+        math.ceil(math.sqrt(total.toDouble)).toInt))
       val bounds = Map("ivf" -> 0.3, "lsh" -> 0.6)
       import s.implicits._
       Seq("ivf", "lsh").map { via =>
         val hits = graft.ext.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 5, via = via)
+            k = 5, via = via, nCells = nCells, knownN = total)
           .select(col("query_id"), col("cand_id"))
           .join(exact, Seq("query_id", "cand_id"), "left_semi").count()
         (via, nExact, hits.toDouble / nExact >= bounds(via))
@@ -10877,8 +10889,10 @@ object SparkEntry {
                 TRUE AS no_giant_cell
          FROM embeddings""",
     "q_n21_knn_graph" ->
-      """WITH q AS (SELECT CAST(5 * count(*) AS BIGINT) AS n_exact
-                    FROM embeddings WHERE vec_id % 5 = 0)
+      """WITH p AS (SELECT GREATEST(1, count(*) // 2000) AS every
+                    FROM embeddings),
+         q AS (SELECT CAST(5 * count(*) AS BIGINT) AS n_exact
+               FROM embeddings, p WHERE vec_id % p.every = 0)
          SELECT t.via, q.n_exact, TRUE AS recall_ok
          FROM q, (VALUES ('ivf'), ('lsh')) t(via)
          ORDER BY via""",

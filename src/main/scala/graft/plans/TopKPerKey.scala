@@ -21,6 +21,18 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * the window), then O(n log k) per partition with O(keys·k) memory,
   * no sort spill. At 100 TB with small k, the sort the window does is
   * pure waste — this is the operator top-k similarity search wants.
+  *
+  * The physical plan is TWO stages, mirroring partial aggregation:
+  * a map-side [[PartialTopKPerKeyExec]] runs the same bounded-heap
+  * pass on each UNSHUFFLED child partition, so at most keys·k rows
+  * per partition reach the exchange; the final [[TopKPerKeyExec]]
+  * re-reduces after the key shuffle. Without the partial step the
+  * exchange carries the full scored stream — the r10 sf10 smoke's
+  * brute-force recall baseline shuffled ~5·10¹⁰ candidate rows
+  * (corpus × broadcast queries) straight into the heap's required
+  * distribution and ENOSPC'd; with it, each map partition emits only
+  * its local winners (queries×k rows) and the shuffle is bounded by
+  * partitions·keys·k regardless of the scored stream's size.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -31,6 +43,96 @@ case class TopKPerKey(
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+private[plans] object TopKHeapPass {
+  /** One bounded-heap pass over a partition: per key, keep the best
+    * k rows under `sortOrder`. Emits best-first per key. `maxKeys`
+    * bounds the in-memory key map: when a partition's distinct-key
+    * count exceeds it, the current winners are emitted and the map
+    * reset — correct because a downstream (final) pass re-reduces,
+    * exactly like partial aggregation's spill-free fallback. The
+    * final pass runs after a ClusteredDistribution shuffle, so every
+    * occurrence of a key is in one partition; its flushes can only
+    * split a key's rows if that key alone overflows the map, which
+    * maxKeys ≫ 1 prevents (a flush resets the COUNT of keys, and a
+    * single key never exceeds k retained rows).
+    */
+  def run(iter: Iterator[InternalRow], keyExprs: Seq[Expression],
+      childOutput: Seq[Attribute], sortOrder: Seq[SortOrder], limit: Int,
+      maxKeys: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+    val ord = GenerateOrdering.generate(sortOrder, childOutput)
+    // per key: a bounded "worst-first" heap — head is the row that
+    // leaves first when a better one arrives
+    val worstFirst = ord.reverse
+    val heaps = new java.util.HashMap[UnsafeRow,
+      java.util.PriorityQueue[UnsafeRow]]()
+    def drain(): Iterator[UnsafeRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      heaps.values().forEach { h =>
+        val rows = new Array[UnsafeRow](h.size())
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // emit best-first
+        out ++= rows
+      }
+      heaps.clear()
+      out.iterator
+    }
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private def advance(): Unit = {
+        while (!pending.hasNext && iter.hasNext) {
+          val row = iter.next().asInstanceOf[UnsafeRow]
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            if (heaps.size() >= maxKeys) pending = drain()
+            heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size() < limit) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+        }
+        if (!pending.hasNext && !iter.hasNext && !heaps.isEmpty)
+          pending = drain()
+      }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): InternalRow = { advance(); pending.next() }
+    }
+  }
+}
+
+/** Map-side partial top-k: same heap pass, no required distribution —
+  * caps what the exchange below [[TopKPerKeyExec]] has to carry at
+  * keys·k rows per input partition. */
+case class PartialTopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, keyExprs, sortOrder, limit) = (child.output, keys, order, k)
+    // maxKeys bounds partial-state memory on high-cardinality keys
+    // (each retained row is an UnsafeRow copy; the 1M default ≈ the
+    // same order as a hash aggregate's partial map before it spills).
+    // Read on the driver (SQLConf is thread-local) and captured.
+    val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.partialMaxKeys", (1 << 20).toString).toInt
+    child.execute().mapPartitions { iter =>
+      TopKHeapPass.run(iter, keyExprs, childOutput, sortOrder, limit, maxKeys)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
     copy(child = newChild)
 }
 
@@ -46,40 +148,12 @@ case class TopKPerKeyExec(
     ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val keyExprs = keys
-    val sortOrder = order
-    val limit = k
+    val (childOutput, keyExprs, sortOrder, limit) = (child.output, keys, order, k)
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ord = GenerateOrdering.generate(sortOrder, childOutput)
-      // per key: a bounded "worst-first" heap — head is the row that
-      // leaves first when a better one arrives
-      val worstFirst = ord.reverse
-      val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < limit) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      heaps.values().forEach { h =>
-        val rows = new Array[UnsafeRow](h.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // emit best-first
-        out ++= rows
-      }
-      out.iterator
+      // post-shuffle every occurrence of a key is local; Int.MaxValue
+      // disables the flush so each key reduces exactly once
+      TopKHeapPass.run(iter, keyExprs, childOutput, sortOrder, limit,
+        maxKeys = Int.MaxValue)
     }
   }
 
@@ -91,7 +165,8 @@ case class TopKPerKeyExec(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        PartialTopKPerKeyExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -39,6 +39,35 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set(1L, 2L)) // lowest ids win the tie
   }
 
+  test("plans a map-side partial pass below the exchange") {
+    val df = (1 to 200).map(i => ("k" + i % 5, i.toLong, i.toDouble)).toDF("key", "id", "score")
+    val out = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // partial (pre-shuffle) then final (post-shuffle): the exchange
+    // carries at most keys·k rows per input partition, not the stream
+    val iPartial = plan.indexOf("PartialTopKPerKey")
+    val iExchange = plan.indexOf("Exchange")
+    val iFinal = plan.indexOf("TopKPerKey ") // exec node line, not the partial
+    assert(iPartial >= 0, s"partial node missing:\n$plan")
+    assert(iExchange >= 0 && iFinal >= 0 && iFinal < iExchange && iExchange < iPartial,
+      s"expected final above exchange above partial:\n$plan")
+  }
+
+  test("partial flush on high-cardinality keys stays correct (maxKeys cap)") {
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "7")
+    try {
+      val rnd = new scala.util.Random(7)
+      val data = Seq.tabulate(1000)(i =>
+        ("k" + rnd.nextInt(100), i.toLong, rnd.nextInt(50).toDouble))
+      val df = data.toDF("key", "id", "score").repartition(4)
+      val native = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 3)
+        .as[(String, Long, Double)].collect().toSet
+      val reference = windowTopK(df, 3).as[(String, Long, Double)].collect().toSet
+      assert(native == reference)
+    } finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+  }
+
   test("plans a single exchange and no sort") {
     val df = (1 to 100).map(i => ("k" + i % 5, i.toLong, i.toDouble)).toDF("key", "id", "score")
     val out = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 3)
