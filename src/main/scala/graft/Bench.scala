@@ -29,6 +29,15 @@ object Bench {
       // and ENOSPC'd q_n21 a second time. Tighten the periodic-GC
       // safety net and additionally System.gc() between queries below.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // single-JVM smoke robustness: with every core saturated for
+      // tens of minutes, the in-process executor's heartbeat thread
+      // can starve past the default 10s × 60-failure budget and
+      // EXIT — which in local mode tears down the whole context
+      // (q_n21's sf10 rerun died exactly this way, mid-job, with the
+      // work itself healthy). Heartbeats are liveness plumbing with
+      // no failure-detection value inside one JVM; widen them.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
     // SPARK_GRAFT_LOCAL_DIR: shuffle/spill scratch root for long smoke
     // runs — points spills at the roomiest volume and gives the run a
     // single directory to clean, instead of scattering block files
