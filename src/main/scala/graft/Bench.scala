@@ -228,12 +228,29 @@ object Bench {
     // current HEAD. SPARK_GRAFT_INVALIDATE'd gates never inherit a
     // prior floor — that is the re-pin path for gates whose
     // implementing code changed since the floor was recorded.
+    // Invalidate tokens match the FULL stored name (a cache floor is
+    // invalidated by its explicit `cache:` name, never as a side
+    // effect of re-pinning a same-named query). Cache-BUILD floors
+    // additionally auto-drop when their provenance is stale: a build
+    // line measures the current code's materialization cost, and a
+    // code change that legitimately slows a build must not hide
+    // behind a pre-change floor forever (query floors keep the
+    // advisory stale flag instead — their cross-round comparability
+    // is the point of the merge).
+    val staleMemo = scala.collection.mutable.Map[String, Boolean]()
+    def isStale(at: String): Boolean =
+      if (at.isEmpty || at == currentHead) false
+      else if (at == "pre-r10") true
+      else staleMemo.getOrElseUpdate(at, gitShort(Seq("git", "log",
+        "--format=%h", s"$at..HEAD", "--", "src/main")).nonEmpty)
     def mergeInto(prior: Map[String, (Double, Double, String)],
         priorMatches: Boolean): Seq[(String, (Double, Double, String))] =
       (prior -- minMap.keys).toSeq ++
         minMap.keys.map { n =>
-          val floor = if (priorMatches && !invalidate.contains(n.stripPrefix("cache:")))
-            prior.get(n).filter(_._2 > 0) else None
+          val floor = if (priorMatches && !invalidate.contains(n))
+            prior.get(n).filter(_._2 > 0)
+              .filterNot(p => n.startsWith("cache:") && isStale(p._3))
+          else None
           floor match {
             case Some((_, pm, pAt)) if pm <= minMap(n) => n -> (firstMap(n), pm, pAt)
             case _ => n -> (firstMap(n), minMap(n), currentHead)

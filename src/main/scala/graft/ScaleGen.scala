@@ -58,6 +58,23 @@ object ScaleGen {
     require(famSize >= 1 && replicas % famSize == 0,
       s"famSize must divide replicas: $famSize / $replicas")
 
+    // SPARK_GRAFT_KEYVOCAB=grow: grow the EP1 keyword vocabulary ∝
+    // corpus instead of ∝ 1. EP1 derives its keywords from `source`
+    // and the FIRST word of `text` — under plain replication both
+    // vocabularies stay fixed (20 sources + 30 first words at every
+    // scale), so each keyword's document count multiplies 10× per
+    // decade and the flagship J3 self-join's pair work grows
+    // QUADRATICALLY in scale — a generator artifact: real 10× web
+    // growth adds new topics/sites (keys) at roughly constant
+    // per-keyword density, not 10×-deeper keyword buckets. `grow`
+    // gives each replica its own keyword vocabulary (source suffixed
+    // `_g<r>`, first token prefixed `k<r>v`), holding per-keyword
+    // density at the source scale's — the regime the q_ep1 decade
+    // experiment measures. Default `fixed` keeps today's byte-exact
+    // output.
+    val growKeyVocab =
+      sys.env.getOrElse("SPARK_GRAFT_KEYVOCAB", "fixed") == "grow"
+
     def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(r => f(df, r)).reduce(_ unionByName _)
 
@@ -74,10 +91,14 @@ object ScaleGen {
       if (r == 0) d
       else {
         val fam = r / famSize
+        val body = concat(decorrelateText(col("text"), col("doc_id"), fam),
+          lit(s" uniq$r"), col("doc_id"))
         d.select((col("doc_id") + r * Shift).as("doc_id"),
-          concat(decorrelateText(col("text"), col("doc_id"), fam),
-            lit(s" uniq$r"), col("doc_id")).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          (if (growKeyVocab) concat(lit(s"k${r}v"), body) else body).as("text"),
+          col("lang"),
+          (if (growKeyVocab) concat(col("source"), lit(s"_g$r"))
+           else col("source")).as("source"),
+          col("n_chars"))
       })
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 

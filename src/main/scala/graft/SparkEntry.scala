@@ -4476,11 +4476,18 @@ object SparkEntry {
       // the small-sf gates on their established geometry.
       val nCells = math.min(4096, math.max(16,
         math.ceil(math.sqrt(total.toDouble)).toInt))
+      // nprobe scales WITH nCells (nprobe ≈ nCells/8, the faiss
+      // convention), keeping the probed-cell fraction constant at the
+      // established 2/16 geometry: a fixed nprobe=2 over √N cells
+      // makes recall a function of corpus size (2/4096 of the corpus
+      // probed at the cap) instead of a property of the index
+      val nprobe = math.max(2, nCells / 8)
       val bounds = Map("ivf" -> 0.3, "lsh" -> 0.6)
       import s.implicits._
       Seq("ivf", "lsh").map { via =>
         val hits = graft.ext.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 5, via = via, nCells = nCells, knownN = total)
+            k = 5, via = via, nCells = nCells, nprobe = nprobe,
+            knownN = total)
           .select(col("query_id"), col("cand_id"))
           .join(exact, Seq("query_id", "cand_id"), "left_semi").count()
         (via, nExact, hits.toDouble / nExact >= bounds(via))
@@ -4651,6 +4658,30 @@ object SparkEntry {
       graft.ext.DataSelection.dsirSelect(Tables.documents(s, d),
         "doc_id", "text", col("source") === "src1", keepPermille = 200)
         .orderBy(col("doc_id"))),
+
+    // -- DSIR hashed-feature face (Xie et al. §3): grams hashed into
+    // 10⁴ buckets bound the LM count table regardless of vocabulary —
+    // the 100 TB shape (the unhashed gram table is ~10⁹ rows there).
+    // A hash choice is an engine fingerprint DuckDB cannot replay, so
+    // the gate follows the q_n21 recall convention: the oracle replays
+    // the EXACT face's selection count; the hashed face's agreement
+    // with it is the engine-side boolean (0.9505 measured at gate
+    // scale, floor 0.9 — raw overlap asserted in DataSelectionSpec) --
+    "q_o35b_dsir_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = graft.ext.DataSelection.dsirSelect(docs, "doc_id",
+        "text", col("source") === "src1", keepPermille = 200)
+        .select(col("doc_id"))
+      val hashed = graft.ext.DataSelection.dsirSelect(docs, "doc_id",
+        "text", col("source") === "src1", keepPermille = 200,
+        hashBuckets = Some(10000)).select(col("doc_id"))
+      val inter = exact.join(hashed, Seq("doc_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(inter.agg(count(lit(1)).as("__n_i"))))
+        .select(col("n_exact"),
+          (col("__n_i").cast("double") / col("n_exact") >= 0.9)
+            .as("overlap_ok"))
+    }),
 
     // -- F9 promoted to a gate: the scheme startswith-check behind
     // ensureScheme and the '```json' fence check behind
@@ -11390,6 +11421,18 @@ object SparkEntry {
                    AS t FROM r)
          SELECT w.doc_id, w.log_w FROM w CROSS JOIN thr
          WHERE w.wfp >= thr.t ORDER BY w.doc_id"""),
+    "q_o35b_dsir_hashed" -> (dsirWeightCtes +
+      """,
+         w AS (SELECT d.doc_id,
+                 CAST(round(coalesce(agg.log_w, 0.0) * 10000, 0) AS BIGINT)
+                   AS wfp
+               FROM documents d LEFT JOIN agg USING (doc_id)),
+         r AS (SELECT wfp, row_number() OVER (ORDER BY wfp) AS i,
+                 count(*) OVER () AS n FROM w),
+         thr AS (SELECT min(CASE WHEN i * 1000 >= n * 800 THEN wfp END)
+                   AS t FROM r)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS overlap_ok
+         FROM w CROSS JOIN thr WHERE w.wfp >= thr.t"""),
     "q_f9_scheme_fence" ->
       """WITH b AS (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0

@@ -61,7 +61,7 @@ private[plans] object TopKHeapPass {
     */
   def run(iter: Iterator[InternalRow], keyExprs: Seq[Expression],
       childOutput: Seq[Attribute], sortOrder: Seq[SortOrder], limit: Int,
-      maxKeys: Int): Iterator[InternalRow] = {
+      maxKeys: Int, maxBytes: Long): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keyExprs, childOutput)
     val ord = GenerateOrdering.generate(sortOrder, childOutput)
     // per key: a bounded "worst-first" heap — head is the row that
@@ -69,6 +69,15 @@ private[plans] object TopKHeapPass {
     val worstFirst = ord.reverse
     val heaps = new java.util.HashMap[UnsafeRow,
       java.util.PriorityQueue[UnsafeRow]]()
+    // retained-copy accounting: each kept row (and key) is an
+    // UnsafeRow COPY held until flush, so wide rows (e.g. scored
+    // candidates carrying two embedding vectors, ~600 B each) can
+    // dwarf the key-COUNT bound — corpus-as-queries kNN puts
+    // near-N distinct keys in one partition, and maxKeys alone
+    // would retain keys·k·rowBytes ≈ multi-GB per task. maxBytes
+    // caps the actual footprint the same way hash aggregate's
+    // partial map spills on memory, not on entry count.
+    var retainedBytes = 0L
     def drain(): Iterator[UnsafeRow] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
       heaps.values().forEach { h =>
@@ -78,6 +87,7 @@ private[plans] object TopKHeapPass {
         out ++= rows
       }
       heaps.clear()
+      retainedBytes = 0L
       out.iterator
     }
     new Iterator[InternalRow] {
@@ -90,13 +100,27 @@ private[plans] object TopKHeapPass {
           if (heap == null) {
             if (heaps.size() >= maxKeys) pending = drain()
             heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, worstFirst)
-            heaps.put(key.copy(), heap)
+            val keyCopy = key.copy()
+            heaps.put(keyCopy, heap)
+            retainedBytes += keyCopy.getSizeInBytes
           }
-          if (heap.size() < limit) heap.add(row.copy())
-          else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.add(row.copy())
+          if (heap.size() < limit) {
+            val copy = row.copy()
+            heap.add(copy)
+            retainedBytes += copy.getSizeInBytes
+          } else if (ord.compare(row, heap.peek()) < 0) {
+            retainedBytes -= heap.poll().getSizeInBytes
+            val copy = row.copy()
+            heap.add(copy)
+            retainedBytes += copy.getSizeInBytes
           }
+          // byte-budget flush AFTER the add: emit current winners and
+          // reset — correct for the partial pass because the final
+          // pass re-reduces (same argument as the maxKeys flush); the
+          // final pass runs with maxBytes = Long.MaxValue so a key is
+          // never split across flushes
+          if (!pending.hasNext && retainedBytes >= maxBytes)
+            pending = drain()
         }
         if (!pending.hasNext && !iter.hasNext && !heaps.isEmpty)
           pending = drain()
@@ -121,14 +145,20 @@ case class PartialTopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (childOutput, keyExprs, sortOrder, limit) = (child.output, keys, order, k)
-    // maxKeys bounds partial-state memory on high-cardinality keys
-    // (each retained row is an UnsafeRow copy; the 1M default ≈ the
-    // same order as a hash aggregate's partial map before it spills).
+    // maxKeys bounds partial-state ENTRY count on high-cardinality
+    // keys; maxBytes bounds the actual retained-copy footprint (the
+    // binding cap when rows are wide — embedding-carrying scored
+    // streams hit the byte budget long before the key count). 64 MB
+    // default ≈ a hash aggregate's partial map before it spills.
     // Read on the driver (SQLConf is thread-local) and captured.
-    val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxKeys = conf
       .getConfString("spark.graft.topk.partialMaxKeys", (1 << 20).toString).toInt
+    val maxBytes = conf
+      .getConfString("spark.graft.topk.partialMaxBytes", (64L << 20).toString).toLong
     child.execute().mapPartitions { iter =>
-      TopKHeapPass.run(iter, keyExprs, childOutput, sortOrder, limit, maxKeys)
+      TopKHeapPass.run(iter, keyExprs, childOutput, sortOrder, limit, maxKeys,
+        maxBytes)
     }
   }
 
@@ -150,10 +180,12 @@ case class TopKPerKeyExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (childOutput, keyExprs, sortOrder, limit) = (child.output, keys, order, k)
     child.execute().mapPartitions { iter =>
-      // post-shuffle every occurrence of a key is local; Int.MaxValue
-      // disables the flush so each key reduces exactly once
+      // post-shuffle every occurrence of a key is local; the flushes
+      // are disabled (maxKeys/maxBytes unbounded) so each key reduces
+      // exactly once — the partial stage already bounded this input
+      // to keys·k rows per upstream partition
       TopKHeapPass.run(iter, keyExprs, childOutput, sortOrder, limit,
-        maxKeys = Int.MaxValue)
+        maxKeys = Int.MaxValue, maxBytes = Long.MaxValue)
     }
   }
 
@@ -179,9 +211,14 @@ object TopK {
   def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    // self-register on sessions built without GraftExtensions
-    // (experimental.extraStrategies is the public per-session hook)
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+    // self-register ONLY on sessions built without GraftExtensions:
+    // planner.strategies is the planner's effective list (built-ins +
+    // extension-injected + experimental), so a session carrying
+    // GraftExtensions (graft.Engine.session) is a no-op here — the
+    // query path never mutates session state on such sessions, and
+    // the strategy is present exactly once. Sessions built without
+    // the extension get it through the public per-session hook.
+    if (!spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }

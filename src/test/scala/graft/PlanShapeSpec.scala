@@ -1201,6 +1201,18 @@ class PlanShapeSpec extends SparkSpec {
         val planStr = plan.toString
         if (planStr.contains("ScalaUDF") || planStr.contains("BatchEvalPython"))
           failures += s"$name: UDF node in the physical plan"
+        // third scale-killer class: a final TopKPerKeyExec whose
+        // required key shuffle is NOT fed by the map-side partial
+        // stage — the exchange then carries the full scored stream
+        // (the r10 sf10 recall baseline shuffled ~5·10^10 rows this
+        // way and ENOSPC'd). The two-stage plan is the operator's
+        // contract; this sweep makes silently reintroducing the
+        // single-stage shape impossible.
+        for (t <- nodes.collect { case t: graft.plans.TopKPerKeyExec => t })
+          if (!allNodes(t.child).exists(
+              _.isInstanceOf[graft.plans.PartialTopKPerKeyExec]))
+            failures += s"$name: TopKPerKeyExec without a map-side " +
+              "PartialTopKPerKeyExec below its exchange (unbounded shuffle)"
       }
     }
     assert(failures.isEmpty,

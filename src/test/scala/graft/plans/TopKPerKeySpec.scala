@@ -43,15 +43,51 @@ class TopKPerKeySpec extends SparkSpec {
     val df = (1 to 200).map(i => ("k" + i % 5, i.toLong, i.toDouble)).toDF("key", "id", "score")
     val out = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 3)
     out.collect()
-    val plan = out.queryExecution.executedPlan.toString
-    // partial (pre-shuffle) then final (post-shuffle): the exchange
-    // carries at most keys·k rows per input partition, not the stream
-    val iPartial = plan.indexOf("PartialTopKPerKey")
-    val iExchange = plan.indexOf("Exchange")
-    val iFinal = plan.indexOf("TopKPerKey ") // exec node line, not the partial
-    assert(iPartial >= 0, s"partial node missing:\n$plan")
-    assert(iExchange >= 0 && iFinal >= 0 && iFinal < iExchange && iExchange < iPartial,
-      s"expected final above exchange above partial:\n$plan")
+    // structural assertion (not string indices — "TopKPerKey" is a
+    // substring of "PartialTopKPerKey", and plan-rendering changes
+    // could silently re-anchor index comparisons): walk the executed
+    // plan through AQE wrappers and assert final ▸ exchange ▸ partial
+    // as actual parent/child structure
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: nodes(r.child)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val all = nodes(out.queryExecution.executedPlan)
+    val finals = all.collect { case t: TopKPerKeyExec => t }
+    assert(finals.size == 1, s"expected exactly one final node, got $finals")
+    val below = nodes(finals.head.child)
+    assert(below.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+      s"no exchange below the final node:\n${out.queryExecution.executedPlan}")
+    val partials = below.collect { case p: PartialTopKPerKeyExec => p }
+    // the partial runs BELOW the final's exchange: at most keys·k rows
+    // per input partition reach the shuffle, not the scored stream
+    assert(partials.size == 1,
+      s"expected one partial below the exchange:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("partial flush on a byte budget stays correct (maxBytes cap)") {
+    // wide-row guard: retained UnsafeRow copies are bounded by BYTES,
+    // not just key count — a tiny budget forces a flush on nearly
+    // every add and the final pass must still reduce to the exact
+    // window-formulation answer
+    spark.conf.set("spark.graft.topk.partialMaxBytes", "256")
+    try {
+      val rnd = new scala.util.Random(11)
+      val data = Seq.tabulate(1000)(i =>
+        ("k" + rnd.nextInt(40), i.toLong, rnd.nextInt(50).toDouble))
+      val df = data.toDF("key", "id", "score").repartition(4)
+      val native = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 3)
+        .as[(String, Long, Double)].collect().toSet
+      val reference = windowTopK(df, 3).as[(String, Long, Double)].collect().toSet
+      assert(native == reference)
+    } finally spark.conf.unset("spark.graft.topk.partialMaxBytes")
   }
 
   test("partial flush on high-cardinality keys stays correct (maxKeys cap)") {
@@ -75,6 +111,21 @@ class TopKPerKeySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"))
     assert(!plan.contains("Sort "), s"native top-k should not sort:\n$plan")
+  }
+
+  test("extension session: strategy present exactly once, query path mutates nothing") {
+    // the test session carries GraftExtensions, so the planner already
+    // has the strategy — the TopK call-site fallback must be a no-op
+    // (no experimental-methods mutation in the query path) and the
+    // strategy must appear exactly once in the planner's list
+    val before = spark.experimental.extraStrategies
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 1.0)).toDF("key", "id", "score")
+    val out = TopK.topKPerKey(df, Seq($"key"), Seq($"score".desc, $"id"), 1)
+    assert(out.count() == 1)
+    assert(spark.experimental.extraStrategies == before,
+      "query path mutated experimental.extraStrategies on an extension session")
+    assert(spark.sessionState.planner.strategies.count(_ == TopKPerKeyStrategy) == 1,
+      "strategy not present exactly once on the extension session")
   }
 
   test("works through a session without GraftExtensions (self-registration)") {
