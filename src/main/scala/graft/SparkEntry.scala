@@ -4476,12 +4476,17 @@ object SparkEntry {
       // the small-sf gates on their established geometry.
       val nCells = math.min(4096, math.max(16,
         math.ceil(math.sqrt(total.toDouble)).toInt))
-      // nprobe scales WITH nCells (nprobe ≈ nCells/8, the faiss
-      // convention), keeping the probed-cell fraction constant at the
-      // established 2/16 geometry: a fixed nprobe=2 over √N cells
-      // makes recall a function of corpus size (2/4096 of the corpus
-      // probed at the cap) instead of a property of the index
-      val nprobe = math.max(2, nCells / 8)
+      // nprobe grows with nCells but only LOGARITHMICALLY: a fixed
+      // nprobe=2 over √N cells lets recall decay with corpus size
+      // (2/4096 of the cells probed at the cap), while a constant
+      // probed FRACTION (nprobe ∝ nCells) makes total probe work
+      // N²·fraction — quadratic, the very blowup √N cells exist to
+      // avoid (total pairs = N²·nprobe/nCells; nprobe must stay
+      // o(√N) to keep the N^1.5 balance). log₂(nCells) probes the
+      // query's ~10 nearest cells at any scale — where cosine
+      // neighbors concentrate — for an N^1.5·log N total
+      val nprobe = math.max(2, math.ceil(
+        math.log(nCells.toDouble) / math.log(2.0)).toInt)
       val bounds = Map("ivf" -> 0.3, "lsh" -> 0.6)
       import s.implicits._
       Seq("ivf", "lsh").map { via =>
