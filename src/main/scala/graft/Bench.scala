@@ -75,10 +75,17 @@ object Bench {
     // reuse a shared chain are then comparable cold-vs-cold — the
     // alternative is the round-7 q_o33 artifact, where an isolated
     // sf1 smoke silently paid the whole minhashPairs build.
-    val prewarm = sys.env.get("SPARK_GRAFT_PREWARM").contains("1")
+    // "1" prewarms every shared chain; a comma-separated list prewarms
+    // only the named ones — an isolated smoke of one gate shouldn't pay
+    // the OTHER gates' cache builds (at sf10 the unrelated Louvain +
+    // pair-machinery builds cost more than the gate under measurement)
+    val prewarmSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PREWARM").map { v =>
+      if (v.trim == "1") SparkEntry.sharedCaches.keySet
+      else v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
     val cacheTimes: Seq[(String, Double)] =
-      if (!prewarm) Seq.empty
-      else SparkEntry.sharedCaches.toSeq.sortBy(_._1).map { case (n, fn) =>
+      prewarmSel.toSeq.flatMap(sel =>
+        SparkEntry.sharedCaches.toSeq.filter(c => sel.contains(c._1)).sortBy(_._1)).map { case (n, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>

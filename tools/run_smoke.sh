@@ -6,7 +6,7 @@ AO="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.
 cd /root/repo
 mkdir -p /tmp/graft_scratch
 SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS="$2" \
-SPARK_GRAFT_PREWARM=1 \
+SPARK_GRAFT_PREWARM="${SPARK_GRAFT_PREWARM:-1}" \
 SPARK_GRAFT_LOCAL_DIR=/tmp/graft_scratch \
 SPARK_GRAFT_RELEASE="q_d11_keep_best=minhashPairs,q_ep3_corpus_card=cardPairs,q_g48_leiden_refine=louvainCo50" \
 SPARK_GRAFT_ONLY="$4" \
