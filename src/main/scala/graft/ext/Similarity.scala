@@ -1164,29 +1164,37 @@ object Similarity {
       vecCol: String, dim: Int, k: Int, nBits: Int = 16, bands: Int = 4,
       seed: Long = 42L, multiProbe: Boolean = false): DataFrame = {
     val cB = lshBuckets(corpus, idCol, vecCol, dim, nBits, bands, seed)
-      .select(col("id").as("cand_id"), col("band_idx"), col("band_val"))
+      .select(col("id").as("cand_id"), col("v").as("cand_v"),
+        col("band_idx"), col("band_val"))
     val qB0 = lshBuckets(queries, idCol, vecCol, dim, nBits, bands, seed)
-      .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
+      .select(col("id").as("query_id"), col("v").as("query_v"),
+        col("band_idx"), col("band_val"))
     val qB = if (!multiProbe) qB0 else {
       val bitsPerBand = nBits / bands
-      qB0.select(col("query_id"), col("band_idx"),
+      qB0.select(col("query_id"), col("query_v"), col("band_idx"),
         explode(array_union(
           array(col("band_val")),
           array((0 until bitsPerBand).map(j =>
             col("band_val").bitwiseXOR(1L << j)): _*))).as("band_val"))
     }
-    // dedup on the id PAIR, then join the vectors back — a distinct
-    // over rows carrying the embeddings would shuffle and compare the
-    // full arrays once per band agreement
-    val candidates = cB.join(qB, Seq("band_idx", "band_val"))
+    // score AT the band join — both vectors are in-flight there, so
+    // the cosine is computed map-side in the join's own stage and the
+    // pair stream is immediately projected down to (ids, cos) before
+    // anything shuffles. Pair dedup (the same pair agrees in up to
+    // bands × (1+multiprobe) buckets) is then a max-aggregate over
+    // identical cos values — bit-identical to dedup-then-score. The
+    // previous shape (distinct on bare ids, then TWO joins re-attaching
+    // the embeddings) forced sort-merge sorts of a vector-carrying
+    // stream proportional to the band-collision volume: at sf10 that
+    // was ~5·10⁸ candidates × ~300 B vectors ≈ 170 GB of sort input —
+    // it filled the disk. A wide candidate stream must only ever carry
+    // ids + score; vectors stay in the bounded per-band corpus tables.
+    val scored = cB.join(qB, Seq("band_idx", "band_val"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id")).distinct()
-    val scored = candidates
-      .join(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v")),
-        Seq("cand_id"))
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v")),
-        Seq("query_id"))
-      .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6)
+          .as("cos"))
+      .groupBy(col("query_id"), col("cand_id")).agg(max(col("cos")).as("cos"))
     rankTopK(scored, k)
   }
 

@@ -109,6 +109,39 @@ class SimilaritySpec extends SparkSpec {
     assert(rm >= 0.8, s"multi-probe recall $rm")
   }
 
+  test("lshTopK score-at-join is identical to the dedup-then-attach " +
+      "formulation it replaced") {
+    // the pre-round-11 shape: distinct on bare id pairs, then two
+    // joins re-attaching the embeddings — semantically equal but it
+    // sorted a vector-carrying stream proportional to band-collision
+    // volume (ENOSPC at sf10). This asserts the rewrite is exact.
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 20)
+    val now = Similarity.lshTopK(e, q, "vec_id", "embedding",
+      dim = 64, k = 5, nBits = 16, bands = 8, multiProbe = true)
+    val bitsPerBand = 2 // 16 bits / 8 bands
+    val cB = Similarity.lshBuckets(e, "vec_id", "embedding", 64, 16, 8)
+      .select(col("id").as("cand_id"), col("band_idx"), col("band_val"))
+    val qB = Similarity.lshBuckets(q, "vec_id", "embedding", 64, 16, 8)
+      .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
+      .select(col("query_id"), col("band_idx"),
+        explode(array_union(
+          array(col("band_val")),
+          array((0 until bitsPerBand).map(j =>
+            col("band_val").bitwiseXOR(1L << j)): _*))).as("band_val"))
+    val candidates = cB.join(qB, Seq("band_idx", "band_val"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val old = Similarity.rankTopK(candidates
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cand_v")),
+        Seq("cand_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("embedding").as("query_v")),
+        Seq("query_id"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6)), k = 5)
+    assert(now.exceptAll(old).count() == 0 && old.exceptAll(now).count() == 0)
+  }
+
   test("hardNegatives excludes positives and self, still yields k") {
     val e = Tables.embeddings(spark, sf0001)
     val queries = e.filter($"vec_id" < 3)
