@@ -95,15 +95,26 @@ object ChunkDedup {
     val lastBound = element_at(concat(array(lit(-1L)), col("__b")), -1)
     val cuts = when(lastBound === col("__n"), concat(array(lit(0L)), col("__b")))
       .otherwise(concat(array(lit(0L)), col("__b"), array(col("__n"))))
+    // hash every chunk INSIDE the row (indexed transform over the cut
+    // list), then explode only the (fp, clen) structs. Exploding the
+    // cut positions first and slicing afterwards copied the doc's
+    // whole char array into EVERY chunk row (GenerateExec materializes
+    // generator output ⊗ required child columns), i.e. ~len²/divisor
+    // bytes per doc — and ScaleGen's decade corpora lengthen docs, so
+    // the sf10 smoke measured q_c8 super-linear (17×) from exactly
+    // this write amplification. In-row hashing keeps the char array
+    // transient in codegen; per-doc output is chunks × 16 B.
+    val chunkStructs = transform(
+      expr("slice(__cuts, 1, size(__cuts) - 1)"),
+      (lo, j) => struct(
+        foldHash(slice(col("__c"), (lo + 1).cast("int"),
+          (element_at(col("__cuts"), j + 2) - lo).cast("int"))).as("fp"),
+        (element_at(col("__cuts"), j + 2) - lo).as("clen")))
     base.withColumn("__b", bounds)
       .withColumn("__cuts", cuts)
-      .select(col("doc_id"), col("__c"),
-        posexplode(expr("slice(__cuts, 1, size(__cuts) - 1)")).as(Seq("__j", "__lo")),
-        col("__cuts"))
+      .select(col("doc_id"), posexplode(chunkStructs).as(Seq("__j", "__s")))
       .select(col("doc_id"), (col("__j") + 1).as("chunk_idx"),
-        foldHash(slice(col("__c"), (col("__lo") + 1).cast("int"),
-          (element_at(col("__cuts"), col("__j") + 2) - col("__lo")).cast("int"))).as("fp"),
-        (element_at(col("__cuts"), col("__j") + 2) - col("__lo")).as("clen"))
+        col("__s.fp").as("fp"), col("__s.clen").as("clen"))
   }
 
   /** The global chunk table: one row per distinct chunk identity

@@ -833,18 +833,39 @@ object TextAnalysis {
     * + the PageRank iterations — nothing quadratic in vocabulary. */
   def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
       topK: Int = 20): DataFrame = {
-    val bi = docs.select(explode(
+    val bi0 = docs.select(explode(
         graft.functions.TextStats.shingles(col(textCol), 2)).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("src"),
         greatest(col("a"), col("b")).as("dst"))
+    // dictionary-encode tokens to longs BEFORE the edge distinct:
+    // PageRank is relabeling-invariant, and running it over STRING
+    // node keys re-shuffles ~25 B keys per edge per iteration and
+    // localCheckpoints a string edge list — the sf10 smoke measured
+    // q_x42 at 59× per decade from exactly that (string edges
+    // exceeding memory turn every iteration into a spill cascade).
+    // monotonically_increasing_id is stable here because the vocab is
+    // pinned by localCheckpoint before both encode joins read it;
+    // token strings rejoin only for the final (pr, token) ordering,
+    // so output and tie-breaks are byte-identical to the string face.
+    val vocab = bi0.select(explode(array(col("src"), col("dst"))).as("tok"))
+      .distinct()
+      .select(col("tok"), monotonically_increasing_id().as("tid"))
+      .localCheckpoint(true)
+    val bi = bi0
+      .join(vocab.select(col("tok").as("src"), col("tid").as("s")), Seq("src"))
+      .join(vocab.select(col("tok").as("dst"), col("tid").as("t")), Seq("dst"))
+      .select(col("s").as("src"), col("t").as("dst"))
       .distinct()
     val e = bi.unionByName(
       bi.select(col("dst").as("src"), col("src").as("dst")))
     graft.query.GraphQueries.pagerankDf(e, iters)
-      .orderBy(col("pr").desc, col("node")).limit(topK)
+      .join(vocab.select(col("tid").as("node"), col("tok")), Seq("node"))
+      .orderBy(col("pr").desc, col("tok"))
+      .select(col("tok").as("node"), col("pr"))
+      .limit(topK)
   }
 
   /** Yule's K lexical-richness statistic per group — the
