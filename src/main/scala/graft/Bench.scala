@@ -81,7 +81,18 @@ object Bench {
     // pair-machinery builds cost more than the gate under measurement)
     val prewarmSel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PREWARM").map { v =>
       if (v.trim == "1") SparkEntry.sharedCaches.keySet
-      else v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else {
+        val sel = v.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd cache name silently dropped by the filter below
+        // would run the smoke COLD with no signal, skewing the very
+        // measurement the prewarm protects — fail fast instead
+        val unknown = sel -- SparkEntry.sharedCaches.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_PREWARM names not in sharedCaches: " +
+            s"${unknown.toSeq.sorted.mkString(",")} (known: " +
+            s"${SparkEntry.sharedCaches.keySet.toSeq.sorted.mkString(",")})")
+        sel
+      }
     }
     val cacheTimes: Seq[(String, Double)] =
       prewarmSel.toSeq.flatMap(sel =>

@@ -4462,7 +4462,7 @@ object SparkEntry {
       // baseline O(N²/5) — at sf10 that is 5·10¹⁰ cosine rows and it
       // ENOSPC'd twice; 2000 queries give the same statistical power
       // at any corpus size and make the measuring stick O(N)
-      val every = math.max(1L, total / 2000L)
+      val every = graft.ext.AnnGeometry.sampleEvery(total)
       val sample = e.filter(col("vec_id") % every === 0)
       val exact = Similarity.bruteForceTopK(e, sample, "vec_id",
           "embedding", k = 5)
@@ -4474,8 +4474,7 @@ object SparkEntry {
       // quadratically; √N balances assignment cost (N·nCells) against
       // probe cost (N·nprobe·N/nCells), both ~N^1.5. Floor 16 keeps
       // the small-sf gates on their established geometry.
-      val nCells = math.min(4096, math.max(16,
-        math.ceil(math.sqrt(total.toDouble)).toInt))
+      val nCells = graft.ext.AnnGeometry.nCells(total)
       // nprobe grows with nCells but only LOGARITHMICALLY: a fixed
       // nprobe=2 over √N cells lets recall decay with corpus size
       // (2/4096 of the cells probed at the cap), while a constant
@@ -4484,9 +4483,10 @@ object SparkEntry {
       // avoid (total pairs = N²·nprobe/nCells; nprobe must stay
       // o(√N) to keep the N^1.5 balance). log₂(nCells) probes the
       // query's ~10 nearest cells at any scale — where cosine
-      // neighbors concentrate — for an N^1.5·log N total
-      val nprobe = math.max(2, math.ceil(
-        math.log(nCells.toDouble) / math.log(2.0)).toInt)
+      // neighbors concentrate — for an N^1.5·log N total.
+      // All three formulas live in graft.ext.AnnGeometry, shared with
+      // RecallProbe so the probe can never drift from the gate.
+      val nprobe = graft.ext.AnnGeometry.nprobe(nCells)
       val bounds = Map("ivf" -> 0.3, "lsh" -> 0.6)
       import s.implicits._
       Seq("ivf", "lsh").map { via =>
@@ -4497,6 +4497,34 @@ object SparkEntry {
           .join(exact, Seq("query_id", "cand_id"), "left_semi").count()
         (via, nExact, hits.toDouble / nExact >= bounds(via))
       }.toDF("via", "n_exact", "recall_ok").orderBy(col("via"))
+    }),
+
+    // -- NN-descent kNN-graph (Dong et al. WWW '11): the LINEAR-cost
+    // alternative to q_n21's designed Θ(N^1.5 log N) IVF face — a
+    // single-probe LSH seed refined by bounded neighbor-of-neighbor
+    // rounds (candidate volume N·C(2·3k,2)·rounds, independent of
+    // corpus size per node). Same recall convention as q_n21: the
+    // oracle replays n_exact exactly; the 0.5 floor is a DATA-
+    // CALIBRATED smoke threshold (raw recall 0.72–0.75 measured
+    // across sf0.001–sf0.1, asserted with margin in SimilaritySpec;
+    // sits between q_n21's ivf 0.3 and lsh 0.6 floors' measured
+    // margins) --
+    "q_n25_nn_descent" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val total = e.count()
+      val every = graft.ext.AnnGeometry.sampleEvery(total)
+      val sample = e.filter(col("vec_id") % every === 0)
+      val exact = Similarity.bruteForceTopK(e, sample, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+      val nExact = exact.count()
+      val hits = graft.ext.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 5, via = "nnd", knownN = total)
+        .select(col("query_id"), col("cand_id"))
+        .join(exact, Seq("query_id", "cand_id"), "left_semi").count()
+      import s.implicits._
+      Seq((nExact, hits.toDouble / nExact >= 0.5))
+        .toDF("n_exact", "recall_ok")
     }),
 
     // -- IVF-PQ composed ANN (the faiss IVFPQ shape): IVF bounds
@@ -10932,6 +10960,11 @@ object SparkEntry {
          SELECT t.via, q.n_exact, TRUE AS recall_ok
          FROM q, (VALUES ('ivf'), ('lsh')) t(via)
          ORDER BY via""",
+    "q_n25_nn_descent" ->
+      """WITH p AS (SELECT GREATEST(1, count(*) // 2000) AS every
+                    FROM embeddings)
+         SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+         FROM embeddings, p WHERE vec_id % p.every = 0""",
     "q_n22_ivfpq" ->
       """SELECT CAST(5 * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",

@@ -649,17 +649,110 @@ object Similarity {
         // auto-sizing needs n; pass knownN (or nBits directly) to
         // skip this extra corpus-count job on repeated builds
         val n = if (knownN >= 0) knownN else corpus.count()
-        val bitsPerBand = math.max(4,
-          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64)))
-        math.min(64, bands * bitsPerBand)
+        AnnGeometry.lshBits(n, bands)
       }
       lshTopK(corpus, corpus, idCol, vecCol, dim, k, nb, bands, seed,
         multiProbe = true)
+    case "nnd" =>
+      // NN-descent: a cheap LINEAR seed (single-probe LSH — candidate
+      // volume ~N·occupancy·bands, no query-side fan-out) refined by
+      // bounded neighbor-of-neighbor rounds. This is the scale-out
+      // answer to the IVF face's designed Θ(N^1.5 log N): seed + R
+      // refinement rounds cost O(N·(occupancy·bands + R·k²)) — linear
+      // in N at fixed k. The graph builds at degree 3k and truncates
+      // to k at the end: the wider working frontier is what carries
+      // true neighbors through rounds — on the uniform synthetic
+      // corpus (the ANN worst case) measured recall@5 at n=2000 is
+      // 0.50 at buildK=2k/2 rounds vs 0.72 at buildK=3k/3 rounds,
+      // for a bounded ~(3/2)²·(3/2) pair-volume constant. Candidate
+      // volume stays N·C(2·3k,2)·rounds ≈ 1350·N at k=5 — LINEAR,
+      // where the IVF face pays Θ(N^1.5 log N).
+      val nb = if (nBits > 0) nBits else {
+        val n = if (knownN >= 0) knownN else corpus.count()
+        AnnGeometry.lshBits(n, bands)
+      }
+      val buildK = 3 * k
+      val seedEdges = lshTopK(corpus, corpus, idCol, vecCol, dim, buildK,
+        nb, bands, seed, multiProbe = false)
+      nnDescent(corpus, idCol, vecCol, buildK, seedEdges, rounds = 3)
+        .filter(col("rank") <= k)
     case "brute" =>
       bruteForceTopK(corpus, corpus, idCol, vecCol, k)
     case other =>
       throw new IllegalArgumentException(
-        s"via must be ivf|lsh|brute: $other")
+        s"via must be ivf|lsh|brute|nnd: $other")
+  }
+
+  /** NN-descent kNN-graph refinement (Dong, Moses & Li, WWW '11 —
+    * the standard scale-out kNN-graph recipe): starting from ANY
+    * approximate kNN edge set, each round proposes every pair of
+    * nodes that share a "general neighbor" (forward ∪ reverse
+    * adjacency) as candidates, scores them exactly, and keeps each
+    * node's best k. Converges because a node's true neighbors are
+    * overwhelmingly neighbors-of-its-current-neighbors.
+    *
+    * Scale shape (the round-11 candidate-stream rule applied by
+    * construction):
+    *  - the reverse adjacency is capped at k per node (the paper's
+    *    reverse sampling), so every node's general-neighbor list is
+    *    ≤ 2k — candidate volume is N·C(2k,2) ≈ 2k²N per round,
+    *    BOUNDED, independent of hub in-degree or bucket skew;
+    *  - vectors ride only the bounded adjacency stream (≤ 2kN rows:
+    *    one equi-join attaches the dst vector), and the pair join on
+    *    the shared CENTER scores the cosine in the join's own stage —
+    *    the pair stream leaves it as (ids, cos), 32 B/row;
+    *  - pair dedup is a max-aggregate over identical 6-dp values
+    *    (bit-identical to dedup-then-score), then the native
+    *    bounded-heap TopKPerKey keeps k per node;
+    *  - one localCheckpoint per round pins the frontier, so lineage
+    *    (and replanning) stays O(1) per round, not O(rounds).
+    *
+    * Returns (query_id, cand_id, cos, rank) like every other face.
+    * Deterministic given a deterministic seed: cosines round to 6 dp
+    * and all ties break on ids. */
+  def nnDescent(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val vec = corpus.select(col(idCol).as("dst"), col(vecCol).as("__dv"))
+    var edges = seed.select(col("query_id"), col("cand_id"), col("cos"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val fwd = edges.select(col("query_id").as("src"),
+        col("cand_id").as("dst"), col("cos"))
+      // reverse adjacency capped at k per node — the bound that keeps
+      // a hub (a node half the corpus lists as neighbor) from minting
+      // indeg² candidate pairs
+      val rev = graft.plans.TopK.topKPerKey(
+        edges.select(col("cand_id").as("src"),
+          col("query_id").as("dst"), col("cos")),
+        Seq(col("src")), Seq(col("cos").desc, col("dst")), k)
+      val adj = fwd.select(col("src"), col("dst"))
+        .unionByName(rev.select(col("src"), col("dst"))).distinct()
+      val adjV = adj.join(vec, Seq("dst"))
+      // all pairs among each center's ≤2k neighbors, scored AT the
+      // join (both vectors in-flight), projected to (ids, cos) before
+      // anything else shuffles
+      val pairs = adjV.as("x").join(adjV.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.dst").as("query_id"), col("y.dst").as("cand_id"),
+          round(VectorFunctions.cosine(col("x.__dv"), col("y.__dv")), 6)
+            .as("cos"))
+      val proposals = pairs.unionByName(
+        pairs.select(col("cand_id").as("query_id"),
+          col("query_id").as("cand_id"), col("cos")))
+      edges = graft.plans.TopK.topKPerKey(
+        edges.unionByName(proposals)
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(max(col("cos")).as("cos")),
+        Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k)
+        .localCheckpoint(true)
+      r += 1
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    edges.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
   /** kNN-distance outlier scores (the LOF shape of Breunig '00,

@@ -831,41 +831,78 @@ object TextAnalysis {
     * (pr desc, word) — deterministic under ties. Returns (node, pr).
     * Scale: one shingle explode + distinct (shuffle on the pair key)
     * + the PageRank iterations — nothing quadratic in vocabulary. */
-  def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
-      topK: Int = 20): DataFrame = {
-    val bi0 = docs.select(explode(
+  /** The raw (multiset) canonical co-occurrence edge stream TextRank
+    * ranks over: adjacent-token pairs (window 2), self-loops dropped,
+    * endpoints ordered (least, greatest). Map-side only — no shuffle.
+    * Shared by [[textRank]] and [[graft.DataCheck]] (which measures
+    * the DISTINCT edge count as q_x42's decade input driver), so the
+    * instrument can never measure a different graph than the gate
+    * builds. */
+  def bigramEdges(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
         graft.functions.TextStats.shingles(col(textCol), 2)).as("bg"))
       .select(split(col("bg"), " ").getItem(0).as("a"),
         split(col("bg"), " ").getItem(1).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("src"),
         greatest(col("a"), col("b")).as("dst"))
-    // dictionary-encode tokens to longs BEFORE the edge distinct:
-    // PageRank is relabeling-invariant, and running it over STRING
-    // node keys re-shuffles ~25 B keys per edge per iteration and
-    // localCheckpoints a string edge list — the sf10 smoke measured
-    // q_x42 at 59× per decade from exactly that (string edges
-    // exceeding memory turn every iteration into a spill cascade).
-    // monotonically_increasing_id is stable here because the vocab is
-    // pinned by localCheckpoint before both encode joins read it;
-    // token strings rejoin only for the final (pr, token) ordering,
-    // so output and tie-breaks are byte-identical to the string face.
-    val vocab = bi0.select(explode(array(col("src"), col("dst"))).as("tok"))
-      .distinct()
-      .select(col("tok"), monotonically_increasing_id().as("tid"))
-      .localCheckpoint(true)
-    val bi = bi0
-      .join(vocab.select(col("tok").as("src"), col("tid").as("s")), Seq("src"))
-      .join(vocab.select(col("tok").as("dst"), col("tid").as("t")), Seq("dst"))
-      .select(col("s").as("src"), col("t").as("dst"))
-      .distinct()
-    val e = bi.unionByName(
-      bi.select(col("dst").as("src"), col("src").as("dst")))
-    graft.query.GraphQueries.pagerankDf(e, iters)
-      .join(vocab.select(col("tid").as("node"), col("tok")), Seq("node"))
-      .orderBy(col("pr").desc, col("tok"))
-      .select(col("tok").as("node"), col("pr"))
-      .limit(topK)
+
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 3,
+      topK: Int = 20, encodeThreshold: Long = 1L << 20): DataFrame = {
+    val bi0 = bigramEdges(docs, textCol)
+    // ADAPTIVE face pick (round-11 verdict item): the dictionary
+    // encode below pays two linear joins that only earn their keep
+    // when the edge list is large — at gate scale (45 k edges) it
+    // costs 2.3× for nothing, at sf10 (23 M edges) skipping it is a
+    // spill cascade. The pivot statistic is the distinct-edge count,
+    // measured as one cheap HLL aggregate over the map-side bi0
+    // stream (~2% default error — a pivot, not a result; both faces
+    // are bit-identical, spec-asserted, so the choice can never
+    // change output). 2²⁰ ≈ 1 M edges sits between the measured
+    // regimes with an order of magnitude of slack each way.
+    val nEdges = bi0.agg(
+      approx_count_distinct(struct(col("src"), col("dst")))).head().getLong(0)
+    if (nEdges < encodeThreshold) {
+      // small-graph face: PageRank directly over string node keys —
+      // the pre-round-11 formulation, cheapest when the whole edge
+      // list fits comfortably in a shuffle
+      val bi = bi0.distinct()
+      val e = bi.unionByName(
+        bi.select(col("dst").as("src"), col("src").as("dst")))
+      graft.query.GraphQueries.pagerankDf(e, iters)
+        .orderBy(col("pr").desc, col("node"))
+        .select(col("node"), col("pr"))
+        .limit(topK)
+    } else {
+      // large-graph face: dictionary-encode tokens to longs BEFORE
+      // the edge distinct: PageRank is relabeling-invariant, and
+      // running it over STRING node keys re-shuffles ~25 B keys per
+      // edge per iteration and localCheckpoints a string edge list —
+      // the sf10 smoke measured q_x42 at 59× per decade from exactly
+      // that (string edges exceeding memory turn every iteration into
+      // a spill cascade).
+      // monotonically_increasing_id is stable here because the vocab
+      // is pinned by localCheckpoint before both encode joins read
+      // it; token strings rejoin only for the final (pr, token)
+      // ordering, so output and tie-breaks are byte-identical to the
+      // string face.
+      val vocab = bi0.select(explode(array(col("src"), col("dst"))).as("tok"))
+        .distinct()
+        .select(col("tok"), monotonically_increasing_id().as("tid"))
+        .localCheckpoint(true)
+      val bi = bi0
+        .join(vocab.select(col("tok").as("src"), col("tid").as("s")), Seq("src"))
+        .join(vocab.select(col("tok").as("dst"), col("tid").as("t")), Seq("dst"))
+        .select(col("s").as("src"), col("t").as("dst"))
+        .distinct()
+      val e = bi.unionByName(
+        bi.select(col("dst").as("src"), col("src").as("dst")))
+      graft.query.GraphQueries.pagerankDf(e, iters)
+        .join(vocab.select(col("tid").as("node"), col("tok")), Seq("node"))
+        .orderBy(col("pr").desc, col("tok"))
+        .select(col("tok").as("node"), col("pr"))
+        .limit(topK)
+    }
   }
 
   /** Yule's K lexical-richness statistic per group — the

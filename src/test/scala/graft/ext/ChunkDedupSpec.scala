@@ -31,6 +31,49 @@ class ChunkDedupSpec extends SparkSpec {
     assert(ch.filter(col("clen") <= 0L).count() === 0L)
   }
 
+  test("in-row chunk hashing is identical to the explode-then-slice " +
+      "formulation it replaced") {
+    // the pre-round-11 shape: posexplode the cut list FIRST, slice +
+    // hash per chunk ROW afterwards — semantically equal, but
+    // GenerateExec materialized each doc's whole char array into
+    // every chunk row (~len²/divisor bytes per doc; super-linear at
+    // sf10). This freezes that formulation as the reference and
+    // asserts the in-row rewrite is exact on real text.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val now = ChunkDedup.cdcChunks(docs, "doc_id", "text")
+    val w = 8
+    val divisor = 32
+    def foldHash(codes: org.apache.spark.sql.Column) =
+      aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % ChunkDedup.Mod)
+    val base = docs
+      .select(col("doc_id"), ChunkDedup.normalizeAscii(col("text")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("doc_id"), length(col("__t")).cast("long").as("__n"),
+        transform(sequence(lit(1), length(col("__t"))),
+          j => ascii(col("__t").substr(j, lit(1))).cast("long")).as("__c"))
+    val bounds = when(col("__n") >= w,
+      filter(sequence(lit(w.toLong), col("__n")), i =>
+        (foldHash(slice(col("__c"), i - (w - 1), lit(w))) * ChunkDedup.Mix
+          % ChunkDedup.Mod) % divisor === 0L))
+      .otherwise(array().cast("array<bigint>"))
+    val lastBound = element_at(concat(array(lit(-1L)), col("__b")), -1)
+    val cuts = when(lastBound === col("__n"),
+        concat(array(lit(0L)), col("__b")))
+      .otherwise(concat(array(lit(0L)), col("__b"), array(col("__n"))))
+    val old = base.withColumn("__b", bounds).withColumn("__cuts", cuts)
+      .select(col("doc_id"), col("__c"), col("__cuts"),
+        posexplode(expr("slice(__cuts, 1, size(__cuts) - 1)"))
+          .as(Seq("__j", "__lo")))
+      .select(col("doc_id"), (col("__j") + 1).as("chunk_idx"),
+        foldHash(slice(col("__c"), (col("__lo") + 1).cast("int"),
+          (element_at(col("__cuts"), (col("__j") + 2).cast("int"))
+            - col("__lo")).cast("int"))).as("fp"),
+        (element_at(col("__cuts"), (col("__j") + 2).cast("int"))
+          - col("__lo")).as("clen"))
+    assert(now.exceptAll(old).count() == 0 &&
+      old.exceptAll(now).count() == 0)
+  }
+
   test("identical text yields identical chunk fingerprint sequences") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))

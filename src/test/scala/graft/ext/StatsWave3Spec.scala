@@ -1254,6 +1254,21 @@ class StatsWave3Spec extends SparkSpec {
       out.head._2 > out(1)._2, out.mkString(","))
   }
 
+  test("textrank adaptive faces: string-keyed and dictionary-encoded " +
+      "PageRank are bit-identical") {
+    // the round-12 adaptive pick (encode only above a distinct-edge
+    // threshold) is only legal because both faces are exact: PageRank
+    // is relabeling-invariant and the 9-dp recurrence is
+    // order-independent, so forcing each face must give byte-equal
+    // ordered output on real text
+    val docs = graft.Tables.documents(spark, sf0001)
+    val str = TextAnalysis.textRank(docs, "text", iters = 3, topK = 20,
+      encodeThreshold = Long.MaxValue).as[(String, Double)].collect().toSeq
+    val enc = TextAnalysis.textRank(docs, "text", iters = 3, topK = 20,
+      encodeThreshold = 0L).as[(String, Double)].collect().toSeq
+    assert(str == enc, s"faces differ:\n$str\n$enc")
+  }
+
   test("cluster purity: dominant label ratio per nearest-seed cluster") {
     val emb = Seq(
       (0L, "A", Array(1f, 0f)), (1L, "B", Array(0f, 1f)),

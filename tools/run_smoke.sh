@@ -1,6 +1,9 @@
 #!/bin/bash
 # Smoke-run helper: direct-java Bench invocation (bypasses sbt).
 # Usage: tools/run_smoke.sh <sfdir> <cpus> <xmx> <only-csv> [invalidate-csv]
+# Scale dirs come from tools/gen_scale.sh — whose CANONICAL decade
+# regime is constant keyword density (KEYVOCAB=grow); fixed-vocab is
+# the labeled adversarial-skew regime, never the default decade data.
 set -u
 AO="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 cd /root/repo
