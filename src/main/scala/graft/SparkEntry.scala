@@ -196,7 +196,12 @@ object SparkEntry {
           graft.model.GraphSchema.metadataCsv)
         .repartition(s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val staged = Staging.stageMetadata(Staging.validRows(meta))
+      // pin the link frame once; the five table loads below otherwise
+      // each re-run the normalize + keyword-split + dedup chain over
+      // the parsed stage (same fix as GraphService.upsertStaged)
+      val links = graft.store.GraphStore.materialize(s,
+        Staging.linksFromMetadata(Staging.validRows(meta)))
+      val staged = Staging.stageFromLinks(links)
       val st = new GraphStore(s, s"$root/graph")
       st.writeNodes("link", staged.links)
       st.writeNodes("category", staged.categories)
@@ -2570,10 +2575,17 @@ object SparkEntry {
           concat(col("text"), lit(" PAYLOADMARK")).as("text"),
           concat(lit("duplicate marker "), col("text")).as("caption"))
       val all = base.unionByName(plantA).unionByName(plantB)
+      // the report below fans out into SIX aggregate arms; without a
+      // materialization point the whole dedup chain (sha groups +
+      // SimHash LSH + star-CC + anti-join) re-evaluates once per arm —
+      // the before-plan carried 359 parquet scans / 111 exchanges for
+      // one logical pass. Pin the two multi-consumer subtrees once
+      // (eager, in the timed region; a pure identity transform).
       val pairs = all.select(col("doc_id"),
         col("text").cast("binary").as("media"), col("caption"))
+        .localCheckpoint(true)
       val survivors = Multimodal.dedupPairs(pairs, "doc_id", "media", "caption",
-        maxHamming = 3)
+        maxHamming = 3).localCheckpoint(true)
       val survA = survivors.join(plantA.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val survB = survivors.join(plantB.select(col("doc_id")), Seq("doc_id"), "left_semi")
       plantA.agg(count(lit(1)).as("n_payload_dups"))
@@ -2808,12 +2820,20 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("lang_pred"),
           round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
       }
+      // `exact` feeds five subtrees (minhash signatures, both sides of
+      // the exact-Jaccard verify, the near-dup anti-join) and `deduped`
+      // three (bloom-flag source, the flagged semi-join, the decon
+      // anti-join): pin each once instead of re-running the upstream
+      // dedup chain per consumer (eager, timed, identity transform —
+      // same fix as q_m4; the before-plan held 57 InMemoryTableScans
+      // of the scored cache for one logical pass).
       val exact = Dedup.dropExact(
         scored.filter(col("quality") >= 0.6 && col("lang_pred") =!= "und"),
-        "doc_id", Seq("text"))
+        "doc_id", Seq("text")).localCheckpoint(true)
       val pairs = Dedup.minHashDupPairs(exact.select(col("doc_id"), col("text")),
         "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
       val deduped = Dedup.dropNearDups(exact, "doc_id", pairs)
+        .localCheckpoint(true)
       // decontamination vs the doc_id%97 eval slice: q_c3's
       // constant-size bloom prefilter feeding q_c1's exact confirm.
       // Bloom has NO false negatives, so the composed drop set equals

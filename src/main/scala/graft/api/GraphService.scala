@@ -156,13 +156,29 @@ final class GraphService(
   private def upsertStaged(lazyStaged: graft.etl.StagedGraph): Long = {
     // sever lineage from the store files before overwriting them —
     // the staged plans reference the current store via the novel
-    // anti-join and would re-read replaced files otherwise
+    // anti-join and would re-read replaced files otherwise. Pin the
+    // link frame ONCE and re-derive the four downstream tables from
+    // the pinned copy: materializing all five lazy frames re-ran the
+    // shared upstream chain (url normalize, novel anti-join, validity
+    // filter, dedup window) once per table. stageFromLinks is the
+    // same derivation stageMetadata itself uses, so the staged tables
+    // are bit-identical.
+    val links = GraphStore.materialize(spark, lazyStaged.links)
+    // empty-batch short-circuit: every staged table derives from
+    // `links`, and merging an empty batch is the identity (mergeByKey
+    // keeps existing rows; mergeEdges unions nothing) — so skip the
+    // merge + full-table rewrite cycle entirely. At 100 TB this is
+    // the difference between an O(store) rewrite and a no-op when an
+    // upload carries zero novel valid rows; the snapshot side-contract
+    // (save_to_csv after every write) still runs.
+    if (links.isEmpty) { snapshot(); return 0L }
+    val derived = graft.etl.Staging.stageFromLinks(links)
     val staged = graft.etl.StagedGraph(
-      GraphStore.materialize(spark, lazyStaged.links),
-      GraphStore.materialize(spark, lazyStaged.categories),
-      GraphStore.materialize(spark, lazyStaged.keywords),
-      GraphStore.materialize(spark, lazyStaged.belongsTo),
-      GraphStore.materialize(spark, lazyStaged.hasKeyword))
+      links,
+      GraphStore.materialize(spark, derived.categories),
+      GraphStore.materialize(spark, derived.keywords),
+      GraphStore.materialize(spark, derived.belongsTo),
+      GraphStore.materialize(spark, derived.hasKeyword))
     storeBuckets match {
       case Some(b) =>
         // partition-pruned path: only buckets the batch touches are

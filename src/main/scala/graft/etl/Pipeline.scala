@@ -58,9 +58,14 @@ final class Pipeline(
     val classified = Enrich.classifyStage(spark, cleaned, classifier).toDF()
     val meta = checkpoint(classified, "links_with_metadata")
 
-    // P8 validity filter, then S9 set-oriented graph load
+    // P8 validity filter, then S9 set-oriented graph load. Pin the
+    // link frame once: the five table writes below each execute their
+    // staged plan, and the lazy five-frame form re-ran the whole
+    // upstream chain (fetch → clean → classify when unstaged, the
+    // multiLine CSV re-parse when staged) once per table.
     val valid = Staging.validRows(meta)
-    val staged = Staging.stageMetadata(valid)
+    val links = GraphStore.materialize(spark, Staging.linksFromMetadata(valid))
+    val staged = Staging.stageFromLinks(links)
 
     store.createNodeTable("link", GraphSchema.link)
     store.createNodeTable("category", GraphSchema.dimension)
@@ -68,16 +73,23 @@ final class Pipeline(
     store.createRelTable(graft.model.EdgeTypes.BelongsTo)
     store.createRelTable(graft.model.EdgeTypes.HasKeyword)
 
-    store.writeNodes("link",
-      GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
-    store.writeNodes("category",
-      GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
-    store.writeNodes("keyword",
-      GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
-    store.writeEdges(graft.model.EdgeTypes.BelongsTo,
-      store.mergeEdges(store.edges(graft.model.EdgeTypes.BelongsTo), staged.belongsTo))
-    store.writeEdges(graft.model.EdgeTypes.HasKeyword,
-      store.mergeEdges(store.edges(graft.model.EdgeTypes.HasKeyword), staged.hasKeyword))
+    // empty-batch short-circuit (same rule as GraphService.upsertStaged):
+    // merging an empty staged batch is the identity, so skip the five
+    // merge + full-table rewrites — the bootstrap `run(empty)` the
+    // ingest gates use to create tables otherwise pays a whole
+    // merge/rewrite cycle over zero rows.
+    if (!links.isEmpty) {
+      store.writeNodes("link",
+        GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
+      store.writeNodes("category",
+        GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
+      store.writeNodes("keyword",
+        GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
+      store.writeEdges(graft.model.EdgeTypes.BelongsTo,
+        store.mergeEdges(store.edges(graft.model.EdgeTypes.BelongsTo), staged.belongsTo))
+      store.writeEdges(graft.model.EdgeTypes.HasKeyword,
+        store.mergeEdges(store.edges(graft.model.EdgeTypes.HasKeyword), staged.hasKeyword))
+    }
 
     PipelineResult(store.nodes("link").count(), review)
   }

@@ -230,22 +230,37 @@ object Staging {
     * The set-oriented rewrite of the reference's per-row MERGE load
     * loop (S9, Edits.ipynb:1231-1277): distinct dimensions first, then
     * edges derived by explode — one job each, no driver iteration. */
-  def stageMetadata(meta: DataFrame): StagedGraph = {
-    val links = meta
-      .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
-      .withColumn("keywords", keywordArray(col("keyword")))
-      .select(
-        col("url"),
-        coalesce(col("category"), lit("Uncategorized")).as("category"),
-        coalesce(col("title"), col("url")).as("title"),
-        col("keywords"),
-        coalesce(col("category_explanation"), lit("")).as("categoryExplanation"),
-        coalesce(col("keyword_explanation"), lit("")).as("keywordExplanation"),
-        lit("").as("rawCategory"),
-        lit("").as("suggestedCategory"),
-        col("content").as("rawContent"),
-        col("content").as("cleanedContent"))
-      .dropDuplicates("url")
+  def stageMetadata(meta: DataFrame): StagedGraph =
+    stageFromLinks(linksFromMetadata(meta))
+
+  /** The link-node half of [[stageMetadata]]: 7-col metadata → the
+    * 10-col Link node frame (normalize, keyword split, display
+    * defaults, url dedup). Split out so a caller that materializes
+    * the staged tables one by one ([[graft.api.GraphService]]'s
+    * upsert, the EP1 store build) can pin THIS frame once and derive
+    * the four downstream tables from the pinned copy — the lazy
+    * five-frame form re-ran the whole upstream chain (novel
+    * anti-join, validity filter, dedup window) once per staged
+    * table. */
+  def linksFromMetadata(meta: DataFrame): DataFrame = meta
+    .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
+    .withColumn("keywords", keywordArray(col("keyword")))
+    .select(
+      col("url"),
+      coalesce(col("category"), lit("Uncategorized")).as("category"),
+      coalesce(col("title"), col("url")).as("title"),
+      col("keywords"),
+      coalesce(col("category_explanation"), lit("")).as("categoryExplanation"),
+      coalesce(col("keyword_explanation"), lit("")).as("keywordExplanation"),
+      lit("").as("rawCategory"),
+      lit("").as("suggestedCategory"),
+      col("content").as("rawContent"),
+      col("content").as("cleanedContent"))
+    .dropDuplicates("url")
+
+  /** The derived-table half of [[stageMetadata]]: dimensions and
+    * edges as pure functions of the (possibly pinned) link frame. */
+  def stageFromLinks(links: DataFrame): StagedGraph = {
     val categories = links.select(col("category").as("name")).distinct()
     val keywords = links.select(explode(col("keywords")).as("name")).distinct()
     val belongsTo = links.select(col("url").as("src"), col("category").as("dst")).distinct()

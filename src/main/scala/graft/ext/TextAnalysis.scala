@@ -213,13 +213,24 @@ object TextAnalysis {
     * then phone numbers → `<PHONE>`. Order matters — the email
     * pattern can contain digit runs, and IPv4 must win over the
     * phone shape on dotted quads. Pure regexp_replace chain: fully
-    * codegen'd, no UDF, linear per row. */
-  def redactPii(text: Column): Column =
-    regexp_replace(
+    * codegen'd, no UDF, linear per row.
+    *
+    * Each scan is guarded by a cheap necessary-condition probe:
+    * [[EmailPattern]] contains a literal '@' and both [[Ipv4Pattern]]
+    * and [[PhonePattern]] require an ASCII digit, so a row without the
+    * marker cannot match and its regexp_replace is the identity —
+    * skipping it is bit-identical. On clean corpora (most rows carry
+    * no PII markers) this replaces three NFA scans per row with one
+    * contains() and one single-class scan. */
+  def redactPii(text: Column): Column = {
+    val afterEmail = when(text.contains("@"),
+      regexp_replace(text, EmailPattern, "<EMAIL>")).otherwise(text)
+    when(afterEmail.rlike("[0-9]"),
       regexp_replace(
-        regexp_replace(text, EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>"),
-      PhonePattern, "<PHONE>")
+        regexp_replace(afterEmail, Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>"))
+      .otherwise(afterEmail)
+  }
 
   /** Canonical text normalization — the standard pre-dedup /
     * pre-tokenize cleanup stage of a training-data pipeline. In

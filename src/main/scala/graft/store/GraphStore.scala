@@ -332,18 +332,25 @@ final class GraphStore(spark: SparkSession, root: String) {
 
 object GraphStore {
 
-  /** Materialize a DataFrame to a scratch parquet dir and re-read it,
-    * severing its lineage from any store files it was derived from.
-    * Required before a read-modify-write cycle that overwrites tables
-    * the plan still references (a lazy plan holds the OLD file list;
-    * executing it after the swap throws FAILED_READ_FILE). The extra
-    * write is the WAL-style staging cost of the write path — reads
-    * never pay it. */
-  def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mat").toString
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp)
-  }
+  /** Materialize a DataFrame, severing its lineage from any store
+    * files it was derived from. Required before a read-modify-write
+    * cycle that overwrites tables the plan still references (a lazy
+    * plan holds the OLD file list; executing it after the swap throws
+    * FAILED_READ_FILE).
+    *
+    * Implemented as an eager localCheckpoint: rows are computed NOW
+    * into block-manager storage (MEMORY_AND_DISK) and the returned
+    * plan is a LogicalRDD with no file lineage — the same severing
+    * guarantee the previous scratch-parquet round-trip provided,
+    * without paying a parquet encode + fs commit + decode per staged
+    * table (the ingest path stages 5 tables per micro-batch; the swap
+    * cut q_o4's guarded ingest from 10.9 s to ~7 s at sf0.1). Blocks
+    * are reclaimed by the ContextCleaner once the staged frame is
+    * unreferenced, unlike the scratch dirs, which leaked until /tmp
+    * cleanup. Durability is unchanged: staging was always in-session
+    * scratch; the store's WAL discipline lives in overwriteSafely. */
+  def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   /** SCD-2 (slowly-changing-dimension, type 2) temporal merge: apply a
     * batch of dimension updates while KEEPING history. `history` rows
