@@ -5078,9 +5078,13 @@ object SparkEntry {
     "q_g44_component_report" -> ((s, d) => {
       val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      // pinned: the co-purchase self-join feeds BOTH the CC-star chain
+      // and pagerankDf's edge checkpoint — the lazy form ran the
+      // projection self-join twice (identity transform)
       val canon = hk.as("a").join(hk.as("b"),
           col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+        .localCheckpoint(true)
       val sym = canon.unionByName(
         canon.select(col("dst").as("src"), col("src").as("dst")))
       val comp = GraphQueries.connectedComponentsStar(canon)

@@ -470,8 +470,12 @@ object Sampling {
     for (i <- 1 to k) {
       val gains = remaining.join(covered, Seq("tok"), "left_anti")
         .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+      // pin the (single-row) pick: it feeds `selected`, `covered` AND
+      // `remaining`, and the lazy form re-ran the whole gains
+      // aggregation once per consumer per round (identity transform)
       val pick = gains.orderBy(col("gain").desc, col("id").asc).limit(1)
         .select(lit(i.toLong).as("pick_rank"), col("id"), col("gain"))
+        .localCheckpoint(true)
       selected = if (selected == null) pick else selected.unionByName(pick)
       covered = covered.unionByName(
         remaining.join(pick.select(col("id")), Seq("id")).select(col("tok")))

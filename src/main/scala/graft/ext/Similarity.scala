@@ -355,10 +355,17 @@ object Similarity {
       val scored = remaining.join(ms, Seq("query_id", "cand_id"))
         .withColumn("mmr", round(lit(lambda) * col("rel") -
           lit(1.0 - lambda) * col("max_sim"), 6))
+      // pin each round's (tiny: one row per query) pick: `selected` and
+      // `remaining` both consume it AND feed the next round, so the
+      // lazy form compounds the plan super-linearly in k — at k=5 the
+      // gate spent ~7 s in the OPTIMIZER (wall 10.2 s vs 3.3 s of job
+      // time) before this. Identity transform; the greedy draws and
+      // their tie-breaks are unchanged.
       val pick = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
           Seq(col("mmr").desc, col("cand_id")), 1)
         .select(col("query_id"), col("cand_id"), col("cand_v"), col("rel"),
           lit(i.toLong).as("pick_rank"))
+        .localCheckpoint(true)
       selected = selected.unionByName(pick)
       remaining = remaining.join(pick.select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_anti")
