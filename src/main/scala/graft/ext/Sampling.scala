@@ -472,16 +472,21 @@ object Sampling {
         .groupBy(col("id")).agg(count(lit(1)).as("gain"))
       // pin the (single-row) pick: it feeds `selected`, `covered` AND
       // `remaining`, and the lazy form re-ran the whole gains
-      // aggregation once per consumer per round (identity transform)
-      val pick = gains.orderBy(col("gain").desc, col("id").asc).limit(1)
+      // aggregation once per consumer per round (identity transform).
+      // The FINAL round's pick stays lazy and covered/remaining are
+      // not updated — both are dead after the loop, and the bounded
+      // top-k machinery stays visible in the gate's final plan.
+      val pick0 = gains.orderBy(col("gain").desc, col("id").asc).limit(1)
         .select(lit(i.toLong).as("pick_rank"), col("id"), col("gain"))
-        .localCheckpoint(true)
+      val pick = if (i < k) pick0.localCheckpoint(true) else pick0
       selected = if (selected == null) pick else selected.unionByName(pick)
-      covered = covered.unionByName(
-        remaining.join(pick.select(col("id")), Seq("id")).select(col("tok")))
-        .distinct().localCheckpoint(true)
-      remaining = remaining.join(pick.select(col("id")), Seq("id"),
-        "left_anti")
+      if (i < k) {
+        covered = covered.unionByName(
+          remaining.join(pick.select(col("id")), Seq("id")).select(col("tok")))
+          .distinct().localCheckpoint(true)
+        remaining = remaining.join(pick.select(col("id")), Seq("id"),
+          "left_anti")
+      }
     }
     selected
   }

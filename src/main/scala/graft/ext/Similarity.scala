@@ -360,14 +360,18 @@ object Similarity {
       // lazy form compounds the plan super-linearly in k — at k=5 the
       // gate spent ~7 s in the OPTIMIZER (wall 10.2 s vs 3.3 s of job
       // time) before this. Identity transform; the greedy draws and
-      // their tie-breaks are unchanged.
-      val pick = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
+      // their tie-breaks are unchanged. The FINAL round's pick stays
+      // lazy and `remaining` is not updated — both are dead after the
+      // loop, and the native top-k machinery stays visible in the
+      // gate's final plan.
+      val pick0 = graft.plans.TopK.topKPerKey(scored, Seq(col("query_id")),
           Seq(col("mmr").desc, col("cand_id")), 1)
         .select(col("query_id"), col("cand_id"), col("cand_v"), col("rel"),
           lit(i.toLong).as("pick_rank"))
-        .localCheckpoint(true)
+      val pick = if (i < k) pick0.localCheckpoint(true) else pick0
       selected = selected.unionByName(pick)
-      remaining = remaining.join(pick.select(col("query_id"), col("cand_id")),
+      if (i < k) remaining = remaining.join(
+        pick.select(col("query_id"), col("cand_id")),
         Seq("query_id", "cand_id"), "left_anti")
     }
     selected.select(col("query_id"), col("pick_rank"), col("cand_id"), col("rel"))
@@ -908,12 +912,20 @@ object Similarity {
         .withColumn("sim",
           round(VectorFunctions.cosine(col("v"), col("sel_v")), 6))
         .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
-      val pick = remaining.join(ms, Seq("vec_id"))
+      // pin the single-row pick (same fix as mmrRerank): it feeds the
+      // broadcast `selected` union AND the anti-joined `remaining`, so
+      // the lazy form compounded each round's max-sim scan into every
+      // later round's plan (identity transform). The FINAL round's
+      // pick stays lazy and `remaining` is not updated — both are dead
+      // after the loop, and the bounded top-k machinery stays visible
+      // in the gate's final plan.
+      val pick0 = remaining.join(ms, Seq("vec_id"))
         .orderBy(col("ms").asc, col("vec_id").asc).limit(1)
         .select(col("vec_id"), col("v"), lit(i.toLong).as("pick_rank"),
           col("ms").as("maxsim"))
+      val pick = if (i < k) pick0.localCheckpoint(true) else pick0
       selected = selected.unionByName(pick)
-      remaining = remaining.join(pick.select(col("vec_id")),
+      if (i < k) remaining = remaining.join(pick.select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     }
     selected.select(col("pick_rank"), col("vec_id"), col("maxsim"))
