@@ -4997,7 +4997,13 @@ object SparkEntry {
         .select((col("c_custkey") + 1000000L).as("id2"),
           concat(substring(col("c_name"), 1, 17), lit("X")).as("n2"),
           col("c_nationkey").as("nk"), col("c_mktsegment").as("s2"))
+      // ~900k blocked pairs land in 1-2 AQE-coalesced partitions (the
+      // coalescer sizes by BYTES and the pair rows are narrow), so the
+      // levenshtein scoring ran near-serially; spread the CPU-dense
+      // scoring stage to the session's parallelism (scores are per-row,
+      // placement-independent)
       val pairs = base.join(planted, Seq("nk"))
+        .repartition(s.sparkContext.defaultParallelism)
       graft.ext.FuzzyJoin.fellegiSunter(pairs, Seq(
           (levenshtein(col("n1"), col("n2")) <= 1, 3, -1),
           (col("s1") === col("s2"), 2, -1)))

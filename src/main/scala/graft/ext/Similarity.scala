@@ -142,7 +142,17 @@ object Similarity {
     * (cos desc, candidate id). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"))
+    val c0 = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cand_v"))
+    // The |corpus|·|queries| cosine grid is CPU-dense, not byte-dense:
+    // scan parallelism follows input SPLITS, so a corpus that fits one
+    // split (any gate-scale parquet file) runs the whole grid in ONE
+    // task (q_n16 measured 4M cosines / ~5 s on 1 of 32 cores). Spread
+    // the probe side to the session's parallelism when the scan gives
+    // fewer splits — at scale the corpus already has ≥ cores splits
+    // and this is a no-op; results are row-independent scores, so
+    // placement cannot change them.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = if (c0.rdd.getNumPartitions < par) c0.repartition(par) else c0
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
     val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
       .withColumn("cos", round(VectorFunctions.cosine(col("query_v"), col("cand_v")), 6))
@@ -289,6 +299,22 @@ object Similarity {
   def signProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int = 16): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    // the outDim·d sign fold runs as the FloatVecSignProject codegen
+    // kernel — bit-identical to the original aggregate(sequence(...))
+    // HOF composition (same squared-modular hash, same sequential
+    // index-order double fold, same 1/√outDim scale), but a generated
+    // primitive loop instead of interpreted ArrayAggregate lambdas
+    // (codegen-fallback; ~100M lambda evals for 100k×64→16 at sf0.1).
+    // Equivalence vs the HOF form is spec-asserted (SimilaritySpec).
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.signProject(col(vecCol), outDim)
+        .as("proj"))
+  }
+
+  /** The original HOF composition of [[signProject]], kept as the
+    * equivalence oracle for the codegen kernel (spec-only). */
+  private[graft] def signProjectHof(df: DataFrame, idCol: String,
+      vecCol: String, outDim: Int = 16): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     def sgn(j: Int, k: Column): Column = {
       val M = lit(94906249L)

@@ -55,6 +55,17 @@ object VectorFunctions {
     * projection collapse inlines it into the lambda body (the
     * MinHash.scala:10-24 trap, O(d²) per row); the kernel is O(2d). */
   def l2Normalize(a: Column): Column = ExprColumn(FloatVecL2Normalize(ExprColumn.expr(a)))
+
+  /** Achlioptas sign-projection kernel (the [[FloatVecSignProject]]
+    * expression): outDim sequential double folds over the float
+    * vector, sign per (j, k) from the same squared-modular integer
+    * hash the HOF form computes — bit-identical to the
+    * `aggregate(sequence(...))` composition it replaces, but a tight
+    * generated loop instead of outDim·d interpreted lambda evals
+    * (ArrayAggregate is codegen-fallback; the swap took q_v4's
+    * single-task projection stage from ~4 s to kernel speed). */
+  def signProject(a: Column, outDim: Int): Column =
+    ExprColumn(FloatVecSignProject(ExprColumn.expr(a), outDim))
 }
 
 /** Bridge Column <-> Expression (Spark 4 made the Column(expr)
@@ -176,6 +187,78 @@ case class FloatVecL2Normalize(child: Expression)
          |  $arr[$i] = ((double) $x.getFloat($i)) * $inv;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** sign_project(a, outDim): array<float> → array<double> of length
+  * outDim; out[j] = (Σ_k a[k]·sgn(j,k)) / √outDim with the sign drawn
+  * from the squared-modular hash h2(j,k) mod 2 (M = 94906249):
+  * h0 = (j·131 + k·65537) mod M, h1 = (h0² + j·7919 + k) mod M,
+  * h2 = (h1² + 12345) mod M — token-for-token the Column/HOF formula
+  * in Similarity.signProject's original form and its DuckDB oracle.
+  * The fold is sequential in k (index order) per output dim, so the
+  * doubles are bit-identical to the ArrayAggregate composition. */
+case class FloatVecSignProject(child: Expression, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeCheck(prettyName, child, child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_vec_sign_project"
+
+  private val scale = 1.0 / math.sqrt(outDim.toDouble)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val h0 = (j.toLong * 131L + k.toLong * 65537L) % 94906249L
+        val h1 = (h0 * h0 + j.toLong * 7919L + k.toLong) % 94906249L
+        val h2 = (h1 * h1 + 12345L) % 94906249L
+        val s = if (h2 % 2L == 0L) 1.0 else -1.0
+        acc += x.getFloat(k).toDouble * s
+        k += 1
+      }
+      out(j) = acc * scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val h0 = ctx.freshName("h0")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $x.numElements();
+         |final double[] $out = new double[$outDim];
+         |for (int $j = 0; $j < $outDim; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    final long $h0 = (((long) $j) * 131L + ((long) $k) * 65537L) % 94906249L;
+         |    final long $h1 = ($h0 * $h0 + ((long) $j) * 7919L + ((long) $k)) % 94906249L;
+         |    final long $h2 = ($h1 * $h1 + 12345L) % 94906249L;
+         |    $acc += ((double) $x.getFloat($k)) * (($h2 % 2L == 0L) ? 1.0 : -1.0);
+         |  }
+         |  $out[$j] = $acc * ${scale}D;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

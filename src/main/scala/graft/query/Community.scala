@@ -92,13 +92,29 @@ object Community {
       .localCheckpoint(true)
     val deg = e2.groupBy(col("u").as("node")).agg(sum(col("w")).as("s"))
       .localCheckpoint(true)
-    // the 1-row 2W scalar (= sum of strengths), broadcast everywhere
-    val tm = deg.agg(dec(sum(col("s"))).as("tm"))
-    var cur = deg.select(col("node"), col("node").as("comm"))
+    // the 1-row 2W scalar (= sum of strengths): collected ONCE to the
+    // driver and inlined as a literal (bounded-smalls convention, like
+    // the IVF centroids). The r12 shape crossJoin(broadcast(tm))'d a
+    // lazy 1-row agg in every round, which re-ran the deg aggregation
+    // AND built a fresh broadcast per round — per-round jobs at gate
+    // scale, a per-round O(V) pass at 100 TB. Cast back to the exact
+    // decimal type the lazy sum carried so every product/compare in
+    // the gain arithmetic keeps its old type (values are exact
+    // integers either way).
+    val tmRow = deg.agg(dec(sum(col("s"))).as("tm")).head()
+    val tmLit = (if (tmRow.isNullAt(0)) lit(null)
+      else lit(tmRow.getDecimal(0))).cast("decimal(29,0)").as("tm")
+    // membership CARRIES the node strength: every round needs per-
+    // community strength sums (ds/tot) and the refine scorer needs
+    // per-node s — keeping s on the membership row makes those one
+    // aggregation / zero extra joins, where the r12 shape re-joined
+    // the static deg table once per round per consumer (2-3 exchanges
+    // and their AQE stage-jobs per round, pure overhead at gate scale
+    // and a data-sized join per round at 100 TB)
+    var cur = deg.select(col("node"), col("node").as("comm"), col("s"))
     var r = 0
     while (r < mergeRounds) {
-      val ds = cur.join(deg, Seq("node"))
-        .groupBy(col("comm")).agg(dec(sum(col("s"))).as("ds"))
+      val ds = cur.groupBy(col("comm")).agg(dec(sum(col("s"))).as("ds"))
       val ee = canon
         .join(cur.select(col("node").as("src"), col("comm").as("ca")),
           Seq("src"))
@@ -112,7 +128,7 @@ object Community {
       val sp = ee
         .join(ds.select(col("comm").as("c1"), col("ds").as("d1")), Seq("c1"))
         .join(ds.select(col("comm").as("c2"), col("ds").as("d2")), Seq("c2"))
-        .crossJoin(broadcast(tm))
+        .withColumn("tm", tmLit)
         .select(col("c1"), col("c2"),
           (col("tm") * dec(col("w")) - col("d1") * col("d2")).as("sc"))
         .filter(col("sc") > 0)
@@ -128,14 +144,14 @@ object Community {
             col("x.p") < col("x.c"))
         .select(col("x.c").as("comm"), col("x.p").as("newc"))
       cur = cur.join(merge, Seq("comm"), "left")
-        .select(col("node"), coalesce(col("newc"), col("comm")).as("comm"))
+        .select(col("node"), coalesce(col("newc"), col("comm")).as("comm"),
+          col("s"))
         .localCheckpoint(true)
       r += 1
     }
     r = 0
     while (r < refineRounds) {
-      val tot = cur.join(deg, Seq("node"))
-        .groupBy(col("comm")).agg(dec(sum(col("s"))).as("tot"))
+      val tot = cur.groupBy(col("comm")).agg(dec(sum(col("s"))).as("tot"))
       val kuc = e2.join(cur.select(col("node").as("v"), col("comm")),
           Seq("v"))
         .groupBy(col("u").as("node"), col("comm"))
@@ -146,11 +162,11 @@ object Community {
       val active = lit((r + 1) % 2)
       val sc = kuc.unionByName(stay)
         .filter(pmod(col("node"), lit(2)) === active)
-        .join(cur.select(col("node"), col("comm").as("c0")), Seq("node"))
-        .join(deg, Seq("node"))
+        .join(cur.select(col("node"), col("comm").as("c0"), col("s")),
+          Seq("node"))
         .join(tot, Seq("comm"))
-        .crossJoin(broadcast(tm))
-        .select(col("node"), col("comm"),
+        .withColumn("tm", tmLit)
+        .select(col("node"), col("comm"), col("s"),
           (col("tm") * col("k") - dec(col("s")) *
             (col("tot") - when(col("comm") === col("c0"), dec(col("s")))
               .otherwise(dec(lit(0))))).as("score"),
@@ -159,7 +175,7 @@ object Community {
       // strict-gain moves only: a tie prefers the CURRENT community
       cur = graft.plans.TopK.topKPerKey(sc, Seq(col("node")),
           Seq(col("score").desc, col("is_cur").desc, col("comm")), 1)
-        .select(col("node"), col("comm"))
+        .select(col("node"), col("comm"), col("s"))
         .unionByName(cur.filter(pmod(col("node"), lit(2)) =!= active))
         .localCheckpoint(true)
       r += 1

@@ -409,4 +409,23 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.signProject(e, "vec_id", "embedding", outDim = 16)
     assert(cosines(again, "proj") == pc)
   }
+
+  test("signProject codegen kernel is bit-identical to the HOF composition") {
+    // The FloatVecSignProject kernel replaced the aggregate(sequence(...))
+    // HOF form (interpreted ArrayAggregate) in round 13; both compute
+    // out[j] = (Σ_k v[k]·sgn(j,k))/√outDim with the same squared-modular
+    // hash and the same sequential k-order double fold, so every output
+    // double must match EXACTLY (not within epsilon) on real embeddings.
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    for (outDim <- Seq(1, 16, 33)) {
+      val kern = Similarity.signProject(e, "vec_id", "embedding", outDim)
+        .as[(Long, Seq[Double])].collect().toMap
+      val hof = Similarity.signProjectHof(e, "vec_id", "embedding", outDim)
+        .as[(Long, Seq[Double])].collect().toMap
+      assert(kern.keySet == hof.keySet)
+      kern.foreach { case (id, v) =>
+        assert(v == hof(id), s"outDim=$outDim vec_id=$id kernel=$v hof=${hof(id)}")
+      }
+    }
+  }
 }
