@@ -14,6 +14,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE may size cached-plan output partitioning (see Engine.scala:
+      // without this, DerivedCache frames pin the static shuffle width
+      // and every scan of them runs 32/64 near-empty tasks at gate
+      // scale — measured 25-45 s of task-time overhead per dedup/CC
+      // gate. Byte-advisory-driven, so scale-adaptive, not local-tuned.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // RDD-path shuffles (GraphX supersteps, the gather-to-vertex

@@ -24,14 +24,19 @@ object JobProfile {
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(names.nonEmpty, "SPARK_GRAFT_ONLY required")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      .getOrCreate()
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // SPARK_GRAFT_CONF="k=v;k=v" — A/B a conf hypothesis in isolation
+    sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new AtomicInteger(0)
@@ -39,7 +44,7 @@ object JobProfile {
     val tasks = new AtomicLong(0L)
     val taskTimeMs = new AtomicLong(0L)
     val jobWallMs = new AtomicLong(0L)
-    val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {

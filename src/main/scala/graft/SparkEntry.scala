@@ -4245,8 +4245,13 @@ object SparkEntry {
     // PageRank/Katz can't see; integer σ counts, decimal-ladder
     // dependency backprop --
     "q_g41_betweenness" -> ((s, d) => {
+      // hk feeds THREE subtrees (both union arms of e, and lms) — pin
+      // it so the lineitem scan + distinct runs once, not three times
+      // (the r12 multi-consumer rule; profiled as this gate's top two
+      // stages)
       val hk = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
       val e = hk.select(
           concat(lit("supplier:"), col("sk").cast("string")).as("src"),
           concat(lit("part:"), col("pk").cast("string")).as("dst"))

@@ -695,12 +695,24 @@ object Profiling {
         col(valueCol).cast("double").as("v"),
         col(weightCol).cast("decimal(38,6)").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("kw"))
-    val wg = Window.partitionBy(col("g"))
-    val wc = Window.partitionBy(col("g")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perV.withColumn("totw", sum(col("kw")).over(wg))
-      .withColumn("cumw", sum(col("kw")).over(wc))
-      .filter(col("cumw") * 2 >= col("totw"))
+    // Per-group cumulative weight WITHOUT a per-group window: a window
+    // partitioned by a low-cardinality group column puts each group's
+    // ENTIRE value set through one task (3 tasks carried this gate's
+    // whole cost at sf0.1, and at 100 TB a group is data-sized). Use
+    // the global two-level prefix scan ordered by (g, v) — parallel
+    // across range partitions — and subtract each group's start
+    // offset, computed from the per-group totals (bounded by the
+    // group-key cardinality, tiny window). Decimal sums are exact, so
+    // regrouping the additions cannot change any value.
+    val pre = OrderedPrefix.withPrefixSum(perV,
+      Seq(col("g"), col("v")), col("kw"), "__gcum")
+    val gtot = perV.groupBy(col("g")).agg(sum(col("kw")).as("totw"))
+    val goff = gtot.withColumn("__goff",
+      coalesce(sum(col("totw")).over(Window.orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(BigDecimal(0)).cast(gtot.schema("totw").dataType)))
+    pre.join(broadcast(goff), Seq("g"))
+      .filter((col("__gcum") - col("__goff")) * 2 >= col("totw"))
       .groupBy(col("g").as(groupCol))
       .agg(min(col("totw")).cast("double").as("tot_w"),
         min(col("v")).as("w_median"))

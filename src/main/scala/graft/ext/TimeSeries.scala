@@ -1304,44 +1304,68 @@ object TimeSeries {
       .select(col("f"), col("t"),
         round(col("n").cast("double") / col("__tot").cast("double"), 9)
           .as("p"))
-      .localCheckpoint(true)
-    val states = p.select(col("f").as("state"))
-      .unionByName(p.select(col("t").as("state"))).distinct()
-      .localCheckpoint(true)
-    val channels = states
-      .filter(!col("state").isin("__START", "__END", convState))
-      .select(col("state").as("removal"))
-    val removals = channels.unionByName(
-      channels.sparkSession.range(1).select(lit("__NONE").as("removal")))
-      .localCheckpoint(true)
-    def pin(vc: Column): Column =
-      when(col("state") === convState, lit(1.0))
-        .when(col("state") === col("removal") ||
-          col("state") === "__END", lit(0.0))
-        .otherwise(vc)
-    val grid = removals.crossJoin(states).localCheckpoint(true)
-    var v = grid.select(col("removal"), col("state"),
-      pin(lit(0.0)).as("v")).localCheckpoint(true)
+    // The value iteration runs over the (removal × state) grid —
+    // DIMENSION-sized (|event types|+2 states squared), never
+    // data-sized — so it is a bounded small by the repo's convention
+    // (IVF centroids, the Louvain 2W literal): collect the transition
+    // matrix once and iterate on the driver. The distributed plan ends
+    // at `p` (the corpus-scale sessionize + transition aggregation);
+    // the r12 profile measured the 12 distributed rounds as ~70 AQE
+    // stage-jobs of pure per-job overhead on ≤50-row frames. Every
+    // step replays the EXACT engine ladder the distributed form
+    // computed — round(v·p, 12) via BigDecimal(HALF_UP) on the
+    // double's shortest decimal form (Spark's Round), exact
+    // decimal(38,18) summation (order-free), toDouble, round(_, 9) —
+    // so the result is bit-identical (oracle-verified).
+    def rnd(x: Double, s: Int): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def pinV(removal: String, state: String, x: Double): Double =
+      if (state == convState) 1.0
+      else if (state == removal || state == "__END") 0.0
+      else x
+    val pr = p.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2)))
+    val stateSeq = (pr.map(_._1) ++ pr.map(_._2)).distinct
+    val channelSeq = stateSeq.filterNot(st =>
+      st == "__START" || st == "__END" || st == convState).sorted
+    val removalSeq = channelSeq :+ "__NONE"
+    val outOf: Map[String, Array[(String, String, Double)]] =
+      pr.groupBy(_._1)
+    var v: Map[(String, String), Double] =
+      (for (r <- removalSeq; st <- stateSeq)
+        yield (r, st) -> pinV(r, st, 0.0)).toMap
     for (_ <- 1 to iters) {
-      val c = v.join(p, v("state") === p("t"))
-        .select(col("removal"), p("f").as("state"),
-          round(col("v") * col("p"), 12).cast("decimal(38,18)").as("s"))
-        .groupBy(col("removal"), col("state")).agg(sum(col("s")).as("s"))
-      v = grid.join(c, Seq("removal", "state"), "left")
-        .select(col("removal"), col("state"),
-          pin(round(coalesce(col("s").cast("double"), lit(0.0)), 9)).as("v"))
-        .localCheckpoint(true)
+      v = (for (r <- removalSeq; st <- stateSeq) yield {
+        val s = outOf.getOrElse(st, Array.empty)
+          .foldLeft(java.math.BigDecimal.ZERO) { case (acc, (_, t, pv)) =>
+            acc.add(new java.math.BigDecimal(
+              java.lang.Double.toString(rnd(v((r, t)) * pv, 12)))
+              .setScale(18, java.math.RoundingMode.HALF_UP))
+          }
+        (r, st) -> pinV(r, st, rnd(s.doubleValue(), 9))
+      }).toMap
     }
-    val starts = v.filter(col("state") === "__START")
-    val base = starts.filter(col("removal") === "__NONE")
-      .select(col("v").as("base_p"))
-    starts.filter(col("removal") =!= "__NONE")
-      .crossJoin(broadcast(base))
-      .select(col("removal").as("channel"), col("base_p"),
-        col("v").as("removed_p"),
-        when(col("base_p") > 0,
-          round((col("base_p") - col("v")) / col("base_p"), 6))
-          .as("removal_effect"))
+    val spark = events.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("base_p",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("removed_p",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("removal_effect",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = channelSeq.map { ch =>
+      val bp = v(("__NONE", "__START"))
+      val rp = v((ch, "__START"))
+      val eff: Any =
+        if (bp > 0) java.lang.Double.valueOf(rnd((bp - rp) / bp, 6)) else null
+      org.apache.spark.sql.Row(ch, bp, rp, eff)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size.min(4))),
+      outSchema)
   }
 
   /** Unrolled DuckDB oracle for [[markovRemovalEffect]]: the same

@@ -331,23 +331,33 @@ object GraphQueries {
     * every endpoint of the input; isolated self-loop-only nodes label
     * themselves. */
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // Each star op needs min(v) per u attached back to every (u, v)
+    // row. The agg+self-join form pays TWO exchanges of the edge set
+    // per op (groupBy shuffle + join shuffle/broadcast-build); a
+    // min-over-window PARTITIONED by u pays one — same hash
+    // partitioning, same skew exposure as the join it replaces, and
+    // the per-round job count drops with it (the profiled cost of the
+    // CC gates is per-stage-job overhead at gate scale). Rows where u
+    // repeats get the identical m the join would have attached; the
+    // trailing distinct()s collapse the duplicate (u, m) union arm in
+    // smallStar exactly as they collapsed the per-distinct-u arm.
+    import org.apache.spark.sql.expressions.Window
+    val perU = Window.partitionBy(col("u"))
     def sym(e: DataFrame) =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     def largeStar(e: DataFrame): DataFrame = {
       val nb = sym(e)
-      val mu = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      nb.join(mu, Seq("u")).filter(col("v") > col("u"))
+      nb.withColumn("m", least(col("u"), min(col("v")).over(perU)))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val mu = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      oriented.join(mu, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(mu.select(col("u"), col("m").as("v")))
+      val om = oriented.withColumn("m", min(col("v")).over(perU))
+      om.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(om.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
     var e = edges.select(col(edges.columns(0)).as("u"), col(edges.columns(1)).as("v"))

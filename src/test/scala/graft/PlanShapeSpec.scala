@@ -1165,6 +1165,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_o19_apportion" -> "one row per source (dimension-sized)",
       "q_o27_neyman" -> "one row per stratum (dimension-sized)",
       "q_p21_gini" -> "one row per source (dimension-sized)",
+      "q_p26_weighted_median" -> "group-start offsets: one row per group (dimension-sized); the data-sized cumsum runs on OrderedPrefix",
       // top-k axes — inputs are LIMIT-ed lists by construction
       "q_n6_rrf_fusion" -> "fuses two top-100 lists (<= 200 rows)",
       // series-derived pair axes — bounded by the pre-aggregated

@@ -12,6 +12,9 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // match the engine sessions (Engine/Bench/Verify): AQE may size
+    // cached-plan output partitioning
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .withExtensions(new GraftExtensions) // engine SQL functions everywhere
