@@ -173,31 +173,46 @@ final class GraphService(
     // (save_to_csv after every write) still runs.
     if (links.isEmpty) { snapshot(); return 0L }
     val derived = graft.etl.Staging.stageFromLinks(links)
-    val staged = graft.etl.StagedGraph(
-      links,
-      GraphStore.materialize(spark, derived.categories),
-      GraphStore.materialize(spark, derived.keywords),
-      GraphStore.materialize(spark, derived.belongsTo),
-      GraphStore.materialize(spark, derived.hasKeyword))
-    storeBuckets match {
-      case Some(b) =>
+    // The four derived tables are independent projections of the
+    // pinned link frame — materialize them CONCURRENTLY (guide §2.6
+    // overlap-independent-jobs: actions are only sequential because
+    // driver code calls them sequentially). Each is a small job; run
+    // serially they stack four driver/job latencies per micro-batch,
+    // which the ingest profile showed as pure wall time.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val Seq(cats, kws, bel, hkw) = Await.result(
+      Future.sequence(Seq(derived.categories, derived.keywords,
+        derived.belongsTo, derived.hasKeyword)
+        .map(f => Future(GraphStore.materialize(spark, f)))), Duration.Inf)
+    val staged = graft.etl.StagedGraph(links, cats, kws, bel, hkw)
+    // The five table writes touch DISJOINT paths (each merge reads only
+    // its own table plus the pinned staged frame; each overwriteSafely
+    // stages through its own temp dir), so they run concurrently —
+    // guide §2.6 again: five sequential write actions stack five
+    // job+FS-commit latencies per micro-batch for no ordering reason.
+    // Single-writer discipline is unchanged (one client, one batch).
+    val writes: Seq[() => Unit] = (storeBuckets match {
+      case Some(b) => Seq(
         // partition-pruned path: only buckets the batch touches are
         // rewritten; dimensions below still take the (small) flat merge
-        store.upsertNodesPartitioned("link", staged.links, "url", b)
-        store.upsertEdgesPartitioned(EdgeTypes.BelongsTo, staged.belongsTo, b)
-        store.upsertEdgesPartitioned(EdgeTypes.HasKeyword, staged.hasKeyword, b)
-      case None =>
-        store.writeNodes("link",
-          GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
-        store.writeEdges(EdgeTypes.BelongsTo,
-          store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo))
-        store.writeEdges(EdgeTypes.HasKeyword,
-          store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword))
-    }
-    store.writeNodes("category",
-      GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
-    store.writeNodes("keyword",
-      GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
+        () => store.upsertNodesPartitioned("link", staged.links, "url", b),
+        () => store.upsertEdgesPartitioned(EdgeTypes.BelongsTo, staged.belongsTo, b),
+        () => store.upsertEdgesPartitioned(EdgeTypes.HasKeyword, staged.hasKeyword, b))
+      case None => Seq(
+        () => store.writeNodes("link",
+          GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url"))),
+        () => store.writeEdges(EdgeTypes.BelongsTo,
+          store.mergeEdges(store.edges(EdgeTypes.BelongsTo), staged.belongsTo)),
+        () => store.writeEdges(EdgeTypes.HasKeyword,
+          store.mergeEdges(store.edges(EdgeTypes.HasKeyword), staged.hasKeyword)))
+    }) ++ Seq(
+      () => store.writeNodes("category",
+        GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name"))),
+      () => store.writeNodes("keyword",
+        GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name"))))
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     snapshot()
     staged.links.count()
   }

@@ -75,7 +75,10 @@ object ChunkDedup {
       w: Int = 8, divisor: Int = 32): DataFrame = {
     require(w >= 2, s"window must be >= 2: $w")
     require(divisor >= 2, s"divisor must be >= 2: $divisor")
-    val base = docs
+    // the rolling-hash fold is the most CPU-dense per-row kernel in the
+    // repo — spread a sub-parallelism scan before it (Par.spreadToCores
+    // is a no-op once the corpus spans ≥ cores splits)
+    val base = Par.spreadToCores(docs)
       .select(col(idCol).as("doc_id"), normalizeAscii(col(textCol)).as("__t"))
       .filter(length(col("__t")) > 0)
       .select(col("doc_id"), length(col("__t")).cast("long").as("__n"),

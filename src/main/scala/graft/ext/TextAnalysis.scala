@@ -718,11 +718,24 @@ object TextAnalysis {
     val lm = bigramLm(docs, idCol, textCol).filter(col("n_bigrams") > 0)
     val scored = lm.join(
       docs.select(col(idCol).as("doc_id"), col(grpCol).as("grp")), Seq("doc_id"))
-    val ranked = scored.select(col("grp"), col("doc_id"), col("logprob"),
-      row_number().over(Window.partitionBy(col("grp"))
-        .orderBy(col("logprob").desc, col("doc_id"))).as("rn"),
-      count(lit(1)).over(Window.partitionBy(col("grp"))).as("n"))
-    val cuts = ranked.filter(col("rn") === floor((col("n") + 1) / lit(2.0)))
+      .localCheckpoint(true)
+    // Per-group rank WITHOUT a per-group window: a window partitioned
+    // by the (few-valued) language column funnels each language's
+    // whole score set through one task — data-sized per group at
+    // 100 TB, and the profiled serial-stage chain at gate scale. Rank
+    // globally over (grp, logprob desc, doc_id) with the OrderedPrefix
+    // two-level scan (groups are contiguous in that order), then
+    // rank-in-group = global index − group start, group starts from
+    // the dimension-sized per-group counts. Ties are broken by doc_id
+    // exactly as row_number did, so the cut row is identical. The
+    // scored frame is pinned: it feeds the rank, the group counts and
+    // the final keep-count aggregation.
+    val idx = OrderedPrefix.withRowIndex(scored,
+      Seq(col("grp"), col("logprob").desc, col("doc_id")), "__gi", "__nall")
+    val goff = idx.groupBy(col("grp")).agg(
+      (min(col("__gi")) - 1L).as("__start"), count(lit(1)).as("n"))
+    val cuts = idx.join(broadcast(goff), Seq("grp"))
+      .filter(col("__gi") - col("__start") === floor((col("n") + 1) / lit(2.0)))
       .select(col("grp"), col("logprob").as("cut"))
     scored.join(broadcast(cuts), Seq("grp"))
       .groupBy(col("grp"))

@@ -348,9 +348,34 @@ object GraphStore {
     * are reclaimed by the ContextCleaner once the staged frame is
     * unreferenced, unlike the scratch dirs, which leaked until /tmp
     * cleanup. Durability is unchanged: staging was always in-session
-    * scratch; the store's WAL discipline lives in overwriteSafely. */
-  def materialize(spark: SparkSession, df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    * scratch; the store's WAL discipline lives in overwriteSafely.
+    *
+    * Cluster caveat (the round-12 advisor's reliability note):
+    * localCheckpoint blocks are NON-REPLICATED executor storage with
+    * truncated lineage — on a cluster that can LOSE executors
+    * mid-write (dynamic allocation, decommissioning), a lost block is
+    * unrecoverable and the read-modify-write fails after some tables
+    * may already be swapped. So the fast path is gated: when
+    * spark.dynamicAllocation.enabled (or the explicit override
+    * spark.graft.store.reliableStaging=true) the staging falls back to
+    * a reliable scratch-parquet round-trip, which survives executor
+    * loss. Local/static-allocation sessions — every bench/verify rig —
+    * keep the fast path. */
+  def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val conf = spark.sparkContext.getConf
+    val reliable = spark.conf
+      .getOption("spark.graft.store.reliableStaging")
+      .map(_.toBoolean)
+      .getOrElse(conf.getBoolean("spark.dynamicAllocation.enabled",
+        defaultValue = false))
+    if (!reliable) df.localCheckpoint(true)
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stage").toString
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+  }
 
   /** SCD-2 (slowly-changing-dimension, type 2) temporal merge: apply a
     * batch of dimension updates while KEEPING history. `history` rows

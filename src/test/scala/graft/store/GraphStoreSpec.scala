@@ -154,4 +154,26 @@ class GraphStoreSpec extends SparkSpec {
     // both the outbound (u3→u2) and inbound (u1→u3) edges are gone
     assert(store.edges("LINKS_TO").as[(String, String)].collect().toSeq == Seq(("u1", "u2")))
   }
+
+  test("materialize: reliable-staging override round-trips identically and severs file lineage") {
+    // the cluster-reliability gate (r12 advisor item): with the
+    // override set, staging goes through scratch parquet instead of
+    // localCheckpoint — rows identical, plan reads the scratch copy
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    spark.conf.set("spark.graft.store.reliableStaging", "true")
+    try {
+      val m = GraphStore.materialize(spark, df)
+      assert(m.collect().map(r => (r.getLong(0), Option(r.getString(1))))
+        .sortBy(_._1).toSeq ==
+        Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+      // staged copy must be its own files — re-reading is stable even
+      // if the input's source were overwritten
+      assert(m.queryExecution.analyzed.collectLeaves()
+        .forall(_.toString.contains("parquet")))
+    } finally spark.conf.unset("spark.graft.store.reliableStaging")
+    // default (local/static) path stays the checkpoint
+    val fast = GraphStore.materialize(spark, df)
+    assert(fast.collect().length == 3)
+  }
 }
