@@ -166,6 +166,16 @@ object SparkEntry {
       Dedup.minHashDupPairs(plantedDocs(s, d), "doc_id", "text",
         shingleN = 3, k = 32, bands = 16, threshold = 0.5))
 
+  /** The exact-face DSIR selection at keep=200‰ over documents —
+    * shared by q_o35 (reports it) and q_o35b (uses it as the overlap
+    * baseline for the hashed face): the louvainCo50 convention — one
+    * gate reports the derived table, a second refines/compares against
+    * it, and an engine would materialize it once, not per query. */
+  private def dsirExact200(s: SparkSession, d: String): DataFrame =
+    DerivedCache.dataFrame(s, s"dsirExact200:$d")(
+      graft.ext.DataSelection.dsirSelect(Tables.documents(s, d),
+        "doc_id", "text", col("source") === "src1", keepPermille = 200))
+
   /** MinHash pair chain over the RAW documents table (no planting),
     * shared by the dataset card q_ep3 — session-cached like
     * [[minhashPairs]]. */
@@ -203,11 +213,18 @@ object SparkEntry {
         Staging.linksFromMetadata(Staging.validRows(meta)))
       val staged = Staging.stageFromLinks(links)
       val st = new GraphStore(s, s"$root/graph")
-      st.writeNodes("link", staged.links)
-      st.writeNodes("category", staged.categories)
-      st.writeNodes("keyword", staged.keywords)
-      st.writeEdges("BELONGS_TO", staged.belongsTo)
-      st.writeEdges("HAS_KEYWORD", staged.hasKeyword)
+      // five independent table writes from the pinned link frame —
+      // run them concurrently (guide §2.6; same as upsertStaged)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq[() => Unit](
+        () => st.writeNodes("link", staged.links),
+        () => st.writeNodes("category", staged.categories),
+        () => st.writeNodes("keyword", staged.keywords),
+        () => st.writeEdges("BELONGS_TO", staged.belongsTo),
+        () => st.writeEdges("HAS_KEYWORD", staged.hasKeyword))
+        .map(w => Future(w()))), Duration.Inf)
       meta.unpersist(blocking = false) // store is loaded; stage can go
       st
     }
@@ -221,6 +238,7 @@ object SparkEntry {
     * defect. Keys mirror the DerivedCache keys. */
   def sharedCaches: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhashPairs" -> ((s, d) => minhashPairs(s, d)),
+    "dsirExact200" -> ((s, d) => dsirExact200(s, d)),
     "cardPairs" -> ((s, d) => cardPairs(s, d)),
     // the EP1 store build (CSV write + multiLine parse + stage + 5
     // table loads) is shared by q_ep1_pipeline and the S10 export
@@ -366,18 +384,21 @@ object SparkEntry {
       // the Scala DataFrame API and the motif front-end (the
       // reference's users write Cypher strings; SQL is the engine's
       // native string surface, same Catalyst plan as q_j3)
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
-      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      // the SQL face queries the same STORED rel tables the DataFrame
+      // face reads (hasKeyword/belongsTo are DerivedCache-materialized
+      // — in the reference HAS_KEYWORD is a stored Kùzu table queries
+      // never re-derive); the old inline hk CTE re-ran the full
+      // lineitem distinct TWICE per execution (CTE inlined into both
+      // join sides — the gate's one profiled hot stage)
+      hasKeyword(s, d).createOrReplaceTempView("hk_v")
+      belongsTo(s, d).createOrReplaceTempView("bt_v")
       s.sql("""
-        WITH hk AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
-                    FROM lineitem_v),
-          bt AS (SELECT s_suppkey AS src, s_nationkey AS dst FROM supplier_v)
         SELECT e1.src AS url1, b1.dst AS category1,
                e2.src AS url2, b2.dst AS category2,
                e1.dst AS shared_keyword
-        FROM hk e1 JOIN hk e2 ON e1.dst = e2.dst AND e1.src < e2.src
-        JOIN bt b1 ON b1.src = e1.src
-        JOIN bt b2 ON b2.src = e2.src
+        FROM hk_v e1 JOIN hk_v e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        JOIN bt_v b1 ON b1.src = e1.src
+        JOIN bt_v b2 ON b2.src = e2.src
         WHERE b1.dst <> b2.dst
         ORDER BY shared_keyword, category1, category2, url1, url2
         LIMIT 100""")
@@ -2087,7 +2108,12 @@ object SparkEntry {
       // weak-signal floor for near-uniform synthetic vectors)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-      val centroids = graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      // same (corpus, k=16, seed) training q_n22 caches — share it
+      // (deterministic fit: identical input/partitioning/seed give the
+      // exact centroids this gate trained for itself)
+      val centroids = DerivedCache.any(s, s"ivfcents16:$d") {
+        graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      }
       val ivf = graft.ext.Similarity.ivfTopK(e, q, "vec_id", "embedding",
         centroids, k = 5, nprobe = 4)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
@@ -4383,8 +4409,10 @@ object SparkEntry {
     "q_n19_nprobe_curve" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-      val centroids = graft.ext.Similarity.trainIvfCentroids(e,
-        "embedding", k = 16)
+      // shared ivfcents16 training (see q_n3/q_n22) — bit-identical fit
+      val centroids = DerivedCache.any(s, s"ivfcents16:$d") {
+        graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      }
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("cand_id"))
       val nExact = bf.count()
@@ -4457,8 +4485,10 @@ object SparkEntry {
     // (raw max-cell share asserted in SimilarityMoreSpec) --
     "q_n20_cell_balance" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val centroids = graft.ext.Similarity.trainIvfCentroids(e,
-        "embedding", k = 16)
+      // shared ivfcents16 training (see q_n3/q_n22) — bit-identical fit
+      val centroids = DerivedCache.any(s, s"ivfcents16:$d") {
+        graft.ext.Similarity.trainIvfCentroids(e, "embedding", k = 16)
+      }
       val cells = e.select(element_at(
           graft.functions.Centroids.nearestCentroids(col("embedding"),
             centroids, 1), 1).as("cell"))
@@ -4713,9 +4743,7 @@ object SparkEntry {
     // weight — threshold from the exact 800‰ order statistic
     // (OrderedPrefix selection, no global sort), ties kept --
     "q_o35_dsir_select" -> ((s, d) =>
-      graft.ext.DataSelection.dsirSelect(Tables.documents(s, d),
-        "doc_id", "text", col("source") === "src1", keepPermille = 200)
-        .orderBy(col("doc_id"))),
+      dsirExact200(s, d).orderBy(col("doc_id"))),
 
     // -- DSIR hashed-feature face (Xie et al. §3): grams hashed into
     // 10⁴ buckets bound the LM count table regardless of vocabulary —
@@ -4727,9 +4755,7 @@ object SparkEntry {
     // scale, floor 0.9 — raw overlap asserted in DataSelectionSpec) --
     "q_o35b_dsir_hashed" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val exact = graft.ext.DataSelection.dsirSelect(docs, "doc_id",
-        "text", col("source") === "src1", keepPermille = 200)
-        .select(col("doc_id"))
+      val exact = dsirExact200(s, d).select(col("doc_id"))
       val hashed = graft.ext.DataSelection.dsirSelect(docs, "doc_id",
         "text", col("source") === "src1", keepPermille = 200,
         hashBuckets = Some(10000)).select(col("doc_id"))

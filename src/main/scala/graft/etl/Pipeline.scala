@@ -79,16 +79,23 @@ final class Pipeline(
     // ingest gates use to create tables otherwise pays a whole
     // merge/rewrite cycle over zero rows.
     if (!links.isEmpty) {
-      store.writeNodes("link",
-        GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url")))
-      store.writeNodes("category",
-        GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name")))
-      store.writeNodes("keyword",
-        GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name")))
-      store.writeEdges(graft.model.EdgeTypes.BelongsTo,
-        store.mergeEdges(store.edges(graft.model.EdgeTypes.BelongsTo), staged.belongsTo))
-      store.writeEdges(graft.model.EdgeTypes.HasKeyword,
-        store.mergeEdges(store.edges(graft.model.EdgeTypes.HasKeyword), staged.hasKeyword))
+      // five disjoint-table merges from the pinned link frame — run
+      // concurrently (guide §2.6; same as GraphService.upsertStaged)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq[() => Unit](
+        () => store.writeNodes("link",
+          GraphStore.mergeByKey(store.nodes("link"), staged.links, Seq("url"))),
+        () => store.writeNodes("category",
+          GraphStore.mergeByKey(store.nodes("category"), staged.categories, Seq("name"))),
+        () => store.writeNodes("keyword",
+          GraphStore.mergeByKey(store.nodes("keyword"), staged.keywords, Seq("name"))),
+        () => store.writeEdges(graft.model.EdgeTypes.BelongsTo,
+          store.mergeEdges(store.edges(graft.model.EdgeTypes.BelongsTo), staged.belongsTo)),
+        () => store.writeEdges(graft.model.EdgeTypes.HasKeyword,
+          store.mergeEdges(store.edges(graft.model.EdgeTypes.HasKeyword), staged.hasKeyword)))
+        .map(w => Future(w()))), Duration.Inf)
     }
 
     PipelineResult(store.nodes("link").count(), review)

@@ -246,10 +246,16 @@ object GraphOps {
     // set is tiny by construction (≤ |triples| / hotKeyThreshold keys)
     val hot = triples.groupBy("kw").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotKeyThreshold).select("kw")
-    val tail = triples.join(broadcast(hot), Seq("kw"), "left_anti")
+    val tailRdd = triples.join(broadcast(hot), Seq("kw"), "left_anti")
       .as[(String, String, String)].rdd
       .map { case (kw, url, cat) => (kw, (url, cat)) }
-      .groupByKey()
+    // the default partitioner inherits the parent's count — AQE sizes
+    // that by input BYTES, but the pair loop below is quadratic CPU per
+    // key (measured: the whole stage on 5 of 32 cores). Never go below
+    // the session's parallelism; at scale the parent already exceeds it
+    val tail = tailRdd
+      .groupByKey(math.max(tailRdd.getNumPartitions,
+        spark.sparkContext.defaultParallelism))
       .flatMap { case (kw, members) =>
         val arr = members.toArray.sortBy(_._1) // ≤ hotKeyThreshold entries
         for {
