@@ -109,7 +109,7 @@ final class GraphService(
       .withColumn("url", UrlFunctions.normalizeUrl(col("url")))
       .limit(batchSize)
     val novel = GraphQueries.novel(batch, store.nodes("link"), "url")
-    upsertStaged(Staging.stageMetadata(Staging.validRows(novel)))
+    upsertStaged(Staging.linksFromMetadata(Staging.validRows(novel)))
   }
 
   /** POST /upload_csv, bare-URL variant: scrape + clean + classify
@@ -123,7 +123,7 @@ final class GraphService(
     val fetched = Enrich.fetchStage(spark, novel, fetcher).filter($"failureReason".isNull)
     val cleaned = Enrich.cleanStage(spark, fetched, cleaner)
     val classified = Enrich.classifyStage(spark, cleaned, classifier).toDF()
-    upsertStaged(Staging.stageMetadata(Staging.validRows(classified)))
+    upsertStaged(Staging.linksFromMetadata(Staging.validRows(classified)))
   }
 
   /** POST /add_link : single-url ingest is just a 1-row upload. */
@@ -153,24 +153,34 @@ final class GraphService(
         col("keywordExplanation").as("keyword_explanation")),
       path)
 
-  private def upsertStaged(lazyStaged: graft.etl.StagedGraph): Long = {
+  /** Upsert a micro-batch from its lazy LINK frame (the
+    * [[graft.etl.Staging.linksFromMetadata]] output). The signature
+    * takes just the link frame — the four dimension/edge tables are
+    * ALWAYS re-derived here via [[graft.etl.Staging.stageFromLinks]]
+    * (the same derivation stageMetadata composes), so there is no
+    * StagedGraph parameter whose non-link frames could be silently
+    * discarded (ADVICE r12). */
+  private def upsertStaged(lazyLinks: org.apache.spark.sql.DataFrame): Long = {
     // sever lineage from the store files before overwriting them —
     // the staged plans reference the current store via the novel
     // anti-join and would re-read replaced files otherwise. Pin the
     // link frame ONCE and re-derive the four downstream tables from
     // the pinned copy: materializing all five lazy frames re-ran the
     // shared upstream chain (url normalize, novel anti-join, validity
-    // filter, dedup window) once per table. stageFromLinks is the
-    // same derivation stageMetadata itself uses, so the staged tables
-    // are bit-identical.
-    val links = GraphStore.materialize(spark, lazyStaged.links)
+    // filter, dedup window) once per table.
+    val links = GraphStore.materialize(spark, lazyLinks)
     // empty-batch short-circuit: every staged table derives from
     // `links`, and merging an empty batch is the identity (mergeByKey
     // keeps existing rows; mergeEdges unions nothing) — so skip the
     // merge + full-table rewrite cycle entirely. At 100 TB this is
     // the difference between an O(store) rewrite and a no-op when an
     // upload carries zero novel valid rows; the snapshot side-contract
-    // (save_to_csv after every write) still runs.
+    // (save_to_csv after every write) still runs. One stated
+    // consequence (ADVICE r12): with storeBuckets set, an empty upsert
+    // on a still-flat table no longer triggers upsertNodesPartitioned's
+    // one-time flat→bucketed layout migration — migration is deferred
+    // to the first NON-empty batch. Reads are layout-agnostic
+    // (dropLayout), so no reader observes the difference.
     if (links.isEmpty) { snapshot(); return 0L }
     val derived = graft.etl.Staging.stageFromLinks(links)
     // The four derived tables are independent projections of the
